@@ -1,0 +1,19 @@
+"""fanlin-tpu — a TPU-native image-serving framework.
+
+A ground-up rebuild of livesense-inc/fanlin-rs (a Rust image proxy,
+reference: /root/reference) designed TPU-first: the per-pixel transform
+chain (resize / crop / fill / blur / grayscale / invert / color
+management) runs as batched, fused XLA/Pallas programs on TPU, while
+origin fetch, codec bitstream work and HTTP serving stay on the host.
+
+Layer map (mirrors reference SURVEY.md §1):
+  L0 config   -> fanlin_tpu.config
+  L1 infra    -> fanlin_tpu.infra    (s3 / web / file origin clients)
+  L2 engine   -> fanlin_tpu.engine   (codecs + device pipeline + batcher)
+     ops      -> fanlin_tpu.ops      (device kernels: resize/blur/fused)
+  L3 spec     -> fanlin_tpu.spec     (query + content negotiation)
+  L4 server   -> fanlin_tpu.server   (HTTP gateway)
+  parallel    -> fanlin_tpu.parallel (device mesh / DP sharding)
+"""
+
+__version__ = "0.1.0"

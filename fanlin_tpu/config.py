@@ -1,0 +1,203 @@
+"""L0 — configuration.
+
+Strict-JSON config with the same schema and strictness as the
+reference (reference src/config/mod.rs:9-47, src/config/s3.rs:3-9,
+src/config/web.rs:3-7): required fields missing or wrongly typed are
+hard errors, trailing commas are rejected (Python's json module is
+strict JSON, like serde_json), unknown fields are ignored.
+
+Extra (TPU-build-only) knobs live under the optional "tpu" object and
+all have defaults, so every valid reference config file is a valid
+fanlin-tpu config file.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import List, Optional
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def _req(obj: dict, key: str, ctx: str):
+    if not isinstance(obj, dict) or key not in obj:
+        raise ConfigError(f"missing field `{key}` in {ctx}")
+    return obj[key]
+
+
+def _as_uint(v, key: str):
+    # serde usize: JSON integer >= 0; bools and floats are type errors.
+    if isinstance(v, bool) or not isinstance(v, int) or v < 0:
+        raise ConfigError(f"invalid type for `{key}`: expected unsigned integer")
+    return v
+
+
+def _as_str(v, key: str):
+    if not isinstance(v, str):
+        raise ConfigError(f"invalid type for `{key}`: expected string")
+    return v
+
+
+def _as_bool(v, key: str):
+    if not isinstance(v, bool):
+        raise ConfigError(f"invalid type for `{key}`: expected boolean")
+    return v
+
+
+def _opt(obj: dict, key: str, conv):
+    if key in obj and obj[key] is not None:
+        return conv(obj[key], key)
+    return None
+
+
+@dataclasses.dataclass
+class S3Config:
+    """reference src/config/s3.rs:3-9"""
+
+    aws_region: str
+    aws_endpoint_url: Optional[str] = None
+    aws_access_key_id: Optional[str] = None
+    aws_secret_access_key: Optional[str] = None
+
+    @classmethod
+    def from_obj(cls, obj: dict) -> "S3Config":
+        return cls(
+            aws_region=_as_str(_req(obj, "aws_region", "client.s3"), "aws_region"),
+            aws_endpoint_url=_opt(obj, "aws_endpoint_url", _as_str),
+            aws_access_key_id=_opt(obj, "aws_access_key_id", _as_str),
+            aws_secret_access_key=_opt(obj, "aws_secret_access_key", _as_str),
+        )
+
+
+@dataclasses.dataclass
+class WebConfig:
+    """reference src/config/web.rs:3-7"""
+
+    user_agent: str
+    timeout: int  # seconds
+
+    @classmethod
+    def from_obj(cls, obj: dict) -> "WebConfig":
+        return cls(
+            user_agent=_as_str(_req(obj, "user_agent", "client.web"), "user_agent"),
+            timeout=_as_uint(_req(obj, "timeout", "client.web"), "timeout"),
+        )
+
+
+@dataclasses.dataclass
+class ClientConfig:
+    """reference src/config/mod.rs:17-21"""
+
+    s3: S3Config
+    web: WebConfig
+
+    @classmethod
+    def from_obj(cls, obj: dict) -> "ClientConfig":
+        return cls(
+            s3=S3Config.from_obj(_req(obj, "s3", "client")),
+            web=WebConfig.from_obj(_req(obj, "web", "client")),
+        )
+
+
+@dataclasses.dataclass
+class Provider:
+    """reference src/config/mod.rs:9-15"""
+
+    path: str
+    src: str
+    fallback_path: Optional[str] = None
+    success_even_no_content: Optional[bool] = None
+
+    @classmethod
+    def from_obj(cls, obj: dict) -> "Provider":
+        return cls(
+            path=_as_str(_req(obj, "path", "provider"), "path"),
+            src=_as_str(_req(obj, "src", "provider"), "src"),
+            fallback_path=_opt(obj, "fallback_path", _as_str),
+            success_even_no_content=_opt(obj, "success_even_no_content", _as_bool),
+        )
+
+
+@dataclasses.dataclass
+class TpuConfig:
+    """TPU-build-only engine knobs (no reference equivalent; defaults
+    keep reference configs valid)."""
+
+    # micro-batch flush window in milliseconds (latency the batcher will
+    # wait to coalesce concurrent requests into one device program)
+    batch_window_ms: float = 2.0
+    # max images per device batch
+    max_batch: int = 8
+    # number of host codec worker threads (decode/encode)
+    codec_threads: int = 0  # 0 = os.cpu_count()
+    # run device math in float32 (exact) — bfloat16 fast-path if False
+    exact: bool = True
+    # data-parallel sharding over available devices
+    data_parallel: bool = False
+
+    @classmethod
+    def from_obj(cls, obj: dict) -> "TpuConfig":
+        cfg = cls()
+        if "batch_window_ms" in obj:
+            cfg.batch_window_ms = float(obj["batch_window_ms"])
+        if "max_batch" in obj:
+            cfg.max_batch = _as_uint(obj["max_batch"], "max_batch")
+        if "codec_threads" in obj:
+            cfg.codec_threads = _as_uint(obj["codec_threads"], "codec_threads")
+        if "exact" in obj:
+            cfg.exact = _as_bool(obj["exact"], "exact")
+        if "data_parallel" in obj:
+            cfg.data_parallel = _as_bool(obj["data_parallel"], "data_parallel")
+        return cfg
+
+
+@dataclasses.dataclass
+class Config:
+    """reference src/config/mod.rs:23-34"""
+
+    port: int
+    bind_addr: str
+    max_clients: int
+    client: ClientConfig
+    providers: List[Provider]
+    fallback_path: Optional[str] = None
+    profile_path: Optional[str] = None
+    use_embedded_profile: Optional[bool] = None
+    suppress_logging: Optional[bool] = None
+    tpu: TpuConfig = dataclasses.field(default_factory=TpuConfig)
+
+    @classmethod
+    def from_obj(cls, obj: dict) -> "Config":
+        providers_raw = _req(obj, "providers", "config")
+        if not isinstance(providers_raw, list):
+            raise ConfigError("invalid type for `providers`: expected array")
+        return cls(
+            port=_as_uint(_req(obj, "port", "config"), "port"),
+            bind_addr=_as_str(_req(obj, "bind_addr", "config"), "bind_addr"),
+            max_clients=_as_uint(_req(obj, "max_clients", "config"), "max_clients"),
+            client=ClientConfig.from_obj(_req(obj, "client", "config")),
+            providers=[Provider.from_obj(p) for p in providers_raw],
+            fallback_path=_opt(obj, "fallback_path", _as_str),
+            profile_path=_opt(obj, "profile_path", _as_str),
+            use_embedded_profile=_opt(obj, "use_embedded_profile", _as_bool),
+            suppress_logging=_opt(obj, "suppress_logging", _as_bool),
+            tpu=TpuConfig.from_obj(obj.get("tpu", {}) or {}),
+        )
+
+    @classmethod
+    def from_str(cls, text: str) -> "Config":
+        try:
+            obj = json.loads(text)
+        except json.JSONDecodeError as e:
+            raise ConfigError(f"invalid JSON: {e}") from e
+        if not isinstance(obj, dict):
+            raise ConfigError("config root must be a JSON object")
+        return cls.from_obj(obj)
+
+    @classmethod
+    def from_file(cls, path) -> "Config":
+        with open(path, "r", encoding="utf-8") as f:
+            return cls.from_str(f.read())

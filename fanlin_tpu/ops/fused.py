@@ -1,0 +1,299 @@
+"""The fused device transform program.
+
+This is the TPU replacement for the reference's CPU hot loop
+(reference src/handler.rs:185-309 steps 8-11, see SURVEY.md §3C):
+
+    grayscale ELSE-IF invert  ->  Lanczos3 resize (fit or
+    fill+center-crop)  ->  center overlay on RGB fill canvas  ->
+    gaussian blur
+
+All four stages run inside ONE jitted XLA program over a micro-batch
+of images, parameterized per image, so one compiled executable serves
+a mixed batch of different queries:
+
+* resize + crop + canvas placement are folded into two per-image
+  (dst × src) weight matrices (see ops.filters) and executed as two
+  batched matmuls on the MXU — channel-first layout (B, C, H, W) keeps
+  W in the lane dimension;
+* grayscale / invert / fill-composite are per-image-masked VPU
+  elementwise ops that XLA fuses into the matmul epilogues;
+* gaussian blur is two more batched matmuls (identity rows for
+  images without blur), compiled only into the has_blur program
+  variant.
+
+Programs are cached per (batch, src-bucket, dst-bucket, has_blur) —
+the startup-amortization spirit of the reference's prebuilt 40 ms
+lcms2 transform (handler.rs:483) applied to XLA compilation.
+
+Rounding semantics match the `image` crate: resize and blur outputs
+round half-away-from-zero after clamping to [0, 255]; the fixed-point
+Rec.709 luma floors; alpha blending truncates, with the opaque
+fast path bit-exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import filters
+
+# Shape buckets: H padded to a multiple of 8 (f32 sublane), W padded to
+# a multiple of 128 (lane). Coarser steps above 512 cap the number of
+# compiled programs.
+_H_STEPS = (8, 16, 32, 64, 128, 192, 256, 320, 384, 448, 512, 640, 768, 896, 1024, 1280, 1536, 1792, 2048)
+_W_STEPS = (128, 256, 384, 512, 640, 768, 896, 1024, 1280, 1536, 1792, 2048)
+_B_STEPS = (1, 2, 4, 8, 16, 32)
+
+
+def bucket_h(h: int) -> int:
+    for s in _H_STEPS:
+        if h <= s:
+            return s
+    return -(-h // 128) * 128
+
+
+def bucket_w(w: int) -> int:
+    for s in _W_STEPS:
+        if w <= s:
+            return s
+    return -(-w // 128) * 128
+
+
+def bucket_b(b: int) -> int:
+    for s in _B_STEPS:
+        if b <= s:
+            return s
+    return -(-b // 32) * 32
+
+
+@dataclasses.dataclass
+class ImagePlan:
+    """Host-side per-image plan for one trip through the device program.
+
+    Produced by plan_image() from a Query + source dims; holds the true
+    (unpadded) geometry plus the per-image weight matrices.
+    """
+
+    src_h: int
+    src_w: int
+    out_h: int
+    out_w: int
+    av: np.ndarray  # (out_h, src_h) f32 — vertical resample (crop/canvas folded)
+    ah: np.ndarray  # (out_w, src_w) f32
+    gray: bool
+    invert: bool
+    fill: Tuple[int, int, int]
+    box: Tuple[int, int, int, int]  # x0, y0, fw, fh of fg rect in output
+    use_canvas: bool
+    blur_sigma: float
+
+
+def plan_image(src_w: int, src_h: int, params, filter_name: str = filters.LANCZOS3) -> ImagePlan:
+    """Compute the transform plan the way the reference decides it.
+
+    Mirrors reference src/handler.rs:229-255: resize only when both
+    dims set and differ from current; crop=true -> resize_to_fill
+    (cover + center crop); else aspect-preserving fit; fill canvas
+    overlay only when the fit result is smaller than requested.
+    """
+    gray = params.grayscale()
+    inv = params.inverse()
+    fill = params.fill_color()
+    sigma = params.blur()
+    dims = params.dimensions()
+
+    if dims is not None and (dims[0] != src_w or dims[1] != src_h):
+        w, h = dims
+        if params.cropping():
+            w2, h2, x0, y0 = filters.fill_crop_window(src_w, src_h, w, h)
+            av = filters.resample_matrix(src_h, h2, filter_name, y0, h)
+            ah = filters.resample_matrix(src_w, w2, filter_name, x0, w)
+            return ImagePlan(src_h, src_w, h, w, av, ah, gray, inv, fill,
+                             (0, 0, w, h), False, sigma)
+        rw, rh = filters.resize_dimensions(src_w, src_h, w, h, False)
+        if w > rw or h > rh:
+            # fill-canvas overlay, centered (handler.rs:238-248)
+            x0 = abs(w - rw) // 2
+            y0 = abs(h - rh) // 2
+            av_r = filters.resample_matrix(src_h, rh, filter_name)
+            ah_r = filters.resample_matrix(src_w, rw, filter_name)
+            av = np.zeros((h, src_h), dtype=np.float32)
+            av[y0 : y0 + rh] = av_r
+            ah = np.zeros((w, src_w), dtype=np.float32)
+            ah[x0 : x0 + rw] = ah_r
+            return ImagePlan(src_h, src_w, h, w, av, ah, gray, inv, fill,
+                             (x0, y0, rw, rh), True, sigma)
+        av = filters.resample_matrix(src_h, rh, filter_name)
+        ah = filters.resample_matrix(src_w, rw, filter_name)
+        return ImagePlan(src_h, src_w, rh, rw, av, ah, gray, inv, fill,
+                         (0, 0, rw, rh), False, sigma)
+
+    # no resize: output at source dims
+    av = filters.resample_matrix(src_h, src_h, filter_name)
+    ah = filters.resample_matrix(src_w, src_w, filter_name)
+    return ImagePlan(src_h, src_w, src_h, src_w, av, ah, gray, inv, fill,
+                     (0, 0, src_w, src_h), False, sigma)
+
+
+# ----------------------------------------------------------------------------
+# the jitted program
+# ----------------------------------------------------------------------------
+
+
+def _transform_kernel(x_u8, av, ah, flags, fill, box, bv=None, bh=None):
+    """The traced computation. Shapes:
+    x_u8  (B, 4, SH, SW) uint8   av (B, OH, SH) f32   ah (B, OW, SW) f32
+    flags (B, 3) f32 [gray, invert, use_canvas]   fill (B, 3) f32
+    box   (B, 4) i32 [x0, y0, fw, fh]
+    bv    (B, OH, OH) f32 | None   bh (B, OW, OW) f32 | None
+    """
+    f32 = jnp.float32
+    x = x_u8.astype(f32)  # (B, 4, SH, SW)
+    r, g, b, a = x[:, 0], x[:, 1], x[:, 2], x[:, 3]
+
+    # fixed-point Rec.709 luma with floor division (image crate rgb_to_luma)
+    luma = jnp.floor((2126.0 * r + 7152.0 * g + 722.0 * b) / 10000.0)
+    grayf = flags[:, 0][:, None, None]
+    invf = flags[:, 1][:, None, None]
+    r1 = jnp.where(grayf > 0, luma, r)
+    g1 = jnp.where(grayf > 0, luma, g)
+    b1 = jnp.where(grayf > 0, luma, b)
+    do_inv = (invf > 0) & (grayf == 0)  # grayscale wins (handler.rs:224-228)
+    r1 = jnp.where(do_inv, 255.0 - r1, r1)
+    g1 = jnp.where(do_inv, 255.0 - g1, g1)
+    b1 = jnp.where(do_inv, 255.0 - b1, b1)
+    y = jnp.stack([r1, g1, b1, a], axis=1)  # (B, 4, SH, SW)
+
+    # separable resample as two batched matmuls (MXU)
+    t = jnp.einsum("bds,bcsw->bcdw", av, y, preferred_element_type=f32)
+    t = jnp.einsum("bew,bcdw->bcde", ah, t, preferred_element_type=f32)
+    # FloatNearest: clamp then round half away from zero (non-negative)
+    fg = jnp.floor(jnp.clip(t, 0.0, 255.0) + 0.5)  # (B, 4, OH, OW)
+
+    oh, ow = fg.shape[2], fg.shape[3]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (1, oh, ow), 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (1, oh, ow), 2)
+    x0 = box[:, 0][:, None, None]
+    y0 = box[:, 1][:, None, None]
+    fw = box[:, 2][:, None, None]
+    fh = box[:, 3][:, None, None]
+    inrect = (ii >= y0) & (ii < y0 + fh) & (jj >= x0) & (jj < x0 + fw)  # (B, OH, OW)
+
+    fga = fg[:, 3]
+    af = fga / 255.0
+    fillc = fill[:, :, None, None]  # (B, 3, 1, 1)
+    blended = jnp.floor(fg[:, :3] * af[:, None] + fillc * (1.0 - af[:, None]))
+    opaque = fga[:, None] >= 255.0
+    comp_rgb = jnp.where(opaque, fg[:, :3], blended)
+    comp_rgb = jnp.where(inrect[:, None], comp_rgb, fillc + jnp.zeros_like(fg[:, :3]))
+    comp_a = jnp.full_like(fga, 255.0)
+    comp = jnp.concatenate([comp_rgb, comp_a[:, None]], axis=1)
+
+    usec = flags[:, 2][:, None, None, None] > 0
+    out = jnp.where(usec, comp, fg)
+
+    if bv is not None:
+        t = jnp.einsum("bde,bcew->bcdw", bv, out, preferred_element_type=f32)
+        t = jnp.einsum("bfw,bcdw->bcdf", bh, t, preferred_element_type=f32)
+        out = jnp.floor(jnp.clip(t, 0.0, 255.0) + 0.5)
+
+    return out.astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=256)
+def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
+                has_blur: bool):
+    """Compile (once) and return the fused program for a shape bucket.
+
+    The shape arguments are only the cache key — jit re-traces per
+    concrete shape anyway; keying explicitly lets callers warm the
+    cache at startup for their expected buckets.
+    """
+    if has_blur:
+        return jax.jit(_transform_kernel)
+    return jax.jit(
+        lambda x, av, ah, flags, fill, box: _transform_kernel(
+            x, av, ah, flags, fill, box
+        )
+    )
+
+
+class BatchAssembly:
+    """Host-side staging buffers for one device batch."""
+
+    def __init__(self, plans, images, exact: bool = True):
+        """plans: list[ImagePlan]; images: list[np.ndarray (H, W, 4) uint8]."""
+        assert len(plans) == len(images)
+        self.plans = plans
+        n = len(plans)
+        self.b = bucket_b(n)
+        self.sh = bucket_h(max(p.src_h for p in plans))
+        self.sw = bucket_w(max(p.src_w for p in plans))
+        self.oh = bucket_h(max(p.out_h for p in plans))
+        self.ow = bucket_w(max(p.out_w for p in plans))
+        self.has_blur = any(p.blur_sigma > 0 for p in plans)
+
+        self.x = np.zeros((self.b, 4, self.sh, self.sw), dtype=np.uint8)
+        self.av = np.zeros((self.b, self.oh, self.sh), dtype=np.float32)
+        self.ah = np.zeros((self.b, self.ow, self.sw), dtype=np.float32)
+        self.flags = np.zeros((self.b, 3), dtype=np.float32)
+        self.fill = np.zeros((self.b, 3), dtype=np.float32)
+        self.box = np.zeros((self.b, 4), dtype=np.int32)
+        self.bv = self.bh = None
+        if self.has_blur:
+            self.bv = np.zeros((self.b, self.oh, self.oh), dtype=np.float32)
+            self.bh = np.zeros((self.b, self.ow, self.ow), dtype=np.float32)
+
+        for i, (p, img) in enumerate(zip(plans, images)):
+            # channel-first, padded
+            self.x[i, :, : p.src_h, : p.src_w] = img.transpose(2, 0, 1)
+            self.av[i, : p.out_h, : p.src_h] = p.av
+            self.ah[i, : p.out_w, : p.src_w] = p.ah
+            self.flags[i] = (float(p.gray), float(p.invert), float(p.use_canvas))
+            self.fill[i] = p.fill
+            self.box[i] = p.box
+            if self.has_blur:
+                if p.blur_sigma > 0:
+                    self.bv[i, : p.out_h, : p.out_h] = filters.gaussian_matrix(
+                        p.out_h, p.blur_sigma
+                    )
+                    self.bh[i, : p.out_w, : p.out_w] = filters.gaussian_matrix(
+                        p.out_w, p.blur_sigma
+                    )
+                else:
+                    self.bv[i, : p.out_h, : p.out_h] = np.eye(p.out_h, dtype=np.float32)
+                    self.bh[i, : p.out_w, : p.out_w] = np.eye(p.out_w, dtype=np.float32)
+
+    def run(self):
+        """Execute on device; returns list of (out_h, out_w, 4) uint8 arrays."""
+        fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
+                         self.has_blur)
+        if self.has_blur:
+            out = fn(self.x, self.av, self.ah, self.flags, self.fill, self.box,
+                     self.bv, self.bh)
+        else:
+            out = fn(self.x, self.av, self.ah, self.flags, self.fill, self.box)
+        host = np.asarray(out)  # (B, 4, OH, OW)
+        results = []
+        for i, p in enumerate(self.plans):
+            results.append(
+                np.ascontiguousarray(
+                    host[i, :, : p.out_h, : p.out_w].transpose(1, 2, 0)
+                )
+            )
+        return results
+
+
+def transform_single(image: np.ndarray, params,
+                     filter_name: str = filters.LANCZOS3) -> np.ndarray:
+    """Convenience: run one image through the device pipeline."""
+    h, w = image.shape[:2]
+    plan = plan_image(w, h, params, filter_name)
+    asm = BatchAssembly([plan], [image])
+    return asm.run()[0]

@@ -1,0 +1,1 @@
+from . import content, query  # noqa: F401

@@ -1,0 +1,77 @@
+"""Test bootstrap: force JAX onto a virtual 8-device CPU platform
+BEFORE jax is imported anywhere, so sharding/mesh tests run without
+TPU hardware (the driver separately dry-runs the multichip path)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def make_test_image(w: int = 512, h: int = 512, seed: int = 7) -> np.ndarray:
+    """Deterministic photo-like RGB test image (H, W, 3) uint8.
+
+    Gradients + disks + band-limited noise: enough structure for
+    meaningful PSNR comparisons without shipping binary fixtures.
+    """
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = 128 + 90 * np.sin(xx / 37.0) + 30 * (yy / h)
+    g = 128 + 90 * np.cos(yy / 23.0) + 30 * (xx / w)
+    b = 128 + 60 * np.sin((xx + yy) / 53.0)
+    for cx, cy, rad, amp in ((w * 0.3, h * 0.4, min(w, h) * 0.2, 60),
+                             (w * 0.7, h * 0.6, min(w, h) * 0.15, -50)):
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        mask = d2 < rad * rad
+        r = np.where(mask, r + amp, r)
+        g = np.where(mask, g + amp * 0.5, g)
+    noise = rng.normal(0, 6, (h, w, 1)).astype(np.float32)
+    img = np.stack([r, g, b], axis=-1) + noise
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = a.astype(np.float64)
+    b = b.astype(np.float64)
+    mse = np.mean((a - b) ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)
+
+
+@pytest.fixture(scope="session")
+def test_image():
+    return make_test_image()
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir(tmp_path_factory):
+    """Generated on-disk image fixtures (jpg/png/gif/svg/txt)."""
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("images")
+    img = Image.fromarray(make_test_image())
+    img.save(d / "lenna.jpg", quality=92)
+    img.save(d / "lenna.png")
+
+    # small animated gif (3 frames)
+    frames = [
+        Image.fromarray(make_test_image(64, 64, seed=i)) for i in range(3)
+    ]
+    frames[0].save(
+        d / "lenna.gif", save_all=True, append_images=frames[1:], duration=100, loop=0
+    )
+    (d / "logo.svg").write_text(
+        '<svg xmlns="http://www.w3.org/2000/svg" width="10" height="10">'
+        '<rect width="10" height="10" fill="red"/></svg>'
+    )
+    (d / "lenna.txt").write_text("this is not an image\n")
+    (d / "no_img.jpg").write_bytes((d / "lenna.jpg").read_bytes())
+    return d

@@ -1,0 +1,96 @@
+"""Config parsing goldens, mirroring reference src/config/mod.rs:49-208."""
+
+import pytest
+
+from fanlin_tpu.config import Config, ConfigError
+
+VALID = """
+{
+  "port": 3000,
+  "bind_addr": "0.0.0.0",
+  "max_clients": 50,
+  "fallback_path": "/baz/no_img.jpg",
+  "profile_path": "profiles/default.icc",
+  "use_embedded_profile": true,
+  "client": {
+    "s3": {
+      "aws_region": "ap-northeast-1",
+      "aws_endpoint_url": "http://127.0.0.1:4567",
+      "aws_access_key_id": "AAAAAAAAAAAAAAAAAAAA",
+      "aws_secret_access_key": "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    },
+    "web": {"user_agent": "fanlin-tpu/0.0.1", "timeout": 5}
+  },
+  "providers": [
+    {"path": "foo", "src": "s3://local-test/images"},
+    {"path": "bar", "src": "http://127.0.0.1:3000/foo"},
+    {"path": "baz", "src": "file://localhost/./tmp",
+     "fallback_path": "/baz/fb.jpg", "success_even_no_content": true}
+  ]
+}
+"""
+
+
+def test_valid_config():
+    cfg = Config.from_str(VALID)
+    assert cfg.port == 3000
+    assert cfg.bind_addr == "0.0.0.0"
+    assert cfg.max_clients == 50
+    assert cfg.fallback_path == "/baz/no_img.jpg"
+    assert cfg.use_embedded_profile is True
+    assert cfg.suppress_logging is None
+    assert cfg.client.s3.aws_region == "ap-northeast-1"
+    assert cfg.client.web.timeout == 5
+    assert len(cfg.providers) == 3
+    assert cfg.providers[0].src == "s3://local-test/images"
+    assert cfg.providers[2].success_even_no_content is True
+    assert cfg.providers[0].fallback_path is None
+
+
+def test_empty_config_rejected():
+    with pytest.raises(ConfigError):
+        Config.from_str("")
+    with pytest.raises(ConfigError):
+        Config.from_str("{}")
+
+
+def test_non_json_rejected():
+    with pytest.raises(ConfigError):
+        Config.from_str("not json at all")
+
+
+def test_trailing_comma_rejected():
+    # strict JSON, like serde_json (reference src/config/mod.rs:142-171)
+    with pytest.raises(ConfigError):
+        Config.from_str('{"port": 3000,}')
+
+
+def test_missing_required_field():
+    with pytest.raises(ConfigError):
+        Config.from_str('{"port": 3000, "bind_addr": "0.0.0.0"}')
+
+
+def test_wrong_type():
+    bad = VALID.replace('"port": 3000', '"port": "3000"')
+    with pytest.raises(ConfigError):
+        Config.from_str(bad)
+    bad = VALID.replace('"port": 3000', '"port": true')
+    with pytest.raises(ConfigError):
+        Config.from_str(bad)
+
+
+def test_file_not_found(tmp_path):
+    with pytest.raises(OSError):
+        Config.from_file(tmp_path / "nope.json")
+
+
+def test_from_file(tmp_path):
+    p = tmp_path / "cfg.json"
+    p.write_text(VALID)
+    assert Config.from_file(p).port == 3000
+
+
+def test_tpu_defaults():
+    cfg = Config.from_str(VALID)
+    assert cfg.tpu.max_batch == 8
+    assert cfg.tpu.exact is True

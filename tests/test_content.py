@@ -1,0 +1,35 @@
+"""Accept-format bitflags, ported from reference src/content.rs:50-66
+and main.rs:255-274."""
+
+from fanlin_tpu.spec.content import Format, extract_accepted_image_formats
+
+
+def test_format_flags():
+    f = Format()
+    assert not f.webp_accepted()
+    assert not f.avif_accepted()
+    f.accept_webp()
+    assert f.webp_accepted()
+    assert not f.avif_accepted()
+    f.accept_avif()
+    assert f.webp_accepted()
+    assert f.avif_accepted()
+
+
+def test_extract_from_accept_header():
+    f = extract_accepted_image_formats(["image/webp,image/avif"])
+    assert f.webp_accepted() and f.avif_accepted()
+
+    f = extract_accepted_image_formats(["image/webp"])
+    assert f.webp_accepted() and not f.avif_accepted()
+
+    f = extract_accepted_image_formats(["text/html", "image/avif"])
+    assert not f.webp_accepted() and f.avif_accepted()
+
+    # exact match only — no whitespace trimming, like
+    # image::ImageFormat::from_mime_type (main.rs:262-269)
+    f = extract_accepted_image_formats(["image/webp, image/avif"])
+    assert f.webp_accepted() and not f.avif_accepted()
+
+    f = extract_accepted_image_formats([])
+    assert not f.webp_accepted() and not f.avif_accepted()

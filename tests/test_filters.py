@@ -1,0 +1,82 @@
+"""Weight-matrix builder tests: geometry goldens + PSNR parity with
+PIL's Lanczos (same algorithm family as the reference's image crate)."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.ops import filters
+from tests.conftest import make_test_image, psnr
+
+
+def test_resize_dimensions_fit():
+    # 512x512 -> request 300x200 => fit 200x200 (ratio = min)
+    assert filters.resize_dimensions(512, 512, 300, 200, False) == (200, 200)
+    assert filters.resize_dimensions(512, 512, 300, 200, True) == (300, 300)
+    assert filters.resize_dimensions(100, 50, 200, 100, False) == (200, 100)
+    assert filters.resize_dimensions(3, 1, 1, 1, False) == (1, 1)  # floor 1
+
+
+def test_fill_crop_window():
+    # 512x512 cover 300x200: fill resize to 300x300, crop y by (300-200)/2
+    w2, h2, x0, y0 = filters.fill_crop_window(512, 512, 300, 200)
+    assert (w2, h2) == (300, 300)
+    assert (x0, y0) == (0, 50)
+
+
+def test_rows_sum_to_one():
+    m = filters.resample_matrix(512, 200, filters.LANCZOS3)
+    assert m.shape == (200, 512)
+    np.testing.assert_allclose(m.sum(axis=1), 1.0, atol=1e-5)
+
+    g = filters.gaussian_matrix(300, 10.0)
+    assert g.shape == (300, 300)
+    np.testing.assert_allclose(g.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_identity_on_same_size():
+    m = filters.resample_matrix(64, 64, filters.LANCZOS3)
+    np.testing.assert_array_equal(m, np.eye(64, dtype=np.float32))
+
+
+def test_crop_fold():
+    full = filters.resample_matrix(512, 300, filters.LANCZOS3)
+    cropped = filters.resample_matrix(512, 300, filters.LANCZOS3, 50, 200)
+    np.testing.assert_array_equal(cropped, full[50:250])
+
+
+def test_nearest_matrix():
+    m = filters.resample_matrix(4, 2, filters.NEAREST)
+    # centers at (0.5, 1.5)*2 = 1.0, 3.0 -> floor -> 1, 3
+    want = np.zeros((2, 4), dtype=np.float32)
+    want[0, 1] = 1.0
+    want[1, 3] = 1.0
+    np.testing.assert_array_equal(m, want)
+
+
+@pytest.mark.parametrize("dst", [(200, 200), (300, 157), (777, 333)])
+def test_lanczos_matches_pil(dst):
+    """Matrix resample vs PIL LANCZOS: same family of algorithm, must
+    agree to >= 45 dB (the parity bar from BASELINE.md)."""
+    img = make_test_image(512, 512)
+    dw, dh = dst
+    av = filters.resample_matrix(512, dh, filters.LANCZOS3)
+    ah = filters.resample_matrix(512, dw, filters.LANCZOS3)
+    x = img.astype(np.float32)
+    mine = np.einsum("ds,swc->dwc", av, x)
+    mine = np.einsum("ew,dwc->dec", ah, mine)
+    mine = np.clip(np.floor(mine.clip(0, 255) + 0.5), 0, 255).astype(np.uint8)
+
+    ref = np.asarray(Image.fromarray(img).resize((dw, dh), Image.LANCZOS))
+    p = psnr(mine, ref)
+    assert p >= 45.0, f"PSNR {p:.2f} dB below parity bar for {dst}"
+
+
+def test_luma_fixed_point():
+    rgb = np.array([[[255, 255, 255], [0, 0, 0], [255, 0, 0], [10, 200, 31]]],
+                   dtype=np.uint8)
+    lum = filters.luma_u8(rgb)
+    assert lum[0, 0] == 255
+    assert lum[0, 1] == 0
+    assert lum[0, 2] == (2126 * 255) // 10000
+    assert lum[0, 3] == (2126 * 10 + 7152 * 200 + 722 * 31) // 10000

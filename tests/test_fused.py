@@ -1,0 +1,141 @@
+"""Fused device-program tests (run on the virtual CPU backend)."""
+
+import numpy as np
+from PIL import Image
+
+from fanlin_tpu.ops import filters, fused
+from fanlin_tpu.spec.query import parse_query
+from tests.conftest import make_test_image, psnr
+
+
+def _rgba(img):
+    out = np.empty(img.shape[:2] + (4,), dtype=np.uint8)
+    out[..., :3] = img
+    out[..., 3] = 255
+    return out
+
+
+def test_resize_fit_with_canvas():
+    """512x512 -> w=300&h=200: fit to 200x200, centered on 300x200 fill
+    canvas — the benchmark row-3 shape."""
+    img = _rgba(make_test_image())
+    q = parse_query("w=300&h=200")
+    out = fused.transform_single(img, q)
+    assert out.shape == (200, 300, 4)
+    # canvas margin is the default fill color
+    assert tuple(out[0, 0][:3]) == (32, 32, 32)
+    assert tuple(out[100, 10][:3]) == (32, 32, 32)
+    assert out[0, 0][3] == 255
+    # center region matches PIL lanczos of the fit resize
+    ref = np.asarray(Image.fromarray(img[..., :3]).resize((200, 200), Image.LANCZOS))
+    center = out[:, 50:250, :3]
+    p = psnr(center, ref)
+    assert p >= 45.0, f"PSNR {p:.2f}"
+
+
+def test_resize_crop():
+    img = _rgba(make_test_image())
+    q = parse_query("w=300&h=200&crop=true")
+    out = fused.transform_single(img, q)
+    assert out.shape == (200, 300, 4)
+    # resize_to_fill: cover to 300x300 then center-crop rows 50..250
+    ref_full = np.asarray(Image.fromarray(img[..., :3]).resize((300, 300), Image.LANCZOS))
+    ref = ref_full[50:250]
+    p = psnr(out[..., :3], ref)
+    assert p >= 45.0, f"PSNR {p:.2f}"
+
+
+def test_custom_fill_color():
+    img = _rgba(make_test_image(64, 64))
+    q = parse_query("w=100&h=100&rgb=255,0,0")
+    # 64x64 -> fit 100x100 => resize to 100x100? ratio=min(100/64)=1.5625
+    # -> 100x100 exactly, no canvas. Use asymmetric dims instead:
+    q = parse_query("w=200&h=100&rgb=255,0,0")
+    out = fused.transform_single(img, q)
+    assert out.shape == (100, 200, 4)
+    assert tuple(out[50, 0][:3]) == (255, 0, 0)
+    assert tuple(out[50, 199][:3]) == (255, 0, 0)
+
+
+def test_grayscale_matches_fixed_point_luma():
+    img = _rgba(make_test_image(64, 64))
+    q = parse_query("grayscale=true")
+    out = fused.transform_single(img, q)
+    assert out.shape == (64, 64, 4)
+    want = filters.luma_u8(img[..., :3])
+    np.testing.assert_array_equal(out[..., 0], want)
+    np.testing.assert_array_equal(out[..., 1], want)
+    np.testing.assert_array_equal(out[..., 2], want)
+    np.testing.assert_array_equal(out[..., 3], img[..., 3])
+
+
+def test_invert_exact():
+    img = _rgba(make_test_image(64, 64))
+    q = parse_query("inverse=true")
+    out = fused.transform_single(img, q)
+    np.testing.assert_array_equal(out[..., :3], 255 - img[..., :3])
+    np.testing.assert_array_equal(out[..., 3], img[..., 3])
+
+
+def test_grayscale_wins_over_invert():
+    img = _rgba(make_test_image(32, 32))
+    q = parse_query("grayscale=true&inverse=true")
+    out = fused.transform_single(img, q)
+    want = filters.luma_u8(img[..., :3])
+    np.testing.assert_array_equal(out[..., 0], want)
+
+
+def test_no_resize_when_dims_equal():
+    img = _rgba(make_test_image(64, 64))
+    q = parse_query("w=64&h=64&grayscale=true")
+    out = fused.transform_single(img, q)
+    want = filters.luma_u8(img[..., :3])
+    np.testing.assert_array_equal(out[..., 0], want)
+
+
+def test_blur_matches_gaussian():
+    from scipy.ndimage import gaussian_filter
+
+    img = _rgba(make_test_image(256, 256))
+    q = parse_query("blur=10")
+    out = fused.transform_single(img, q)
+    assert out.shape == (256, 256, 4)
+    # scipy with truncate=2.0 uses the same 2-sigma support as the
+    # image crate's blur(); edge handling differs (renormalized window
+    # vs reflect), so compare the interior only.
+    ref = gaussian_filter(
+        img[..., 0].astype(np.float64), sigma=10.0, truncate=2.0
+    )
+    m = 40
+    p = psnr(out[m:-m, m:-m, 0], ref[m:-m, m:-m])
+    assert p >= 45.0, f"PSNR {p:.2f}"
+
+
+def test_alpha_blend_on_canvas():
+    # semi-transparent source composited over fill canvas
+    img = np.zeros((40, 40, 4), dtype=np.uint8)
+    img[..., 0] = 200  # red-ish
+    img[..., 3] = 128  # half transparent
+    q = parse_query("w=40&h=80&rgb=0,0,0")
+    out = fused.transform_single(img, q)
+    assert out.shape == (80, 40, 4)
+    # fg rect rows 20..60; blend = floor(200 * 128/255) = 100
+    assert tuple(out[40, 20][:3]) == (100, 0, 0)
+    assert out[40, 20][3] == 255
+    assert tuple(out[0, 0][:3]) == (0, 0, 0)
+
+
+def test_mixed_batch():
+    imgs = [_rgba(make_test_image(64, 64, seed=i)) for i in range(3)]
+    queries = [parse_query("w=32&h=32"), parse_query("grayscale=true"),
+               parse_query("inverse=true&w=48&h=24")]
+    plans = [fused.plan_image(64, 64, q) for q in queries]
+    asm = fused.BatchAssembly(plans, imgs)
+    outs = asm.run()
+    assert outs[0].shape == (32, 32, 4)
+    assert outs[1].shape == (64, 64, 4)
+    assert outs[2].shape == (24, 48, 4)
+    # each matches its single-image run
+    for img, q, got in zip(imgs, queries, outs):
+        single = fused.transform_single(img, q)
+        np.testing.assert_array_equal(got, single)

@@ -1,0 +1,87 @@
+"""Path mapping goldens, ported from reference src/handler.rs:581-837
+(including the directory-traversal defense cases at :809-822)."""
+
+import pytest
+
+from fanlin_tpu.utils.paths import (
+    build_bucket_and_object_key,
+    build_local_path,
+    build_url,
+    clean_path,
+)
+
+
+@pytest.mark.parametrize(
+    "src,prefix,path,want",
+    [
+        ("s3://local-test/images", "foo", "foo/dog.gif", ("local-test", "images/dog.gif")),
+        ("s3://local-test/images/", "/foo/", "/foo/dog.gif", ("local-test", "images/dog.gif")),
+        ("s3://local-test/images", "/foo", "/foo/dog.gif", ("local-test", "images/dog.gif")),
+        ("s3://local-test/images/", "foo/", "foo/dog.gif", ("local-test", "images/dog.gif")),
+        ("s3://local-test/images/", "foo", "/foo/dog.gif", ("local-test", "images/dog.gif")),
+        ("s3://local-test/images", "foo", "foo/犬.gif", ("local-test", "images/犬.gif")),
+        ("s3://local-test/images", "foo", "foo/%E7%8A%AC.gif", ("local-test", "images/犬.gif")),
+        ("s3://local-test/images/animals", "foo", "foo/bar/dog.gif",
+         ("local-test", "images/animals/bar/dog.gif")),
+    ],
+)
+def test_build_bucket_and_object_key(src, prefix, path, want):
+    assert build_bucket_and_object_key(src, prefix, path) == want
+
+
+@pytest.mark.parametrize(
+    "src,prefix,path,want",
+    [
+        ("http://127.0.0.1/images", "foo", "foo/dog.gif", "http://127.0.0.1/images/dog.gif"),
+        ("http://127.0.0.1/images/", "/foo/", "/foo/dog.gif", "http://127.0.0.1/images/dog.gif"),
+        ("http://127.0.0.1/images", "/foo", "/foo/dog.gif", "http://127.0.0.1/images/dog.gif"),
+        ("http://127.0.0.1/images/", "foo/", "foo/dog.gif", "http://127.0.0.1/images/dog.gif"),
+        ("http://127.0.0.1/images/", "foo", "/foo/dog.gif", "http://127.0.0.1/images/dog.gif"),
+        ("http://127.0.0.1/images", "foo", "foo/犬.gif",
+         "http://127.0.0.1/images/%E7%8A%AC.gif"),
+        ("http://127.0.0.1/images", "foo", "foo/%E7%8A%AC.gif",
+         "http://127.0.0.1/images/%E7%8A%AC.gif"),
+        ("http://127.0.0.1/images/animals", "foo", "foo/bar/dog.gif",
+         "http://127.0.0.1/images/animals/bar/dog.gif"),
+    ],
+)
+def test_build_url(src, prefix, path, want):
+    assert build_url(src, prefix, path) == want
+
+
+@pytest.mark.parametrize(
+    "src,prefix,path,want",
+    [
+        ("file://locallhost/./images", "foo", "foo/dog.gif", "images/dog.gif"),
+        ("file://locallhost/./images/", "/foo/", "/foo/dog.gif", "images/dog.gif"),
+        ("file://locallhost/./images", "/foo", "/foo/dog.gif", "images/dog.gif"),
+        ("file://locallhost/./images/", "foo/", "foo/dog.gif", "images/dog.gif"),
+        ("file://locallhost/./images/", "foo", "/foo/dog.gif", "images/dog.gif"),
+        ("file://locallhost/./images", "foo", "foo/犬.gif", "images/犬.gif"),
+        ("file://locallhost/./images", "foo", "foo/%E7%8A%AC.gif", "images/犬.gif"),
+        ("file://locallhost/./images/animals", "foo", "foo/bar/dog.gif",
+         "images/animals/bar/dog.gif"),
+        ("file://localhost/var/lib/images", "foo", "foo/dog.gif",
+         "/var/lib/images/dog.gif"),
+        # traversal defense (handler.rs:809-822)
+        ("file://localhost/var/lib/images", "foo", "foo/../../etc/passwd",
+         "/var/lib/images/etc/passwd"),
+        ("file://localhost/var/lib/images", "foo", "foo/.//....//..../etc/passwd",
+         "/var/lib/images/..../..../etc/passwd"),
+    ],
+)
+def test_build_local_path(src, prefix, path, want):
+    assert build_local_path(src, prefix, path) == want
+
+
+def test_clean_path_traversal():
+    assert clean_path("/foo/../../etc/passwd", "foo") == "etc/passwd"
+    assert clean_path("/foo/a//b/./c/../d", "foo") == "a/b/c/d"
+    assert clean_path("/foo/%2e%2e/%2e%2e/etc/passwd", "foo") == "etc/passwd"
+
+
+def test_clean_path_bad_utf8():
+    from fanlin_tpu.utils.paths import PathError
+
+    with pytest.raises(PathError):
+        clean_path("/foo/%ff%fe%fd", "foo")

@@ -1,0 +1,114 @@
+"""Query semantics goldens, ported from reference src/query.rs:96-406."""
+
+import pytest
+
+from fanlin_tpu.spec.query import Query, QueryError, parse_query, size_range_info
+
+
+def test_default_query():
+    q = parse_query("")
+    assert q.dimensions() is None
+    assert q.fill_color() == (32, 32, 32)
+    assert q.quality() == 75
+    assert not q.cropping()
+    assert q.blur() == 0.0
+    assert not q.grayscale()
+    assert not q.inverse()
+    assert not q.use_avif()
+    assert not q.use_webp()
+    assert q.as_is()
+    assert not q.unsupported_scale_size()
+
+
+@pytest.mark.parametrize(
+    "qs",
+    [
+        "w=",
+        "w=foo&h=bar",
+        "quality=foo",
+        "crop=foo",
+        "blur=foo",
+        "grayscale=foo",
+        "inverse=foo",
+        "avif=foo",
+        "webp=foo",
+        "w=-1",
+        "w=1.5",
+        "quality=256",
+        "blur=256",
+        "crop=1",
+        "webp=True",
+    ],
+)
+def test_strict_parse_errors(qs):
+    with pytest.raises(QueryError):
+        parse_query(qs)
+
+
+def test_unknown_params_ignored():
+    assert parse_query("unknown=1") == Query()
+
+
+def test_dimensions_both_required():
+    assert parse_query("w=2000&h=1000").dimensions() == (2000, 1000)
+    q = parse_query("w=1618")
+    assert q.dimensions() is None
+    assert q.as_is()
+    assert not q.unsupported_scale_size()
+
+
+def test_out_of_range():
+    q = parse_query("w=2001&h=1001")
+    assert q.dimensions() == (2001, 1001)
+    assert not q.as_is()
+    assert q.unsupported_scale_size()
+    assert parse_query("w=19&h=500").unsupported_scale_size()
+    assert parse_query("h=1001").unsupported_scale_size()
+    assert not parse_query("w=20&h=20").unsupported_scale_size()
+
+
+@pytest.mark.parametrize(
+    "rgb,want",
+    [
+        ("255,255,255", (255, 255, 255)),
+        ("255,255,255,255", (255, 255, 255)),  # take(3)
+        ("255,255", (32, 32, 32)),  # wrong arity
+        ("foo,bar,baz", (32, 32, 32)),
+        ("1,foo,3", (1, 32, 3)),  # per-component fallback
+        ("256,0,0", (32, 0, 0)),  # u8 overflow per component
+        ("-1,0,0", (32, 0, 0)),
+        ("", (32, 32, 32)),
+    ],
+)
+def test_fill_color(rgb, want):
+    assert parse_query(f"rgb={rgb}").fill_color() == want
+
+
+def test_quality_and_crop_alone_are_as_is():
+    assert parse_query("quality=50").as_is()
+    assert parse_query("quality=50").quality() == 50
+    assert parse_query("crop=true").as_is()
+    assert parse_query("crop=true").cropping()
+    assert parse_query("rgb=1,2,3").as_is()
+
+
+def test_blur_clamp_quirk():
+    # blur=1 -> sigma 10.0; blur=255 -> 20.0 (src/query.rs:59-62)
+    assert parse_query("blur=10").blur() == 10.0
+    assert parse_query("blur=1").blur() == 10.0
+    assert parse_query("blur=0").blur() == 10.0  # present => clamped to >= 10
+    assert parse_query("blur=255").blur() == 20.0
+    assert not parse_query("blur=10").as_is()
+    assert parse_query("").blur() == 0.0
+
+
+@pytest.mark.parametrize("flag", ["grayscale", "inverse", "avif", "webp"])
+def test_flags_break_as_is(flag):
+    q = parse_query(f"{flag}=true")
+    assert not q.as_is()
+    q = parse_query(f"{flag}=false")
+    assert q.as_is()
+
+
+def test_size_range_info():
+    assert size_range_info() == "20..=2000 x 20..=1000"
