@@ -1,0 +1,1 @@
+from .processor import Engine, ProcessError  # noqa: F401

@@ -1,0 +1,241 @@
+"""Host-side codec stages: format sniffing, decode to RGBA tensors,
+and bitstream encoders.
+
+These are the host bookends around the device transform program —
+entropy-coded bitstreams don't vectorize, so (like the reference,
+which delegates to the image/webp crates, SURVEY.md §2.2) decode and
+encode run on CPU via libjpeg-turbo / libpng / libwebp / libavif
+through PIL, all of which release the GIL so the codec thread pool
+scales.
+
+Behavioral parity targets (reference src/handler.rs:185-309):
+
+* format sniffing by magic bytes, like image::ImageReader::
+  with_guessed_format (handler.rs:192-196);
+* EXIF orientation read pre-decode, applied post-decode
+  (handler.rs:205-222);
+* PNG quality tiers: q<50 Best, q<85 Default, else Fast compression,
+  adaptive filtering (handler.rs:264-273);
+* JPEG quality clamped 1-100, 4:2:0 subsampling (handler.rs:274-278);
+* AVIF speed 10 + quality, sRGB (handler.rs:279-285);
+* WebP q==100 lossless, else libwebp lossy from RGBA
+  (handler.rs:286-305).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageSequence
+
+Image.MAX_IMAGE_PIXELS = None  # the gateway enforces its own size caps
+
+JPEG = "jpeg"
+PNG = "png"
+GIF = "gif"
+WEBP = "webp"
+AVIF = "avif"
+BMP = "bmp"
+TIFF = "tiff"
+ICO = "ico"
+
+MIME = {
+    JPEG: "image/jpeg",
+    PNG: "image/png",
+    GIF: "image/gif",
+    WEBP: "image/webp",
+    AVIF: "image/avif",
+    BMP: "image/bmp",
+    TIFF: "image/tiff",
+    ICO: "image/x-icon",
+}
+
+MIME_SVG = "image/svg+xml"
+
+
+class CodecError(Exception):
+    pass
+
+
+def sniff_format(data: bytes) -> Optional[str]:
+    """Magic-byte format sniffing (image::ImageFormat guessing rules)."""
+    if len(data) < 12:
+        if data[:3] == b"\xff\xd8\xff":
+            return JPEG
+        return None
+    if data[:3] == b"\xff\xd8\xff":
+        return JPEG
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        return PNG
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return GIF
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        return WEBP
+    if data[4:8] == b"ftyp" and data[8:12] in (b"avif", b"avis"):
+        return AVIF
+    if data[:2] == b"BM":
+        return BMP
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return TIFF
+    if data[:4] == b"\x00\x00\x01\x00":
+        return ICO
+    return None
+
+
+def read_orientation(data: bytes) -> int:
+    """EXIF orientation tag (1-8), 1 when absent/unreadable."""
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            o = im.getexif().get(0x0112, 1)
+            return int(o) if o in range(1, 9) else 1
+    except Exception:
+        return 1
+
+
+def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
+    """Apply an EXIF orientation to an (H, W, C) array.
+
+    Mirrors image::DynamicImage::apply_orientation
+    (reference handler.rs:221-222). Cheap on host: numpy views.
+    """
+    if orientation == 2:
+        return img[:, ::-1]
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return img[::-1]
+    if orientation == 5:
+        return img.transpose(1, 0, 2)
+    if orientation == 6:
+        return np.rot90(img, k=-1)
+    if orientation == 7:
+        return np.rot90(img, k=-1)[:, ::-1]
+    if orientation == 8:
+        return np.rot90(img, k=1)
+    return img
+
+
+def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
+    """Decode bytes -> ((H, W, 4) uint8 RGBA, has_alpha, is_gray).
+
+    has_alpha / is_gray describe the *source* color model so the
+    encoder can preserve the reference's output pixel type
+    (Luma stays Luma, RGB stays RGB, see handler.rs:224-228 notes).
+    """
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            im.load()
+            mode = im.mode
+            has_alpha = mode in ("RGBA", "LA", "PA") or (
+                mode == "P" and "transparency" in im.info
+            )
+            is_gray = mode in ("L", "LA", "I", "I;16", "1")
+            rgba = im.convert("RGBA")
+            arr = np.asarray(rgba, dtype=np.uint8)
+            if arr.ndim != 3 or arr.shape[2] != 4:
+                raise CodecError(f"unexpected decode shape {arr.shape}")
+            return arr, has_alpha, is_gray
+    except CodecError:
+        raise
+    except Exception as e:
+        raise CodecError(f"failed to decode image: {e}") from e
+
+
+def decode_gif_frames(data: bytes) -> List[np.ndarray]:
+    """Decode all GIF frames to full-canvas RGBA arrays.
+
+    Per-frame decode errors yield a 1x1 (32,32,32) placeholder, the
+    reference's corrupt-frame behavior (handler.rs:325-327). No
+    decode limits, mirroring Limits::no_limits() (handler.rs:318-319).
+    """
+    placeholder = np.full((1, 1, 4), (32, 32, 32, 255), dtype=np.uint8)
+    frames: List[np.ndarray] = []
+    try:
+        im = Image.open(io.BytesIO(data))
+    except Exception as e:
+        raise CodecError(f"failed to decode gif: {e}") from e
+    try:
+        n = getattr(im, "n_frames", 1)
+    except Exception:
+        n = 1
+    for idx in range(n):
+        try:
+            im.seek(idx)
+            frames.append(np.asarray(im.convert("RGBA"), dtype=np.uint8))
+        except Exception:
+            frames.append(placeholder.copy())
+    if not frames:
+        frames.append(placeholder.copy())
+    return frames
+
+
+def _to_pil(img: np.ndarray, mode: str) -> Image.Image:
+    """(H, W, 4) RGBA array -> PIL image in the requested output mode."""
+    pil = Image.fromarray(img, "RGBA")
+    if mode == "RGBA":
+        return pil
+    return pil.convert(mode)
+
+
+def encode(img: np.ndarray, fmt: str, quality: int, mode: str) -> bytes:
+    """Encode an (H, W, 4) RGBA array as `fmt` with reference-parity
+    encoder settings. `mode` is the output pixel type ('L', 'LA',
+    'RGB', 'RGBA') tracked by the processor."""
+    buf = io.BytesIO()
+    if fmt == PNG:
+        # quality -> compression tier (handler.rs:264-273)
+        if quality < 50:
+            level = 9  # CompressionType::Best
+        elif quality < 85:
+            level = 6  # Default
+        else:
+            level = 1  # Fast
+        _to_pil(img, mode).save(buf, format="PNG", compress_level=level)
+    elif fmt == JPEG:
+        q = min(max(quality, 1), 100)
+        m = {"LA": "L", "RGBA": "RGB", "PA": "RGB"}.get(mode, mode)
+        _to_pil(img, m).save(buf, format="JPEG", quality=q, subsampling=2)
+    elif fmt == WEBP:
+        # handler.rs:286-305: q==100 -> lossless; else libwebp lossy RGBA
+        q = min(max(quality, 1), 100)
+        pil = _to_pil(img, "RGBA")
+        if q == 100:
+            pil.save(buf, format="WEBP", lossless=True)
+        else:
+            pil.save(buf, format="WEBP", quality=q, method=4)
+    elif fmt == AVIF:
+        q = min(max(quality, 1), 100)
+        _to_pil(img, mode).save(buf, format="AVIF", quality=q, speed=10)
+    elif fmt == GIF:
+        _to_pil(img, "RGBA").save(buf, format="GIF")
+    elif fmt == BMP:
+        m = {"LA": "L", "PA": "RGB"}.get(mode, mode)
+        _to_pil(img, m).save(buf, format="BMP")
+    elif fmt == TIFF:
+        _to_pil(img, mode).save(buf, format="TIFF")
+    else:
+        raise CodecError(f"no encoder for format {fmt}")
+    return buf.getvalue()
+
+
+def encode_gif_frames(frames: List[np.ndarray]) -> bytes:
+    """Re-encode RGBA frames as an infinitely-looping GIF.
+
+    Frame delays are dropped (duration 0) — the reference's
+    Frame::new drops per-frame delay (handler.rs:355) — and loop is
+    infinite (handler.rs:362).
+    """
+    buf = io.BytesIO()
+    pils = [Image.fromarray(f, "RGBA") for f in frames]
+    pils[0].save(
+        buf,
+        format="GIF",
+        save_all=True,
+        append_images=pils[1:],
+        loop=0,
+        duration=0,
+        disposal=2,
+    )
+    return buf.getvalue()

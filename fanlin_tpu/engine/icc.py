@@ -1,0 +1,120 @@
+"""Color management: CMYK / YCCK JPEG -> sRGB.
+
+TPU-native counterpart of the reference's zune-jpeg + lcms2 path
+(reference src/handler.rs:31-34, 85-101, 398-493):
+
+* JPEG header probe (SOF component count + Adobe APP14 transform +
+  APP2 ICC chunks) decides whether color management applies — only
+  4-component (CMYK / YCCK) JPEGs proceed (handler.rs:409-413).
+* The pixel transform runs through liblcms2 (the same C library the
+  reference links) via PIL.ImageCms, CMYK_8 -> sRGB, Perceptual
+  intent, NO_CACHE — handler.rs:477-487. libjpeg handles the
+  YCCK->CMYK stage (the reference hand-rolls the fixed-point YCbCr
+  constants at handler.rs:420-439; libjpeg applies the same Rec.601
+  math internally, plus the Adobe inversion convention).
+* The default-profile transform is built ONCE at startup and reused
+  (transform creation costs ~40 ms — handler.rs:483); embedded
+  profiles are preferred over the default when use_embedded_profile
+  is set, falling back to the default on a broken profile
+  (handler.rs:446-459).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import Optional
+
+import numpy as np
+from PIL import Image, ImageCms
+
+_NOCACHE = 0x0040  # cmsFLAGS_NOCACHE, reference handler.rs:480
+
+
+class CMYK2RGB:
+    """A prebuilt lcms2 CMYK->sRGB transform (reference handler.rs:469-493)."""
+
+    def __init__(self, transform):
+        self._t = transform
+
+    @classmethod
+    def with_icc_profile(cls, profile_bytes: bytes) -> Optional["CMYK2RGB"]:
+        try:
+            src = ImageCms.ImageCmsProfile(io.BytesIO(profile_bytes))
+            dst = ImageCms.createProfile("sRGB")
+            t = ImageCms.buildTransform(
+                src,
+                dst,
+                "CMYK",
+                "RGB",
+                renderingIntent=ImageCms.Intent.PERCEPTUAL,
+                flags=_NOCACHE,
+            )
+            return cls(t)
+        except Exception:
+            return None
+
+    @classmethod
+    def from_file(cls, path) -> Optional["CMYK2RGB"]:
+        try:
+            with open(path, "rb") as f:
+                return cls.with_icc_profile(f.read())
+        except OSError:
+            return None
+
+    def convert(self, cmyk_image: Image.Image) -> np.ndarray:
+        """CMYK PIL image -> (H, W, 3) uint8 sRGB array."""
+        rgb = ImageCms.applyTransform(cmyk_image, self._t)
+        return np.asarray(rgb, dtype=np.uint8)
+
+
+def jpeg_num_components(data: bytes) -> Optional[int]:
+    """Component count from the SOF marker, header-only scan
+    (the reference's zune-jpeg decode_headers probe, handler.rs:403-407)."""
+    i = 2
+    n = len(data)
+    if data[:2] != b"\xff\xd8":
+        return None
+    while i + 4 <= n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
+            i += 2
+            continue
+        seglen = int.from_bytes(data[i + 2 : i + 4], "big")
+        # SOF0..SOF15 except DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 < n:
+                return data[i + 9]
+            return None
+        i += 2 + seglen
+    return None
+
+
+def convert_jpeg_color_if_needed(
+    data: bytes, default: Optional[CMYK2RGB], use_embedded_profile: bool
+) -> Optional[np.ndarray]:
+    """(H, W, 3) uint8 RGB when the JPEG is CMYK/YCCK and a transform
+    applies; None otherwise (falls back to the normal decode path).
+    Mirrors reference handler.rs:398-466."""
+    if not use_embedded_profile and default is None:
+        return None
+    if jpeg_num_components(data) != 4:
+        return None
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            im.load()
+            if im.mode != "CMYK":
+                return None
+            embedded = im.info.get("icc_profile")
+            conv: Optional[CMYK2RGB] = None
+            if use_embedded_profile and embedded:
+                conv = CMYK2RGB.with_icc_profile(embedded)
+            if conv is None:
+                conv = default
+            if conv is None:
+                return None
+            return conv.convert(im)
+    except Exception:
+        return None

@@ -1,0 +1,164 @@
+"""L2 — the processing core.
+
+`Engine.process_image` is the TPU-native counterpart of the
+reference's State::process_image (reference src/handler.rs:185-309),
+with the identical decision chain (SURVEY.md §3C):
+
+ 1. sniff format; unknown -> SVG validate + passthrough
+ 2. as_is -> raw passthrough with the sniffed mime
+ 3. GIF -> per-frame chain with Nearest filtering, re-encode GIF
+    (webp/avif flags ignored; handler.rs:365)
+ 4. EXIF orientation (pre-read, applied post-decode)
+ 5. JPEG CMYK/YCCK -> RGB color management (engine.icc)
+ 6-11. grayscale else-if invert -> resize (fit / fill+crop) ->
+    centered fill-canvas overlay -> gaussian blur   [DEVICE PROGRAM]
+ 12. output format negotiation (webp/avif only when requested AND
+    accepted)
+ 13. encode (PNG tiering / JPEG / AVIF / WebP lossy+lossless)
+
+Steps 6-11 execute as ONE fused XLA program on TPU via a pluggable
+device runner, so a gateway can swap in the micro-batcher
+(engine.batcher) without touching this logic.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..ops import filters, fused
+from ..spec import content as content_mod
+from ..spec import query as query_mod
+from . import codecs, svg
+
+
+class ProcessError(Exception):
+    pass
+
+
+class SyncDeviceRunner:
+    """Trivial runner: one device batch per call, on the caller thread."""
+
+    def run(self, plans: List[fused.ImagePlan], images: List[np.ndarray]):
+        return fused.BatchAssembly(plans, images).run()
+
+
+class Engine:
+    def __init__(self, runner=None, cmyk2rgb=None, use_embedded_profile: bool = False):
+        self.runner = runner or SyncDeviceRunner()
+        # engine.icc.CMYK2RGB instance or None (reference handler.rs:19-20)
+        self.cmyk2rgb = cmyk2rgb
+        self.use_embedded_profile = use_embedded_profile
+
+    # -- the forward pass --------------------------------------------------
+
+    def process_image(
+        self, data: bytes, params: query_mod.Query, accepted: content_mod.Format
+    ) -> Tuple[str, bytes]:
+        fmt = codecs.sniff_format(data)
+        if fmt is None:
+            try:
+                return svg.process_unknown_format(data)
+            except svg.SvgError as e:
+                raise ProcessError(str(e)) from e
+        if params.as_is():
+            return (codecs.MIME[fmt], data)
+        if fmt == codecs.GIF:
+            return self.process_gif(data, params)
+
+        orientation = codecs.read_orientation(data)
+        converted = None
+        if fmt == codecs.JPEG:
+            converted = self._convert_jpeg_color_if_needed(data)
+        try:
+            if converted is not None:
+                rgb = converted
+                img = np.empty(rgb.shape[:2] + (4,), dtype=np.uint8)
+                img[..., :3] = rgb
+                img[..., 3] = 255
+                has_alpha, is_gray = False, False
+            else:
+                img, has_alpha, is_gray = codecs.decode(data)
+        except codecs.CodecError as e:
+            raise ProcessError(str(e)) from e
+        img = np.ascontiguousarray(codecs.apply_orientation(img, orientation))
+
+        h, w = img.shape[:2]
+        plan = fused.plan_image(w, h, params, filters.LANCZOS3)
+        out = self.runner.run([plan], [img])[0]
+
+        mode = self._output_mode(params, plan, has_alpha, is_gray)
+        out_fmt = fmt
+        if params.use_webp() and accepted.webp_accepted():
+            out_fmt = codecs.WEBP
+        elif params.use_avif() and accepted.avif_accepted():
+            out_fmt = codecs.AVIF
+        try:
+            payload = codecs.encode(out, out_fmt, params.quality(), mode)
+        except codecs.CodecError as e:
+            raise ProcessError(str(e)) from e
+        return (codecs.MIME[out_fmt], payload)
+
+    @staticmethod
+    def _output_mode(params, plan, has_alpha: bool, is_gray: bool) -> str:
+        """Track the reference's output pixel type through the chain:
+        fill-canvas overlay -> Rgba8 (handler.rs:247); grayscale ->
+        Luma/LumaA (handler.rs:224-225); otherwise the source model."""
+        if plan.use_canvas:
+            return "RGBA"
+        if params.grayscale():
+            return "LA" if has_alpha else "L"
+        if has_alpha:
+            return "RGBA"
+        if is_gray:
+            return "L"
+        return "RGB"
+
+    def process_gif(self, data: bytes, params: query_mod.Query) -> Tuple[str, bytes]:
+        """Animated-GIF chain (reference src/handler.rs:311-366):
+        frames become the device batch dimension; resampling uses the
+        Nearest filter; corrupt frames stay as 1x1 placeholders
+        untouched by the transforms; frame delays are dropped and the
+        result loops forever. webp/avif flags are ignored."""
+        try:
+            frames = codecs.decode_gif_frames(data)
+        except codecs.CodecError as e:
+            raise ProcessError(str(e)) from e
+
+        placeholder_shape = (1, 1, 4)
+        work_idx = [
+            i for i, f in enumerate(frames) if f.shape != placeholder_shape
+        ]
+        outs: List[Optional[np.ndarray]] = [None] * len(frames)
+        if work_idx:
+            plans = []
+            imgs = []
+            for i in work_idx:
+                h, w = frames[i].shape[:2]
+                plans.append(fused.plan_image(w, h, params, filters.NEAREST))
+                imgs.append(frames[i])
+            results = self.runner.run(plans, imgs)
+            for i, r in zip(work_idx, results):
+                outs[i] = r
+        for i, f in enumerate(frames):
+            if outs[i] is None:
+                outs[i] = f  # placeholder frames pass through untouched
+        try:
+            payload = codecs.encode_gif_frames(outs)
+        except Exception as e:
+            raise ProcessError(f"failed to encode gif: {e}") from e
+        return (codecs.MIME[codecs.GIF], payload)
+
+    # -- color management hook (full impl in engine.icc) -------------------
+
+    def _convert_jpeg_color_if_needed(self, data: bytes) -> Optional[np.ndarray]:
+        """CMYK/YCCK JPEG -> RGB via ICC (reference handler.rs:398-466).
+        Returns (H, W, 3) uint8, or None when not applicable."""
+        if not self.use_embedded_profile and self.cmyk2rgb is None:
+            return None
+        from . import icc
+
+        return icc.convert_jpeg_color_if_needed(
+            data, self.cmyk2rgb, self.use_embedded_profile
+        )

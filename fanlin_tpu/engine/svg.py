@@ -1,0 +1,64 @@
+"""SVG / unknown-format path.
+
+Bytes the sniffer can't identify are decoded as UTF-16LE / UTF-16BE
+(by BOM) or UTF-8, validated as SVG, and served back *unchanged* as
+image/svg+xml — transforms are never applied to SVG. Mirrors
+reference src/handler.rs:368-396 (including the odd-trailing-byte ->
+space quirk of the UTF-16 chunking)."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+
+class SvgError(Exception):
+    pass
+
+
+def _utf16_chars(data: bytes, big_endian: bool) -> str:
+    fallback = 0x0020  # odd tail chunk maps to a space (handler.rs:377, 383)
+    units = []
+    for i in range(0, len(data), 2):
+        chunk = data[i : i + 2]
+        if len(chunk) == 2:
+            units.append(
+                int.from_bytes(chunk, "big" if big_endian else "little")
+            )
+        else:
+            units.append(fallback)
+    try:
+        return "".join(map(chr, units)).encode("utf-16", "surrogatepass").decode(
+            "utf-16"
+        )
+    except UnicodeDecodeError as e:
+        raise SvgError(f"failed to treat as UTF-16: {e}") from e
+
+
+def decode_text(data: bytes) -> str:
+    if len(data) > 2 and data[0] == 0xFF and data[1] == 0xFE:
+        return _utf16_chars(data, big_endian=False)
+    if len(data) > 2 and data[0] == 0xFE and data[1] == 0xFF:
+        return _utf16_chars(data, big_endian=True)
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise SvgError("unknown format") from e
+
+
+def validate_svg(text: str) -> None:
+    """Parse-and-validate only (the reference uses usvg but never
+    rasterizes, handler.rs:391-395)."""
+    try:
+        root = ET.fromstring(text.lstrip("﻿"))
+    except ET.ParseError as e:
+        raise SvgError(f"failed to parse as SVG: {e}") from e
+    tag = root.tag.rsplit("}", 1)[-1]
+    if tag != "svg":
+        raise SvgError("failed to parse as SVG: root element is not <svg>")
+
+
+def process_unknown_format(data: bytes) -> tuple:
+    """-> (mime, original text bytes); raises SvgError on non-SVG."""
+    text = decode_text(data)
+    validate_svg(text)
+    return ("image/svg+xml", text.encode("utf-8"))

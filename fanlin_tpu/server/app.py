@@ -1,0 +1,193 @@
+"""L4 — the HTTP gateway.
+
+aiohttp implementation of the reference's axum server
+(reference src/main.rs:88-294) with identical request semantics:
+
+* ``GET /ping`` -> "pong" (main.rs:89);
+* every other path is the generic image handler (main.rs:127-197):
+  400 on size-range violations or malformed query types, 404/200 on
+  origin miss (per-provider success_even_no_content), 500 on fetch or
+  processing errors — all three served with the fallback image when
+  one is configured;
+* tower-equivalent middleware: request trace log with latency (ms),
+  10 s timeout -> 408, concurrency cap = max_clients
+  (main.rs:91-111);
+* response headers: Content-Type, Vary: Accept when webp/avif was
+  requested, Server-Timing with f_fetch / f_process marks
+  (main.rs:199-233).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+import time
+from typing import Optional
+
+from aiohttp import web
+
+from .. import config as config_mod
+from ..spec import content as content_mod
+from ..spec import query as query_mod
+from .state import State
+from .timing import HEADER_KEY as TIMING_HEADER
+from .timing import Timer
+
+log = logging.getLogger("fanlin.server")
+
+CONTENT_TYPE_TEXT_PLAIN = "text/plain; charset=utf-8"
+VARY_ACCEPT = "Accept"
+REQUEST_TIMEOUT_SECS = 10.0  # tower TimeoutLayer (main.rs:105-107)
+
+
+def _create_headers(content_type: str, params: query_mod.Query,
+                    timer: Optional[Timer] = None) -> dict:
+    headers = {"Content-Type": content_type}
+    if params.use_webp() or params.use_avif():
+        headers["Vary"] = VARY_ACCEPT
+    if timer is not None:
+        headers[TIMING_HEADER] = timer.header_value()
+    return headers
+
+
+def _fallback_or_message(state: State, req_path: str, params: query_mod.Query,
+                         accepted: content_mod.Format, status: int,
+                         message: str) -> web.Response:
+    try:
+        mime, processed = state.fallback(req_path, params, accepted)
+        return web.Response(
+            status=status, headers=_create_headers(mime, params), body=processed
+        )
+    except Exception:
+        return web.Response(
+            status=status,
+            headers=_create_headers(CONTENT_TYPE_TEXT_PLAIN, params),
+            text=message,
+        )
+
+
+async def generic_handler(request: web.Request) -> web.Response:
+    state: State = request.app["state"]
+    try:
+        params = query_mod.parse_query(request.query_string)
+    except query_mod.QueryError as e:
+        return web.Response(
+            status=400, text=f"Failed to deserialize query string: {e}"
+        )
+    if params.unsupported_scale_size():
+        return web.Response(
+            status=400,
+            headers=_create_headers(CONTENT_TYPE_TEXT_PLAIN, params),
+            text=f"supported width and height: {query_mod.size_range_info()}",
+        )
+    timer = Timer()
+    accepted = content_mod.extract_accepted_image_formats(
+        request.headers.getall("Accept", [])
+    )
+    path = request.path
+    try:
+        original = await state.get_image(path)
+    except Exception as err:
+        log.error("failed to get an original image; %s %r", path, err)
+        return _fallback_or_message(
+            state, path, params, accepted, 500, "server error on fetching an image"
+        )
+    if original is None:
+        status = 200 if state.treat_as_success_even_no_content(path) else 404
+        return _fallback_or_message(state, path, params, accepted, status, "not found")
+    timer.add("f_fetch")
+    try:
+        mime, processed = await state.process_image_async(original, params, accepted)
+    except Exception as err:
+        log.error("failed to process an image; %s %r", path, err)
+        return _fallback_or_message(
+            state, path, params, accepted, 500, "server error on processing an image"
+        )
+    timer.add("f_process")
+    return web.Response(
+        status=200, headers=_create_headers(mime, params, timer), body=processed
+    )
+
+
+async def ping_handler(_request: web.Request) -> web.Response:
+    return web.Response(text="pong")
+
+
+@web.middleware
+async def trace_middleware(request: web.Request, handler):
+    t0 = time.perf_counter()
+    response = await handler(request)
+    latency_ms = (time.perf_counter() - t0) * 1000.0
+    log.info(
+        "request",
+        extra={
+            "fields": {
+                "method": request.method,
+                "uri": request.path_qs,
+                "status": response.status,
+                "latency_ms": round(latency_ms, 3),
+            }
+        },
+    )
+    return response
+
+
+def make_timeout_middleware(timeout: float):
+    @web.middleware
+    async def timeout_middleware(request: web.Request, handler):
+        try:
+            return await asyncio.wait_for(handler(request), timeout=timeout)
+        except asyncio.TimeoutError:
+            return web.Response(status=408)  # tower Timeout -> 408
+
+    return timeout_middleware
+
+
+def make_concurrency_middleware(max_clients: int):
+    semaphore = asyncio.Semaphore(max_clients)
+
+    @web.middleware
+    async def concurrency_middleware(request: web.Request, handler):
+        async with semaphore:  # queues like tower ConcurrencyLimitLayer
+            return await handler(request)
+
+    return concurrency_middleware
+
+
+def create_app(cfg: config_mod.Config, state: State) -> web.Application:
+    app = web.Application(
+        middlewares=[
+            trace_middleware,
+            make_timeout_middleware(REQUEST_TIMEOUT_SECS),
+            make_concurrency_middleware(cfg.max_clients),
+        ],
+        client_max_size=1024**3,
+    )
+    app["state"] = state
+    app.router.add_get("/ping", ping_handler)
+    app.router.add_route("GET", "/{tail:.*}", generic_handler)
+
+    async def _cleanup(app_):
+        await state.client.close()
+
+    app.on_cleanup.append(_cleanup)
+    return app
+
+
+async def build_state(cfg: config_mod.Config) -> State:
+    """Startup sequence, mirroring reference main() (main.rs:63-81):
+    infra client -> state -> fallback preload (failure only warns) ->
+    ICC converter -> embedded-profile flag."""
+    from ..infra import Client
+
+    client = Client.new(cfg)
+    state = State(cfg.providers, client)
+    try:
+        await state.with_fallback(cfg.fallback_path, cfg.providers)
+    except Exception as err:
+        log.warning("failed to initialize fallback images; %r", err)
+    if cfg.profile_path:
+        state.create_cmyk_to_rgb_converter(cfg.profile_path)
+    if cfg.use_embedded_profile:
+        state.enable_embedded_profile_utilization()
+    return state

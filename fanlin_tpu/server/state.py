@@ -1,0 +1,111 @@
+"""Gateway state: provider routing, origin dispatch, fallback images.
+
+Mirrors the reference's handler::State (reference src/handler.rs:13-183):
+
+* ``get_image`` routes the request path to a provider and dispatches
+  on the src URI scheme (s3 / http / https / file); unknown schemes
+  and unrouted paths resolve to None (-> 404) — handler.rs:154-183.
+* Fallback images are preloaded at startup through the same fetch
+  path (global + per-provider) and re-processed per request with the
+  live query params — handler.rs:103-146.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from typing import Dict, List, Optional, Tuple
+from urllib.parse import urlsplit
+
+from .. import config as config_mod
+from ..engine import Engine
+from ..infra import Client
+from ..spec import content as content_mod
+from ..spec import query as query_mod
+from ..utils import paths
+from .router import Router
+
+log = logging.getLogger("fanlin.state")
+
+
+class State:
+    def __init__(self, providers: List[config_mod.Provider], client: Client,
+                 engine: Optional[Engine] = None):
+        self.router = Router(providers)
+        self.client = client
+        self.engine = engine or Engine()
+        self.fallback_images: Dict[str, bytes] = {}
+        self.fallback_path = ""
+
+    # -- color management wiring (reference handler.rs:85-101) ------------
+
+    def create_cmyk_to_rgb_converter(self, path) -> None:
+        from ..engine.icc import CMYK2RGB
+
+        conv = CMYK2RGB.from_file(path)
+        if conv is None:
+            log.warning("failed to load an icc profile or create a transform; %s", path)
+        else:
+            self.engine.cmyk2rgb = conv
+
+    def enable_embedded_profile_utilization(self) -> None:
+        self.engine.use_embedded_profile = True
+
+    # -- fallback preload (reference handler.rs:103-146) -------------------
+
+    async def with_fallback(self, path: Optional[str],
+                            providers: List[config_mod.Provider]) -> None:
+        if path:
+            img = await self.get_image(path)
+            if img is not None:
+                self.fallback_images[path] = img
+                self.fallback_path = path
+        for p in providers:
+            if p.fallback_path:
+                img = await self.get_image(p.fallback_path)
+                if img is not None:
+                    self.fallback_images[p.fallback_path] = img
+
+    def fallback(self, req_path: str, params: query_mod.Query,
+                 accepted: content_mod.Format) -> Tuple[str, bytes]:
+        """Provider fallback image, else global, else error. The image
+        is processed with the live params (handler.rs:124-146)."""
+        provider = self.router.at(req_path)
+        img = None
+        if provider is not None:
+            img = self.fallback_images.get(provider.fallback_path)
+        if img is None:
+            img = self.fallback_images.get(self.fallback_path)
+        if img is None:
+            raise LookupError("fallback image uninitialized")
+        return self.engine.process_image(img, params, accepted)
+
+    def treat_as_success_even_no_content(self, req_path: str) -> bool:
+        p = self.router.at(req_path)
+        return p is not None and p.success_even_no_content
+
+    # -- origin dispatch (reference handler.rs:154-183) --------------------
+
+    async def get_image(self, req_path: str) -> Optional[bytes]:
+        provider = self.router.at(req_path)
+        if provider is None:
+            return None
+        scheme = urlsplit(provider.src).scheme
+        if scheme == "s3":
+            bucket, key = paths.build_bucket_and_object_key(
+                provider.src, provider.path, req_path
+            )
+            return await self.client.s3.get_object(bucket, key)
+        if scheme in ("http", "https"):
+            url = paths.build_url(provider.src, provider.path, req_path)
+            return await self.client.web.get(url)
+        if scheme == "file":
+            local = paths.build_local_path(provider.src, provider.path, req_path)
+            return await self.client.file.read(local)
+        return None
+
+    async def process_image_async(self, data: bytes, params, accepted):
+        """Run the (sync, device-bound) engine off the event loop."""
+        return await asyncio.to_thread(
+            self.engine.process_image, data, params, accepted
+        )

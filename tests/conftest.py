@@ -11,6 +11,13 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# The environment's sitecustomize pre-imports jax with
+# JAX_PLATFORMS=axon (real TPU via tunnel) at interpreter boot, which
+# wins over the env var above — override through the config API.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,188 @@
+"""Engine (L2) tests: sniffing, codecs, the full process_image chain."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import Engine, ProcessError
+from fanlin_tpu.engine import codecs, svg
+from fanlin_tpu.spec.content import Format, extract_accepted_image_formats
+from fanlin_tpu.spec.query import parse_query
+from tests.conftest import make_test_image, psnr
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return Engine()
+
+
+def _jpeg_bytes(img=None, quality=92):
+    buf = io.BytesIO()
+    Image.fromarray(img if img is not None else make_test_image()).save(
+        buf, format="JPEG", quality=quality
+    )
+    return buf.getvalue()
+
+
+def _png_bytes(img=None):
+    buf = io.BytesIO()
+    Image.fromarray(img if img is not None else make_test_image()).save(
+        buf, format="PNG"
+    )
+    return buf.getvalue()
+
+
+def test_sniff_formats():
+    assert codecs.sniff_format(_jpeg_bytes()) == "jpeg"
+    assert codecs.sniff_format(_png_bytes()) == "png"
+    assert codecs.sniff_format(b"GIF89a" + b"\x00" * 10) == "gif"
+    assert codecs.sniff_format(b"RIFF\x00\x00\x00\x00WEBP") == "webp"
+    assert codecs.sniff_format(b"this is not an image") is None
+    assert codecs.sniff_format(b"") is None
+
+
+def test_as_is_passthrough(engine):
+    data = _jpeg_bytes()
+    mime, out = engine.process_image(data, parse_query("quality=50"), Format())
+    assert mime == "image/jpeg"
+    assert out == data
+
+
+def test_resize_roundtrip(engine):
+    data = _jpeg_bytes()
+    mime, out = engine.process_image(data, parse_query("w=300&h=200"), Format())
+    assert mime == "image/jpeg"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (300, 200)
+        assert im.mode == "RGB"
+    # decoded output close to PIL-made reference of the same chain
+    got = np.asarray(Image.open(io.BytesIO(out)))
+    src = np.asarray(Image.open(io.BytesIO(data)))
+    fit = np.asarray(Image.fromarray(src).resize((200, 200), Image.LANCZOS))
+    canvas = np.full((200, 300, 3), 32, np.uint8)
+    canvas[:, 50:250] = fit
+    assert psnr(got, canvas) >= 35.0  # both sides JPEG-compressed at q75
+
+
+def test_png_stays_png(engine):
+    data = _png_bytes()
+    mime, out = engine.process_image(data, parse_query("w=100&h=100"), Format())
+    assert mime == "image/png"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (100, 100)
+
+
+def test_webp_negotiation(engine):
+    data = _jpeg_bytes()
+    q = parse_query("w=300&h=200&webp=true&quality=20")
+    accepted = extract_accepted_image_formats(["image/webp,image/avif"])
+    mime, out = engine.process_image(data, q, accepted)
+    assert mime == "image/webp"
+    assert codecs.sniff_format(out) == "webp"
+    # webp=true without Accept stays jpeg (handler.rs:257-261)
+    mime2, _ = engine.process_image(data, q, Format())
+    assert mime2 == "image/jpeg"
+
+
+def test_webp_lossless_at_q100(engine):
+    data = _png_bytes(make_test_image(64, 64))
+    q = parse_query("w=40&h=40&webp=true&quality=100")
+    accepted = extract_accepted_image_formats(["image/webp"])
+    mime, out = engine.process_image(data, q, accepted)
+    assert mime == "image/webp"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (40, 40)
+
+
+def test_avif_negotiation(engine):
+    data = _jpeg_bytes(make_test_image(64, 64))
+    q = parse_query("w=32&h=32&avif=true")
+    accepted = extract_accepted_image_formats(["image/avif"])
+    mime, out = engine.process_image(data, q, accepted)
+    assert mime == "image/avif"
+    assert codecs.sniff_format(out) == "avif"
+
+
+def test_webp_wins_over_avif(engine):
+    data = _jpeg_bytes(make_test_image(64, 64))
+    q = parse_query("w=32&h=32&avif=true&webp=true")
+    accepted = extract_accepted_image_formats(["image/webp,image/avif"])
+    mime, _ = engine.process_image(data, q, accepted)
+    assert mime == "image/webp"
+
+
+def test_grayscale_jpeg_is_luma(engine):
+    data = _jpeg_bytes()
+    mime, out = engine.process_image(data, parse_query("grayscale=true"), Format())
+    assert mime == "image/jpeg"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.mode == "L"  # Luma8 output like DynamicImage::grayscale
+
+
+def test_text_file_is_error(engine):
+    with pytest.raises(ProcessError):
+        engine.process_image(b"this is not an image\n", parse_query("w=100&h=100"), Format())
+
+
+def test_svg_passthrough(engine):
+    body = (
+        '<svg xmlns="http://www.w3.org/2000/svg" width="10" height="10">'
+        '<rect width="10" height="10" fill="red"/></svg>'
+    )
+    mime, out = engine.process_image(
+        body.encode(), parse_query("w=100&h=100&webp=true"), Format()
+    )
+    assert mime == "image/svg+xml"
+    assert out == body.encode()
+
+
+def test_svg_utf16_le():
+    body = '<svg xmlns="http://www.w3.org/2000/svg"/>'
+    data = b"\xff\xfe" + body.encode("utf-16-le")
+    mime, out = svg.process_unknown_format(data)
+    assert mime == "image/svg+xml"
+
+
+def test_gif_resize(engine, fixtures_dir):
+    data = (fixtures_dir / "lenna.gif").read_bytes()
+    mime, out = engine.process_image(data, parse_query("w=32&h=32"), Format())
+    assert mime == "image/gif"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (32, 32)
+        assert getattr(im, "n_frames", 1) == 3
+        assert im.info.get("loop", None) == 0
+
+
+def test_gif_ignores_webp(engine, fixtures_dir):
+    data = (fixtures_dir / "lenna.gif").read_bytes()
+    q = parse_query("w=32&h=32&webp=true")
+    accepted = extract_accepted_image_formats(["image/webp"])
+    mime, out = engine.process_image(data, q, accepted)
+    assert mime == "image/gif"  # handler.rs:365 + main.rs:393-397
+
+
+def test_exif_orientation(engine):
+    img = make_test_image(64, 32)  # landscape
+    buf = io.BytesIO()
+    pil = Image.fromarray(img)
+    exif = pil.getexif()
+    exif[0x0112] = 6  # rotate 90 CW
+    pil.save(buf, format="JPEG", exif=exif, quality=95)
+    mime, out = engine.process_image(buf.getvalue(), parse_query("grayscale=true"), Format())
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (32, 64)  # rotated
+
+
+def test_quality_clamps(engine):
+    data = _jpeg_bytes(make_test_image(64, 64))
+    mime, out = engine.process_image(data, parse_query("w=32&h=32&quality=0"), Format())
+    assert mime == "image/jpeg"  # clamped to 1, no crash
+
+
+def test_png_quality_tiers(engine):
+    data = _png_bytes(make_test_image(128, 128))
+    best = engine.process_image(data, parse_query("w=64&h=64&quality=10"), Format())[1]
+    fast = engine.process_image(data, parse_query("w=64&h=64&quality=90"), Format())[1]
+    assert len(best) <= len(fast)  # Best compresses harder than Fast

@@ -1,0 +1,249 @@
+"""End-to-end gateway tests over all three origins, mirroring the
+reference's integration table (reference src/main.rs:302-472):
+real S3 protocol (local fake S3 speaking GetObject), a live static
+HTTP origin, and the local filesystem."""
+
+import asyncio
+import io
+
+import pytest
+from aiohttp import web
+from aiohttp.test_utils import TestClient, TestServer
+
+from fanlin_tpu.config import Config
+from fanlin_tpu.server.app import build_state, create_app
+
+
+def _fake_s3_app(root) -> web.Application:
+    """Minimal S3 GetObject endpoint: /{bucket}/{key...}; missing key ->
+    404 with <Code>NoSuchKey</Code>, like MinIO/AWS."""
+
+    async def get_object(request: web.Request):
+        bucket = request.match_info["bucket"]
+        key = request.match_info["key"]
+        if bucket != "local-test":
+            return web.Response(
+                status=404,
+                text="<Error><Code>NoSuchBucket</Code></Error>",
+                content_type="application/xml",
+            )
+        p = root / key.replace("images/", "", 1)
+        if not p.exists() or key.count("/") != 1:
+            return web.Response(
+                status=404,
+                text="<Error><Code>NoSuchKey</Code></Error>",
+                content_type="application/xml",
+            )
+        return web.Response(body=p.read_bytes())
+
+    app = web.Application()
+    app.router.add_get("/{bucket}/{key:.*}", get_object)
+    return app
+
+
+def _static_app(root) -> web.Application:
+    app = web.Application()
+    app.router.add_static("/static", str(root))
+    return app
+
+
+async def _start(app) -> TestClient:
+    client = TestClient(TestServer(app))
+    await client.start_server()
+    return client
+
+
+def _config(fixtures_dir, s3_port, web_port) -> Config:
+    return Config.from_str(
+        """
+{
+  "port": 0,
+  "bind_addr": "127.0.0.1",
+  "max_clients": 8,
+  "fallback_path": "/baz/no_img.jpg",
+  "client": {
+    "s3": {
+      "aws_region": "test-region-1",
+      "aws_endpoint_url": "http://127.0.0.1:%d",
+      "aws_access_key_id": "AAAAAAAAAAAAAAAAAAAA",
+      "aws_secret_access_key": "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+    },
+    "web": {"user_agent": "fanlin-tpu-test/0", "timeout": 2}
+  },
+  "providers": [
+    {"path": "foo", "src": "s3://local-test/images"},
+    {"path": "bar", "src": "http://127.0.0.1:%d/static"},
+    {"path": "baz", "src": "file://localhost%s"},
+    {"path": "qux", "src": "file://localhost%s", "success_even_no_content": true},
+    {"path": "unknown", "src": "gopher://nowhere/x"},
+    {"path": "", "src": "file://localhost%s"}
+  ]
+}
+"""
+        % (s3_port, web_port, fixtures_dir, fixtures_dir, fixtures_dir)
+    )
+
+
+@pytest.fixture(scope="module")
+def e2e(fixtures_dir):
+    """(client, cleanup) running gateway + fake S3 + static origin."""
+    loop = asyncio.new_event_loop()
+
+    async def setup():
+        s3_client = await _start(_fake_s3_app(fixtures_dir))
+        web_client = await _start(_static_app(fixtures_dir))
+        cfg = _config(fixtures_dir, s3_client.port, web_client.port)
+        state = await build_state(cfg)
+        gw = await _start(create_app(cfg, state))
+        return s3_client, web_client, gw
+
+    s3_client, web_client, gw = loop.run_until_complete(setup())
+    yield loop, gw
+
+    async def teardown():
+        await gw.close()
+        await web_client.close()
+        await s3_client.close()
+
+    loop.run_until_complete(teardown())
+    loop.close()
+
+
+def _get(e2e, path, headers=None):
+    loop, gw = e2e
+
+    async def go():
+        resp = await gw.get(path, headers=headers or {})
+        body = await resp.read()
+        return resp, body
+
+    return loop.run_until_complete(go())
+
+
+def test_ping(e2e):
+    resp, body = _get(e2e, "/ping")
+    assert resp.status == 200
+    assert body == b"pong"
+
+
+@pytest.mark.parametrize("provider", ["foo", "bar", "baz"])
+def test_fetch_as_is(e2e, provider, fixtures_dir):
+    resp, body = _get(e2e, f"/{provider}/lenna.jpg")
+    assert resp.status == 200, body
+    assert resp.headers["Content-Type"] == "image/jpeg"
+    assert body == (fixtures_dir / "lenna.jpg").read_bytes()
+
+
+@pytest.mark.parametrize("provider", ["foo", "bar", "baz"])
+def test_resize(e2e, provider):
+    from PIL import Image
+
+    resp, body = _get(e2e, f"/{provider}/lenna.jpg?w=300&h=200")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "image/jpeg"
+    assert "f_fetch" in resp.headers["Server-Timing"]
+    assert "f_process" in resp.headers["Server-Timing"]
+    with Image.open(io.BytesIO(body)) as im:
+        assert im.size == (300, 200)
+
+
+def test_webp_negotiated(e2e):
+    resp, body = _get(
+        e2e,
+        "/baz/lenna.jpg?w=300&h=200&webp=true&quality=20",
+        headers={"Accept": "image/webp,image/avif"},
+    )
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "image/webp"
+    assert resp.headers["Vary"] == "Accept"
+    assert body[:4] == b"RIFF"
+
+
+def test_webp_not_accepted_stays_jpeg(e2e):
+    resp, _ = _get(e2e, "/baz/lenna.jpg?w=300&h=200&webp=true")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "image/jpeg"
+    assert resp.headers["Vary"] == "Accept"
+
+
+def test_avif_negotiated(e2e):
+    resp, body = _get(
+        e2e,
+        "/baz/lenna.jpg?w=100&h=100&avif=true",
+        headers={"Accept": "image/avif"},
+    )
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "image/avif"
+
+
+def test_out_of_range_400(e2e):
+    for qs in ("w=10&h=100", "w=100&h=1001", "w=2001&h=100", "h=19"):
+        resp, body = _get(e2e, f"/baz/lenna.jpg?{qs}")
+        assert resp.status == 400
+        assert b"supported width and height: 20..=2000 x 20..=1000" in body
+
+
+def test_bad_query_type_400(e2e):
+    resp, _ = _get(e2e, "/baz/lenna.jpg?w=foo")
+    assert resp.status == 400
+
+
+def test_png(e2e):
+    resp, body = _get(e2e, "/baz/lenna.png?w=100&h=100")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_gif(e2e):
+    resp, body = _get(e2e, "/baz/lenna.gif?w=32&h=32&webp=true",
+                      headers={"Accept": "image/webp"})
+    assert resp.status == 200
+    # GIFs ignore webp=true (main.rs:393-397)
+    assert resp.headers["Content-Type"] == "image/gif"
+    assert body[:6] in (b"GIF87a", b"GIF89a")
+
+
+def test_svg_passthrough(e2e, fixtures_dir):
+    resp, body = _get(e2e, "/baz/logo.svg?w=100&h=100")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "image/svg+xml"
+    assert body == (fixtures_dir / "logo.svg").read_bytes()
+
+
+def test_text_file_500_with_fallback(e2e):
+    resp, body = _get(e2e, "/baz/lenna.txt?w=100&h=100")
+    assert resp.status == 500
+    # fallback image is served with the live params
+    assert resp.headers["Content-Type"] == "image/jpeg"
+    assert body[:3] == b"\xff\xd8\xff"
+
+
+@pytest.mark.parametrize("provider", ["foo", "bar", "baz"])
+def test_missing_404_with_fallback(e2e, provider):
+    resp, body = _get(e2e, f"/{provider}/nope.jpg?w=100&h=100")
+    assert resp.status == 404
+    assert resp.headers["Content-Type"] == "image/jpeg"  # fallback body
+
+
+def test_success_even_no_content(e2e):
+    resp, _ = _get(e2e, "/qux/nope.jpg")
+    assert resp.status == 200  # provider opts into 200-on-miss
+
+
+def test_unknown_scheme_404(e2e):
+    resp, _ = _get(e2e, "/unknown/x.jpg")
+    assert resp.status == 404
+
+
+def test_root_provider(e2e):
+    resp, _ = _get(e2e, "/lenna.jpg")
+    assert resp.status == 200
+    assert resp.headers["Content-Type"] == "image/jpeg"
+
+
+def test_no_match_404(e2e):
+    # bare provider dir (empty catch-all) falls through to the root
+    # provider; a directory read is an IO error -> 500 w/ fallback
+    resp, _ = _get(e2e, "/nope-not-a-file")
+    assert resp.status == 404
