@@ -1,0 +1,20 @@
+# fanlin-tpu container (parity with the reference's two-stage distroless
+# build, reference Dockerfile:1-36; here the runtime needs the Python
+# stack + libtpu, so the base stays slim-python instead of distroless).
+FROM python:3.12-slim AS runtime
+
+WORKDIR /app
+
+# Native codec libraries (libjpeg-turbo / libwebp / liblcms2 / libavif
+# come in via Pillow's wheels; lcms2 tooling for ICC parity)
+RUN pip install --no-cache-dir \
+    "jax[tpu]" aiohttp pillow numpy
+
+COPY fanlin_tpu /app/fanlin_tpu
+COPY fanlin-tpu.json /var/lib/fanlin/fanlin.json
+
+ENV PYTHONUNBUFFERED=1
+ENV JAX_COMPILATION_CACHE_DIR=/var/cache/fanlin-jax
+EXPOSE 3000
+
+ENTRYPOINT ["python", "-m", "fanlin_tpu.cli", "-c", "/var/lib/fanlin/fanlin.json"]

@@ -1,0 +1,26 @@
+# Developer workflow (parity with the reference Makefile's
+# build/test/bench targets).
+
+.PHONY: test lint serve bench bench-webp native clean
+
+test:
+	python -m pytest tests/ -q
+
+lint:
+	python -m compileall -q fanlin_tpu
+	@echo lint ok
+
+serve:
+	python -m fanlin_tpu.cli -c fanlin-tpu.json
+
+bench:
+	python bench.py
+
+bench-webp:
+	BENCH_WEBP=1 python bench.py
+
+native:
+	$(MAKE) -C native
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; true

@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Headline benchmark: images/sec/chip on the reference README workload
+(512x512 lenna-like JPEG -> w=300&h=200 -> JPEG q75), full engine path
+(host decode -> fused TPU transform -> host encode), pipelined:
+decode/encode on a host thread pool, device batches double-buffered.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
+
+vs_baseline is against the reference's sustained CPU throughput of
+500 req/s (BASELINE.md row 5, i7-13700HX).
+
+Env knobs: BENCH_N (images, default 768), BENCH_BATCH (default 8),
+BENCH_SECONDS (alternative time-boxed mode), BENCH_WEBP=1 (bench the
+webp=true&quality=20 variant, BASELINE.md row 4).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+BASELINE_RPS = 500.0  # reference row 5: 500 rps sustained on CPU
+
+
+def make_source_jpeg() -> bytes:
+    """Deterministic 512x512 photo-like JPEG (structure + noise),
+    standing in for images/lenna.jpg (512x512, q~92)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    h = w = 512
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = 128 + 90 * np.sin(xx / 37.0) + 30 * (yy / h)
+    g = 128 + 90 * np.cos(yy / 23.0) + 30 * (xx / w)
+    b = 128 + 60 * np.sin((xx + yy) / 53.0)
+    img = np.stack([r, g, b], axis=-1) + rng.normal(0, 6, (h, w, 1)).astype(np.float32)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92)
+    return buf.getvalue()
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fanlin_tpu.engine import codecs
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    webp_mode = os.environ.get("BENCH_WEBP") == "1"
+    n_images = int(os.environ.get("BENCH_N", "768"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    threads = int(os.environ.get("BENCH_THREADS", str(os.cpu_count() or 8)))
+
+    data = make_source_jpeg()
+    if webp_mode:
+        params = parse_query("w=300&h=200&webp=true&quality=20")
+        out_fmt, out_q = codecs.WEBP, 20
+        metric = "images_per_sec_chip_lenna512_300x200_webp_q20"
+    else:
+        params = parse_query("w=300&h=200")
+        out_fmt, out_q = codecs.JPEG, 75
+        metric = "images_per_sec_chip_lenna512_300x200_jpeg_q75"
+
+    plan = fused.plan_image(512, 512, params)
+    pool = ThreadPoolExecutor(threads)
+
+    def decode_task(_i):
+        img, _, _ = codecs.decode(data)
+        return img
+
+    def encode_task(arr):
+        return codecs.encode(arr, out_fmt, out_q, "RGBA")
+
+    # -- warmup: compile the program, prime codec paths --------------------
+    warm = decode_task(0)
+    asm = fused.BatchAssembly([plan] * batch, [warm] * batch)
+    encode_task(asm.run()[0])
+    asm = fused.BatchAssembly([plan] * batch, [warm] * batch)
+    asm.run()
+
+    # -- measured run ------------------------------------------------------
+    n_images -= n_images % batch
+    t0 = time.perf_counter()
+    dec_futs = [pool.submit(decode_task, i) for i in range(n_images)]
+    enc_futs = []
+    pending = None  # (BatchAssembly, device out) double buffer
+    buf = []
+    for f in dec_futs:
+        buf.append(f.result())
+        if len(buf) == batch:
+            a = fused.BatchAssembly([plan] * batch, buf)
+            out = a.submit()
+            if pending is not None:
+                for r in pending[0].collect(pending[1]):
+                    enc_futs.append(pool.submit(encode_task, r))
+            pending = (a, out)
+            buf = []
+    if pending is not None:
+        for r in pending[0].collect(pending[1]):
+            enc_futs.append(pool.submit(encode_task, r))
+    payloads = [f.result() for f in enc_futs]
+    wall = time.perf_counter() - t0
+    pool.shutdown(wait=False)
+
+    assert len(payloads) == n_images
+    rate = n_images / wall
+    mean_bytes = int(np.mean([len(p) for p in payloads]))
+    result = {
+        "metric": metric,
+        "value": round(rate, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(rate / BASELINE_RPS, 2),
+        "images": n_images,
+        "wall_s": round(wall, 2),
+        "mean_bytes_out": mean_bytes,
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

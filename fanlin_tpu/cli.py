@@ -30,8 +30,35 @@ def parse_args(argv=None) -> argparse.Namespace:
     return parser.parse_args(argv)
 
 
+def _enable_compilation_cache() -> None:
+    """Persist compiled XLA executables across restarts (the TPU
+    analogue of the reference prebuilding its lcms2 transform once,
+    handler.rs:483)."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fanlin-jax")
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 async def serve(cfg: config_mod.Config) -> None:
+    _enable_compilation_cache()
     state = await build_state(cfg)
+    if cfg.tpu.warmup:
+        import threading
+
+        from .engine import warmup as warmup_mod
+
+        threading.Thread(
+            target=warmup_mod.warm, name="fanlin-warmup", daemon=True
+        ).start()
     app = create_app(cfg, state)
     runner = web.AppRunner(app, access_log=None)
     await runner.setup()

@@ -137,6 +137,8 @@ class TpuConfig:
     exact: bool = True
     # data-parallel sharding over available devices
     data_parallel: bool = False
+    # precompile common shape buckets at startup (background thread)
+    warmup: bool = True
 
     @classmethod
     def from_obj(cls, obj: dict) -> "TpuConfig":
@@ -151,6 +153,8 @@ class TpuConfig:
             cfg.exact = _as_bool(obj["exact"], "exact")
         if "data_parallel" in obj:
             cfg.data_parallel = _as_bool(obj["data_parallel"], "data_parallel")
+        if "warmup" in obj:
+            cfg.warmup = _as_bool(obj["warmup"], "warmup")
         return cfg
 
 

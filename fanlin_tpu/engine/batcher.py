@@ -1,0 +1,128 @@
+"""Request micro-batcher.
+
+The TPU wants large batched matmuls; HTTP gives you one image at a
+time. This module coalesces concurrent in-flight requests into
+per-shape-bucket device batches with an adaptive flush window
+(SURVEY.md §7 "Latency vs batching"):
+
+* every request's transform plan is grouped by its
+  (src-bucket, dst-bucket, has_blur) program key;
+* a group flushes when it reaches ``max_batch`` or when the oldest
+  entry has waited ``window_ms`` — so an idle server adds at most one
+  window of latency, and a loaded server fills whole batches;
+* device execution runs on ONE dedicated thread (XLA serializes
+  per-device execution anyway), overlapping host decode/encode in the
+  caller threads with device compute.
+
+``BatchingRunner`` exposes the same synchronous ``run(plans, images)``
+interface as the engine's default runner, so the processing core is
+oblivious to batching: worker threads block on a future while their
+images ride a shared batch.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from ..ops import fused
+
+
+def _group_key(plan: fused.ImagePlan) -> Tuple:
+    return (
+        fused.bucket_h(plan.src_h),
+        fused.bucket_w(plan.src_w),
+        fused.bucket_h(plan.out_h),
+        fused.bucket_w(plan.out_w),
+        plan.blur_sigma > 0,
+    )
+
+
+class MicroBatcher:
+    """Shape-bucketed batching queue with adaptive flush."""
+
+    def __init__(self, max_batch: int = 8, window_ms: float = 2.0):
+        self.max_batch = max_batch
+        self.window_s = window_ms / 1000.0
+        self._lock = threading.Lock()
+        self._groups: Dict[Tuple, List[Tuple[fused.ImagePlan, np.ndarray, Future]]] = {}
+        self._timers: Dict[Tuple, threading.Timer] = {}
+        self._device = ThreadPoolExecutor(1, thread_name_prefix="fanlin-device")
+        self._closed = False
+
+    # -- submission --------------------------------------------------------
+
+    def submit(self, plan: fused.ImagePlan, image: np.ndarray) -> Future:
+        key = _group_key(plan)
+        fut: Future = Future()
+        flush_now = None
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher closed")
+            group = self._groups.setdefault(key, [])
+            group.append((plan, image, fut))
+            if len(group) >= self.max_batch:
+                flush_now = self._groups.pop(key)
+                t = self._timers.pop(key, None)
+                if t:
+                    t.cancel()
+            elif len(group) == 1:
+                t = threading.Timer(self.window_s, self._flush_timer, (key,))
+                t.daemon = True
+                self._timers[key] = t
+                t.start()
+        if flush_now is not None:
+            self._device.submit(self._run_batch, flush_now)
+        return fut
+
+    def _flush_timer(self, key: Tuple) -> None:
+        with self._lock:
+            group = self._groups.pop(key, None)
+            self._timers.pop(key, None)
+        if group:
+            self._device.submit(self._run_batch, group)
+
+    # -- device execution --------------------------------------------------
+
+    @staticmethod
+    def _run_batch(group) -> None:
+        plans = [g[0] for g in group]
+        images = [g[1] for g in group]
+        futures = [g[2] for g in group]
+        try:
+            results = fused.BatchAssembly(plans, images).run()
+        except Exception as e:
+            for f in futures:
+                if not f.cancelled():
+                    f.set_exception(e)
+            return
+        for f, r in zip(futures, results):
+            if not f.cancelled():
+                f.set_result(r)
+
+    def close(self) -> None:
+        with self._lock:
+            self._closed = True
+            pending = list(self._groups.items())
+            self._groups.clear()
+            for t in self._timers.values():
+                t.cancel()
+            self._timers.clear()
+        for _key, group in pending:
+            self._device.submit(self._run_batch, group)
+        self._device.shutdown(wait=True)
+
+
+class BatchingRunner:
+    """Engine-compatible runner backed by a MicroBatcher."""
+
+    def __init__(self, batcher: MicroBatcher):
+        self.batcher = batcher
+
+    def run(self, plans: List[fused.ImagePlan], images: List[np.ndarray]):
+        futures = [self.batcher.submit(p, i) for p, i in zip(plans, images)]
+        return [f.result() for f in futures]

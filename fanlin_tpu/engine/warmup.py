@@ -1,0 +1,49 @@
+"""Startup program warmup.
+
+The reference amortizes its expensive one-time setup (the 40 ms lcms2
+transform) at startup (reference src/handler.rs:483, main.rs:74-76).
+The TPU analogue is XLA compilation: first execution of a shape bucket
+costs seconds, so the gateway precompiles the program cache for its
+expected buckets before accepting traffic, and a persistent
+jax compilation cache (cli.py) carries compiled executables across
+restarts."""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Iterable, Tuple
+
+import numpy as np
+
+from ..ops import fused
+from ..spec.query import parse_query
+
+log = logging.getLogger("fanlin.warmup")
+
+# (src_w, src_h, query) buckets worth warming by default: the README
+# benchmark shape and its blur/webp variants.
+DEFAULT_SHAPES: Tuple[Tuple[int, int, str], ...] = (
+    (512, 512, "w=300&h=200"),
+    (512, 512, "w=300&h=200&blur=10"),
+)
+
+
+def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
+         batch: int = 8) -> int:
+    """Compile fused programs for each (src_w, src_h, query) shape.
+    Returns the number of programs compiled."""
+    count = 0
+    for src_w, src_h, qs in shapes:
+        t0 = time.perf_counter()
+        params = parse_query(qs)
+        plan = fused.plan_image(src_w, src_h, params)
+        img = np.zeros((src_h, src_w, 4), dtype=np.uint8)
+        for b in (1, batch):
+            fused.BatchAssembly([plan] * b, [img] * b).run()
+            count += 1
+        log.info(
+            "warmed %sx%s %s in %.1fs", src_w, src_h, qs,
+            time.perf_counter() - t0,
+        )
+    return count

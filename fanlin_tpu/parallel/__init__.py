@@ -1,0 +1,1 @@
+from .mesh import make_mesh, sharded_program, shard_batch_args  # noqa: F401

@@ -1,0 +1,82 @@
+"""Multi-chip scaling via jax.sharding over a device mesh.
+
+The reference is a single-process server — its only concurrency is a
+tokio thread pool + a concurrency cap (SURVEY.md §2.3). The TPU-native
+scale-out story is different and first-class here:
+
+* **dp** (data parallel): the request micro-batch axis is sharded
+  across chips — embarrassingly parallel, no cross-chip traffic on
+  the transform path; each chip handles a slice of the in-flight
+  batch. This is the production configuration for a pod slice
+  (SURVEY.md §5.8).
+* **sp** (spatial parallel): the source-width axis is sharded across
+  chips for very large images — the first resample einsum keeps W as
+  a free dimension (no communication), the second contracts W, and
+  XLA inserts the reduce over ICI automatically. This is the
+  image-domain analogue of sequence parallelism (SURVEY.md §5.7).
+
+Shardings are expressed with NamedSharding/PartitionSpec and handed
+to jit; XLA GSPMD inserts the collectives. No hand-written NCCL-ish
+code, by design.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.fused import _transform_kernel
+
+
+def make_mesh(n_dp: Optional[int] = None, n_sp: int = 1,
+              devices=None) -> Mesh:
+    """('dp', 'sp') mesh over the first n_dp*n_sp devices."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_dp is None:
+        n_dp = len(devices) // n_sp
+    n = n_dp * n_sp
+    if n > len(devices):
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    grid = np.array(devices[:n]).reshape(n_dp, n_sp)
+    return Mesh(grid, ("dp", "sp"))
+
+
+def _shardings(mesh: Mesh, has_blur: bool) -> Tuple:
+    """PartitionSpecs for the fused-transform argument list.
+
+    x (B,4,SH,SW): batch on dp, source width on sp.
+    av (B,OH,SH): batch on dp.   ah (B,OW,SW): batch on dp, SW on sp.
+    flags/fill/box (B,*): batch on dp.
+    blur matrices (B,OH,OH)/(B,OW,OW): batch on dp.
+    """
+    x = NamedSharding(mesh, P("dp", None, None, "sp"))
+    av = NamedSharding(mesh, P("dp", None, None))
+    ah = NamedSharding(mesh, P("dp", None, "sp"))
+    vec = NamedSharding(mesh, P("dp"))
+    out = NamedSharding(mesh, P("dp", None, None, None))
+    in_shardings = [x, av, ah, vec, vec, vec]
+    if has_blur:
+        in_shardings += [av, NamedSharding(mesh, P("dp", None, None))]
+    return tuple(in_shardings), out
+
+
+@functools.lru_cache(maxsize=32)
+def sharded_program(mesh: Mesh, has_blur: bool):
+    """jit the fused transform with dp/sp shardings over `mesh`."""
+    in_shardings, out_sharding = _shardings(mesh, has_blur)
+    if has_blur:
+        fn = _transform_kernel
+    else:
+        def fn(x, av, ah, flags, fill, box):
+            return _transform_kernel(x, av, ah, flags, fill, box)
+    return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_sharding)
+
+
+def shard_batch_args(mesh: Mesh, arrays, has_blur: bool):
+    """Device-put host batch arrays with the dp/sp shardings."""
+    in_shardings, _ = _shardings(mesh, has_blur)
+    return [jax.device_put(a, s) for a, s in zip(arrays, in_shardings)]

@@ -169,6 +169,9 @@ def create_app(cfg: config_mod.Config, state: State) -> web.Application:
 
     async def _cleanup(app_):
         await state.client.close()
+        batcher = getattr(state.engine.runner, "batcher", None)
+        if batcher is not None:
+            batcher.close()
 
     app.on_cleanup.append(_cleanup)
     return app
@@ -177,11 +180,16 @@ def create_app(cfg: config_mod.Config, state: State) -> web.Application:
 async def build_state(cfg: config_mod.Config) -> State:
     """Startup sequence, mirroring reference main() (main.rs:63-81):
     infra client -> state -> fallback preload (failure only warns) ->
-    ICC converter -> embedded-profile flag."""
+    ICC converter -> embedded-profile flag. The engine runs behind
+    the request micro-batcher (engine.batcher)."""
+    from ..engine import Engine
+    from ..engine.batcher import BatchingRunner, MicroBatcher
     from ..infra import Client
 
     client = Client.new(cfg)
-    state = State(cfg.providers, client)
+    batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms)
+    engine = Engine(runner=BatchingRunner(batcher))
+    state = State(cfg.providers, client, engine)
     try:
         await state.with_fallback(cfg.fallback_path, cfg.providers)
     except Exception as err:

@@ -1,0 +1,72 @@
+"""Micro-batcher: coalescing, correctness vs the sync runner, flush
+behavior under concurrency."""
+
+import threading
+
+import numpy as np
+
+from fanlin_tpu.engine.batcher import BatchingRunner, MicroBatcher
+from fanlin_tpu.ops import fused
+from fanlin_tpu.spec.query import parse_query
+from tests.conftest import make_test_image
+
+
+def _rgba(img):
+    out = np.empty(img.shape[:2] + (4,), dtype=np.uint8)
+    out[..., :3] = img
+    out[..., 3] = 255
+    return out
+
+
+def test_batched_results_match_sync():
+    batcher = MicroBatcher(max_batch=4, window_ms=5.0)
+    runner = BatchingRunner(batcher)
+    imgs = [_rgba(make_test_image(64, 64, seed=i)) for i in range(6)]
+    q = parse_query("w=32&h=32")
+    plans = [fused.plan_image(64, 64, q) for _ in imgs]
+
+    results = [None] * 6
+    threads = []
+
+    def work(i):
+        results[i] = runner.run([plans[i]], [imgs[i]])[0]
+
+    for i in range(6):
+        t = threading.Thread(target=work, args=(i,))
+        t.start()
+        threads.append(t)
+    for t in threads:
+        t.join(timeout=60)
+    batcher.close()
+
+    for i in range(6):
+        single = fused.transform_single(imgs[i], q)
+        np.testing.assert_array_equal(results[i], single)
+
+
+def test_mixed_shapes_group_separately():
+    batcher = MicroBatcher(max_batch=8, window_ms=2.0)
+    runner = BatchingRunner(batcher)
+    img_small = _rgba(make_test_image(64, 64))
+    img_big = _rgba(make_test_image(200, 200))
+    q = parse_query("w=32&h=32")
+    p1 = fused.plan_image(64, 64, q)
+    p2 = fused.plan_image(200, 200, q)
+    out = runner.run([p1, p2], [img_small, img_big])
+    batcher.close()
+    assert out[0].shape == (32, 32, 4)
+    assert out[1].shape == (32, 32, 4)
+    np.testing.assert_array_equal(out[0], fused.transform_single(img_small, q))
+    np.testing.assert_array_equal(out[1], fused.transform_single(img_big, q))
+
+
+def test_full_batch_flushes_immediately():
+    batcher = MicroBatcher(max_batch=2, window_ms=10_000.0)  # huge window
+    runner = BatchingRunner(batcher)
+    imgs = [_rgba(make_test_image(32, 32, seed=i)) for i in range(2)]
+    q = parse_query("grayscale=true")
+    plans = [fused.plan_image(32, 32, q) for _ in imgs]
+    # both submitted together -> hits max_batch -> flush without timer
+    out = runner.run(plans, imgs)
+    batcher.close()
+    assert len(out) == 2
