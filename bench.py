@@ -65,9 +65,10 @@ def main() -> None:
     from fanlin_tpu.spec.query import parse_query
 
     webp_mode = os.environ.get("BENCH_WEBP") == "1"
-    n_images = int(os.environ.get("BENCH_N", "768"))
-    batch = int(os.environ.get("BENCH_BATCH", "8"))
-    threads = int(os.environ.get("BENCH_THREADS", str(os.cpu_count() or 8)))
+    n_images = int(os.environ.get("BENCH_N", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "64"))
+    depth = int(os.environ.get("BENCH_DEPTH", "3"))
+    threads = int(os.environ.get("BENCH_THREADS", str(max(os.cpu_count() or 1, 2))))
 
     data = make_source_jpeg()
     if webp_mode:
@@ -101,21 +102,24 @@ def main() -> None:
     t0 = time.perf_counter()
     dec_futs = [pool.submit(decode_task, i) for i in range(n_images)]
     enc_futs = []
-    pending = None  # (BatchAssembly, device out) double buffer
+    pending = []  # [(BatchAssembly, device out)] pipeline of depth `depth`
     buf = []
+
+    def drain_one():
+        a, o = pending.pop(0)
+        for r in a.collect(o):
+            enc_futs.append(pool.submit(encode_task, r))
+
     for f in dec_futs:
         buf.append(f.result())
         if len(buf) == batch:
             a = fused.BatchAssembly([plan] * batch, buf)
-            out = a.submit()
-            if pending is not None:
-                for r in pending[0].collect(pending[1]):
-                    enc_futs.append(pool.submit(encode_task, r))
-            pending = (a, out)
+            pending.append((a, a.submit()))
+            if len(pending) > depth:
+                drain_one()
             buf = []
-    if pending is not None:
-        for r in pending[0].collect(pending[1]):
-            enc_futs.append(pool.submit(encode_task, r))
+    while pending:
+        drain_one()
     payloads = [f.result() for f in enc_futs]
     wall = time.perf_counter() - t0
     pool.shutdown(wait=False)

@@ -59,6 +59,12 @@ class CodecError(Exception):
     pass
 
 
+def _native():
+    from . import native_codecs
+
+    return native_codecs
+
+
 def sniff_format(data: bytes) -> Optional[str]:
     """Magic-byte format sniffing (image::ImageFormat guessing rules)."""
     if len(data) < 12:
@@ -118,12 +124,21 @@ def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
 
 
 def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
-    """Decode bytes -> ((H, W, 4) uint8 RGBA, has_alpha, is_gray).
+    """Decode bytes -> ((H, W, 3|4) uint8, has_alpha, is_gray).
 
-    has_alpha / is_gray describe the *source* color model so the
-    encoder can preserve the reference's output pixel type
-    (Luma stays Luma, RGB stays RGB, see handler.rs:224-228 notes).
+    Opaque sources come back as 3-channel RGB (the device pipeline
+    synthesizes the constant alpha plane); sources with transparency
+    come back RGBA. has_alpha / is_gray describe the *source* color
+    model so the encoder can preserve the reference's output pixel
+    type (Luma stays Luma, RGB stays RGB, handler.rs:224-228 notes).
     """
+    if data[:3] == b"\xff\xd8\xff":
+        native = _native().decode_jpeg(data)
+        if native is not None:
+            arr, is_gray = native
+            if arr.shape[2] == 1:
+                arr = np.repeat(arr, 3, axis=2)
+            return arr, False, is_gray
     try:
         with Image.open(io.BytesIO(data)) as im:
             im.load()
@@ -132,9 +147,9 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
                 mode == "P" and "transparency" in im.info
             )
             is_gray = mode in ("L", "LA", "I", "I;16", "1")
-            rgba = im.convert("RGBA")
-            arr = np.asarray(rgba, dtype=np.uint8)
-            if arr.ndim != 3 or arr.shape[2] != 4:
+            out = im.convert("RGBA") if has_alpha else im.convert("RGB")
+            arr = np.asarray(out, dtype=np.uint8)
+            if arr.ndim != 3 or arr.shape[2] not in (3, 4):
                 raise CodecError(f"unexpected decode shape {arr.shape}")
             return arr, has_alpha, is_gray
     except CodecError:
@@ -172,9 +187,12 @@ def decode_gif_frames(data: bytes) -> List[np.ndarray]:
 
 
 def _to_pil(img: np.ndarray, mode: str) -> Image.Image:
-    """(H, W, 4) RGBA array -> PIL image in the requested output mode."""
-    pil = Image.fromarray(img, "RGBA")
-    if mode == "RGBA":
+    """(H, W, 3|4) array -> PIL image in the requested output mode.
+    3-channel inputs are opaque (the device dropped a known-255 alpha
+    plane); converting RGB->RGBA re-synthesizes it."""
+    base = "RGBA" if img.shape[2] == 4 else "RGB"
+    pil = Image.fromarray(img, base)
+    if mode == base:
         return pil
     return pil.convert(mode)
 
@@ -196,10 +214,22 @@ def encode(img: np.ndarray, fmt: str, quality: int, mode: str) -> bytes:
     elif fmt == JPEG:
         q = min(max(quality, 1), 100)
         m = {"LA": "L", "RGBA": "RGB", "PA": "RGB"}.get(mode, mode)
+        if m == "RGB":
+            native = _native().encode_jpeg(img[:, :, :3], q)
+            if native is not None:
+                return native
+        elif m == "L":
+            # device grayscale output has r==g==b; plane 0 IS the luma
+            native = _native().encode_jpeg(img[:, :, 0], q)
+            if native is not None:
+                return native
         _to_pil(img, m).save(buf, format="JPEG", quality=q, subsampling=2)
     elif fmt == WEBP:
         # handler.rs:286-305: q==100 -> lossless; else libwebp lossy RGBA
         q = min(max(quality, 1), 100)
+        native = _native().encode_webp(img, q)
+        if native is not None:
+            return native
         pil = _to_pil(img, "RGBA")
         if q == 100:
             pil.save(buf, format="WEBP", lossless=True)

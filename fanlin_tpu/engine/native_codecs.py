@@ -1,0 +1,143 @@
+"""ctypes binding for the native codec core (native/libfanlincodec.so).
+
+Loads lazily; every entry point returns None when the library isn't
+built or rejects the input, and the caller falls back to the PIL
+path — so the framework runs pure-Python anywhere, and runs the
+C codec core (libjpeg-turbo / libwebp, fully GIL-free) when built
+with ``make -C native``. Set FANLIN_NATIVE=0 to disable."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _load():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("FANLIN_NATIVE", "1") == "0":
+        return None
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "native", "libfanlincodec.so"),
+        "libfanlincodec.so",
+    ):
+        try:
+            lib = ctypes.CDLL(cand)
+        except OSError:
+            continue
+        try:
+            if lib.fc_abi_version() != 1:
+                continue
+        except AttributeError:
+            continue
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.fc_decode_jpeg.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.fc_decode_jpeg.restype = ctypes.c_int
+        lib.fc_encode_jpeg.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.fc_encode_jpeg.restype = ctypes.c_int
+        lib.fc_encode_webp.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.fc_encode_webp.restype = ctypes.c_int
+        lib.fc_free.argtypes = [u8p]
+        _LIB = lib
+        break
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def decode_jpeg(data: bytes) -> Optional[Tuple[np.ndarray, bool]]:
+    """-> ((H, W, 3) RGB or (H, W, 1) luma array, is_gray), or None to
+    fall back (unbuilt lib, CMYK/YCCK input, or decode error)."""
+    lib = _load()
+    if lib is None:
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    c = ctypes.c_int()
+    rc = lib.fc_decode_jpeg(
+        data, len(data), 0, ctypes.byref(out), ctypes.byref(w),
+        ctypes.byref(h), ctypes.byref(c),
+    )
+    if rc != 0:
+        return None
+    try:
+        n = w.value * h.value * c.value
+        arr = np.ctypeslib.as_array(out, shape=(n,)).reshape(
+            h.value, w.value, c.value
+        ).copy()
+    finally:
+        lib.fc_free(out)
+    return arr, c.value == 1
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int) -> Optional[bytes]:
+    """(H, W, 3) RGB or (H, W, 1)/(H, W) luma -> JPEG bytes, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    if pixels.shape[2] not in (1, 3):
+        return None
+    pixels = np.ascontiguousarray(pixels)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    out_len = ctypes.c_size_t()
+    rc = lib.fc_encode_jpeg(
+        pixels.ctypes.data_as(u8p), pixels.shape[1], pixels.shape[0],
+        pixels.shape[2], int(quality), ctypes.byref(out),
+        ctypes.byref(out_len),
+    )
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fc_free(out)
+
+
+def encode_webp(pixels: np.ndarray, quality: int) -> Optional[bytes]:
+    """(H, W, 3|4) -> WebP bytes (q>=100 lossless), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    if pixels.ndim != 3 or pixels.shape[2] not in (3, 4):
+        return None
+    pixels = np.ascontiguousarray(pixels)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    out_len = ctypes.c_size_t()
+    rc = lib.fc_encode_webp(
+        pixels.ctypes.data_as(u8p), pixels.shape[1], pixels.shape[0],
+        pixels.shape[2], int(quality), ctypes.byref(out),
+        ctypes.byref(out_len),
+    )
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fc_free(out)

@@ -73,10 +73,7 @@ class Engine:
             converted = self._convert_jpeg_color_if_needed(data)
         try:
             if converted is not None:
-                rgb = converted
-                img = np.empty(rgb.shape[:2] + (4,), dtype=np.uint8)
-                img[..., :3] = rgb
-                img[..., 3] = 255
+                img = converted  # (H, W, 3) RGB from the ICC transform
                 has_alpha, is_gray = False, False
             else:
                 img, has_alpha, is_gray = codecs.decode(data)
@@ -85,7 +82,8 @@ class Engine:
         img = np.ascontiguousarray(codecs.apply_orientation(img, orientation))
 
         h, w = img.shape[:2]
-        plan = fused.plan_image(w, h, params, filters.LANCZOS3)
+        plan = fused.plan_image(w, h, params, filters.LANCZOS3,
+                                opaque=not has_alpha)
         out = self.runner.run([plan], [img])[0]
 
         mode = self._output_mode(params, plan, has_alpha, is_gray)

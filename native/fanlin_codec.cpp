@@ -1,0 +1,167 @@
+// fanlin-tpu native codec core.
+//
+// GIL-free host codec stages for the hot path, linked directly
+// against libjpeg-turbo and libwebp — the same C libraries the
+// reference reaches through its Rust crates (reference Cargo.toml:14,28;
+// the runtime image ships libwebp/liblcms2, reference Dockerfile:30-33).
+//
+// Exposed C ABI (consumed via ctypes from
+// fanlin_tpu/engine/native_codecs.py):
+//   fc_decode_jpeg  — JPEG -> RGB8/Y8 (malloc'd buffer)
+//   fc_encode_jpeg  — RGB8/Y8 -> baseline JPEG, 4:2:0, quality 1-100
+//   fc_encode_webp  — RGB8/RGBA8 -> lossy WebP (or lossless)
+//   fc_free         — release buffers returned by the above
+//
+// Build: make -C native   (produces libfanlincodec.so)
+
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>  // jpeglib.h needs FILE
+#include <cstdlib>
+#include <cstring>
+
+#include <jpeglib.h>
+#include <webp/encode.h>
+
+extern "C" {
+
+struct fc_error_mgr {
+  jpeg_error_mgr pub;
+  jmp_buf jump;
+};
+
+static void fc_error_exit(j_common_ptr cinfo) {
+  fc_error_mgr* err = reinterpret_cast<fc_error_mgr*>(cinfo->err);
+  longjmp(err->jump, 1);
+}
+
+// Decode a JPEG to packed RGB8 (or Y8 for grayscale sources when
+// force_rgb == 0). Returns 0 on success. CMYK/YCCK inputs are
+// rejected (return 2) so the caller can route them through the ICC
+// path (fanlin_tpu/engine/icc.py), mirroring the reference's split
+// (handler.rs:208-217 vs 398-466).
+int fc_decode_jpeg(const uint8_t* data, size_t len, int force_rgb,
+                   uint8_t** out, int* width, int* height, int* channels) {
+  jpeg_decompress_struct cinfo;
+  fc_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = fc_error_exit;
+  uint8_t* buf = nullptr;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    free(buf);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  if (cinfo.jpeg_color_space == JCS_CMYK ||
+      cinfo.jpeg_color_space == JCS_YCCK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;  // caller handles color management
+  }
+  if (cinfo.jpeg_color_space == JCS_GRAYSCALE && !force_rgb) {
+    cinfo.out_color_space = JCS_GRAYSCALE;
+  } else {
+    cinfo.out_color_space = JCS_RGB;
+  }
+  jpeg_start_decompress(&cinfo);
+  const int w = cinfo.output_width;
+  const int h = cinfo.output_height;
+  const int c = cinfo.output_components;
+  const size_t stride = static_cast<size_t>(w) * c;
+  buf = static_cast<uint8_t*>(malloc(stride * h));
+  if (!buf) {
+    jpeg_abort_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = buf + stride * cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out = buf;
+  *width = w;
+  *height = h;
+  *channels = c;
+  return 0;
+}
+
+// Encode packed RGB8 (channels==3) or Y8 (channels==1) as a baseline
+// JPEG. 4:2:0 subsampling and IJG standard tables scaled by
+// `quality` — the same recipe the reference's encoder applies
+// (handler.rs:274-278).
+int fc_encode_jpeg(const uint8_t* pixels, int width, int height,
+                   int channels, int quality, uint8_t** out,
+                   size_t* out_len) {
+  if (channels != 1 && channels != 3) return 4;
+  jpeg_compress_struct cinfo;
+  fc_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = fc_error_exit;
+  unsigned char* mem = nullptr;
+  unsigned long mem_len = 0;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    free(mem);
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &mem, &mem_len);
+  cinfo.image_width = width;
+  cinfo.image_height = height;
+  cinfo.input_components = channels;
+  cinfo.in_color_space = channels == 3 ? JCS_RGB : JCS_GRAYSCALE;
+  jpeg_set_defaults(&cinfo);
+  if (quality < 1) quality = 1;
+  if (quality > 100) quality = 100;
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  const size_t stride = static_cast<size_t>(width) * channels;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row =
+        const_cast<uint8_t*>(pixels) + stride * cinfo.next_scanline;
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  *out = mem;
+  *out_len = mem_len;
+  return 0;
+}
+
+// Encode packed RGB8/RGBA8 as WebP. quality 1-99 lossy; 100 ->
+// lossless, matching the reference's q==100 split (handler.rs:286-305).
+int fc_encode_webp(const uint8_t* pixels, int width, int height,
+                   int channels, int quality, uint8_t** out,
+                   size_t* out_len) {
+  if (channels != 3 && channels != 4) return 4;
+  const int stride = width * channels;
+  uint8_t* mem = nullptr;
+  size_t n = 0;
+  if (quality >= 100) {
+    n = channels == 4
+            ? WebPEncodeLosslessRGBA(pixels, width, height, stride, &mem)
+            : WebPEncodeLosslessRGB(pixels, width, height, stride, &mem);
+  } else {
+    const float q = static_cast<float>(quality < 1 ? 1 : quality);
+    n = channels == 4
+            ? WebPEncodeRGBA(pixels, width, height, stride, q, &mem)
+            : WebPEncodeRGB(pixels, width, height, stride, q, &mem);
+  }
+  if (n == 0 || mem == nullptr) return 1;
+  *out = mem;
+  *out_len = n;
+  return 0;
+}
+
+void fc_free(uint8_t* ptr) { free(ptr); }
+
+int fc_abi_version() { return 1; }
+
+}  // extern "C"
