@@ -1,0 +1,105 @@
+"""Color-management path tests (engine.icc)."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import Engine, icc
+from fanlin_tpu.spec.content import Format
+from fanlin_tpu.spec.query import parse_query
+from tests.conftest import make_test_image
+
+
+def _cmyk_jpeg(with_profile: bool = False) -> bytes:
+    img = Image.fromarray(make_test_image(64, 64)).convert("CMYK")
+    buf = io.BytesIO()
+    kwargs = {}
+    if with_profile:
+        from PIL import ImageCms
+
+        # an RGB profile embedded in a CMYK file — a *broken* profile
+        # combination, exercising the fallback (handler.rs:452-455)
+        kwargs["icc_profile"] = ImageCms.ImageCmsProfile(ImageCms.createProfile("sRGB")).tobytes()
+    img.save(buf, format="JPEG", quality=90, **kwargs)
+    return buf.getvalue()
+
+
+def test_jpeg_num_components():
+    rgb = io.BytesIO()
+    Image.fromarray(make_test_image(32, 32)).save(rgb, format="JPEG")
+    assert icc.jpeg_num_components(rgb.getvalue()) == 3
+    assert icc.jpeg_num_components(_cmyk_jpeg()) == 4
+    gray = io.BytesIO()
+    Image.fromarray(make_test_image(32, 32)).convert("L").save(gray, format="JPEG")
+    assert icc.jpeg_num_components(gray.getvalue()) == 1
+    assert icc.jpeg_num_components(b"not a jpeg") is None
+
+
+def test_rgb_profile_is_not_a_cmyk_transform():
+    from PIL import ImageCms
+
+    srgb = ImageCms.ImageCmsProfile(ImageCms.createProfile("sRGB")).tobytes()
+    assert icc.CMYK2RGB.with_icc_profile(srgb) is None
+    assert icc.CMYK2RGB.with_icc_profile(b"garbage") is None
+
+
+def test_cmyk_jpeg_without_transform_falls_back():
+    """No ICC configured: CMYK JPEGs go through the normal decode
+    (reference handler.rs:399-401 -> 216)."""
+    engine = Engine()
+    mime, out = engine.process_image(
+        _cmyk_jpeg(), parse_query("w=32&h=32"), Format()
+    )
+    assert mime == "image/jpeg"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (32, 32)
+        assert im.mode == "RGB"
+
+
+def test_cmyk_with_embedded_flag_but_broken_profile():
+    """use_embedded_profile with a broken/RGB embedded profile and no
+    default transform -> None -> normal decode path (handler.rs:446-459)."""
+    engine = Engine(use_embedded_profile=True)
+    mime, out = engine.process_image(
+        _cmyk_jpeg(with_profile=True), parse_query("w=32&h=32"), Format()
+    )
+    assert mime == "image/jpeg"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (32, 32)
+
+
+REF_PROFILE = "/root/reference/profiles/default.icc"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(REF_PROFILE),
+    reason="reference CMYK profile not present",
+)
+def test_real_cmyk_profile_transform():
+    """Positive lcms2 path with a real CMYK ICC profile (environment-
+    gated; the profile asset is not shipped in this repo)."""
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    assert conv is not None
+    data = _cmyk_jpeg()
+    rgb = icc.convert_jpeg_color_if_needed(data, conv, False)
+    assert rgb is not None
+    assert rgb.shape == (64, 64, 3)
+    # engine end-to-end with the converter active
+    engine = Engine(cmyk2rgb=conv)
+    mime, out = engine.process_image(data, parse_query("w=32&h=32"), Format())
+    assert mime == "image/jpeg"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (32, 32)
+    # ICC-managed conversion must differ from the naive CMYK cast
+    naive = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+    assert not np.array_equal(rgb, naive)
+
+
+def test_convert_returns_none_for_rgb_jpeg():
+    rgb = io.BytesIO()
+    Image.fromarray(make_test_image(32, 32)).save(rgb, format="JPEG")
+    assert (
+        icc.convert_jpeg_color_if_needed(rgb.getvalue(), None, True) is None
+    )

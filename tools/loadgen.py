@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Vegeta-equivalent async load generator for fanlin-tpu.
+
+Drives a target URL at a fixed request rate for a duration and prints
+latency mean/p50/p99/max, success rate, and mean bytes — the same
+shape as the reference's published vegeta tables (BASELINE.md).
+
+Usage:
+  python tools/loadgen.py --url 'http://127.0.0.1:3000/baz/lenna.jpg?w=300&h=200' \
+      --rate 500 --duration 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import time
+
+import aiohttp
+
+
+async def run(url: str, rate: float, duration: float, accept: str | None):
+    interval = 1.0 / rate
+    deadline = time.perf_counter() + duration
+    latencies: list[float] = []
+    sizes: list[int] = []
+    failures = 0
+    headers = {"Accept": accept} if accept else {}
+    connector = aiohttp.TCPConnector(limit=0)
+    async with aiohttp.ClientSession(connector=connector) as session:
+        tasks = []
+
+        async def one():
+            nonlocal failures
+            t0 = time.perf_counter()
+            try:
+                async with session.get(url, headers=headers) as resp:
+                    body = await resp.read()
+                    if resp.status == 200:
+                        latencies.append(time.perf_counter() - t0)
+                        sizes.append(len(body))
+                    else:
+                        failures += 1
+            except Exception:
+                failures += 1
+
+        next_t = time.perf_counter()
+        while time.perf_counter() < deadline:
+            tasks.append(asyncio.create_task(one()))
+            next_t += interval
+            delay = next_t - time.perf_counter()
+            if delay > 0:
+                await asyncio.sleep(delay)
+        await asyncio.gather(*tasks)
+    latencies.sort()
+
+    def pct(p: float) -> float:
+        if not latencies:
+            return float("nan")
+        return latencies[min(int(len(latencies) * p), len(latencies) - 1)] * 1000
+
+    total = len(latencies) + failures
+    print(
+        json.dumps(
+            {
+                "requests": total,
+                "success_rate": round(len(latencies) / max(total, 1), 4),
+                "rate_rps": round(total / duration, 1),
+                "latency_ms": {
+                    "mean": round(sum(latencies) / max(len(latencies), 1) * 1000, 2),
+                    "p50": round(pct(0.50), 2),
+                    "p99": round(pct(0.99), 2),
+                    "max": round((latencies[-1] * 1000) if latencies else 0, 2),
+                },
+                "mean_bytes_out": int(sum(sizes) / max(len(sizes), 1)),
+            }
+        )
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--url", required=True)
+    ap.add_argument("--rate", type=float, default=50.0)
+    ap.add_argument("--duration", type=float, default=30.0)
+    ap.add_argument("--accept", default=None)
+    args = ap.parse_args()
+    asyncio.run(run(args.url, args.rate, args.duration, args.accept))
+
+
+if __name__ == "__main__":
+    main()

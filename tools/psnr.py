@@ -1,0 +1,28 @@
+#!/usr/bin/env python
+"""PSNR parity checker: compare two images (decoded pixels).
+
+Usage: python tools/psnr.py a.jpg b.jpg   ->  {"psnr_db": 47.3, ...}
+The BASELINE parity bar is >= 45 dB against the reference's outputs.
+"""
+
+import json
+import sys
+
+import numpy as np
+from PIL import Image
+
+
+def main():
+    a = np.asarray(Image.open(sys.argv[1]).convert("RGB"), dtype=np.float64)
+    b = np.asarray(Image.open(sys.argv[2]).convert("RGB"), dtype=np.float64)
+    if a.shape != b.shape:
+        print(json.dumps({"error": f"shape mismatch {a.shape} vs {b.shape}"}))
+        sys.exit(1)
+    mse = float(np.mean((a - b) ** 2))
+    psnr = float("inf") if mse == 0 else 10.0 * np.log10(255.0**2 / mse)
+    print(json.dumps({"psnr_db": round(psnr, 2), "mse": round(mse, 4),
+                      "pass_45db": psnr >= 45.0}))
+
+
+if __name__ == "__main__":
+    main()
