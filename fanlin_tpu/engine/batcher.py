@@ -32,8 +32,13 @@ import numpy as np
 from ..ops import fused
 
 
-def _group_key(plan: fused.ImagePlan) -> Tuple:
+def _group_key(plan: fused.ImagePlan, kind: str) -> Tuple:
+    if kind == "jpeg420":
+        # jpeg420 batches must be plan-uniform (the device front-end
+        # crops + subsamples at one true geometry per program)
+        return ("jpeg420", id(plan))
     return (
+        "rgb",
         fused.bucket_h(plan.src_h),
         fused.bucket_w(plan.src_w),
         fused.bucket_h(plan.out_h),
@@ -53,18 +58,22 @@ class MicroBatcher:
         self._timers: Dict[Tuple, threading.Timer] = {}
         self._device = ThreadPoolExecutor(1, thread_name_prefix="fanlin-device")
         self._closed = False
+        # observability counters (read by the gateway's /stats)
+        self.stats = {"batches": 0, "images": 0, "full_flushes": 0,
+                      "timer_flushes": 0}
 
     # -- submission --------------------------------------------------------
 
-    def submit(self, plan: fused.ImagePlan, image: np.ndarray) -> Future:
-        key = _group_key(plan)
+    def submit(self, plan: fused.ImagePlan, image: np.ndarray,
+               kind: str = "rgb") -> Future:
+        key = _group_key(plan, kind)
         fut: Future = Future()
         flush_now = None
         with self._lock:
             if self._closed:
                 raise RuntimeError("batcher closed")
             group = self._groups.setdefault(key, [])
-            group.append((plan, image, fut))
+            group.append((plan, image, fut, kind))
             if len(group) >= self.max_batch:
                 flush_now = self._groups.pop(key)
                 t = self._timers.pop(key, None)
@@ -76,6 +85,7 @@ class MicroBatcher:
                 self._timers[key] = t
                 t.start()
         if flush_now is not None:
+            self.stats["full_flushes"] += 1
             self._device.submit(self._run_batch, flush_now)
         return fut
 
@@ -84,17 +94,20 @@ class MicroBatcher:
             group = self._groups.pop(key, None)
             self._timers.pop(key, None)
         if group:
+            self.stats["timer_flushes"] += 1
             self._device.submit(self._run_batch, group)
 
     # -- device execution --------------------------------------------------
 
-    @staticmethod
-    def _run_batch(group) -> None:
+    def _run_batch(self, group) -> None:
+        self.stats["batches"] += 1
+        self.stats["images"] += len(group)
         plans = [g[0] for g in group]
         images = [g[1] for g in group]
         futures = [g[2] for g in group]
+        jpeg420 = group[0][3] == "jpeg420"
         try:
-            results = fused.BatchAssembly(plans, images).run()
+            results = fused.BatchAssembly(plans, images, jpeg420).run()
         except Exception as e:
             for f in futures:
                 if not f.cancelled():
@@ -123,6 +136,12 @@ class BatchingRunner:
     def __init__(self, batcher: MicroBatcher):
         self.batcher = batcher
 
-    def run(self, plans: List[fused.ImagePlan], images: List[np.ndarray]):
-        futures = [self.batcher.submit(p, i) for p, i in zip(plans, images)]
+    def run(self, plans: List[fused.ImagePlan], images: List[np.ndarray],
+            kinds: List[str] = None):
+        if kinds is None:
+            kinds = ["rgb"] * len(plans)
+        futures = [
+            self.batcher.submit(p, i, k)
+            for p, i, k in zip(plans, images, kinds)
+        ]
         return [f.result() for f in futures]

@@ -56,6 +56,11 @@ def _load():
             ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.fc_encode_webp.restype = ctypes.c_int
+        lib.fc_encode_jpeg_raw420.argtypes = [
+            u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.fc_encode_jpeg_raw420.restype = ctypes.c_int
         lib.fc_free.argtypes = [u8p]
         _LIB = lib
         break
@@ -110,6 +115,34 @@ def encode_jpeg(pixels: np.ndarray, quality: int) -> Optional[bytes]:
         pixels.ctypes.data_as(u8p), pixels.shape[1], pixels.shape[0],
         pixels.shape[2], int(quality), ctypes.byref(out),
         ctypes.byref(out_len),
+    )
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fc_free(out)
+
+
+def encode_jpeg_raw420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                       quality: int) -> Optional[bytes]:
+    """Entropy-encode device-produced YCbCr 4:2:0 planes into a JPEG.
+    y: (H, W); cb/cr: (ceil(H/2), ceil(W/2)). None -> fall back."""
+    lib = _load()
+    if lib is None:
+        return None
+    h, w = y.shape
+    if cb.shape != ((h + 1) // 2, (w + 1) // 2) or cr.shape != cb.shape:
+        return None
+    y = np.ascontiguousarray(y)
+    cb = np.ascontiguousarray(cb)
+    cr = np.ascontiguousarray(cr)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    out_len = ctypes.c_size_t()
+    rc = lib.fc_encode_jpeg_raw420(
+        y.ctypes.data_as(u8p), cb.ctypes.data_as(u8p), cr.ctypes.data_as(u8p),
+        w, h, int(quality), ctypes.byref(out), ctypes.byref(out_len),
     )
     if rc != 0:
         return None

@@ -40,16 +40,23 @@ class ProcessError(Exception):
 class SyncDeviceRunner:
     """Trivial runner: one device batch per call, on the caller thread."""
 
-    def run(self, plans: List[fused.ImagePlan], images: List[np.ndarray]):
-        return fused.BatchAssembly(plans, images).run()
+    def run(self, plans: List[fused.ImagePlan], images: List[np.ndarray],
+            kinds: List[str] = None):
+        jpeg420 = bool(kinds) and all(k == "jpeg420" for k in kinds)
+        return fused.BatchAssembly(plans, images, jpeg420).run()
 
 
 class Engine:
-    def __init__(self, runner=None, cmyk2rgb=None, use_embedded_profile: bool = False):
+    def __init__(self, runner=None, cmyk2rgb=None, use_embedded_profile: bool = False,
+                 device_jpeg: bool = True):
         self.runner = runner or SyncDeviceRunner()
         # engine.icc.CMYK2RGB instance or None (reference handler.rs:19-20)
         self.cmyk2rgb = cmyk2rgb
         self.use_embedded_profile = use_embedded_profile
+        # run the JPEG encoder front-end (YCbCr + 4:2:0) on device,
+        # finishing with entropy-only host encode; requires the native
+        # codec core
+        self.device_jpeg = device_jpeg
 
     # -- the forward pass --------------------------------------------------
 
@@ -84,7 +91,6 @@ class Engine:
         h, w = img.shape[:2]
         plan = fused.plan_image(w, h, params, filters.LANCZOS3,
                                 opaque=not has_alpha)
-        out = self.runner.run([plan], [img])[0]
 
         mode = self._output_mode(params, plan, has_alpha, is_gray)
         out_fmt = fmt
@@ -92,11 +98,36 @@ class Engine:
             out_fmt = codecs.WEBP
         elif params.use_avif() and accepted.avif_accepted():
             out_fmt = codecs.AVIF
+
+        kind = "rgb"
+        if (
+            self.device_jpeg
+            and out_fmt == codecs.JPEG
+            and mode in ("RGB", "RGBA")
+        ):
+            from . import native_codecs
+
+            if native_codecs.available():
+                kind = "jpeg420"
+
+        out = self.runner.run([plan], [img], [kind])[0]
         try:
-            payload = codecs.encode(out, out_fmt, params.quality(), mode)
+            payload = self._encode(out, out_fmt, params.quality(), mode)
         except codecs.CodecError as e:
             raise ProcessError(str(e)) from e
         return (codecs.MIME[out_fmt], payload)
+
+    @staticmethod
+    def _encode(out, out_fmt: str, quality: int, mode: str) -> bytes:
+        if isinstance(out, tuple) and out[0] == "ycbcr420":
+            from . import native_codecs
+
+            q = min(max(quality, 1), 100)
+            payload = native_codecs.encode_jpeg_raw420(out[1], out[2], out[3], q)
+            if payload is None:
+                raise codecs.CodecError("raw jpeg encode failed")
+            return payload
+        return codecs.encode(out, out_fmt, quality, mode)
 
     @staticmethod
     def _output_mode(params, plan, has_alpha: bool, is_gray: bool) -> str:

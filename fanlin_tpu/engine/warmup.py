@@ -33,15 +33,21 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
          batch: int = 8) -> int:
     """Compile fused programs for each (src_w, src_h, query) shape.
     Returns the number of programs compiled."""
+    from . import native_codecs
+
     count = 0
     for src_w, src_h, qs in shapes:
         t0 = time.perf_counter()
         params = parse_query(qs)
-        plan = fused.plan_image(src_w, src_h, params)
-        img = np.zeros((src_h, src_w, 4), dtype=np.uint8)
+        plan = fused.plan_image(src_w, src_h, params, opaque=True)
+        img = np.zeros((src_h, src_w, 3), dtype=np.uint8)
+        variants = [False]
+        if native_codecs.available() and params.blur() == 0:
+            variants.append(True)  # the device-JPEG-front-end program
         for b in (1, batch):
-            fused.BatchAssembly([plan] * b, [img] * b).run()
-            count += 1
+            for jpeg420 in variants:
+                fused.BatchAssembly([plan] * b, [img] * b, jpeg420).run()
+                count += 1
         log.info(
             "warmed %sx%s %s in %.1fs", src_w, src_h, qs,
             time.perf_counter() - t0,

@@ -297,10 +297,43 @@ def _transform_kernel_uniform(x_u8, av, ah, flags, fill, box, bv=None, bh=None):
     return out.astype(jnp.uint8)
 
 
+def _ycbcr420_tail(out_u8):
+    """Device JPEG front-end: RGB -> full-range BT.601 YCbCr + 2x2
+    chroma subsampling (the encoder stages libjpeg would otherwise run
+    on host — BASELINE north star 'on-device encode front-end'). The
+    host finishes with entropy coding only (native fc_encode_jpeg_raw420).
+
+    out_u8: (B, C>=3, OH, OW) uint8, already cropped to true dims.
+    Returns (Y (B,OH,OW), Cb (B,ceil(OH/2),ceil(OW/2)), Cr) uint8.
+    """
+    f32 = jnp.float32
+    f = out_u8[:, :3].astype(f32)
+    r, g, b = f[:, 0], f[:, 1], f[:, 2]
+    yy = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+    y_u8 = jnp.clip(jnp.floor(yy + 0.5), 0, 255).astype(jnp.uint8)
+
+    def sub2(c):
+        bsz, h, w = c.shape
+        if h % 2:
+            c = jnp.concatenate([c, c[:, -1:, :]], axis=1)
+            h += 1
+        if w % 2:
+            c = jnp.concatenate([c, c[:, :, -1:]], axis=2)
+            w += 1
+        c = c.reshape(bsz, h // 2, 2, w // 2, 2)
+        m = (c[:, :, 0, :, 0] + c[:, :, 0, :, 1] +
+             c[:, :, 1, :, 0] + c[:, :, 1, :, 1]) * 0.25
+        return jnp.clip(jnp.floor(m + 0.5), 0, 255).astype(jnp.uint8)
+
+    return y_u8, sub2(cb), sub2(cr)
+
+
 @functools.lru_cache(maxsize=256)
 def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
                 has_blur: bool, uniform: bool = False, out_crop=None,
-                out_channels: int = 4):
+                out_channels: int = 4, jpeg420: bool = False):
     """Compile (once) and return the fused program for a shape bucket.
 
     The shape arguments are only the cache key — jit re-traces per
@@ -311,21 +344,24 @@ def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
     the true geometry ON DEVICE, so only real pixels cross the
     host link (the padded bucket can be ~60% larger). out_channels=3
     additionally drops the alpha plane when every image's output
-    alpha is known-constant 255.
+    alpha is known-constant 255. jpeg420=True appends the device JPEG
+    front-end (YCbCr + 4:2:0), halving the download again.
     """
     kernel = _transform_kernel_uniform if uniform else _transform_kernel
 
-    def crop(out):
+    def tail(out):
         if out_crop is not None:
             out = out[:, :, : out_crop[0], : out_crop[1]]
+        if jpeg420:
+            return _ycbcr420_tail(out)
         if out_channels != 4:
             out = out[:, :out_channels]
         return out
 
     if has_blur:
-        return jax.jit(lambda *a: crop(kernel(*a)))
+        return jax.jit(lambda *a: tail(kernel(*a)))
     return jax.jit(
-        lambda x, av, ah, flags, fill, box: crop(
+        lambda x, av, ah, flags, fill, box: tail(
             kernel(x, av, ah, flags, fill, box)
         )
     )
@@ -388,8 +424,12 @@ def _uniform_padded(plan: ImagePlan):
 class BatchAssembly:
     """Host-side staging buffers for one device batch."""
 
-    def __init__(self, plans, images):
-        """plans: list[ImagePlan]; images: list[np.ndarray (H, W, 4) uint8]."""
+    def __init__(self, plans, images, jpeg420: bool = False):
+        """plans: list[ImagePlan]; images: list[(H, W, 3|4) uint8].
+
+        jpeg420=True appends the device JPEG front-end (only honored
+        for uniform batches — the batcher keys jpeg420 groups by plan
+        identity so this always holds in production)."""
         assert len(plans) == len(images)
         self.plans = plans
         n = len(plans)
@@ -401,6 +441,7 @@ class BatchAssembly:
         self.has_blur = any(p.blur_sigma > 0 for p in plans)
         # uniform batch: every image shares one (cached) plan object
         self.uniform = all(p is plans[0] for p in plans)
+        self.jpeg420 = jpeg420 and self.uniform
         # alpha plane crosses the link only when some image needs it
         self.c_out = 4 if any(p.want_alpha for p in plans) else 3
         # ... and goes UP only when some source actually has one
@@ -445,6 +486,16 @@ class BatchAssembly:
 
     def submit(self):
         """Dispatch the device program (async); returns the device array."""
+        fn, args = self._device_args()
+        self._fn, self._args = fn, args
+        return fn(*args)
+
+    def submit_resident(self):
+        """Re-dispatch on the device-resident inputs of the last submit
+        (benchmarking / repeated-transform use)."""
+        return self._fn(*self._args)
+
+    def _device_args(self):
         # Explicit device_put: the direct jit-argument transfer path is
         # dramatically slower than device_put on some PJRT transports
         # (measured ~35 MB/s vs ~1.7 GB/s through the axon relay).
@@ -452,7 +503,7 @@ class BatchAssembly:
             p0 = self.plans[0]
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
                              self.has_blur, True, (p0.out_h, p0.out_w),
-                             self.c_out)
+                             self.c_out, self.jpeg420)
             av, ah, bv, bh = _uniform_padded(p0)
             args = [jax.device_put(self.x), _device_cached(av),
                     _device_cached(ah), jax.device_put(self.flags),
@@ -466,11 +517,21 @@ class BatchAssembly:
                     (self.x, self.av, self.ah, self.flags, self.fill, self.box)]
             if self.has_blur:
                 args += [jax.device_put(self.bv), jax.device_put(self.bh)]
-        return fn(*args)
+        return fn, args
 
     def collect(self, out):
-        """Block on the device result and slice out per-image
-        (out_h, out_w, c_out) arrays."""
+        """Block on the device result. Returns per-image
+        (out_h, out_w, c_out) uint8 arrays — or, for jpeg420 batches,
+        ("ycbcr420", y, cb, cr) plane tuples ready for the native
+        entropy encoder."""
+        if self.jpeg420:
+            y = np.asarray(out[0])
+            cb = np.asarray(out[1])
+            cr = np.asarray(out[2])
+            return [
+                ("ycbcr420", y[i], cb[i], cr[i])
+                for i in range(len(self.plans))
+            ]
         host = np.asarray(out)  # (B, C, OH|true_oh, OW|true_ow)
         results = []
         for i, p in enumerate(self.plans):

@@ -35,6 +35,8 @@ from .timing import Timer
 
 log = logging.getLogger("fanlin.server")
 
+STATE_KEY = web.AppKey("state", object)
+
 CONTENT_TYPE_TEXT_PLAIN = "text/plain; charset=utf-8"
 VARY_ACCEPT = "Accept"
 REQUEST_TIMEOUT_SECS = 10.0  # tower TimeoutLayer (main.rs:105-107)
@@ -67,7 +69,7 @@ def _fallback_or_message(state: State, req_path: str, params: query_mod.Query,
 
 
 async def generic_handler(request: web.Request) -> web.Response:
-    state: State = request.app["state"]
+    state: State = request.app[STATE_KEY]
     try:
         params = query_mod.parse_query(request.query_string)
     except query_mod.QueryError as e:
@@ -111,6 +113,25 @@ async def generic_handler(request: web.Request) -> web.Response:
 
 async def ping_handler(_request: web.Request) -> web.Response:
     return web.Response(text="pong")
+
+
+async def stats_handler(request: web.Request) -> web.Response:
+    """TPU-build-only observability endpoint (the reference has no
+    metrics endpoint, SURVEY.md §5.5 — this is additive): batcher
+    counters + compiled-program cache info, JSON."""
+    import json
+
+    from ..ops.fused import get_program
+
+    state: State = request.app[STATE_KEY]
+    batcher = getattr(state.engine.runner, "batcher", None)
+    body = {
+        "programs_cached": get_program.cache_info().currsize,
+        "batcher": dict(batcher.stats) if batcher is not None else None,
+    }
+    return web.Response(
+        text=json.dumps(body), content_type="application/json"
+    )
 
 
 @web.middleware
@@ -163,8 +184,9 @@ def create_app(cfg: config_mod.Config, state: State) -> web.Application:
         ],
         client_max_size=1024**3,
     )
-    app["state"] = state
+    app[STATE_KEY] = state
     app.router.add_get("/ping", ping_handler)
+    app.router.add_get("/stats", stats_handler)
     app.router.add_route("GET", "/{tail:.*}", generic_handler)
 
     async def _cleanup(app_):

@@ -160,6 +160,100 @@ int fc_encode_webp(const uint8_t* pixels, int width, int height,
   return 0;
 }
 
+// Entropy-encode pre-computed YCbCr 4:2:0 planes (the TPU's JPEG
+// front-end output: color conversion + subsampling already done on
+// device) into a baseline JPEG. Skips libjpeg's color conversion and
+// downsampling entirely via jpeg_write_raw_data.
+//
+// y  is (h x w), cb/cr are (ceil(h/2) x ceil(w/2)), all tightly packed.
+int fc_encode_jpeg_raw420(const uint8_t* y, const uint8_t* cb,
+                          const uint8_t* cr, int width, int height,
+                          int quality, uint8_t** out, size_t* out_len) {
+  jpeg_compress_struct cinfo;
+  fc_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = fc_error_exit;
+  unsigned char* mem = nullptr;
+  unsigned long mem_len = 0;
+  uint8_t* pad = nullptr;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    free(mem);
+    free(pad);
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &mem, &mem_len);
+  cinfo.image_width = width;
+  cinfo.image_height = height;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);
+  if (quality < 1) quality = 1;
+  if (quality > 100) quality = 100;
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  cinfo.raw_data_in = TRUE;
+  // default sampling is already 2x2,1x1,1x1 (4:2:0)
+  jpeg_start_compress(&cinfo, TRUE);
+
+  const int cw = (width + 1) / 2;
+  const int ch = (height + 1) / 2;
+  // MCU geometry: luma consumed 16 rows at a time padded to 16-mult
+  // rows and 16-mult columns; chroma 8 rows / 8-mult columns.
+  const int ypadw = (width + 15) / 16 * 16;
+  const int cpadw = ypadw / 2;
+  const int ypadh = (height + 15) / 16 * 16;
+  const int cpadh = ypadh / 2;
+  pad = static_cast<uint8_t*>(
+      malloc(static_cast<size_t>(ypadw) * ypadh +
+             2 * static_cast<size_t>(cpadw) * cpadh));
+  if (!pad) {
+    jpeg_abort_compress(&cinfo);
+    jpeg_destroy_compress(&cinfo);
+    return 3;
+  }
+  uint8_t* yp = pad;
+  uint8_t* cbp = pad + static_cast<size_t>(ypadw) * ypadh;
+  uint8_t* crp = cbp + static_cast<size_t>(cpadw) * cpadh;
+  // copy with edge replication
+  for (int r = 0; r < ypadh; ++r) {
+    const uint8_t* src = y + static_cast<size_t>(r < height ? r : height - 1) * width;
+    uint8_t* dst = yp + static_cast<size_t>(r) * ypadw;
+    memcpy(dst, src, width);
+    memset(dst + width, src[width - 1], ypadw - width);
+  }
+  for (int r = 0; r < cpadh; ++r) {
+    const int sr = r < ch ? r : ch - 1;
+    const uint8_t* s1 = cb + static_cast<size_t>(sr) * cw;
+    const uint8_t* s2 = cr + static_cast<size_t>(sr) * cw;
+    uint8_t* d1 = cbp + static_cast<size_t>(r) * cpadw;
+    uint8_t* d2 = crp + static_cast<size_t>(r) * cpadw;
+    memcpy(d1, s1, cw);
+    memset(d1 + cw, s1[cw - 1], cpadw - cw);
+    memcpy(d2, s2, cw);
+    memset(d2 + cw, s2[cw - 1], cpadw - cw);
+  }
+
+  JSAMPROW yrows[16], cbrows[8], crrows[8];
+  JSAMPARRAY planes[3] = {yrows, cbrows, crrows};
+  while (cinfo.next_scanline < cinfo.image_height) {
+    const int base = cinfo.next_scanline;
+    for (int i = 0; i < 16; ++i)
+      yrows[i] = yp + static_cast<size_t>(base + i) * ypadw;
+    for (int i = 0; i < 8; ++i) {
+      cbrows[i] = cbp + static_cast<size_t>(base / 2 + i) * cpadw;
+      crrows[i] = crp + static_cast<size_t>(base / 2 + i) * cpadw;
+    }
+    jpeg_write_raw_data(&cinfo, planes, 16);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  free(pad);
+  *out = mem;
+  *out_len = mem_len;
+  return 0;
+}
+
 void fc_free(uint8_t* ptr) { free(ptr); }
 
 int fc_abi_version() { return 1; }

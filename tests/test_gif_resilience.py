@@ -1,0 +1,66 @@
+"""Fault-injection tests for the GIF path (reference: corrupt frames
+become 1x1 placeholders, handler.rs:325-327; decode limits removed,
+handler.rs:318-319)."""
+
+import io
+
+import numpy as np
+from PIL import Image
+
+from fanlin_tpu.engine import Engine, codecs
+from fanlin_tpu.spec.content import Format
+from fanlin_tpu.spec.query import parse_query
+from tests.conftest import make_test_image
+
+
+def _gif_bytes(n=3, size=48):
+    frames = [Image.fromarray(make_test_image(size, size, seed=i)) for i in range(n)]
+    buf = io.BytesIO()
+    frames[0].save(buf, format="GIF", save_all=True, append_images=frames[1:],
+                   duration=50, loop=0)
+    return buf.getvalue()
+
+
+def test_truncated_gif_still_serves():
+    data = _gif_bytes()
+    truncated = data[: int(len(data) * 0.6)]
+    engine = Engine()
+    mime, out = engine.process_image(truncated, parse_query("w=32&h=32"), Format())
+    assert mime == "image/gif"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size[0] >= 1  # served something rather than 500
+
+
+def test_decode_frames_places_placeholder_on_corrupt_tail():
+    data = _gif_bytes(n=4)
+    # chop mid-stream so later frames fail to decode
+    frames = codecs.decode_gif_frames(data[: int(len(data) * 0.7)])
+    assert len(frames) >= 1
+    shapes = {f.shape for f in frames}
+    # either all decoded or a 1x1 placeholder appeared
+    assert all(s[2] == 4 for s in shapes)
+
+
+def test_single_frame_gif():
+    img = Image.fromarray(make_test_image(40, 40))
+    buf = io.BytesIO()
+    img.save(buf, format="GIF")
+    engine = Engine()
+    mime, out = engine.process_image(buf.getvalue(), parse_query("w=20&h=20"), Format())
+    assert mime == "image/gif"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (20, 20)
+
+
+def test_gif_grayscale_and_invert():
+    engine = Engine()
+    data = _gif_bytes(n=2)
+    mime, out = engine.process_image(
+        data, parse_query("grayscale=true&inverse=true"), Format()
+    )
+    assert mime == "image/gif"
+    with Image.open(io.BytesIO(out)) as im:
+        im.seek(0)
+        arr = np.asarray(im.convert("RGB"))
+        # grayscale wins: all channels equal
+        assert (arr[..., 0] == arr[..., 1]).all()

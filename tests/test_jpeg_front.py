@@ -1,0 +1,87 @@
+"""Device JPEG front-end (YCbCr + 4:2:0 on device, entropy-only host
+encode) — correctness vs the plain host JPEG path."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import Engine, codecs, native_codecs
+from fanlin_tpu.spec.content import Format
+from fanlin_tpu.spec.query import parse_query
+from tests.conftest import make_test_image, psnr
+
+needs_native = pytest.mark.skipif(
+    not native_codecs.available(), reason="native codec core not built"
+)
+
+
+def _jpeg(img):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92)
+    return buf.getvalue()
+
+
+@needs_native
+def test_device_jpeg_matches_host_jpeg():
+    data = _jpeg(make_test_image(200, 160))
+    q = parse_query("w=100&h=80")
+    e_dev = Engine(device_jpeg=True)
+    e_host = Engine(device_jpeg=False)
+    mime_d, out_d = e_dev.process_image(data, q, Format())
+    mime_h, out_h = e_host.process_image(data, q, Format())
+    assert mime_d == mime_h == "image/jpeg"
+    a = np.asarray(Image.open(io.BytesIO(out_d)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(out_h)).convert("RGB"))
+    assert a.shape == b.shape == (80, 100, 3)
+    # same quant tables + same subsampling; only the color-convert /
+    # downsample arithmetic differs (device float vs libjpeg fixed-point)
+    p = psnr(a, b)
+    assert p >= 45.0, f"PSNR {p:.2f}"
+
+
+@needs_native
+def test_device_jpeg_odd_dims():
+    data = _jpeg(make_test_image(211, 97))
+    q = parse_query("w=105&h=49&crop=true")
+    e = Engine(device_jpeg=True)
+    mime, out = e.process_image(data, q, Format())
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (105, 49)
+
+
+@needs_native
+def test_raw420_roundtrip_exact_planes():
+    """Feed hand-built planes; decode and compare Y channel."""
+    h, w = 64, 96
+    yy = np.linspace(16, 235, h * w, dtype=np.float32).reshape(h, w).astype(np.uint8)
+    cb = np.full(((h + 1) // 2, (w + 1) // 2), 128, np.uint8)
+    cr = np.full_like(cb, 128)
+    payload = native_codecs.encode_jpeg_raw420(yy, cb, cr, 95)
+    assert payload is not None
+    got = np.asarray(Image.open(io.BytesIO(payload)).convert("L")).astype(float)
+    assert psnr(got, yy.astype(float)) >= 40.0
+
+
+@needs_native
+def test_webp_still_uses_rgb_path():
+    data = _jpeg(make_test_image(64, 64))
+    q = parse_query("w=32&h=32&webp=true")
+    from fanlin_tpu.spec.content import extract_accepted_image_formats
+
+    e = Engine(device_jpeg=True)
+    mime, out = e.process_image(
+        data, q, extract_accepted_image_formats(["image/webp"])
+    )
+    assert mime == "image/webp"
+    assert out[:4] == b"RIFF"
+
+
+@needs_native
+def test_grayscale_keeps_direct_luma_path():
+    data = _jpeg(make_test_image(64, 64))
+    e = Engine(device_jpeg=True)
+    mime, out = e.process_image(data, parse_query("grayscale=true"), Format())
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.mode == "L"
