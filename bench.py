@@ -112,13 +112,12 @@ def main() -> None:
 
     # -- device-resident throughput (no host link in the loop) -------------
     asm0 = fused.BatchAssembly([plan] * batch, [warm] * batch, jpeg420)
-    dev_out = asm0.submit()
-    dev_out.block_until_ready()
+    jax.block_until_ready(asm0.submit())
     reps = 20
     td = time.perf_counter()
     for _ in range(reps):
         dev_out = asm0.submit_resident()
-    dev_out.block_until_ready()
+    jax.block_until_ready(dev_out)
     device_rate = reps * batch / (time.perf_counter() - td)
 
     # -- measured e2e run --------------------------------------------------

@@ -50,9 +50,14 @@ def _group_key(plan: fused.ImagePlan, kind: str) -> Tuple:
 class MicroBatcher:
     """Shape-bucketed batching queue with adaptive flush."""
 
-    def __init__(self, max_batch: int = 8, window_ms: float = 2.0):
+    def __init__(self, max_batch: int = 8, window_ms: float = 2.0,
+                 execute=None):
+        """execute(plans, images, kinds) -> results overrides how a
+        flushed batch runs on the device (e.g. parallel.MeshRunner.run
+        for dp-sharded execution); default is single-device."""
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
+        self._execute = execute
         self._lock = threading.Lock()
         self._groups: Dict[Tuple, List[Tuple[fused.ImagePlan, np.ndarray, Future]]] = {}
         self._timers: Dict[Tuple, threading.Timer] = {}
@@ -105,9 +110,13 @@ class MicroBatcher:
         plans = [g[0] for g in group]
         images = [g[1] for g in group]
         futures = [g[2] for g in group]
-        jpeg420 = group[0][3] == "jpeg420"
+        kinds = [g[3] for g in group]
         try:
-            results = fused.BatchAssembly(plans, images, jpeg420).run()
+            if self._execute is not None:
+                results = self._execute(plans, images, kinds)
+            else:
+                jpeg420 = kinds[0] == "jpeg420"
+                results = fused.BatchAssembly(plans, images, jpeg420).run()
         except Exception as e:
             for f in futures:
                 if not f.cancelled():

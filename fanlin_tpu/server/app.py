@@ -209,7 +209,20 @@ async def build_state(cfg: config_mod.Config) -> State:
     from ..infra import Client
 
     client = Client.new(cfg)
-    batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms)
+    execute = None
+    if cfg.tpu.data_parallel:
+        import jax
+
+        if len(jax.devices()) > 1:
+            # device batches shard dp-wise across the local mesh; the
+            # batcher still owns coalescing and hands flushed batches
+            # to the mesh runner
+            from ..parallel import MeshRunner
+
+            mesh_runner = MeshRunner()
+            execute = mesh_runner.run
+            log.info("data-parallel mesh enabled: %s", mesh_runner.mesh)
+    batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms, execute)
     engine = Engine(runner=BatchingRunner(batcher))
     state = State(cfg.providers, client, engine)
     try:

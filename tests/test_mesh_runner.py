@@ -1,0 +1,60 @@
+"""MeshRunner: dp-sharded engine execution must match single-device."""
+
+import numpy as np
+
+from fanlin_tpu.engine import Engine
+from fanlin_tpu.engine.batcher import BatchingRunner, MicroBatcher
+from fanlin_tpu.ops import fused
+from fanlin_tpu.parallel import MeshRunner
+from fanlin_tpu.spec.query import parse_query
+from tests.conftest import make_test_image
+
+
+def _rgba(img):
+    out = np.empty(img.shape[:2] + (4,), dtype=np.uint8)
+    out[..., :3] = img
+    out[..., 3] = 255
+    return out
+
+
+def test_mesh_runner_matches_single_device():
+    runner = MeshRunner(n_dp=4, n_sp=2)
+    imgs = [_rgba(make_test_image(64, 64, seed=i)) for i in range(8)]
+    q = parse_query("w=32&h=32")
+    plans = [fused.plan_image(64, 64, q) for _ in imgs]
+    got = runner.run(plans, imgs)
+    for img, g in zip(imgs, got):
+        single = fused.transform_single(img, q)
+        c = min(g.shape[2], single.shape[2])
+        np.testing.assert_array_equal(g[..., :c], single[..., :c])
+
+
+def test_mesh_runner_through_batcher():
+    mesh_runner = MeshRunner(n_dp=4, n_sp=1)
+    batcher = MicroBatcher(max_batch=4, window_ms=2.0,
+                           execute=mesh_runner.run)
+    engine = Engine(runner=BatchingRunner(batcher), device_jpeg=False)
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(64, 64)).save(buf, format="JPEG", quality=92)
+    from fanlin_tpu.spec.content import Format
+
+    mime, out = engine.process_image(buf.getvalue(), parse_query("w=32&h=32"), Format())
+    batcher.close()
+    assert mime == "image/jpeg"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (32, 32)
+
+
+def test_mesh_runner_odd_batch_falls_back():
+    runner = MeshRunner(n_dp=4, n_sp=1)
+    imgs = [_rgba(make_test_image(48, 48, seed=i)) for i in range(3)]
+    q = parse_query("grayscale=true")
+    plans = [fused.plan_image(48, 48, q) for _ in imgs]
+    got = runner.run(plans, imgs)
+    assert len(got) == 3
+    single = fused.transform_single(imgs[0], q)
+    np.testing.assert_array_equal(got[0], single)
