@@ -133,8 +133,6 @@ class TpuConfig:
     max_batch: int = 8
     # number of host codec worker threads (decode/encode)
     codec_threads: int = 0  # 0 = os.cpu_count()
-    # run device math in float32 (exact) — bfloat16 fast-path if False
-    exact: bool = True
     # data-parallel sharding over available devices
     data_parallel: bool = False
     # precompile common shape buckets at startup (background thread)
@@ -149,8 +147,6 @@ class TpuConfig:
             cfg.max_batch = _as_uint(obj["max_batch"], "max_batch")
         if "codec_threads" in obj:
             cfg.codec_threads = _as_uint(obj["codec_threads"], "codec_threads")
-        if "exact" in obj:
-            cfg.exact = _as_bool(obj["exact"], "exact")
         if "data_parallel" in obj:
             cfg.data_parallel = _as_bool(obj["data_parallel"], "data_parallel")
         if "warmup" in obj:

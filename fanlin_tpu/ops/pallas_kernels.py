@@ -1,0 +1,123 @@
+"""Pallas TPU kernels for the hot transform path.
+
+The default execution path uses XLA einsums (ops.fused), which the
+compiler already tiles onto the MXU well for these shapes. This module
+provides hand-written Pallas equivalents of the hottest program — the
+uniform-batch resample — for cases where explicit control pays:
+
+* the whole per-image chain (u8 -> f32, grayscale/invert mask, two
+  resample matmuls, round) runs in ONE kernel invocation per image
+  with both weight matrices pinned in VMEM across the grid, so HBM
+  traffic is exactly one read of the source and one write of the
+  output;
+* the channel loop is unrolled inside the kernel, reusing the VMEM-
+  resident weights for all three planes.
+
+Select with FANLIN_PALLAS=1 (or ops.fused.set_pallas(True)); falls
+back transparently when Pallas/TPU is unavailable. Correctness is
+pinned to the XLA path bit-for-bit in tests (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _resample_kernel(flags_ref, fill_ref, box_ref, av_ref, ah_ref, x_ref,
+                     o_ref):
+    """One grid step = one image of the batch.
+
+    Shapes: av (OH, SH) f32, ah (OW, SW) f32, x (1, C, SH, SW) u8,
+    o (1, 3, OH, OW) u8; flags (B, 3), fill (B, 3), box (B, 4) in SMEM.
+    Opaque (C==3) uniform-batch chain: mask -> Av @ plane @ Ah^T ->
+    round -> rect/fill composite.
+    """
+    b = pl.program_id(0)
+    f32 = jnp.float32
+    gray = flags_ref[b, 0] > 0
+    inv = (flags_ref[b, 1] > 0) & (flags_ref[b, 0] == 0)
+    use_canvas = flags_ref[b, 2] > 0
+
+    # Mosaic has no direct u8 -> f32 cast; hop through int32.
+    r = x_ref[0, 0].astype(jnp.int32).astype(f32)
+    g = x_ref[0, 1].astype(jnp.int32).astype(f32)
+    bl = x_ref[0, 2].astype(jnp.int32).astype(f32)
+    luma = jnp.floor((2126.0 * r + 7152.0 * g + 722.0 * bl) / 10000.0)
+
+    oh, ow = o_ref.shape[2], o_ref.shape[3]
+    ii = jax.lax.broadcasted_iota(jnp.int32, (oh, ow), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (oh, ow), 1)
+    x0 = box_ref[b, 0]
+    y0 = box_ref[b, 1]
+    fw = box_ref[b, 2]
+    fh = box_ref[b, 3]
+    inrect = (ii >= y0) & (ii < y0 + fh) & (jj >= x0) & (jj < x0 + fw)
+
+    av = av_ref[:]
+    ah_t = ah_ref[:].T
+
+    for c, plane in enumerate((r, g, bl)):
+        p = jnp.where(gray, luma, plane)
+        p = jnp.where(inv, 255.0 - p, p)
+        t = jnp.dot(av, p, preferred_element_type=f32)
+        t = jnp.dot(t, ah_t, preferred_element_type=f32)
+        fg = jnp.floor(jnp.clip(t, 0.0, 255.0) + 0.5)
+        fillc = fill_ref[b, c]
+        composed = jnp.where(use_canvas & (~inrect), fillc, fg)
+        # Mosaic: f32 -> u8 must hop through int32
+        o_ref[0, c] = composed.astype(jnp.int32).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=64)
+def get_resample_program(batch: int, channels: int, src_h: int, src_w: int,
+                         out_h: int, out_w: int, interpret: bool = False):
+    """Pallas uniform-resample program: (flags, fill, box, av, ah, x) ->
+    (B, 3, OH, OW) uint8. Opaque inputs only (C==3 semantics)."""
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # flags, fill, box
+        grid=(batch,),
+        in_specs=[
+            pl.BlockSpec((out_h, src_h), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_w, src_w), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, channels, src_h, src_w),
+                         lambda b, *_: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, out_h, out_w),
+                               lambda b, *_: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    call = pl.pallas_call(
+        _resample_kernel,
+        out_shape=jax.ShapeDtypeStruct((batch, 3, out_h, out_w), jnp.uint8),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * batch * 3 * (out_h * src_h * src_w + out_h * out_w * src_w),
+            bytes_accessed=batch * (channels * src_h * src_w + 3 * out_h * out_w),
+            transcendentals=0,
+        ),
+    )
+
+    return jax.jit(lambda flags, fill, box, av, ah, x: call(flags, fill, box, av, ah, x))
+
+
+def resample_uniform(flags: np.ndarray, fill: np.ndarray, box: np.ndarray,
+                     av: np.ndarray, ah: np.ndarray, x: np.ndarray,
+                     interpret: bool = False):
+    """Run the Pallas uniform resample. x: (B, C, SH, SW) u8 opaque."""
+    b, c, sh, sw = x.shape
+    oh, ow = av.shape[0], ah.shape[0]
+    fn = get_resample_program(b, c, sh, sw, oh, ow, interpret)
+    return fn(flags.astype(np.float32), fill.astype(np.float32),
+              box.astype(np.int32), av, ah, x)

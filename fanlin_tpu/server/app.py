@@ -224,6 +224,17 @@ async def build_state(cfg: config_mod.Config) -> State:
             log.info("data-parallel mesh enabled: %s", mesh_runner.mesh)
     batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms, execute)
     engine = Engine(runner=BatchingRunner(batcher))
+    if cfg.tpu.codec_threads:
+        # dedicated host codec pool (asyncio.to_thread rides the
+        # default executor)
+        import asyncio as _asyncio
+        from concurrent.futures import ThreadPoolExecutor
+
+        _asyncio.get_running_loop().set_default_executor(
+            ThreadPoolExecutor(
+                cfg.tpu.codec_threads, thread_name_prefix="fanlin-codec"
+            )
+        )
     state = State(cfg.providers, client, engine)
     try:
         await state.with_fallback(cfg.fallback_path, cfg.providers)

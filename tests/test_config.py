@@ -93,4 +93,4 @@ def test_from_file(tmp_path):
 def test_tpu_defaults():
     cfg = Config.from_str(VALID)
     assert cfg.tpu.max_batch == 8
-    assert cfg.tpu.exact is True
+    assert cfg.tpu.warmup is True

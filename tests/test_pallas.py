@@ -1,0 +1,45 @@
+"""Pallas uniform-resample kernel vs the XLA path (interpret mode on
+the CPU backend)."""
+
+import numpy as np
+
+from fanlin_tpu.ops import fused, pallas_kernels
+from fanlin_tpu.spec.query import parse_query
+from tests.conftest import make_test_image
+
+
+def _run_both(query: str, src=64, batch=2, seeds=(0, 1)):
+    q = parse_query(query)
+    plan = fused.plan_image(src, src, q, opaque=True)
+    imgs = [make_test_image(src, src, seed=s) for s in seeds]  # (H, W, 3)
+    asm = fused.BatchAssembly([plan] * batch, imgs)
+    xla_out = asm.run()
+
+    av, ah, _, _ = fused._uniform_padded(plan)
+    got = pallas_kernels.resample_uniform(
+        asm.flags, asm.fill, asm.box, av, ah, asm.x, interpret=True
+    )
+    got = np.asarray(got)
+    pallas_out = [
+        got[i, :, : plan.out_h, : plan.out_w].transpose(1, 2, 0)
+        for i in range(batch)
+    ]
+    return xla_out, pallas_out
+
+
+def test_pallas_matches_xla_resize_canvas():
+    xla, pal = _run_both("w=100&h=48")
+    for a, b in zip(xla, pal):
+        np.testing.assert_array_equal(a[..., :3], b)
+
+
+def test_pallas_matches_xla_grayscale():
+    xla, pal = _run_both("grayscale=true")
+    for a, b in zip(xla, pal):
+        np.testing.assert_array_equal(a[..., :3], b)
+
+
+def test_pallas_matches_xla_invert_crop():
+    xla, pal = _run_both("inverse=true&w=40&h=24&crop=true")
+    for a, b in zip(xla, pal):
+        np.testing.assert_array_equal(a[..., :3], b)

@@ -1,0 +1,53 @@
+"""Gateway e2e with tpu.data_parallel enabled: requests ride the
+dp-sharded mesh path over the virtual 8-device CPU platform."""
+
+import asyncio
+import io
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from fanlin_tpu.config import Config
+from fanlin_tpu.server.app import build_state, create_app
+
+
+def test_data_parallel_gateway(fixtures_dir):
+    cfg = Config.from_str(
+        """
+{
+  "port": 0,
+  "bind_addr": "127.0.0.1",
+  "max_clients": 8,
+  "client": {
+    "s3": {"aws_region": "x"},
+    "web": {"user_agent": "t", "timeout": 2}
+  },
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "tpu": {"data_parallel": true, "warmup": false, "max_batch": 4,
+          "batch_window_ms": 5.0}
+}
+"""
+        % fixtures_dir
+    )
+
+    async def go():
+        state = await build_state(cfg)
+        client = TestClient(TestServer(create_app(cfg, state)))
+        await client.start_server()
+        try:
+            resps = await asyncio.gather(
+                *[client.get("/baz/lenna.jpg?w=100&h=80") for _ in range(4)]
+            )
+            bodies = [await r.read() for r in resps]
+            return resps, bodies
+        finally:
+            await client.close()
+
+    resps, bodies = asyncio.new_event_loop().run_until_complete(go())
+    from PIL import Image
+
+    for r, b in zip(resps, bodies):
+        assert r.status == 200
+        with Image.open(io.BytesIO(b)) as im:
+            assert im.size == (100, 80)
+    # identical inputs through the mesh must give identical outputs
+    assert len({bytes(b) for b in bodies}) == 1
