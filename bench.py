@@ -162,6 +162,25 @@ def main() -> None:
     assert len(payloads) == n_images
     rate = n_images / wall
     mean_bytes = int(np.mean([len(p) for p in payloads]))
+
+    # -- single-request latency through the production engine path --------
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.engine.batcher import BatchingRunner, MicroBatcher
+    from fanlin_tpu.spec.content import Format, extract_accepted_image_formats
+
+    batcher = MicroBatcher(max_batch=8, window_ms=2.0)
+    engine = Engine(runner=BatchingRunner(batcher))
+    accepted = (
+        extract_accepted_image_formats(["image/webp"]) if webp_mode else Format()
+    )
+    engine.process_image(data, params, accepted)  # warm
+    lats = []
+    for _ in range(int(os.environ.get("BENCH_LAT_SAMPLES", "30"))):
+        t = time.perf_counter()
+        engine.process_image(data, params, accepted)
+        lats.append((time.perf_counter() - t) * 1000.0)
+    batcher.close()
+    lats.sort()
     result = {
         "metric": metric,
         "value": round(rate, 1),
@@ -175,6 +194,8 @@ def main() -> None:
         # link in the loop): the chip's capability; the e2e `value` on
         # this dev relay is host-link-bound.
         "device_images_per_sec": round(device_rate, 1),
+        "latency_ms_p50": round(lats[len(lats) // 2], 1),
+        "latency_ms_p99": round(lats[min(int(len(lats) * 0.99), len(lats) - 1)], 1),
     }
     print(json.dumps(result))
 

@@ -137,6 +137,8 @@ class TpuConfig:
     data_parallel: bool = False
     # precompile common shape buckets at startup (background thread)
     warmup: bool = True
+    # evaluate the default ICC transform on device via a sampled LUT
+    device_icc: bool = False
 
     @classmethod
     def from_obj(cls, obj: dict) -> "TpuConfig":
@@ -151,6 +153,8 @@ class TpuConfig:
             cfg.data_parallel = _as_bool(obj["data_parallel"], "data_parallel")
         if "warmup" in obj:
             cfg.warmup = _as_bool(obj["warmup"], "warmup")
+        if "device_icc" in obj:
+            cfg.device_icc = _as_bool(obj["device_icc"], "device_icc")
         return cfg
 
 

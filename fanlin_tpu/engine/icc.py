@@ -93,11 +93,17 @@ def jpeg_num_components(data: bytes) -> Optional[int]:
 
 
 def convert_jpeg_color_if_needed(
-    data: bytes, default: Optional[CMYK2RGB], use_embedded_profile: bool
+    data: bytes, default: Optional[CMYK2RGB], use_embedded_profile: bool,
+    device_transform=None,
 ) -> Optional[np.ndarray]:
     """(H, W, 3) uint8 RGB when the JPEG is CMYK/YCCK and a transform
     applies; None otherwise (falls back to the normal decode path).
-    Mirrors reference handler.rs:398-466."""
+    Mirrors reference handler.rs:398-466.
+
+    device_transform (ops.cmyk_lut.DeviceCmykTransform of the default
+    profile) evaluates the transform on TPU instead of host lcms2 —
+    used only when the *default* profile applies, since the LUT was
+    sampled from it."""
     if not use_embedded_profile and default is None:
         return None
     if jpeg_num_components(data) != 4:
@@ -113,6 +119,10 @@ def convert_jpeg_color_if_needed(
                 conv = CMYK2RGB.with_icc_profile(embedded)
             if conv is None:
                 conv = default
+                if conv is not None and device_transform is not None:
+                    return device_transform.convert(
+                        np.asarray(im, dtype=np.uint8)
+                    )
             if conv is None:
                 return None
             return conv.convert(im)

@@ -57,6 +57,19 @@ class Engine:
         # finishing with entropy-only host encode; requires the native
         # codec core
         self.device_jpeg = device_jpeg
+        # sampled-LUT device evaluation of the default ICC transform
+        # (ops.cmyk_lut); enabled via enable_device_icc()
+        self.device_cmyk = None
+
+    def enable_device_icc(self, n: int = 17) -> None:
+        """Sample the default lcms2 transform into a device LUT
+        (SURVEY.md §7 step 8 lowering; host lcms2 stays the fallback
+        and the ground truth for embedded profiles)."""
+        if self.cmyk2rgb is None:
+            return
+        from ..ops.cmyk_lut import DeviceCmykTransform
+
+        self.device_cmyk = DeviceCmykTransform.from_converter(self.cmyk2rgb, n)
 
     # -- the forward pass --------------------------------------------------
 
@@ -189,5 +202,5 @@ class Engine:
         from . import icc
 
         return icc.convert_jpeg_color_if_needed(
-            data, self.cmyk2rgb, self.use_embedded_profile
+            data, self.cmyk2rgb, self.use_embedded_profile, self.device_cmyk
         )

@@ -1,0 +1,80 @@
+"""Device-side ICC color management via a sampled 4-D LUT.
+
+Real CMYK ICC profiles are CLUT-based — they do not lower to the
+3x3-matrix + tone-curve form, so the honest TPU lowering (SURVEY.md §7
+step 8) is: sample the lcms2 transform ONCE at startup onto an N^4
+grid (N=17 -> 83k entries, ~1 MB), then evaluate pixels on device by
+quadrilinear interpolation — 16 gathers + weighted sum on the VPU.
+This removes liblcms2 from the per-pixel hot path while keeping it as
+the ground truth (and as the host fallback for small images).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def sample_lut(convert_fn, n: int = 17) -> np.ndarray:
+    """Sample a CMYK->RGB converter onto an (n, n, n, n, 3) u8 grid.
+
+    convert_fn: PIL CMYK image -> (H, W, 3) u8 (engine.icc.CMYK2RGB.convert).
+    """
+    from PIL import Image
+
+    levels = np.linspace(0, 255, n).round().astype(np.uint8)
+    c, m, y, k = np.meshgrid(levels, levels, levels, levels, indexing="ij")
+    flat = np.stack([c, m, y, k], axis=-1).reshape(-1, 4)
+    side = int(np.ceil(np.sqrt(flat.shape[0])))
+    padded = np.zeros((side * side, 4), dtype=np.uint8)
+    padded[: flat.shape[0]] = flat
+    img = Image.fromarray(padded.reshape(side, side, 4), "CMYK")
+    rgb = convert_fn(img).reshape(-1, 3)[: flat.shape[0]]
+    return rgb.reshape(n, n, n, n, 3)
+
+
+@functools.lru_cache(maxsize=8)
+def _lut_program(n: int, h: int, w: int):
+    scale = (n - 1) / 255.0
+
+    def fn(cmyk_u8, lut_flat):
+        # cmyk (H, W, 4) u8; lut_flat (n^4, 3) f32
+        x = cmyk_u8.astype(jnp.float32) * scale  # grid coords
+        lo = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, n - 2)
+        frac = x - lo.astype(jnp.float32)
+        acc = jnp.zeros(cmyk_u8.shape[:2] + (3,), jnp.float32)
+        for corner in range(16):
+            bits = [(corner >> i) & 1 for i in range(4)]
+            idx = lo + jnp.array(bits, jnp.int32)
+            weight = jnp.ones(cmyk_u8.shape[:2], jnp.float32)
+            for i in range(4):
+                weight = weight * jnp.where(bits[i] == 1, frac[..., i], 1.0 - frac[..., i])
+            flat_idx = ((idx[..., 0] * n + idx[..., 1]) * n + idx[..., 2]) * n + idx[..., 3]
+            acc = acc + weight[..., None] * jnp.take(lut_flat, flat_idx, axis=0)
+        return jnp.clip(jnp.floor(acc + 0.5), 0, 255).astype(jnp.uint8)
+
+    return jax.jit(fn)
+
+
+class DeviceCmykTransform:
+    """Evaluate a sampled ICC LUT on device."""
+
+    def __init__(self, lut: np.ndarray):
+        self.n = lut.shape[0]
+        self._lut_flat = jax.device_put(
+            lut.reshape(-1, 3).astype(np.float32)
+        )
+
+    @classmethod
+    def from_converter(cls, cmyk2rgb, n: int = 17):
+        """cmyk2rgb: engine.icc.CMYK2RGB."""
+        return cls(sample_lut(cmyk2rgb.convert, n))
+
+    def convert(self, cmyk: np.ndarray) -> np.ndarray:
+        """(H, W, 4) u8 CMYK -> (H, W, 3) u8 sRGB, on device."""
+        h, w = cmyk.shape[:2]
+        fn = _lut_program(self.n, h, w)
+        return np.asarray(fn(cmyk, self._lut_flat))

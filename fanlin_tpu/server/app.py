@@ -242,6 +242,8 @@ async def build_state(cfg: config_mod.Config) -> State:
         log.warning("failed to initialize fallback images; %r", err)
     if cfg.profile_path:
         state.create_cmyk_to_rgb_converter(cfg.profile_path)
+        if cfg.tpu.device_icc:
+            state.engine.enable_device_icc()
     if cfg.use_embedded_profile:
         state.enable_embedded_profile_utilization()
     return state

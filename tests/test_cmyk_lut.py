@@ -1,0 +1,71 @@
+"""Device ICC LUT lowering vs direct lcms2 (environment-gated on the
+reference CMYK profile)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import icc
+from fanlin_tpu.ops import cmyk_lut
+
+REF_PROFILE = "/root/reference/profiles/default.icc"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_PROFILE), reason="reference CMYK profile not present"
+)
+
+
+def test_lut_matches_lcms_within_interpolation_error():
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    assert conv is not None
+    dev = cmyk_lut.DeviceCmykTransform.from_converter(conv, n=17)
+
+    rng = np.random.default_rng(3)
+    cmyk = rng.integers(0, 256, (64, 96, 4), dtype=np.uint8)
+    pil = Image.fromarray(cmyk, "CMYK")
+    want = conv.convert(pil).astype(np.int16)
+    got = dev.convert(cmyk).astype(np.int16)
+
+    diff = np.abs(want - got)
+    assert diff.mean() < 3.0, diff.mean()
+    assert np.percentile(diff, 99) <= 12, np.percentile(diff, 99)
+
+
+def test_engine_device_icc_path():
+    import io
+
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.spec.content import Format
+    from fanlin_tpu.spec.query import parse_query
+    from tests.conftest import make_test_image, psnr
+
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    data = io.BytesIO()
+    Image.fromarray(make_test_image(64, 64)).convert("CMYK").save(
+        data, format="JPEG", quality=95
+    )
+    host_e = Engine(cmyk2rgb=conv)
+    dev_e = Engine(cmyk2rgb=conv)
+    dev_e.enable_device_icc()
+    q = parse_query("w=32&h=32")
+    _, host_out = host_e.process_image(data.getvalue(), q, Format())
+    _, dev_out = dev_e.process_image(data.getvalue(), q, Format())
+    a = np.asarray(Image.open(io.BytesIO(host_out)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(dev_out)).convert("RGB"))
+    assert psnr(a, b) >= 40.0  # LUT interpolation + JPEG differences
+
+
+def test_lut_grid_points_are_near_exact():
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    dev = cmyk_lut.DeviceCmykTransform.from_converter(conv, n=17)
+    levels = np.linspace(0, 255, 17).round().astype(np.uint8)
+    cmyk = np.stack(
+        np.meshgrid(levels[:4], levels[:4], levels[:4], levels[:4], indexing="ij"),
+        axis=-1,
+    ).reshape(16, 16, 4).astype(np.uint8)
+    want = conv.convert(Image.fromarray(cmyk, "CMYK")).astype(np.int16)
+    got = dev.convert(cmyk).astype(np.int16)
+    # exact grid points interpolate to themselves (up to rounding)
+    assert np.abs(want - got).max() <= 1

@@ -1,0 +1,58 @@
+"""Sustained mixed-query load through the gateway (the shape of
+BASELINE row 5: mixed params incl. animated GIF, 100% success)."""
+
+import asyncio
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from fanlin_tpu.config import Config
+from fanlin_tpu.server.app import build_state, create_app
+
+QUERIES = [
+    "/baz/lenna.jpg?w=300&h=200",
+    "/baz/lenna.jpg?w=300&h=200&webp=true&quality=20",
+    "/baz/lenna.jpg?w=100&h=100&crop=true",
+    "/baz/lenna.jpg?grayscale=true",
+    "/baz/lenna.jpg?inverse=true&w=150&h=150",
+    "/baz/lenna.jpg?w=300&h=200&rgb=255,0,0",
+    "/baz/lenna.png?w=64&h=64",
+    "/baz/lenna.gif?w=32&h=32",
+    "/baz/lenna.jpg?blur=10&w=100&h=100",
+    "/baz/logo.svg",
+    "/baz/lenna.jpg",
+]
+
+
+def test_mixed_load_all_succeed(fixtures_dir):
+    cfg = Config.from_str(
+        """
+{
+  "port": 0, "bind_addr": "127.0.0.1", "max_clients": 16,
+  "client": {"s3": {"aws_region": "x"},
+             "web": {"user_agent": "t", "timeout": 2}},
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "tpu": {"warmup": false, "max_batch": 8, "batch_window_ms": 2.0}
+}
+"""
+        % fixtures_dir
+    )
+
+    async def go():
+        state = await build_state(cfg)
+        client = TestClient(TestServer(create_app(cfg, state)))
+        await client.start_server()
+        try:
+            reqs = [
+                client.get(QUERIES[i % len(QUERIES)],
+                           headers={"Accept": "image/webp,image/avif"})
+                for i in range(66)
+            ]
+            resps = await asyncio.gather(*reqs)
+            return [(r.status, r.headers.get("Content-Type")) for r in resps]
+        finally:
+            await client.close()
+
+    results = asyncio.new_event_loop().run_until_complete(go())
+    assert len(results) == 66
+    failures = [r for r in results if r[0] != 200]
+    assert not failures, failures
