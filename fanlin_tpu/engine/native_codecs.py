@@ -26,10 +26,19 @@ def _load():
     if os.environ.get("FANLIN_NATIVE", "1") == "0":
         return None
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    for cand in (
-        os.path.join(here, "native", "libfanlincodec.so"),
-        "libfanlincodec.so",
-    ):
+    built = os.path.join(here, "native", "libfanlincodec.so")
+    if not os.path.exists(built):
+        # best-effort on-demand build (source ships, binary doesn't)
+        import subprocess
+
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.join(here, "native")],
+                capture_output=True, timeout=120, check=False,
+            )
+        except Exception:
+            pass
+    for cand in (built, "libfanlincodec.so"):
         try:
             lib = ctypes.CDLL(cand)
         except OSError:
