@@ -130,7 +130,13 @@ class S3Client:
         url, host, canonical_path = self._url_for(bucket, key)
         headers = self._sign_headers(host, canonical_path)
         try:
-            async with self._get_session().get(url, headers=headers) as resp:
+            # SigV4 signed the exact canonical path — yarl must not
+            # re-normalize the percent-encoding
+            from yarl import URL
+
+            async with self._get_session().get(
+                URL(url, encoded=True), headers=headers
+            ) as resp:
                 if 200 <= resp.status < 300:
                     return await resp.read()
                 body = await resp.text()

@@ -32,7 +32,11 @@ class WebClient:
 
     async def get(self, url: str) -> Optional[bytes]:
         try:
-            async with self._get_session().get(url) as resp:
+            # the path is already percent-encoded with the reference's
+            # exact ASCII set (utils.paths) — yarl must not re-normalize
+            from yarl import URL
+
+            async with self._get_session().get(URL(url, encoded=True)) as resp:
                 if resp.status == 404:
                     return None
                 if not (200 <= resp.status < 300):

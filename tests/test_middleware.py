@@ -1,0 +1,100 @@
+"""Gateway middleware: timeout -> 408, concurrency cap queues, and
+unicode-key fetches survive yarl (no re-encoding)."""
+
+import asyncio
+
+import pytest
+from aiohttp import web
+from aiohttp.test_utils import TestClient, TestServer
+
+from fanlin_tpu.server.app import (
+    make_concurrency_middleware,
+    make_timeout_middleware,
+)
+
+
+def test_timeout_returns_408():
+    async def go():
+        async def slow(_req):
+            await asyncio.sleep(1.0)
+            return web.Response(text="late")
+
+        app = web.Application(middlewares=[make_timeout_middleware(0.05)])
+        app.router.add_get("/", slow)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.get("/")
+            return resp.status
+        finally:
+            await client.close()
+
+    assert asyncio.new_event_loop().run_until_complete(go()) == 408
+
+
+def test_concurrency_cap_queues_not_rejects():
+    async def go():
+        active = {"n": 0, "max": 0}
+
+        async def handler(_req):
+            active["n"] += 1
+            active["max"] = max(active["max"], active["n"])
+            await asyncio.sleep(0.05)
+            active["n"] -= 1
+            return web.Response(text="ok")
+
+        app = web.Application(middlewares=[make_concurrency_middleware(2)])
+        app.router.add_get("/", handler)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resps = await asyncio.gather(*[client.get("/") for _ in range(6)])
+            return [r.status for r in resps], active["max"]
+        finally:
+            await client.close()
+
+    statuses, peak = asyncio.new_event_loop().run_until_complete(go())
+    assert statuses == [200] * 6  # queued, not rejected (tower semantics)
+    assert peak <= 2
+
+
+def test_unicode_key_over_http_origin(fixtures_dir, tmp_path):
+    """犬.jpg through the web origin: the percent-encoded URL must hit
+    the file, proving yarl didn't re-encode (reference test case
+    handler.rs:637-647 over a live origin)."""
+    from fanlin_tpu.config import Config
+    from fanlin_tpu.server.app import build_state, create_app
+
+    dog = tmp_path / "犬.jpg"
+    dog.write_bytes((fixtures_dir / "lenna.jpg").read_bytes())
+
+    async def go():
+        static = web.Application()
+        static.router.add_static("/st", str(tmp_path))
+        sclient = TestClient(TestServer(static))
+        await sclient.start_server()
+        cfg = Config.from_str(
+            """
+{
+  "port": 0, "bind_addr": "127.0.0.1", "max_clients": 4,
+  "client": {"s3": {"aws_region": "x"},
+             "web": {"user_agent": "t", "timeout": 2}},
+  "providers": [{"path": "dogs", "src": "http://127.0.0.1:%d/st"}],
+  "tpu": {"warmup": false}
+}
+"""
+            % sclient.port
+        )
+        state = await build_state(cfg)
+        gw = await TestClient(TestServer(create_app(cfg, state))).__aenter__()
+        try:
+            r1 = await gw.get("/dogs/%E7%8A%AC.jpg")
+            r2 = await gw.get("/dogs/犬.jpg")
+            return r1.status, r2.status
+        finally:
+            await gw.close()
+            await sclient.close()
+
+    s1, s2 = asyncio.new_event_loop().run_until_complete(go())
+    assert s1 == 200
+    assert s2 == 200
