@@ -6,13 +6,16 @@ per-shape-bucket device batches with an adaptive flush window
 (SURVEY.md §7 "Latency vs batching"):
 
 * every request's transform plan is grouped by its
-  (src-bucket, dst-bucket, has_blur) program key;
-* a group flushes when it reaches ``max_batch`` or when the oldest
+  (src-bucket, dst-bucket, has_blur) program key (jpeg420 requests by
+  plan identity, since the device front-end is geometry-uniform);
+* a group flushes when it reaches ``max_batch`` or when its oldest
   entry has waited ``window_ms`` — so an idle server adds at most one
   window of latency, and a loaded server fills whole batches;
-* device execution runs on ONE dedicated thread (XLA serializes
-  per-device execution anyway), overlapping host decode/encode in the
-  caller threads with device compute.
+* deadline flushing is ONE dedicated scheduler thread woken on demand
+  (no per-request timer threads), and device execution is ONE
+  dedicated dispatch thread (XLA serializes per-device execution
+  anyway), overlapping host decode/encode in the caller threads with
+  device compute.
 
 ``BatchingRunner`` exposes the same synchronous ``run(plans, images)``
 interface as the engine's default runner, so the processing core is
@@ -22,8 +25,8 @@ images ride a shared batch.
 
 from __future__ import annotations
 
-import asyncio
 import threading
+import time
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Dict, List, Tuple
 
@@ -59,10 +62,15 @@ class MicroBatcher:
         self.window_s = window_ms / 1000.0
         self._execute = execute
         self._lock = threading.Lock()
-        self._groups: Dict[Tuple, List[Tuple[fused.ImagePlan, np.ndarray, Future]]] = {}
-        self._timers: Dict[Tuple, threading.Timer] = {}
+        self._wake = threading.Condition(self._lock)
+        # key -> (deadline, [(plan, image, future, kind), ...])
+        self._groups: Dict[Tuple, Tuple[float, list]] = {}
         self._device = ThreadPoolExecutor(1, thread_name_prefix="fanlin-device")
         self._closed = False
+        self._scheduler = threading.Thread(
+            target=self._flush_loop, name="fanlin-batch-flush", daemon=True
+        )
+        self._scheduler.start()
         # observability counters (read by the gateway's /stats)
         self.stats = {"batches": 0, "images": 0, "full_flushes": 0,
                       "timer_flushes": 0}
@@ -77,30 +85,44 @@ class MicroBatcher:
         with self._lock:
             if self._closed:
                 raise RuntimeError("batcher closed")
-            group = self._groups.setdefault(key, [])
-            group.append((plan, image, fut, kind))
-            if len(group) >= self.max_batch:
-                flush_now = self._groups.pop(key)
-                t = self._timers.pop(key, None)
-                if t:
-                    t.cancel()
-            elif len(group) == 1:
-                t = threading.Timer(self.window_s, self._flush_timer, (key,))
-                t.daemon = True
-                self._timers[key] = t
-                t.start()
+            entry = self._groups.get(key)
+            if entry is None:
+                entry = (time.monotonic() + self.window_s, [])
+                self._groups[key] = entry
+                self._wake.notify()  # new deadline for the scheduler
+            entry[1].append((plan, image, fut, kind))
+            if len(entry[1]) >= self.max_batch:
+                flush_now = self._groups.pop(key)[1]
         if flush_now is not None:
             self.stats["full_flushes"] += 1
             self._device.submit(self._run_batch, flush_now)
         return fut
 
-    def _flush_timer(self, key: Tuple) -> None:
-        with self._lock:
-            group = self._groups.pop(key, None)
-            self._timers.pop(key, None)
-        if group:
-            self.stats["timer_flushes"] += 1
-            self._device.submit(self._run_batch, group)
+    def _flush_loop(self) -> None:
+        """Single scheduler: sleep until the earliest group deadline,
+        flush everything past due."""
+        while True:
+            due = []
+            with self._lock:
+                if self._closed:
+                    return
+                now = time.monotonic()
+                next_deadline = None
+                for key in list(self._groups):
+                    deadline, group = self._groups[key]
+                    if deadline <= now:
+                        due.append(self._groups.pop(key)[1])
+                    elif next_deadline is None or deadline < next_deadline:
+                        next_deadline = deadline
+                for group in due:
+                    self.stats["timer_flushes"] += 1
+                timeout = (
+                    None if next_deadline is None else max(next_deadline - now, 0.0)
+                )
+                if not due:
+                    self._wake.wait(timeout=timeout)
+            for group in due:
+                self._device.submit(self._run_batch, group)
 
     # -- device execution --------------------------------------------------
 
@@ -129,14 +151,13 @@ class MicroBatcher:
     def close(self) -> None:
         with self._lock:
             self._closed = True
-            pending = list(self._groups.items())
+            pending = [entry[1] for entry in self._groups.values()]
             self._groups.clear()
-            for t in self._timers.values():
-                t.cancel()
-            self._timers.clear()
-        for _key, group in pending:
+            self._wake.notify()
+        for group in pending:
             self._device.submit(self._run_batch, group)
         self._device.shutdown(wait=True)
+        self._scheduler.join(timeout=5)
 
 
 class BatchingRunner:

@@ -28,7 +28,7 @@ import io
 from typing import List, Optional, Tuple
 
 import numpy as np
-from PIL import Image, ImageSequence
+from PIL import Image
 
 Image.MAX_IMAGE_PIXELS = None  # the gateway enforces its own size caps
 

@@ -14,7 +14,6 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-import jax
 import numpy as np
 
 from ..ops import fused

@@ -52,11 +52,16 @@ def _create_headers(content_type: str, params: query_mod.Query,
     return headers
 
 
-def _fallback_or_message(state: State, req_path: str, params: query_mod.Query,
-                         accepted: content_mod.Format, status: int,
-                         message: str) -> web.Response:
+async def _fallback_or_message(state: State, req_path: str,
+                               params: query_mod.Query,
+                               accepted: content_mod.Format, status: int,
+                               message: str) -> web.Response:
     try:
-        mime, processed = state.fallback(req_path, params, accepted)
+        # fallback images are re-processed with the live params
+        # (handler.rs:134-137) — device-bound work stays off the loop
+        mime, processed = await asyncio.to_thread(
+            state.fallback, req_path, params, accepted
+        )
         return web.Response(
             status=status, headers=_create_headers(mime, params), body=processed
         )
@@ -91,18 +96,20 @@ async def generic_handler(request: web.Request) -> web.Response:
         original = await state.get_image(path)
     except Exception as err:
         log.error("failed to get an original image; %s %r", path, err)
-        return _fallback_or_message(
+        return await _fallback_or_message(
             state, path, params, accepted, 500, "server error on fetching an image"
         )
     if original is None:
         status = 200 if state.treat_as_success_even_no_content(path) else 404
-        return _fallback_or_message(state, path, params, accepted, status, "not found")
+        return await _fallback_or_message(
+            state, path, params, accepted, status, "not found"
+        )
     timer.add("f_fetch")
     try:
         mime, processed = await state.process_image_async(original, params, accepted)
     except Exception as err:
         log.error("failed to process an image; %s %r", path, err)
-        return _fallback_or_message(
+        return await _fallback_or_message(
             state, path, params, accepted, 500, "server error on processing an image"
         )
     timer.add("f_process")
