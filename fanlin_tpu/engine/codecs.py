@@ -117,7 +117,9 @@ def apply_orientation(img: np.ndarray, orientation: int) -> np.ndarray:
     if orientation == 6:
         return np.rot90(img, k=-1)
     if orientation == 7:
-        return np.rot90(img, k=-1)[:, ::-1]
+        # transverse: mirror horizontal then rotate 90 CW
+        # == anti-diagonal transpose
+        return np.rot90(img, k=1)[:, ::-1]
     if orientation == 8:
         return np.rot90(img, k=1)
     return img

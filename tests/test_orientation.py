@@ -1,0 +1,52 @@
+"""EXIF orientation matrix: all 8 orientations round-trip through the
+engine the way image::apply_orientation does."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import Engine, codecs
+from fanlin_tpu.spec.content import Format
+from fanlin_tpu.spec.query import parse_query
+
+
+def _marked_image():
+    """4x2 landscape with a unique corner so flips are detectable."""
+    img = np.zeros((2, 4, 3), np.uint8)
+    img[0, 0] = (255, 0, 0)      # top-left red
+    img[0, 3] = (0, 255, 0)      # top-right green
+    img[1, 0] = (0, 0, 255)      # bottom-left blue
+    return img
+
+
+@pytest.mark.parametrize("orientation,expect_shape,corner", [
+    (1, (2, 4), (0, 0)),   # identity: red stays top-left
+    (2, (2, 4), (0, 3)),   # flip H: red -> top-right
+    (3, (2, 4), (1, 3)),   # rot180: red -> bottom-right
+    (4, (2, 4), (1, 0)),   # flip V: red -> bottom-left
+    (5, (4, 2), (0, 0)),   # transpose: red stays (0,0)
+    (6, (4, 2), (0, 1)),   # rot90 CW: red -> top-right
+    (7, (4, 2), (3, 1)),   # transverse: red -> bottom-right
+    (8, (4, 2), (3, 0)),   # rot270 CW: red -> bottom-left
+])
+def test_apply_orientation(orientation, expect_shape, corner):
+    out = codecs.apply_orientation(_marked_image(), orientation)
+    assert out.shape[:2] == expect_shape
+    assert tuple(out[corner]) == (255, 0, 0)
+
+
+def test_engine_applies_exif_rotation():
+    img = np.tile(np.arange(64, dtype=np.uint8)[None, :, None], (32, 1, 3))
+    pil = Image.fromarray(img)
+    exif = pil.getexif()
+    exif[0x0112] = 8  # rotate 270 CW (rot90 CCW): 64x32 -> 32x64
+    buf = io.BytesIO()
+    pil.save(buf, format="JPEG", exif=exif, quality=95)
+    engine = Engine()
+    mime, out = engine.process_image(
+        buf.getvalue(), parse_query("inverse=true"), Format()
+    )
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (32, 64)
