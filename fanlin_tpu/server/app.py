@@ -194,7 +194,9 @@ def create_app(cfg: config_mod.Config, state: State) -> web.Application:
     app[STATE_KEY] = state
     app.router.add_get("/ping", ping_handler)
     app.router.add_get("/stats", stats_handler)
-    app.router.add_route("GET", "/{tail:.*}", generic_handler)
+    # axum's .fallback() catches every method (reference main.rs:90) —
+    # the generic handler serves them all identically
+    app.router.add_route("*", "/{tail:.*}", generic_handler)
 
     async def _cleanup(app_):
         await state.client.close()
