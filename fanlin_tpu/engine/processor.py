@@ -180,7 +180,12 @@ class Engine:
                 h, w = frames[i].shape[:2]
                 plans.append(fused.plan_image(w, h, params, filters.NEAREST))
                 imgs.append(frames[i])
-            results = self.runner.run(plans, imgs)
+            # chunk long animations so a single GIF can't demand an
+            # oversized device batch (the batcher also splits at its
+            # own max_batch)
+            results = []
+            for s in range(0, len(plans), 32):
+                results.extend(self.runner.run(plans[s : s + 32], imgs[s : s + 32]))
             for i, r in zip(work_idx, results):
                 outs[i] = r
         for i, f in enumerate(frames):

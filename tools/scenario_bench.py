@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Engine-level throughput across the five BASELINE.json configs.
+
+Prints one JSON line per scenario. Unlike bench.py (the driver's
+single headline number), this sweeps the whole behavioral surface:
+
+  1. lenna.jpg w=300&h=200 -> JPEG          (README bench, row 3)
+  2. lenna.png w=1618&h=1000 fill+crop+gray (big canvas ops)
+  3. lenna.jpg blur=10 (+ICC when a default profile is configured)
+  4. webp/avif encode paths at q20 / q85
+  5. animated GIF multi-frame resize
+
+Usage: python tools/scenario_bench.py [N_PER_SCENARIO]
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _source_images():
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:512, 0:512].astype(np.float32)
+    img = np.stack(
+        [
+            128 + 90 * np.sin(xx / 37.0),
+            128 + 90 * np.cos(yy / 23.0),
+            128 + 60 * np.sin((xx + yy) / 53.0),
+        ],
+        axis=-1,
+    ) + rng.normal(0, 6, (512, 512, 1)).astype(np.float32)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    jpg = io.BytesIO()
+    Image.fromarray(img).save(jpg, format="JPEG", quality=92)
+    png = io.BytesIO()
+    Image.fromarray(img).save(png, format="PNG")
+    gif = io.BytesIO()
+    frames = [Image.fromarray(np.roll(img, 16 * i, axis=1)) for i in range(5)]
+    frames[0].save(gif, format="GIF", save_all=True, append_images=frames[1:],
+                   duration=50, loop=0)
+    return jpg.getvalue(), png.getvalue(), gif.getvalue()
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+    except Exception:
+        pass
+
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.spec.content import extract_accepted_image_formats
+    from fanlin_tpu.spec.query import parse_query
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    jpg, png, gif = _source_images()
+    accept_all = extract_accepted_image_formats(["image/webp,image/avif"])
+    engine = Engine()
+
+    scenarios = [
+        ("row3_jpeg_300x200", jpg, "w=300&h=200", accept_all),
+        ("row2_png_fill_crop_gray", png,
+         "w=1618&h=1000&rgb=32,32,32&crop=true&grayscale=true", accept_all),
+        ("row3b_blur10", jpg, "blur=10&w=300&h=200", accept_all),
+        ("row4_webp_q20", jpg, "w=300&h=200&webp=true&quality=20", accept_all),
+        ("row4_webp_q85", jpg, "w=300&h=200&webp=true&quality=85", accept_all),
+        ("row4_avif_q20", jpg, "w=300&h=200&avif=true&quality=20", accept_all),
+        ("row5_gif_resize", gif, "w=100&h=100", accept_all),
+    ]
+    for name, data, qs, accepted in scenarios:
+        params = parse_query(qs)
+        engine.process_image(data, params, accepted)  # warm/compile
+        t0 = time.perf_counter()
+        out_len = 0
+        for _ in range(n):
+            _, payload = engine.process_image(data, params, accepted)
+            out_len += len(payload)
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "scenario": name,
+            "images_per_sec": round(n / wall, 1),
+            "mean_ms": round(wall / n * 1000, 2),
+            "mean_bytes_out": out_len // n,
+        }))
+
+
+if __name__ == "__main__":
+    main()
