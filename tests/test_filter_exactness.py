@@ -1,0 +1,88 @@
+"""Independent recomputation of resampling weights (plain-Python float
+loops, no numpy vectorization) pinning ops.filters to the image-crate
+sampling spec."""
+
+import math
+
+import numpy as np
+
+from fanlin_tpu.ops import filters
+
+
+def _lanczos(x: float) -> float:
+    if x == 0.0:
+        return 1.0
+    if abs(x) >= 3.0:
+        return 0.0
+    a = math.pi * x
+    return (math.sin(a) / a) * (math.sin(a / 3.0) / (a / 3.0))
+
+
+def _reference_row(src: int, dst: int, outx: int):
+    """One output row of weights, straight from the sampling rules."""
+    ratio = src / dst
+    sratio = max(ratio, 1.0)
+    support = 3.0 * sratio
+    center = (outx + 0.5) * ratio
+    left = max(int(math.floor(center - support)), 0)
+    left = min(left, src - 1)
+    right = min(int(math.ceil(center + support)), src)
+    right = max(right, left + 1)
+    inputx = center - 0.5
+    ws = [_lanczos((i - inputx) / sratio) for i in range(left, right)]
+    total = sum(ws)
+    row = [0.0] * src
+    for i, w in enumerate(ws):
+        row[left + i] = w / total
+    return row
+
+
+def test_downscale_weights_match_spec():
+    m = filters.resample_matrix(512, 200, filters.LANCZOS3)
+    for outx in (0, 1, 99, 100, 198, 199):
+        want = _reference_row(512, 200, outx)
+        np.testing.assert_allclose(m[outx], want, atol=2e-6)
+
+
+def test_upscale_weights_match_spec():
+    m = filters.resample_matrix(64, 200, filters.LANCZOS3)
+    for outx in (0, 50, 100, 199):
+        want = _reference_row(64, 200, outx)
+        np.testing.assert_allclose(m[outx], want, atol=2e-6)
+
+
+def test_edge_window_renormalizes():
+    # first output pixel of a big downscale: window clipped at 0, still
+    # sums to 1
+    m = filters.resample_matrix(2000, 20, filters.LANCZOS3)
+    assert abs(m[0].sum() - 1.0) < 1e-5
+    assert m[0, 0] != 0.0
+
+
+def test_gaussian_matches_pdf_spec():
+    sigma = 10.0
+    g = filters.gaussian_matrix(100, sigma)
+    # middle row: window [center-2s, center+2s], pdf weights normalized
+    outx = 50
+    center = outx + 0.5
+    left = max(int(math.floor(center - 2 * sigma)), 0)
+    right = min(int(math.ceil(center + 2 * sigma)), 100)
+    inputx = center - 0.5
+    ws = [
+        math.exp(-((i - inputx) ** 2) / (2 * sigma * sigma))
+        / (math.sqrt(2 * math.pi) * sigma)
+        for i in range(left, right)
+    ]
+    total = sum(ws)
+    want = [0.0] * 100
+    for i, w in enumerate(ws):
+        want[left + i] = w / total
+    np.testing.assert_allclose(g[outx], want, atol=2e-6)
+
+
+def test_resize_dimensions_rounding():
+    # round-half-up behavior of the f64 .round()
+    assert filters.resize_dimensions(1000, 999, 500, 500, False) == (500, 500)
+    assert filters.resize_dimensions(3, 2, 2000, 1000, False) == (1500, 1000)
+    # fill rounds with max ratio
+    assert filters.resize_dimensions(512, 256, 100, 100, True) == (200, 100)

@@ -1,0 +1,57 @@
+"""BMP / TIFF inputs ride the generic encode path (reference:
+`_ => img.write_to(format)`, handler.rs:306)."""
+
+import io
+
+import numpy as np
+from PIL import Image
+
+from fanlin_tpu.engine import Engine, codecs
+from fanlin_tpu.spec.content import Format
+from fanlin_tpu.spec.query import parse_query
+from tests.conftest import make_test_image
+
+
+def _bytes_of(fmt):
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(64, 64)).save(buf, format=fmt)
+    return buf.getvalue()
+
+
+def test_bmp_roundtrip():
+    data = _bytes_of("BMP")
+    assert codecs.sniff_format(data) == "bmp"
+    engine = Engine()
+    mime, out = engine.process_image(data, parse_query("w=32&h=32"), Format())
+    assert mime == "image/bmp"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.format == "BMP"
+        assert im.size == (32, 32)
+
+
+def test_tiff_roundtrip():
+    data = _bytes_of("TIFF")
+    assert codecs.sniff_format(data) == "tiff"
+    engine = Engine()
+    mime, out = engine.process_image(data, parse_query("grayscale=true"), Format())
+    assert mime == "image/tiff"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.format == "TIFF"
+
+
+def test_bmp_as_is_passthrough():
+    data = _bytes_of("BMP")
+    engine = Engine()
+    mime, out = engine.process_image(data, parse_query(""), Format())
+    assert mime == "image/bmp"
+    assert out == data
+
+
+def test_webp_source_roundtrip():
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(64, 64)).save(buf, format="WEBP", quality=90)
+    engine = Engine()
+    mime, out = engine.process_image(buf.getvalue(), parse_query("w=32&h=32"), Format())
+    # webp source stays webp without negotiation (format preserved)
+    assert mime == "image/webp"
+    assert out[:4] == b"RIFF"
