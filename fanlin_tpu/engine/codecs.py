@@ -257,10 +257,24 @@ def encode_gif_frames(frames: List[np.ndarray]) -> bytes:
 
     Frame delays are dropped (duration 0) — the reference's
     Frame::new drops per-frame delay (handler.rs:355) — and loop is
-    infinite (handler.rs:362).
+    infinite (handler.rs:362). Fully-opaque animations use fast
+    octree quantization (the reference encodes at speed 10, its
+    fastest setting, handler.rs:361); frames with transparency take
+    the slower alpha-preserving path.
     """
     buf = io.BytesIO()
-    pils = [Image.fromarray(f, "RGBA") for f in frames]
+    opaque = all(
+        f.shape[2] == 3 or bool((f[..., 3] == 255).all()) for f in frames
+    )
+    if opaque:
+        pils = [
+            Image.fromarray(f[..., :3], "RGB").quantize(
+                colors=256, method=Image.FASTOCTREE
+            )
+            for f in frames
+        ]
+    else:
+        pils = [Image.fromarray(f, "RGBA") for f in frames]
     pils[0].save(
         buf,
         format="GIF",
