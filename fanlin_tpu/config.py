@@ -139,6 +139,8 @@ class TpuConfig:
     warmup: bool = True
     # evaluate the default ICC transform on device via a sampled LUT
     device_icc: bool = False
+    # bf16 resample matmuls (~2x MXU rate, >=48 dB vs exact f32)
+    fast: bool = False
 
     @classmethod
     def from_obj(cls, obj: dict) -> "TpuConfig":
@@ -155,6 +157,8 @@ class TpuConfig:
             cfg.warmup = _as_bool(obj["warmup"], "warmup")
         if "device_icc" in obj:
             cfg.device_icc = _as_bool(obj["device_icc"], "device_icc")
+        if "fast" in obj:
+            cfg.fast = _as_bool(obj["fast"], "fast")
         return cfg
 
 

@@ -218,6 +218,10 @@ async def build_state(cfg: config_mod.Config) -> State:
     from ..infra import Client
 
     client = Client.new(cfg)
+    if cfg.tpu.fast:
+        from ..ops.fused import set_fast_mode
+
+        set_fast_mode(True)
     execute = None
     if cfg.tpu.data_parallel:
         import jax

@@ -140,3 +140,19 @@ def test_mixed_batch():
         single = fused.transform_single(img, q)
         c = min(got.shape[2], single.shape[2])
         np.testing.assert_array_equal(got[..., :c], single[..., :c])
+
+
+def test_fast_mode_close_to_exact():
+    """bf16 fast path: pixels are exact in bf16; only weights round.
+    Must stay >= 48 dB of the exact f32 output."""
+    img = _rgba(make_test_image())
+    q = parse_query("w=300&h=200")
+    exact = fused.transform_single(img, q)
+    fused.set_fast_mode(True)
+    try:
+        fast = fused.transform_single(img, q)
+    finally:
+        fused.set_fast_mode(False)
+    assert fast.shape == exact.shape
+    p = psnr(fast[..., :3], exact[..., :3])
+    assert p >= 48.0, f"PSNR {p:.2f}"
