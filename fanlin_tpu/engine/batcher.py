@@ -7,7 +7,7 @@ per-shape-bucket device batches with an adaptive flush window
 
 * every request's transform plan is grouped by its
   (src-bucket, dst-bucket, has_blur) program key (jpeg420 requests by
-  plan identity, since the device front-end is geometry-uniform);
+  exact output geometry, since the device front-end crops on device);
 * a group flushes when it reaches ``max_batch`` or when its oldest
   entry has waited ``window_ms`` — so an idle server adds at most one
   window of latency, and a loaded server fills whole batches;
@@ -37,9 +37,17 @@ from ..ops import fused
 
 def _group_key(plan: fused.ImagePlan, kind: str) -> Tuple:
     if kind == "jpeg420":
-        # jpeg420 batches must be plan-uniform (the device front-end
-        # crops + subsamples at one true geometry per program)
-        return ("jpeg420", id(plan))
+        # the device JPEG front-end crops + subsamples at ONE true
+        # geometry per program, so jpeg420 groups key on exact output
+        # dims (mixed grayscale/invert/fill ops still share a batch)
+        return (
+            "jpeg420",
+            fused.bucket_h(plan.src_h),
+            fused.bucket_w(plan.src_w),
+            plan.out_h,
+            plan.out_w,
+            plan.blur_sigma > 0,
+        )
     return (
         "rgb",
         fused.bucket_h(plan.src_h),

@@ -463,7 +463,13 @@ class BatchAssembly:
         self.has_blur = any(p.blur_sigma > 0 for p in plans)
         # uniform batch: every image shares one (cached) plan object
         self.uniform = all(p is plans[0] for p in plans)
-        self.jpeg420 = jpeg420 and self.uniform
+        # the jpeg420 tail needs one true output geometry per program,
+        # not matrix uniformity — mixed ops at the same geometry batch
+        p0 = plans[0]
+        geometry_uniform = all(
+            p.out_h == p0.out_h and p.out_w == p0.out_w for p in plans
+        )
+        self.jpeg420 = jpeg420 and geometry_uniform
         # alpha plane crosses the link only when some image needs it
         self.c_out = 4 if any(p.want_alpha for p in plans) else 3
         # ... and goes UP only when some source actually has one
@@ -533,9 +539,13 @@ class BatchAssembly:
             if self.has_blur:
                 args += [_device_cached(bv), _device_cached(bh)]
         else:
+            out_crop = (
+                (self.plans[0].out_h, self.plans[0].out_w)
+                if self.jpeg420 else None
+            )
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
-                             self.has_blur, False, None, self.c_out,
-                             False, _FAST["enabled"])
+                             self.has_blur, False, out_crop, self.c_out,
+                             self.jpeg420, _FAST["enabled"])
             args = [jax.device_put(a) for a in
                     (self.x, self.av, self.ah, self.flags, self.fill, self.box)]
             if self.has_blur:

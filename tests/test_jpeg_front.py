@@ -85,3 +85,30 @@ def test_grayscale_keeps_direct_luma_path():
     mime, out = e.process_image(data, parse_query("grayscale=true"), Format())
     with Image.open(io.BytesIO(out)) as im:
         assert im.mode == "L"
+
+
+@needs_native
+def test_mixed_ops_share_a_jpeg420_batch():
+    """grayscale and invert requests at the same geometry ride one
+    device batch through the jpeg420 front-end."""
+    import numpy as np
+
+    from fanlin_tpu.engine.batcher import BatchingRunner, MicroBatcher
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    batcher = MicroBatcher(max_batch=2, window_ms=50.0)
+    runner = BatchingRunner(batcher)
+    img = make_test_image(64, 64)
+    q1 = parse_query("w=32&h=32&grayscale=true")
+    q2 = parse_query("w=32&h=32&inverse=true")
+    p1 = fused.plan_image(64, 64, q1, opaque=True)
+    p2 = fused.plan_image(64, 64, q2, opaque=True)
+    out = runner.run([p1, p2], [img, img], ["jpeg420", "jpeg420"])
+    batcher.close()
+    assert batcher.stats["batches"] == 1  # one shared device batch
+    assert out[0][0] == "ycbcr420" and out[1][0] == "ycbcr420"
+    # grayscale frame: Cb/Cr ~128 everywhere
+    assert np.abs(out[0][2].astype(int) - 128).max() <= 1
+    # invert differs from grayscale
+    assert not np.array_equal(out[0][1], out[1][1])
