@@ -141,6 +141,9 @@ class TpuConfig:
     device_icc: bool = False
     # bf16 resample matmuls (~2x MXU rate, >=48 dB vs exact f32)
     fast: bool = False
+    # full device JPEG back half: DCT + quantization on TPU,
+    # entropy-only host encode (for locally-attached TPUs)
+    device_dct: bool = False
 
     @classmethod
     def from_obj(cls, obj: dict) -> "TpuConfig":
@@ -159,6 +162,8 @@ class TpuConfig:
             cfg.device_icc = _as_bool(obj["device_icc"], "device_icc")
         if "fast" in obj:
             cfg.fast = _as_bool(obj["fast"], "fast")
+        if "device_dct" in obj:
+            cfg.device_dct = _as_bool(obj["device_dct"], "device_dct")
         return cfg
 
 

@@ -36,6 +36,16 @@ from ..ops import fused
 
 
 def _group_key(plan: fused.ImagePlan, kind: str) -> Tuple:
+    if kind.startswith("jpegdct:"):
+        # device DCT batches additionally share one quant quality
+        return (
+            kind,
+            fused.bucket_h(plan.src_h),
+            fused.bucket_w(plan.src_w),
+            plan.out_h,
+            plan.out_w,
+            plan.blur_sigma > 0,
+        )
     if kind == "jpeg420":
         # the device JPEG front-end crops + subsamples at ONE true
         # geometry per program, so jpeg420 groups key on exact output
@@ -144,6 +154,11 @@ class MicroBatcher:
         try:
             if self._execute is not None:
                 results = self._execute(plans, images, kinds)
+            elif kinds[0].startswith("jpegdct:"):
+                quality = int(kinds[0].split(":", 1)[1])
+                results = fused.BatchAssembly(
+                    plans, images, jpegdct=True, quality=quality
+                ).run()
             else:
                 jpeg420 = kinds[0] == "jpeg420"
                 results = fused.BatchAssembly(plans, images, jpeg420).run()

@@ -70,6 +70,12 @@ def _load():
             ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.fc_encode_jpeg_raw420.restype = ctypes.c_int
+        i16p = ctypes.POINTER(ctypes.c_int16)
+        lib.fc_encode_jpeg_coeffs.argtypes = [
+            i16p, i16p, i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
+        ]
+        lib.fc_encode_jpeg_coeffs.restype = ctypes.c_int
         lib.fc_free.argtypes = [u8p]
         _LIB = lib
         break
@@ -152,6 +158,39 @@ def encode_jpeg_raw420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     rc = lib.fc_encode_jpeg_raw420(
         y.ctypes.data_as(u8p), cb.ctypes.data_as(u8p), cr.ctypes.data_as(u8p),
         w, h, int(quality), ctypes.byref(out), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fc_free(out)
+
+
+def encode_jpeg_coeffs(y_coef: np.ndarray, cb_coef: np.ndarray,
+                       cr_coef: np.ndarray, width: int, height: int,
+                       quality: int) -> Optional[bytes]:
+    """Entropy-encode device-quantized DCT coefficient blocks.
+    Shapes (rows, cols, 64) int16 over the MCU-padded planes; quality
+    must equal the device's quantization quality."""
+    lib = _load()
+    if lib is None:
+        return None
+    yw, yh = ((width + 15) // 16) * 2, ((height + 15) // 16) * 2
+    cw, ch = (width + 15) // 16, (height + 15) // 16
+    if y_coef.shape != (yh, yw, 64) or cb_coef.shape != (ch, cw, 64):
+        return None
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    y_coef = np.ascontiguousarray(y_coef, dtype=np.int16)
+    cb_coef = np.ascontiguousarray(cb_coef, dtype=np.int16)
+    cr_coef = np.ascontiguousarray(cr_coef, dtype=np.int16)
+    out = u8p()
+    out_len = ctypes.c_size_t()
+    rc = lib.fc_encode_jpeg_coeffs(
+        y_coef.ctypes.data_as(i16p), cb_coef.ctypes.data_as(i16p),
+        cr_coef.ctypes.data_as(i16p), width, height, int(quality),
+        ctypes.byref(out), ctypes.byref(out_len),
     )
     if rc != 0:
         return None

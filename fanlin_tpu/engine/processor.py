@@ -42,13 +42,18 @@ class SyncDeviceRunner:
 
     def run(self, plans: List[fused.ImagePlan], images: List[np.ndarray],
             kinds: List[str] = None):
+        if kinds and all(k.startswith("jpegdct:") for k in kinds):
+            quality = int(kinds[0].split(":", 1)[1])
+            return fused.BatchAssembly(
+                plans, images, jpegdct=True, quality=quality
+            ).run()
         jpeg420 = bool(kinds) and all(k == "jpeg420" for k in kinds)
         return fused.BatchAssembly(plans, images, jpeg420).run()
 
 
 class Engine:
     def __init__(self, runner=None, cmyk2rgb=None, use_embedded_profile: bool = False,
-                 device_jpeg: bool = True):
+                 device_jpeg: bool = True, device_dct: bool = False):
         self.runner = runner or SyncDeviceRunner()
         # engine.icc.CMYK2RGB instance or None (reference handler.rs:19-20)
         self.cmyk2rgb = cmyk2rgb
@@ -57,6 +62,11 @@ class Engine:
         # finishing with entropy-only host encode; requires the native
         # codec core
         self.device_jpeg = device_jpeg
+        # additionally run DCT + quantization on device (coefficient
+        # download, entropy-only host encode); int16 coefficients are
+        # larger on the wire than the u8 planes — for locally-attached
+        # TPUs, not narrow host links
+        self.device_dct = device_dct
         # sampled-LUT device evaluation of the default ICC transform
         # (ops.cmyk_lut); enabled via enable_device_icc()
         self.device_cmyk = None
@@ -121,7 +131,11 @@ class Engine:
             from . import native_codecs
 
             if native_codecs.available():
-                kind = "jpeg420"
+                if self.device_dct:
+                    q = min(max(params.quality(), 1), 100)
+                    kind = f"jpegdct:{q}"
+                else:
+                    kind = "jpeg420"
 
         out = self.runner.run([plan], [img], [kind])[0]
         try:
@@ -139,6 +153,14 @@ class Engine:
             payload = native_codecs.encode_jpeg_raw420(out[1], out[2], out[3], q)
             if payload is None:
                 raise codecs.CodecError("raw jpeg encode failed")
+            return payload
+        if isinstance(out, tuple) and out[0] == "coeffs":
+            from . import native_codecs
+
+            _, yc, cbc, crc, w, h, q = out
+            payload = native_codecs.encode_jpeg_coeffs(yc, cbc, crc, w, h, q)
+            if payload is None:
+                raise codecs.CodecError("coefficient jpeg encode failed")
             return payload
         return codecs.encode(out, out_fmt, quality, mode)
 

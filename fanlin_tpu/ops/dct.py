@@ -1,0 +1,131 @@
+"""On-device JPEG DCT + quantization.
+
+Completes the encoder offload (BASELINE north star: "host-side stages
+feeding on-device DCT/quantization kernels"): after the fused
+transform and the YCbCr/4:2:0 front-end, the 8x8 forward DCT and
+quantization also run on the MXU/VPU, and the host performs entropy
+coding ONLY (native fc_encode_jpeg_coeffs).
+
+The 8x8 DCT is two tiny matmuls with the orthonormal DCT-II matrix
+(identical to the JPEG Annex A definition: the orthonormal scaling
+s(u) = alpha(u)/2 makes D f D^T equal the standard F(u,v)), applied
+blockwise via reshape + einsum — exactly the shape the MXU wants.
+
+Quant tables use the IJG quality scaling (jpeg_set_quality's formula),
+so the host encoder declares the same tables the device divided by.
+
+Trade-off note: coefficients are int16, so this DOUBLES the bytes
+crossing the host link vs the u8 subsampled planes — a win only on
+locally-attached TPUs (it removes the DCT/quant from the host encode
+entirely). Off by default; enable with Engine(device_dct=True) or
+tpu.device_dct.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# JPEG Annex K base tables (the same constants libjpeg ships)
+_BASE_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int32)
+_BASE_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int32)
+
+
+def ijg_quant_tables(quality: int):
+    """(luma, chroma) uint16 8x8 tables — jpeg_set_quality's scaling."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - q * 2
+    luma = np.clip((_BASE_LUMA * scale + 50) // 100, 1, 255).astype(np.uint16)
+    chroma = np.clip((_BASE_CHROMA * scale + 50) // 100, 1, 255).astype(np.uint16)
+    return luma, chroma
+
+
+@functools.lru_cache(maxsize=1)
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II matrix (f32)."""
+    d = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        s = np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0)
+        for x in range(8):
+            d[u, x] = s * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return d.astype(np.float32)
+
+
+def _pad_edge(plane, mult: int):
+    """(B, H, W) -> edge-replicated to multiples of `mult` (libjpeg's
+    MCU edge expansion)."""
+    b, h, w = plane.shape
+    ph = -(-h // mult) * mult
+    pw = -(-w // mult) * mult
+    if ph != h:
+        plane = jnp.concatenate(
+            [plane, jnp.repeat(plane[:, -1:, :], ph - h, axis=1)], axis=1
+        )
+    if pw != w:
+        plane = jnp.concatenate(
+            [plane, jnp.repeat(plane[:, :, -1:], pw - w, axis=2)], axis=2
+        )
+    return plane
+
+
+def _block_dct_quant(plane_f32, qtable_f32):
+    """(B, H, W) f32 (already level-shifted) -> (B, H/8, W/8, 64) int16."""
+    d = jnp.asarray(_dct_matrix())
+    b, h, w = plane_f32.shape
+    x = plane_f32.reshape(b, h // 8, 8, w // 8, 8)
+    # F = D f D^T per 8x8 block
+    coef = jnp.einsum("ui,bricj,vj->brcuv", d, x, d,
+                      preferred_element_type=jnp.float32)
+    q = coef / qtable_f32
+    # round half away from zero (libjpeg's DESCALE rounding)
+    q = jnp.sign(q) * jnp.floor(jnp.abs(q) + 0.5)
+    return q.reshape(b, h // 8, w // 8, 64).astype(jnp.int16)
+
+
+def ycbcr420_to_coefficients(y, cb, cr, luma_q, chroma_q):
+    """Device JPEG back half: (B,H,W) u8 planes -> quantized coefficient
+    blocks. Returns (y_coef, cb_coef, cr_coef) int16 arrays shaped
+    (B, rows/8, cols/8, 64) over the MCU-padded planes."""
+    f32 = jnp.float32
+    yp = _pad_edge(y.astype(f32), 16) - 128.0
+    cbp = _pad_edge(cb.astype(f32), 8) - 128.0
+    crp = _pad_edge(cr.astype(f32), 8) - 128.0
+    lq = jnp.asarray(luma_q.astype(np.float32))
+    cq = jnp.asarray(chroma_q.astype(np.float32))
+    return (
+        _block_dct_quant(yp, lq),
+        _block_dct_quant(cbp, cq),
+        _block_dct_quant(crp, cq),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def coefficients_program(batch: int, h: int, w: int, quality: int):
+    """jit'd: (y, cb, cr) u8 planes -> int16 coefficient blocks."""
+    luma_q, chroma_q = ijg_quant_tables(quality)
+
+    def fn(y, cb, cr):
+        return ycbcr420_to_coefficients(y, cb, cr, luma_q, chroma_q)
+
+    return jax.jit(fn)

@@ -355,7 +355,7 @@ def _ycbcr420_tail(out_u8):
 def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
                 has_blur: bool, uniform: bool = False, out_crop=None,
                 out_channels: int = 4, jpeg420: bool = False,
-                fast: bool = False):
+                fast: bool = False, jpegdct: bool = False):
     """Compile (once) and return the fused program for a shape bucket.
 
     The shape arguments are only the cache key — jit re-traces per
@@ -371,15 +371,30 @@ def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
     """
     kernel = _transform_kernel_uniform if uniform else _transform_kernel
 
-    def tail(out):
+    def tail(out, lq=None, cq=None):
         if out_crop is not None:
             out = out[:, :, : out_crop[0], : out_crop[1]]
+        if jpegdct:
+            from . import dct
+
+            y, cb, cr = _ycbcr420_tail(out)
+            return dct.ycbcr420_to_coefficients(y, cb, cr, lq, cq)
         if jpeg420:
             return _ycbcr420_tail(out)
         if out_channels != 4:
             out = out[:, :out_channels]
         return out
 
+    if jpegdct:
+        # quant tables ride as runtime inputs so one program serves
+        # every quality
+        if has_blur:
+            return jax.jit(lambda lq, cq, *a: tail(kernel(*a), lq, cq))
+        return jax.jit(
+            lambda lq, cq, x, av, ah, flags, fill, box: tail(
+                kernel(x, av, ah, flags, fill, box), lq, cq
+            )
+        )
     if has_blur:
         return jax.jit(lambda *a: tail(kernel(*a)))
     return jax.jit(
@@ -387,6 +402,20 @@ def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
             kernel(x, av, ah, flags, fill, box)
         )
     )
+
+
+def _f32_table(table: np.ndarray) -> np.ndarray:
+    """Stable f32 copy of a quant table (cached by content) so the
+    device-side cache can key on object identity."""
+    key = table.tobytes()
+    hit = _F32_TABLES.get(key)
+    if hit is None:
+        hit = table.astype(np.float32)
+        _F32_TABLES[key] = hit
+    return hit
+
+
+_F32_TABLES: dict = {}
 
 
 # Device-resident cache for shared (uniform-batch) matrices. Keyed by
@@ -446,14 +475,18 @@ def _uniform_padded(plan: ImagePlan):
 class BatchAssembly:
     """Host-side staging buffers for one device batch."""
 
-    def __init__(self, plans, images, jpeg420: bool = False):
+    def __init__(self, plans, images, jpeg420: bool = False,
+                 jpegdct: bool = False, quality: int = 75):
         """plans: list[ImagePlan]; images: list[(H, W, 3|4) uint8].
 
-        jpeg420=True appends the device JPEG front-end (only honored
-        for uniform batches — the batcher keys jpeg420 groups by plan
-        identity so this always holds in production)."""
+        jpeg420=True appends the device JPEG front-end (YCbCr + 4:2:0
+        planes out); jpegdct=True additionally runs DCT + quantization
+        at `quality` on device (coefficient blocks out). Both need one
+        true output geometry per batch — the batcher keys these groups
+        accordingly."""
         assert len(plans) == len(images)
         self.plans = plans
+        self.quality = quality
         n = len(plans)
         self.b = bucket_b(n)
         self.sh = bucket_h(max(p.src_h for p in plans))
@@ -469,7 +502,8 @@ class BatchAssembly:
         geometry_uniform = all(
             p.out_h == p0.out_h and p.out_w == p0.out_w for p in plans
         )
-        self.jpeg420 = jpeg420 and geometry_uniform
+        self.jpegdct = jpegdct and geometry_uniform
+        self.jpeg420 = jpeg420 and geometry_uniform and not self.jpegdct
         # alpha plane crosses the link only when some image needs it
         self.c_out = 4 if any(p.want_alpha for p in plans) else 3
         # ... and goes UP only when some source actually has one
@@ -531,7 +565,8 @@ class BatchAssembly:
             p0 = self.plans[0]
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
                              self.has_blur, True, (p0.out_h, p0.out_w),
-                             self.c_out, self.jpeg420, _FAST["enabled"])
+                             self.c_out, self.jpeg420, _FAST["enabled"],
+                             self.jpegdct)
             av, ah, bv, bh = _uniform_padded(p0)
             args = [jax.device_put(self.x), _device_cached(av),
                     _device_cached(ah), jax.device_put(self.flags),
@@ -541,22 +576,39 @@ class BatchAssembly:
         else:
             out_crop = (
                 (self.plans[0].out_h, self.plans[0].out_w)
-                if self.jpeg420 else None
+                if (self.jpeg420 or self.jpegdct) else None
             )
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
                              self.has_blur, False, out_crop, self.c_out,
-                             self.jpeg420, _FAST["enabled"])
+                             self.jpeg420, _FAST["enabled"], self.jpegdct)
             args = [jax.device_put(a) for a in
                     (self.x, self.av, self.ah, self.flags, self.fill, self.box)]
             if self.has_blur:
                 args += [jax.device_put(self.bv), jax.device_put(self.bh)]
+        if self.jpegdct:
+            from . import dct as dct_mod
+
+            lq, cq = dct_mod.ijg_quant_tables(self.quality)
+            args = [_device_cached(_f32_table(lq)),
+                    _device_cached(_f32_table(cq))] + args
         return fn, args
 
     def collect(self, out):
         """Block on the device result. Returns per-image
-        (out_h, out_w, c_out) uint8 arrays — or, for jpeg420 batches,
-        ("ycbcr420", y, cb, cr) plane tuples ready for the native
-        entropy encoder."""
+        (out_h, out_w, c_out) uint8 arrays — or, for jpeg420/jpegdct
+        batches, ("ycbcr420", y, cb, cr) plane tuples / ("coeffs",
+        yc, cbc, crc, w, h, q) coefficient tuples ready for the native
+        entropy encoders."""
+        if self.jpegdct:
+            yc = np.asarray(out[0])
+            cbc = np.asarray(out[1])
+            crc = np.asarray(out[2])
+            p0 = self.plans[0]
+            return [
+                ("coeffs", yc[i], cbc[i], crc[i], p0.out_w, p0.out_h,
+                 self.quality)
+                for i in range(len(self.plans))
+            ]
         if self.jpeg420:
             y = np.asarray(out[0])
             cb = np.asarray(out[1])

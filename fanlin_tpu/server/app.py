@@ -236,7 +236,8 @@ async def build_state(cfg: config_mod.Config) -> State:
             execute = mesh_runner.run
             log.info("data-parallel mesh enabled: %s", mesh_runner.mesh)
     batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms, execute)
-    engine = Engine(runner=BatchingRunner(batcher))
+    engine = Engine(runner=BatchingRunner(batcher),
+                    device_dct=cfg.tpu.device_dct)
     if cfg.tpu.codec_threads:
         # dedicated host codec pool (asyncio.to_thread rides the
         # default executor)

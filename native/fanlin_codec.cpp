@@ -254,6 +254,74 @@ int fc_encode_jpeg_raw420(const uint8_t* y, const uint8_t* cb,
   return 0;
 }
 
+// Entropy-encode pre-computed, pre-quantized DCT coefficient blocks
+// (the TPU's full JPEG back half: color convert + subsample + DCT +
+// quant all ran on device). Coefficients are int16 in natural (row-
+// major u,v) order, one 64-entry block per 8x8 tile, over the MCU-
+// padded planes:
+//   y_coef  : (ceil(h/16)*2) x (ceil(w/16)*2) blocks
+//   cb/cr   : (ceil(h/16))   x (ceil(w/16))   blocks
+// `quality` must be the SAME value the device quantized with — the
+// declared tables come from the identical IJG formula.
+int fc_encode_jpeg_coeffs(const int16_t* y_coef, const int16_t* cb_coef,
+                          const int16_t* cr_coef, int width, int height,
+                          int quality, uint8_t** out, size_t* out_len) {
+  jpeg_compress_struct cinfo;
+  fc_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = fc_error_exit;
+  unsigned char* mem = nullptr;
+  unsigned long mem_len = 0;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    free(mem);
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, &mem, &mem_len);
+  cinfo.image_width = width;
+  cinfo.image_height = height;
+  cinfo.input_components = 3;
+  cinfo.in_color_space = JCS_YCbCr;
+  jpeg_set_defaults(&cinfo);  // 2x2,1x1,1x1 sampling
+  if (quality < 1) quality = 1;
+  if (quality > 100) quality = 100;
+  jpeg_set_quality(&cinfo, quality, TRUE);
+
+  // component block geometry (MCU-padded)
+  const JDIMENSION yw = ((width + 15) / 16) * 2;
+  const JDIMENSION yh = ((height + 15) / 16) * 2;
+  const JDIMENSION cw = (width + 15) / 16;
+  const JDIMENSION ch = (height + 15) / 16;
+  const JDIMENSION widths[3] = {yw, cw, cw};
+  const JDIMENSION heights[3] = {yh, ch, ch};
+  const int16_t* sources[3] = {y_coef, cb_coef, cr_coef};
+
+  jvirt_barray_ptr coef_arrays[3];
+  for (int ci = 0; ci < 3; ++ci) {
+    coef_arrays[ci] = (*cinfo.mem->request_virt_barray)(
+        reinterpret_cast<j_common_ptr>(&cinfo), JPOOL_IMAGE, TRUE,
+        widths[ci], heights[ci], heights[ci]);
+  }
+  (*cinfo.mem->realize_virt_arrays)(reinterpret_cast<j_common_ptr>(&cinfo));
+  for (int ci = 0; ci < 3; ++ci) {
+    for (JDIMENSION row = 0; row < heights[ci]; ++row) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), coef_arrays[ci], row, 1,
+          TRUE);
+      memcpy(rows[0],
+             sources[ci] + static_cast<size_t>(row) * widths[ci] * DCTSIZE2,
+             static_cast<size_t>(widths[ci]) * DCTSIZE2 * sizeof(JCOEF));
+    }
+  }
+  jpeg_write_coefficients(&cinfo, coef_arrays);
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  *out = mem;
+  *out_len = mem_len;
+  return 0;
+}
+
 void fc_free(uint8_t* ptr) { free(ptr); }
 
 int fc_abi_version() { return 1; }

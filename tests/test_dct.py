@@ -1,0 +1,113 @@
+"""On-device DCT/quant + entropy-only host encode: full JPEG produced
+from device-computed coefficients must decode to the same pixels as
+the raw-plane path."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import native_codecs
+from fanlin_tpu.ops import dct
+from tests.conftest import make_test_image, psnr
+
+needs_native = pytest.mark.skipif(
+    not native_codecs.available(), reason="native codec core not built"
+)
+
+
+def test_ijg_tables_match_libjpeg_formula():
+    luma, chroma = dct.ijg_quant_tables(75)
+    # q=75: scale=50 -> table = (base*50+50)//100
+    assert luma[0, 0] == (16 * 50 + 50) // 100
+    assert chroma[0, 0] == (17 * 50 + 50) // 100
+    luma100, _ = dct.ijg_quant_tables(100)
+    assert luma100.min() == 1 and luma100.max() == 1
+    luma1, _ = dct.ijg_quant_tables(1)
+    assert luma1.max() == 255
+
+
+def test_dct_matrix_orthonormal():
+    d = dct._dct_matrix().astype(np.float64)
+    np.testing.assert_allclose(d @ d.T, np.eye(8), atol=1e-6)
+
+
+def _planes(img):
+    """Reference YCbCr 4:2:0 planes (float->u8 like the device tail)."""
+    f = img.astype(np.float64)
+    r, g, b = f[..., 0], f[..., 1], f[..., 2]
+    y = np.clip(np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5), 0, 255)
+    cb = 128 - 0.168735892 * r - 0.331264108 * g + 0.5 * b
+    cr = 128 + 0.5 * r - 0.418687589 * g - 0.081312411 * b
+
+    def sub(c):
+        h, w = c.shape
+        if h % 2:
+            c = np.vstack([c, c[-1:]])
+        if w % 2:
+            c = np.hstack([c, c[:, -1:]])
+        m = (c[0::2, 0::2] + c[0::2, 1::2] + c[1::2, 0::2] + c[1::2, 1::2]) / 4
+        return np.clip(np.floor(m + 0.5), 0, 255).astype(np.uint8)
+
+    return y.astype(np.uint8), sub(cb), sub(cr)
+
+
+@needs_native
+@pytest.mark.parametrize("size", [(96, 64), (100, 52), (41, 33)])
+def test_coefficient_roundtrip(size):
+    w, h = size
+    img = make_test_image(w, h)
+    y, cb, cr = _planes(img)
+    fn = dct.coefficients_program(1, h, w, 90)
+    yc, cbc, crc = fn(y[None], cb[None], cr[None])
+    payload = native_codecs.encode_jpeg_coeffs(
+        np.asarray(yc)[0], np.asarray(cbc)[0], np.asarray(crc)[0], w, h, 90
+    )
+    assert payload is not None
+    got = np.asarray(Image.open(io.BytesIO(payload)).convert("L")).astype(float)
+    # compare luma against the pre-DCT Y plane: only quantization loss
+    p = psnr(got, y.astype(float))
+    assert p >= 33.0, f"PSNR {p:.2f} at {size}"  # q90 quantization loss
+
+
+@needs_native
+def test_coefficient_path_matches_raw420_path():
+    w, h = 96, 64
+    img = make_test_image(w, h)
+    y, cb, cr = _planes(img)
+    raw = native_codecs.encode_jpeg_raw420(y, cb, cr, 85)
+    fn = dct.coefficients_program(1, h, w, 85)
+    yc, cbc, crc = fn(y[None], cb[None], cr[None])
+    coef = native_codecs.encode_jpeg_coeffs(
+        np.asarray(yc)[0], np.asarray(cbc)[0], np.asarray(crc)[0], w, h, 85
+    )
+    a = np.asarray(Image.open(io.BytesIO(raw)).convert("RGB")).astype(float)
+    b = np.asarray(Image.open(io.BytesIO(coef)).convert("RGB")).astype(float)
+    # same tables, same subsampling; only the DCT arithmetic differs
+    # (device float vs libjpeg fixed-point)
+    p = psnr(a, b)
+    assert p >= 45.0, f"PSNR {p:.2f}"
+
+
+@needs_native
+def test_engine_device_dct_end_to_end():
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.spec.content import Format
+    from fanlin_tpu.spec.query import parse_query
+
+    img = make_test_image(512, 512)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=92)
+    data = buf.getvalue()
+    q = parse_query("w=300&h=200&quality=80")
+    plane_engine = Engine(device_jpeg=True)
+    dct_engine = Engine(device_jpeg=True, device_dct=True)
+    mime_a, out_a = plane_engine.process_image(data, q, Format())
+    mime_b, out_b = dct_engine.process_image(data, q, Format())
+    assert mime_a == mime_b == "image/jpeg"
+    a = np.asarray(Image.open(io.BytesIO(out_a)).convert("RGB")).astype(float)
+    b = np.asarray(Image.open(io.BytesIO(out_b)).convert("RGB")).astype(float)
+    assert a.shape == b.shape == (200, 300, 3)
+    p = psnr(a, b)
+    assert p >= 45.0, f"PSNR {p:.2f}"
