@@ -135,6 +135,9 @@ class TpuConfig:
     codec_threads: int = 0  # 0 = os.cpu_count()
     # data-parallel sharding over available devices
     data_parallel: bool = False
+    # spatial-parallel factor: shard the source-width axis over this
+    # many chips per dp replica (for very large images)
+    mesh_sp: int = 1
     # precompile common shape buckets at startup (background thread)
     warmup: bool = True
     # evaluate the default ICC transform on device via a sampled LUT
@@ -156,6 +159,8 @@ class TpuConfig:
             cfg.codec_threads = _as_uint(obj["codec_threads"], "codec_threads")
         if "data_parallel" in obj:
             cfg.data_parallel = _as_bool(obj["data_parallel"], "data_parallel")
+        if "mesh_sp" in obj:
+            cfg.mesh_sp = max(_as_uint(obj["mesh_sp"], "mesh_sp"), 1)
         if "warmup" in obj:
             cfg.warmup = _as_bool(obj["warmup"], "warmup")
         if "device_icc" in obj:

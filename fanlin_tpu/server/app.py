@@ -232,7 +232,7 @@ async def build_state(cfg: config_mod.Config) -> State:
             # to the mesh runner
             from ..parallel import MeshRunner
 
-            mesh_runner = MeshRunner()
+            mesh_runner = MeshRunner(n_sp=cfg.tpu.mesh_sp)
             execute = mesh_runner.run
             log.info("data-parallel mesh enabled: %s", mesh_runner.mesh)
     batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms, execute)

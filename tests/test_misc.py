@@ -1,0 +1,83 @@
+"""Small-surface units: CLI parsing, Server-Timing format, warmup,
+/stats endpoint, JSON log shape."""
+
+import asyncio
+import json
+import logging
+
+from fanlin_tpu.cli import parse_args
+from fanlin_tpu.server.timing import Timer
+from fanlin_tpu.utils.logging import JsonFormatter
+
+
+def test_cli_defaults():
+    args = parse_args([])
+    assert args.conf == "fanlin.json"
+    assert args.json is None
+    args = parse_args(["-c", "x.json"])
+    assert args.conf == "x.json"
+    args = parse_args(["-j", "{}"])
+    assert args.json == "{}"
+
+
+def test_timer_header_format():
+    t = Timer()
+    t.add("f_fetch")
+    t.add("f_process")
+    v = t.header_value()
+    assert v.startswith("f_fetch;dur=")
+    assert ", f_process;dur=" in v
+
+
+def test_json_log_is_flat_json():
+    rec = logging.LogRecord("fanlin.test", logging.INFO, "", 0, "request",
+                            None, None)
+    rec.fields = {"status": 200, "latency_ms": 1.5}
+    line = JsonFormatter().format(rec)
+    obj = json.loads(line)
+    assert obj["message"] == "request"
+    assert obj["status"] == 200  # flattened, not nested
+    assert obj["level"] == "INFO"
+
+
+def test_warmup_compiles():
+    from fanlin_tpu.engine import warmup
+
+    n = warmup.warm(shapes=((64, 64, "w=32&h=32"),), batch=2)
+    assert n >= 2
+
+
+def test_stats_endpoint(fixtures_dir):
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from fanlin_tpu.config import Config
+    from fanlin_tpu.server.app import build_state, create_app
+
+    cfg = Config.from_str(
+        """
+{
+  "port": 0, "bind_addr": "127.0.0.1", "max_clients": 4,
+  "client": {"s3": {"aws_region": "x"},
+             "web": {"user_agent": "t", "timeout": 2}},
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "tpu": {"warmup": false}
+}
+"""
+        % fixtures_dir
+    )
+
+    async def go():
+        state = await build_state(cfg)
+        client = TestClient(TestServer(create_app(cfg, state)))
+        await client.start_server()
+        try:
+            await client.get("/baz/lenna.jpg?w=100&h=80")
+            resp = await client.get("/stats")
+            return resp.status, await resp.json()
+        finally:
+            await client.close()
+
+    status, body = asyncio.new_event_loop().run_until_complete(go())
+    assert status == 200
+    assert body["batcher"]["images"] >= 1
+    assert body["programs_cached"] >= 1

@@ -57,3 +57,29 @@ def test_sharded_matches_single_device():
     sharded = shard_batch_args(mesh, args, False)
     multi = fn(*sharded)
     np.testing.assert_array_equal(np.asarray(single), np.asarray(multi))
+
+
+def test_sharded_blur_matches_single_device():
+    """The blur stage contracts the sp-sharded width axis — XLA must
+    insert the collective; outputs stay bit-identical."""
+    import __graft_entry__ as ge
+    from fanlin_tpu.ops.fused import _transform_kernel
+    from fanlin_tpu.parallel import make_mesh, shard_batch_args, sharded_program
+
+    args = ge._example_batch(
+        8, 16, 256, 8, 128,
+        true_src=(16, 256), true_fit=(8, 100), true_out=(8, 128),
+        with_blur=True,
+    )
+    from fanlin_tpu.ops import filters
+
+    bw = filters.gaussian_matrix(8, 10.0)
+    bh = filters.gaussian_matrix(128, 10.0)
+    args[6][:] = bw
+    args[7][:] = bh
+
+    single = jax.jit(_transform_kernel)(*args)
+    mesh = make_mesh(4, 2)
+    fn = sharded_program(mesh, True)
+    multi = fn(*shard_batch_args(mesh, args, True))
+    np.testing.assert_array_equal(np.asarray(single), np.asarray(multi))
