@@ -1,0 +1,8 @@
+"""``python -m fanlin_tpu`` — alias for the CLI."""
+
+import sys
+
+from .cli import main
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,82 @@
+"""Deterministic sweep over the planner/transform edge space: every
+combination must produce the dims the reference's decision chain
+would, with no crashes."""
+
+import numpy as np
+import pytest
+
+from fanlin_tpu.ops import filters, fused
+from fanlin_tpu.spec.query import parse_query
+
+SRC_SIZES = [(20, 20), (64, 64), (100, 37), (37, 100), (512, 512), (513, 511)]
+QUERIES = [
+    "",
+    "w=20&h=20",
+    "w=2000&h=1000",
+    "w=100&h=100",
+    "w=100&h=100&crop=true",
+    "w=100&h=37",  # h equals some srcs
+    "grayscale=true",
+    "inverse=true",
+    "blur=20",
+    "w=50&h=50&grayscale=true&inverse=true&blur=10&rgb=1,2,3&crop=true",
+]
+
+
+def expected_dims(sw, sh, q):
+    """Reference decision chain (handler.rs:229-248)."""
+    dims = q.dimensions()
+    if dims is None or (dims[0] == sw and dims[1] == sh):
+        return sh, sw
+    w, h = dims
+    if q.cropping():
+        return h, w
+    rw, rh = filters.resize_dimensions(sw, sh, w, h, False)
+    if w > rw or h > rh:
+        return h, w
+    return rh, rw
+
+
+@pytest.mark.parametrize("src", SRC_SIZES)
+def test_planner_sweep(src):
+    sw, sh = src
+    rng = np.random.default_rng(hash(src) % 2**32)
+    img = rng.integers(0, 256, (sh, sw, 3), dtype=np.uint8)
+    for qs in QUERIES:
+        q = parse_query(qs)
+        if q.as_is():
+            continue
+        out = fused.transform_single(img, q)
+        eh, ew = expected_dims(sw, sh, q)
+        assert out.shape[:2] == (eh, ew), (
+            f"src {src} qs={qs!r}: got {out.shape[:2]}, want {(eh, ew)}"
+        )
+        assert out.dtype == np.uint8
+
+
+def test_engine_sweep_small(fixtures_dir):
+    """A smaller full-engine sweep (decode+encode included)."""
+    import io
+
+    from PIL import Image
+
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.spec.content import extract_accepted_image_formats
+
+    engine = Engine()
+    accept = extract_accepted_image_formats(["image/webp,image/avif"])
+    rng = np.random.default_rng(5)
+    for sw, sh in [(20, 20), (97, 33), (256, 256)]:
+        buf = io.BytesIO()
+        Image.fromarray(
+            rng.integers(0, 256, (sh, sw, 3), dtype=np.uint8)
+        ).save(buf, format="JPEG", quality=90)
+        data = buf.getvalue()
+        for qs in ["w=20&h=20", "w=150&h=75&crop=true", "blur=10",
+                   "w=40&h=40&webp=true", "grayscale=true&w=33&h=33"]:
+            q = parse_query(qs)
+            mime, out = engine.process_image(data, q, accept)
+            assert len(out) > 0
+            with Image.open(io.BytesIO(out)) as im:
+                eh, ew = expected_dims(sw, sh, q)
+                assert im.size == (ew, eh), f"{(sw,sh)} {qs}"
