@@ -84,8 +84,14 @@ class Engine:
     # -- the forward pass --------------------------------------------------
 
     def process_image(
-        self, data: bytes, params: query_mod.Query, accepted: content_mod.Format
+        self, data: bytes, params: query_mod.Query, accepted: content_mod.Format,
+        marks: Optional[list] = None,
     ) -> Tuple[str, bytes]:
+        """marks, when given, collects (name, duration_ms) sub-stage
+        timings (f_decode / f_device / f_encode) for Server-Timing
+        (SURVEY.md §5.1)."""
+        import time as _time
+
         fmt = codecs.sniff_format(data)
         if fmt is None:
             try:
@@ -97,6 +103,7 @@ class Engine:
         if fmt == codecs.GIF:
             return self.process_gif(data, params)
 
+        t0 = _time.perf_counter()
         orientation = codecs.read_orientation(data)
         converted = None
         if fmt == codecs.JPEG:
@@ -110,6 +117,8 @@ class Engine:
         except codecs.CodecError as e:
             raise ProcessError(str(e)) from e
         img = np.ascontiguousarray(codecs.apply_orientation(img, orientation))
+        if marks is not None:
+            marks.append(("f_decode", (_time.perf_counter() - t0) * 1000.0))
 
         h, w = img.shape[:2]
         plan = fused.plan_image(w, h, params, filters.LANCZOS3,
@@ -137,11 +146,17 @@ class Engine:
                 else:
                     kind = "jpeg420"
 
+        t1 = _time.perf_counter()
         out = self.runner.run([plan], [img], [kind])[0]
+        t2 = _time.perf_counter()
+        if marks is not None:
+            marks.append(("f_device", (t2 - t1) * 1000.0))
         try:
             payload = self._encode(out, out_fmt, params.quality(), mode)
         except codecs.CodecError as e:
             raise ProcessError(str(e)) from e
+        if marks is not None:
+            marks.append(("f_encode", (_time.perf_counter() - t2) * 1000.0))
         return (codecs.MIME[out_fmt], payload)
 
     @staticmethod

@@ -105,13 +105,18 @@ async def generic_handler(request: web.Request) -> web.Response:
             state, path, params, accepted, status, "not found"
         )
     timer.add("f_fetch")
+    marks: list = []
     try:
-        mime, processed = await state.process_image_async(original, params, accepted)
+        mime, processed = await state.process_image_async(
+            original, params, accepted, marks
+        )
     except Exception as err:
         log.error("failed to process an image; %s %r", path, err)
         return await _fallback_or_message(
             state, path, params, accepted, 500, "server error on processing an image"
         )
+    for name, dur in marks:
+        timer.add_duration(name, dur)
     timer.add("f_process")
     return web.Response(
         status=200, headers=_create_headers(mime, params, timer), body=processed

@@ -104,8 +104,9 @@ class State:
             return await self.client.file.read(local)
         return None
 
-    async def process_image_async(self, data: bytes, params, accepted):
+    async def process_image_async(self, data: bytes, params, accepted,
+                                  marks=None):
         """Run the (sync, device-bound) engine off the event loop."""
         return await asyncio.to_thread(
-            self.engine.process_image, data, params, accepted
+            self.engine.process_image, data, params, accepted, marks
         )

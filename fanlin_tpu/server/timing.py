@@ -22,5 +22,9 @@ class Timer:
         self._marks.append((name, (now - self._t0) * 1000.0))
         self._t0 = now
 
+    def add_duration(self, name: str, dur_ms: float) -> None:
+        """Record an externally-measured stage (engine sub-stages)."""
+        self._marks.append((name, dur_ms))
+
     def header_value(self) -> str:
         return ", ".join(f"{name};dur={dur:.1f}" for name, dur in self._marks)
