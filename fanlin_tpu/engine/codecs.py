@@ -242,6 +242,10 @@ def encode(img: np.ndarray, fmt: str, quality: int, mode: str) -> bytes:
         _to_pil(img, mode).save(buf, format="AVIF", quality=q, speed=10)
     elif fmt == GIF:
         _to_pil(img, "RGBA").save(buf, format="GIF")
+    elif fmt == ICO:
+        if img.shape[0] > 256 or img.shape[1] > 256:
+            raise CodecError("ico output limited to 256x256")
+        _to_pil(img, "RGBA").save(buf, format="ICO")
     elif fmt == BMP:
         m = {"LA": "L", "PA": "RGB"}.get(mode, mode)
         _to_pil(img, m).save(buf, format="BMP")
