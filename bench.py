@@ -103,12 +103,23 @@ def main() -> None:
     def make_assembly(imgs):
         return fused.BatchAssembly([plan] * len(imgs), imgs, jpeg420)
 
-    # -- warmup: compile the program, prime codec paths --------------------
+    # -- warmup: compile the programs (in parallel — the remote compile
+    # service overlaps them), prime codec paths ---------------------------
     warm = decode_task(0)
-    asm = fused.BatchAssembly([plan] * batch, [warm] * batch, jpeg420)
-    encode_task(asm.run()[0])
-    asm = fused.BatchAssembly([plan] * batch, [warm] * batch, jpeg420)
-    asm.run()
+
+    def _warm_main():
+        a = fused.BatchAssembly([plan] * batch, [warm] * batch, jpeg420)
+        encode_task(a.run()[0])
+
+    def _warm_single():
+        # the latency section runs single-request batches (B=1 bucket)
+        a = fused.BatchAssembly([plan], [warm], jpeg420)
+        a.run()
+
+    w1 = pool.submit(_warm_main)
+    w2 = pool.submit(_warm_single)
+    w1.result()
+    w2.result()
 
     # -- device-resident throughput (no host link in the loop) -------------
     asm0 = fused.BatchAssembly([plan] * batch, [warm] * batch, jpeg420)
