@@ -1,0 +1,66 @@
+"""Fault injection: a total device failure must degrade to 500
+responses (plain-text, since the fallback image is processed through
+the same engine — exactly the reference's behavior when process_image
+itself fails, main.rs:248-252) WITHOUT crashing the gateway, and
+service must recover when the device does."""
+
+import asyncio
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from fanlin_tpu.config import Config
+from fanlin_tpu.server.app import build_state, create_app
+
+
+def test_device_failure_degrades_and_recovers(fixtures_dir, monkeypatch):
+    cfg = Config.from_str(
+        """
+{
+  "port": 0, "bind_addr": "127.0.0.1", "max_clients": 4,
+  "fallback_path": "/baz/no_img.jpg",
+  "client": {"s3": {"aws_region": "x"},
+             "web": {"user_agent": "t", "timeout": 2}},
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "tpu": {"warmup": false, "batch_window_ms": 1.0}
+}
+"""
+        % fixtures_dir
+    )
+
+    async def go():
+        state = await build_state(cfg)
+        client = TestClient(TestServer(create_app(cfg, state)))
+        await client.start_server()
+        try:
+            # break the batch execution path (device outage)
+
+
+            from fanlin_tpu.engine.batcher import MicroBatcher
+
+            orig_batch = MicroBatcher._run_batch
+
+            def broken_batch(self, group):
+                for g in group:
+                    if not g[2].cancelled():
+                        g[2].set_exception(RuntimeError("injected device failure"))
+
+            monkeypatch.setattr(MicroBatcher, "_run_batch", broken_batch)
+            r1 = await client.get("/baz/lenna.jpg?w=100&h=80")
+            b1 = await r1.read()
+
+            # heal the device; the gateway must serve normally again
+            monkeypatch.setattr(MicroBatcher, "_run_batch", orig_batch)
+            r2 = await client.get("/baz/lenna.jpg?w=100&h=80")
+            return (r1.status, r1.headers.get("Content-Type"), b1[:3],
+                    r2.status, r2.headers.get("Content-Type"))
+        finally:
+            await client.close()
+
+    s1, ct1, body1, s2, ct2 = asyncio.new_event_loop().run_until_complete(go())
+    # total outage: 500 with the plain-text message (the fallback image
+    # rides the same engine, mirroring reference main.rs:248-252)
+    assert s1 == 500
+    assert ct1 == "text/plain; charset=utf-8"
+    # device healed: normal service resumes
+    assert s2 == 200
+    assert ct2 == "image/jpeg"
