@@ -33,11 +33,13 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
          batch: int = 8) -> int:
     """Compile fused programs for each (src_w, src_h, query) shape.
     Returns the number of programs compiled."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from . import native_codecs
 
-    count = 0
+    t0 = time.perf_counter()
+    jobs = []
     for src_w, src_h, qs in shapes:
-        t0 = time.perf_counter()
         params = parse_query(qs)
         plan = fused.plan_image(src_w, src_h, params, opaque=True)
         img = np.zeros((src_h, src_w, 3), dtype=np.uint8)
@@ -46,10 +48,14 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
             variants.append(True)  # the device-JPEG-front-end program
         for b in (1, batch):
             for jpeg420 in variants:
-                fused.BatchAssembly([plan] * b, [img] * b, jpeg420).run()
-                count += 1
-        log.info(
-            "warmed %sx%s %s in %.1fs", src_w, src_h, qs,
-            time.perf_counter() - t0,
-        )
-    return count
+                jobs.append((plan, img, b, jpeg420))
+
+    def run_one(job):
+        plan, img, b, jpeg420 = job
+        fused.BatchAssembly([plan] * b, [img] * b, jpeg420).run()
+
+    # compile in parallel — remote/XLA compile services overlap requests
+    with ThreadPoolExecutor(min(len(jobs), 8)) as pool:
+        list(pool.map(run_one, jobs))
+    log.info("warmed %d programs in %.1fs", len(jobs), time.perf_counter() - t0)
+    return len(jobs)
