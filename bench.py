@@ -122,13 +122,28 @@ def main() -> None:
     w2.result()
 
     # -- device-resident throughput (no host link in the loop) -------------
+    # a checksum chain makes the final fetch depend on EVERY execution,
+    # so lazy/eliding runtimes can't skip repeated identical programs
+    import jax.numpy as jnp
+
     asm0 = fused.BatchAssembly([plan] * batch, [warm] * batch, jpeg420)
-    jax.block_until_ready(asm0.submit())
+    out0 = asm0.submit()
+    jax.block_until_ready(out0)
+
+    @jax.jit
+    def _acc(total, y):
+        return total + y.astype(jnp.int32).sum()
+
+    first = out0[0] if isinstance(out0, tuple) else out0
+    total = _acc(jnp.int32(0), first)
+    total.block_until_ready()
     reps = 20
     td = time.perf_counter()
     for _ in range(reps):
         dev_out = asm0.submit_resident()
-    jax.block_until_ready(dev_out)
+        y = dev_out[0] if isinstance(dev_out, tuple) else dev_out
+        total = _acc(total, y)
+    total.block_until_ready()
     device_rate = reps * batch / (time.perf_counter() - td)
 
     # -- measured e2e run --------------------------------------------------
