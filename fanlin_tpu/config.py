@@ -147,6 +147,8 @@ class TpuConfig:
     # full device JPEG back half: DCT + quantization on TPU,
     # entropy-only host encode (for locally-attached TPUs)
     device_dct: bool = False
+    # coalesce concurrent identical origin fetches into one request
+    singleflight: bool = True
 
     @classmethod
     def from_obj(cls, obj: dict) -> "TpuConfig":
@@ -169,6 +171,8 @@ class TpuConfig:
             cfg.fast = _as_bool(obj["fast"], "fast")
         if "device_dct" in obj:
             cfg.device_dct = _as_bool(obj["device_dct"], "device_dct")
+        if "singleflight" in obj:
+            cfg.singleflight = _as_bool(obj["singleflight"], "singleflight")
         return cfg
 
 

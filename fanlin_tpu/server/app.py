@@ -254,7 +254,8 @@ async def build_state(cfg: config_mod.Config) -> State:
                 cfg.tpu.codec_threads, thread_name_prefix="fanlin-codec"
             )
         )
-    state = State(cfg.providers, client, engine)
+    state = State(cfg.providers, client, engine,
+                  singleflight=cfg.tpu.singleflight)
     try:
         await state.with_fallback(cfg.fallback_path, cfg.providers)
     except Exception as err:

@@ -30,12 +30,17 @@ log = logging.getLogger("fanlin.state")
 
 class State:
     def __init__(self, providers: List[config_mod.Provider], client: Client,
-                 engine: Optional[Engine] = None):
+                 engine: Optional[Engine] = None, singleflight: bool = True):
         self.router = Router(providers)
         self.client = client
         self.engine = engine or Engine()
         self.fallback_images: Dict[str, bytes] = {}
         self.fallback_path = ""
+        # singleflight: concurrent fetches of the same path share ONE
+        # origin request (cache-stampede protection; additive over the
+        # reference, which issues one origin request per client)
+        self.singleflight = singleflight
+        self._inflight: Dict[str, asyncio.Future] = {}
 
     # -- color management wiring (reference handler.rs:85-101) ------------
 
@@ -87,6 +92,29 @@ class State:
     # -- origin dispatch (reference handler.rs:154-183) --------------------
 
     async def get_image(self, req_path: str) -> Optional[bytes]:
+        if not self.singleflight:
+            return await self._fetch_origin(req_path)
+        inflight = self._inflight.get(req_path)
+        if inflight is not None:
+            return await asyncio.shield(inflight)
+        fut: asyncio.Future = asyncio.get_running_loop().create_future()
+        # swallow "exception was never retrieved" for abandoned waiters
+        fut.add_done_callback(
+            lambda f: f.exception() if not f.cancelled() else None
+        )
+        self._inflight[req_path] = fut
+        try:
+            result = await self._fetch_origin(req_path)
+        except Exception as e:
+            fut.set_exception(e)
+            raise
+        else:
+            fut.set_result(result)
+            return result
+        finally:
+            self._inflight.pop(req_path, None)
+
+    async def _fetch_origin(self, req_path: str) -> Optional[bytes]:
         provider = self.router.at(req_path)
         if provider is None:
             return None

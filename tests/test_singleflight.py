@@ -1,0 +1,101 @@
+"""Singleflight origin coalescing: N concurrent fetches of the same
+path hit the origin once; errors propagate to all waiters."""
+
+import asyncio
+
+from fanlin_tpu.config import Config
+from fanlin_tpu.server.state import State
+
+
+class CountingClient:
+    def __init__(self, delay=0.02, fail=False):
+        self.calls = 0
+        self.delay = delay
+        self.fail = fail
+
+    async def read(self, path):
+        self.calls += 1
+        await asyncio.sleep(self.delay)
+        if self.fail:
+            raise IOError("origin exploded")
+        return b"IMAGEBYTES:" + path.encode()
+
+    async def close(self):
+        pass
+
+
+class FakeInfra:
+    def __init__(self, file):
+        self.file = file
+        self.s3 = self.web = None
+
+    async def close(self):
+        pass
+
+
+def _state(fail=False, singleflight=True):
+    cfg = Config.from_str(
+        """
+{"port":0,"bind_addr":"x","max_clients":1,
+ "client":{"s3":{"aws_region":"x"},"web":{"user_agent":"t","timeout":1}},
+ "providers":[{"path":"baz","src":"file://localhost/data"}]}
+"""
+    )
+    counting = CountingClient(fail=fail)
+    state = State(cfg.providers, FakeInfra(counting), singleflight=singleflight)
+    return state, counting
+
+
+def test_concurrent_fetches_coalesce():
+    state, counting = _state()
+
+    async def go():
+        results = await asyncio.gather(
+            *[state.get_image("/baz/a.jpg") for _ in range(16)]
+        )
+        return results
+
+    results = asyncio.new_event_loop().run_until_complete(go())
+    assert counting.calls == 1
+    assert all(r == results[0] for r in results)
+    assert state._inflight == {}  # cleaned up
+
+
+def test_different_paths_do_not_coalesce():
+    state, counting = _state()
+
+    async def go():
+        return await asyncio.gather(
+            state.get_image("/baz/a.jpg"), state.get_image("/baz/b.jpg")
+        )
+
+    a, b = asyncio.new_event_loop().run_until_complete(go())
+    assert counting.calls == 2
+    assert a != b
+
+
+def test_error_propagates_to_all_waiters():
+    state, counting = _state(fail=True)
+
+    async def go():
+        return await asyncio.gather(
+            *[state.get_image("/baz/a.jpg") for _ in range(5)],
+            return_exceptions=True,
+        )
+
+    results = asyncio.new_event_loop().run_until_complete(go())
+    assert counting.calls == 1
+    assert all(isinstance(r, IOError) for r in results)
+    assert state._inflight == {}
+
+
+def test_singleflight_disabled():
+    state, counting = _state(singleflight=False)
+
+    async def go():
+        return await asyncio.gather(
+            *[state.get_image("/baz/a.jpg") for _ in range(4)]
+        )
+
+    asyncio.new_event_loop().run_until_complete(go())
+    assert counting.calls == 4
