@@ -156,7 +156,14 @@ def parse_query(query_string: str) -> Query:
     reference struct (src/query.rs:3-15).
     """
     fields: dict = {}
+    seen = set()
     for key, value in parse_qsl(query_string, keep_blank_values=True):
+        if key in ("w", "h", "quality", "blur", "crop", "avif", "webp",
+                   "grayscale", "inverse", "rgb"):
+            # serde_urlencoded rejects duplicate struct fields -> 400
+            if key in seen:
+                raise QueryError(f"duplicate field `{key}`")
+            seen.add(key)
         if key in ("w", "h"):
             fields[key] = _parse_uint(key, value, _U32_MAX)
         elif key in ("quality", "blur"):

@@ -85,3 +85,19 @@ def test_clean_path_bad_utf8():
 
     with pytest.raises(PathError):
         clean_path("/foo/%ff%fe%fd", "foo")
+
+
+def test_router_longest_prefix_wins():
+    from fanlin_tpu.config import Provider as P
+    from fanlin_tpu.server.router import Router
+
+    router = Router([
+        P(path="a", src="file://localhost/one"),
+        P(path="a/b", src="file://localhost/two"),
+        P(path="", src="file://localhost/root"),
+    ])
+    assert router.at("/a/b/x.jpg").src.endswith("/two")
+    assert router.at("/a/x.jpg").src.endswith("/one")
+    assert router.at("/other/x.jpg").src.endswith("/root")
+    assert router.at("/a/b/").src.endswith("/one")  # p="b/" under provider "a"
+    assert router.at("/") is None

@@ -112,3 +112,13 @@ def test_flags_break_as_is(flag):
 
 def test_size_range_info():
     assert size_range_info() == "20..=2000 x 20..=1000"
+
+
+def test_duplicate_field_rejected():
+    # serde_urlencoded rejects duplicate struct fields (-> axum 400)
+    with pytest.raises(QueryError):
+        parse_query("w=1&w=2")
+    with pytest.raises(QueryError):
+        parse_query("webp=true&webp=true")
+    # duplicate unknown keys stay ignored
+    assert parse_query("unknown=1&unknown=2") == Query()
