@@ -87,8 +87,13 @@ class S3Client:
         path = f"/{enc_key}"
         return f"https://{host}{path}", host, path
 
-    def _sign_headers(self, host: str, canonical_path: str) -> dict:
-        now = datetime.datetime.now(datetime.timezone.utc)
+    def _sign_headers(self, host: str, canonical_path: str,
+                      now: Optional[datetime.datetime] = None,
+                      extra_headers: Optional[dict] = None) -> dict:
+        """SigV4-sign a GET. `now`/`extra_headers` exist so tests can
+        pin the output against AWS's published example vectors."""
+        if now is None:
+            now = datetime.datetime.now(datetime.timezone.utc)
         amz_date = now.strftime("%Y%m%dT%H%M%SZ")
         datestamp = now.strftime("%Y%m%d")
         headers = {
@@ -96,6 +101,8 @@ class S3Client:
             "x-amz-content-sha256": _EMPTY_SHA256,
             "x-amz-date": amz_date,
         }
+        if extra_headers:
+            headers.update(extra_headers)
         if self.session_token:
             headers["x-amz-security-token"] = self.session_token
         signed = ";".join(sorted(headers))
