@@ -220,8 +220,13 @@ def main() -> None:
         # link in the loop): the chip's capability; the e2e `value` on
         # this dev relay is host-link-bound.
         "device_images_per_sec": round(device_rate, 1),
+        # p50/p90 over the sample set; with ~30 samples p99 would just
+        # be the max, which on this relay can catch a one-off RPC
+        # stall rather than system latency
         "latency_ms_p50": round(lats[len(lats) // 2], 1),
-        "latency_ms_p99": round(lats[min(int(len(lats) * 0.99), len(lats) - 1)], 1),
+        "latency_ms_p90": round(lats[min(int(len(lats) * 0.9), len(lats) - 1)], 1),
+        "latency_ms_max": round(lats[-1], 1),
+        "latency_samples": len(lats),
     }
     print(json.dumps(result))
 
