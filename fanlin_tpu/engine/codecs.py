@@ -40,7 +40,15 @@ AVIF = "avif"
 BMP = "bmp"
 TIFF = "tiff"
 ICO = "ico"
+PNM = "pnm"
+QOI = "qoi"
+DDS = "dds"
+FARBFELD = "farbfeld"
+HDR = "hdr"
+OPENEXR = "openexr"
 
+# MIME values match image::ImageFormat::to_mime_type (the reference
+# serves format.to_mime_type() for every sniffed source).
 MIME = {
     JPEG: "image/jpeg",
     PNG: "image/png",
@@ -50,6 +58,12 @@ MIME = {
     BMP: "image/bmp",
     TIFF: "image/tiff",
     ICO: "image/x-icon",
+    PNM: "image/x-portable-anymap",
+    QOI: "image/x-qoi",
+    DDS: "image/vnd-ms.dds",
+    FARBFELD: "image/farbfeld",
+    HDR: "image/vnd.radiance",
+    OPENEXR: "image/x-exr",
 }
 
 MIME_SVG = "image/svg+xml"
@@ -67,10 +81,6 @@ def _native():
 
 def sniff_format(data: bytes) -> Optional[str]:
     """Magic-byte format sniffing (image::ImageFormat guessing rules)."""
-    if len(data) < 12:
-        if data[:3] == b"\xff\xd8\xff":
-            return JPEG
-        return None
     if data[:3] == b"\xff\xd8\xff":
         return JPEG
     if data[:8] == b"\x89PNG\r\n\x1a\n":
@@ -87,6 +97,37 @@ def sniff_format(data: bytes) -> Optional[str]:
         return TIFF
     if data[:4] == b"\x00\x00\x01\x00":
         return ICO
+    # remaining formats image::ImageReader::with_guessed_format
+    # recognizes by content (ADVICE r1: PNM/QOI/DDS/farbfeld parity)
+    if (
+        len(data) >= 3
+        and data[0:1] == b"P"
+        and data[1:2] in b"1234567"
+        and data[2:3] in b" \t\n\r"
+    ):
+        return PNM
+    if data[:4] == b"qoif":
+        return QOI
+    if data[:4] == b"DDS ":
+        return DDS
+    if data[:8] == b"farbfeld":
+        return FARBFELD
+    if data[:10] == b"#?RADIANCE" or data[:6] == b"#?RGBE":
+        return HDR
+    if data[:4] == b"\x76\x2f\x31\x01":
+        return OPENEXR
+    # last resort: a PIL sniff for anything else PIL can open (the
+    # image crate's sniffer is broader than the table above); text or
+    # garbage still falls through to the SVG/unknown path
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            fmt = (im.format or "").lower()
+    except Exception:
+        return None
+    if fmt in MIME:
+        return fmt
+    if fmt == "ppm":
+        return PNM
     return None
 
 
@@ -141,6 +182,22 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
             if arr.shape[2] == 1:
                 arr = np.repeat(arr, 3, axis=2)
             return arr, False, is_gray
+    if data[:4] == b"qoif" or data[:8] == b"farbfeld":
+        # formats PIL can't read; image-crate parity via extra_codecs
+        from . import extra_codecs
+
+        try:
+            if data[:4] == b"qoif":
+                arr = extra_codecs.decode_qoi(data)
+                has_alpha = len(data) > 12 and data[12] == 4
+            else:
+                arr = extra_codecs.decode_farbfeld(data)
+                has_alpha = True
+        except extra_codecs.ExtraCodecError as e:
+            raise CodecError(str(e)) from e
+        if not has_alpha:
+            arr = np.ascontiguousarray(arr[:, :, :3])
+        return arr, has_alpha, False
     try:
         with Image.open(io.BytesIO(data)) as im:
             im.load()
@@ -251,7 +308,21 @@ def encode(img: np.ndarray, fmt: str, quality: int, mode: str) -> bytes:
         _to_pil(img, m).save(buf, format="BMP")
     elif fmt == TIFF:
         _to_pil(img, mode).save(buf, format="TIFF")
+    elif fmt == PNM:
+        # image's generic write_to(Pnm) emits binary PPM/PGM
+        m = "L" if mode in ("L", "LA") else "RGB"
+        _to_pil(img, m).save(buf, format="PPM")
+    elif fmt == QOI:
+        from . import extra_codecs
+
+        return extra_codecs.encode_qoi(img)
+    elif fmt == FARBFELD:
+        from . import extra_codecs
+
+        return extra_codecs.encode_farbfeld(img)
     else:
+        # DDS/HDR/OpenEXR: decodable but not writable from u8 — the
+        # reference's write_to errors the same way (-> 500)
         raise CodecError(f"no encoder for format {fmt}")
     return buf.getvalue()
 

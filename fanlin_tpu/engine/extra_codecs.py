@@ -1,0 +1,169 @@
+"""Pure-Python codecs for formats the image crate decodes but PIL
+does not: QOI and farbfeld.
+
+The reference reaches these through image::ImageReader::
+with_guessed_format (reference src/handler.rs:192-196) — any format
+the crate's content sniffer recognizes is decoded, processed, and
+re-encoded in the same format via the generic write_to branch
+(handler.rs:306). Both formats are trivial enough to implement
+directly; hot use would go through the device pipeline like any
+other source.
+
+QOI spec: https://qoiformat.org/qoi-specification.pdf (public domain).
+farbfeld spec: tools.suckless.org/farbfeld — magic "farbfeld",
+u32-BE width/height, then RGBA u16-BE pixels.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class ExtraCodecError(ValueError):
+    pass
+
+
+# ----------------------------------------------------------------------------
+# QOI
+# ----------------------------------------------------------------------------
+
+_QOI_OP_INDEX = 0x00
+_QOI_OP_DIFF = 0x40
+_QOI_OP_LUMA = 0x80
+_QOI_OP_RUN = 0xC0
+_QOI_OP_RGB = 0xFE
+_QOI_OP_RGBA = 0xFF
+
+
+def decode_qoi(data: bytes) -> np.ndarray:
+    """QOI bytes -> (H, W, 4) uint8 RGBA."""
+    if len(data) < 22 or data[:4] != b"qoif":
+        raise ExtraCodecError("not a qoi file")
+    w, h = struct.unpack(">II", data[4:12])
+    channels = data[12]
+    if w == 0 or h == 0 or channels not in (3, 4) or data[13] > 1:
+        raise ExtraCodecError("invalid qoi header")
+    n = w * h
+    out = np.empty((n, 4), dtype=np.uint8)
+    index = [(0, 0, 0, 0)] * 64
+    r, g, b, a = 0, 0, 0, 255
+    pos = 14
+    i = 0
+    end = len(data) - 8  # 8-byte end marker
+    while i < n and pos < end:
+        b1 = data[pos]
+        pos += 1
+        if b1 == _QOI_OP_RGB:
+            r, g, b = data[pos], data[pos + 1], data[pos + 2]
+            pos += 3
+        elif b1 == _QOI_OP_RGBA:
+            r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
+            pos += 4
+        else:
+            tag = b1 & 0xC0
+            if tag == _QOI_OP_INDEX:
+                r, g, b, a = index[b1 & 0x3F]
+            elif tag == _QOI_OP_DIFF:
+                r = (r + ((b1 >> 4) & 0x03) - 2) & 0xFF
+                g = (g + ((b1 >> 2) & 0x03) - 2) & 0xFF
+                b = (b + (b1 & 0x03) - 2) & 0xFF
+            elif tag == _QOI_OP_LUMA:
+                b2 = data[pos]
+                pos += 1
+                vg = (b1 & 0x3F) - 32
+                r = (r + vg - 8 + ((b2 >> 4) & 0x0F)) & 0xFF
+                g = (g + vg) & 0xFF
+                b = (b + vg - 8 + (b2 & 0x0F)) & 0xFF
+            else:  # RUN
+                run = (b1 & 0x3F) + 1
+                out[i : i + run] = (r, g, b, a)
+                i += run
+                continue
+        index[(r * 3 + g * 5 + b * 7 + a * 11) % 64] = (r, g, b, a)
+        out[i] = (r, g, b, a)
+        i += 1
+    if i < n:
+        raise ExtraCodecError("truncated qoi stream")
+    return out.reshape(h, w, 4)
+
+
+def encode_qoi(img: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 -> QOI bytes."""
+    h, w = img.shape[:2]
+    channels = img.shape[2]
+    if channels == 3:
+        rgba = np.concatenate(
+            [img, np.full((h, w, 1), 255, dtype=np.uint8)], axis=2
+        )
+    else:
+        rgba = img
+    px = rgba.reshape(-1, 4)
+    out = bytearray()
+    out += b"qoif" + struct.pack(">II", w, h) + bytes([channels, 0])
+    index = [(0, 0, 0, 0)] * 64
+    prev = (0, 0, 0, 255)
+    run = 0
+    for p in map(tuple, px.tolist()):  # Python ints (no u8 wraparound)
+        if p == prev:
+            run += 1
+            if run == 62:
+                out.append(_QOI_OP_RUN | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(_QOI_OP_RUN | (run - 1))
+            run = 0
+        r, g, b, a = p
+        idx = (r * 3 + g * 5 + b * 7 + a * 11) % 64
+        if index[idx] == p:
+            out.append(_QOI_OP_INDEX | idx)
+        elif a == prev[3]:
+            dr = (r - prev[0] + 128) % 256 - 128
+            dg = (g - prev[1] + 128) % 256 - 128
+            db = (b - prev[2] + 128) % 256 - 128
+            if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                out.append(_QOI_OP_DIFF | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+            elif -32 <= dg <= 31 and -8 <= dr - dg <= 7 and -8 <= db - dg <= 7:
+                out.append(_QOI_OP_LUMA | (dg + 32))
+                out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+            else:
+                out += bytes([_QOI_OP_RGB, r, g, b])
+        else:
+            out += bytes([_QOI_OP_RGBA, r, g, b, a])
+        index[idx] = p
+        prev = p
+    if run:
+        out.append(_QOI_OP_RUN | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+# ----------------------------------------------------------------------------
+# farbfeld
+# ----------------------------------------------------------------------------
+
+
+def decode_farbfeld(data: bytes) -> np.ndarray:
+    """farbfeld bytes -> (H, W, 4) uint8 RGBA (16 -> 8 bit: high byte)."""
+    if len(data) < 16 or data[:8] != b"farbfeld":
+        raise ExtraCodecError("not a farbfeld file")
+    w, h = struct.unpack(">II", data[8:16])
+    need = 16 + w * h * 8
+    if len(data) < need:
+        raise ExtraCodecError("truncated farbfeld stream")
+    px = np.frombuffer(data, dtype=">u2", count=w * h * 4, offset=16)
+    # image crate converts 16 -> 8 bit by taking the high byte
+    return (px.reshape(h, w, 4) >> 8).astype(np.uint8)
+
+
+def encode_farbfeld(img: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 -> farbfeld bytes (8 -> 16 bit: v * 257)."""
+    h, w = img.shape[:2]
+    if img.shape[2] == 3:
+        img = np.concatenate(
+            [img, np.full((h, w, 1), 255, dtype=np.uint8)], axis=2
+        )
+    px = (img.astype(np.uint16) * 257).astype(">u2")
+    return b"farbfeld" + struct.pack(">II", w, h) + px.tobytes()

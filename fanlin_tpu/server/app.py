@@ -91,7 +91,12 @@ async def generic_handler(request: web.Request) -> web.Response:
     accepted = content_mod.extract_accepted_image_formats(
         request.headers.getall("Accept", [])
     )
-    path = request.path
+    # The raw (still percent-encoded) path, matching axum's uri.path()
+    # (reference main.rs:143 passes the raw path; the single decode
+    # happens inside clean_path, handler.rs:558). aiohttp's
+    # request.path is already decoded once — using it would
+    # double-decode keys like "name%2520file.jpg".
+    path = request.rel_url.raw_path
     try:
         original = await state.get_image(path)
     except Exception as err:

@@ -96,7 +96,17 @@ class State:
             return await self._fetch_origin(req_path)
         inflight = self._inflight.get(req_path)
         if inflight is not None:
-            return await asyncio.shield(inflight)
+            try:
+                return await asyncio.shield(inflight)
+            except asyncio.CancelledError:
+                # If the LEADER was cancelled (timeout middleware or a
+                # client disconnect), the shared future is cancelled —
+                # fall back to our own origin fetch instead of hanging.
+                # If WE were cancelled, the shared future is untouched:
+                # propagate.
+                if inflight.cancelled():
+                    return await self._fetch_origin(req_path)
+                raise
         fut: asyncio.Future = asyncio.get_running_loop().create_future()
         # swallow "exception was never retrieved" for abandoned waiters
         fut.add_done_callback(
@@ -105,8 +115,14 @@ class State:
         self._inflight[req_path] = fut
         try:
             result = await self._fetch_origin(req_path)
-        except Exception as e:
-            fut.set_exception(e)
+        except BaseException as e:
+            # CancelledError is a BaseException: resolve the shared
+            # future either way so coalesced followers never hang
+            if isinstance(e, asyncio.CancelledError):
+                if not fut.done():
+                    fut.cancel()
+            else:
+                fut.set_exception(e)
             raise
         else:
             fut.set_result(result)

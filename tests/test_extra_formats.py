@@ -1,0 +1,145 @@
+"""Sniffer + codec coverage for the remaining formats the image
+crate's content guesser recognizes (ADVICE r1: PNM/QOI/DDS/farbfeld;
+plus HDR/OpenEXR magic detection for as_is/mime parity).
+
+Reference: image::ImageReader::with_guessed_format at
+src/handler.rs:192-196; mime via ImageFormat::to_mime_type.
+"""
+
+import io
+
+import numpy as np
+import pytest
+
+from fanlin_tpu.engine import codecs, extra_codecs
+from fanlin_tpu.engine.processor import Engine
+from fanlin_tpu.spec.content import Format
+from fanlin_tpu.spec.query import parse_query
+
+from conftest import make_test_image
+
+
+def _rand_rgba(h=23, w=31, seed=3, alpha=True):
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+    if not alpha:
+        img[:, :, 3] = 255
+    # inject runs so the QOI RUN op gets exercised
+    img[5:9] = img[5, 5]
+    return img
+
+
+# -- raw codecs ---------------------------------------------------------------
+
+
+def test_qoi_roundtrip_rgba():
+    img = _rand_rgba()
+    data = extra_codecs.encode_qoi(img)
+    assert data[:4] == b"qoif"
+    out = extra_codecs.decode_qoi(data)
+    assert np.array_equal(out, img)
+
+
+def test_qoi_roundtrip_rgb():
+    img = _rand_rgba(alpha=True)[:, :, :3].copy()
+    data = extra_codecs.encode_qoi(img)
+    out = extra_codecs.decode_qoi(data)
+    assert np.array_equal(out[:, :, :3], img)
+    assert (out[:, :, 3] == 255).all()
+
+
+def test_qoi_truncated_rejected():
+    img = _rand_rgba()
+    data = extra_codecs.encode_qoi(img)
+    with pytest.raises(extra_codecs.ExtraCodecError):
+        extra_codecs.decode_qoi(data[: len(data) // 2])
+
+
+def test_farbfeld_roundtrip():
+    img = _rand_rgba()
+    data = extra_codecs.encode_farbfeld(img)
+    assert data[:8] == b"farbfeld"
+    out = extra_codecs.decode_farbfeld(data)
+    # 8 -> 16 (v*257) -> 8 (high byte) is lossless
+    assert np.array_equal(out, img)
+
+
+# -- sniffing -----------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "magic,fmt",
+    [
+        (b"P6\n1 1\n255\n\x00\x00\x00", codecs.PNM),
+        (b"P1\n1 1\n0\n", codecs.PNM),
+        (b"qoif" + b"\x00" * 20, codecs.QOI),
+        (b"DDS " + b"\x00" * 20, codecs.DDS),
+        (b"farbfeld" + b"\x00" * 16, codecs.FARBFELD),
+        (b"#?RADIANCE\n" + b"\x00" * 8, codecs.HDR),
+        (b"\x76\x2f\x31\x01" + b"\x00" * 16, codecs.OPENEXR),
+    ],
+)
+def test_sniff_magic(magic, fmt):
+    assert codecs.sniff_format(magic) == fmt
+
+
+def test_sniff_text_still_unknown():
+    assert codecs.sniff_format(b"this is not an image, not at all") is None
+
+
+# -- engine end-to-end --------------------------------------------------------
+
+
+def test_qoi_source_resized():
+    img = make_test_image(64, 64)
+    data = extra_codecs.encode_qoi(img)
+    engine = Engine()
+    mime, out = engine.process_image(data, parse_query("w=32&h=32"), Format())
+    assert mime == "image/x-qoi"
+    arr = extra_codecs.decode_qoi(out)
+    assert arr.shape[:2] == (32, 32)
+
+
+def test_farbfeld_source_resized():
+    img = make_test_image(64, 64)
+    data = extra_codecs.encode_farbfeld(img)
+    engine = Engine()
+    mime, out = engine.process_image(data, parse_query("w=32&h=32"), Format())
+    assert mime == "image/farbfeld"
+    arr = extra_codecs.decode_farbfeld(out)
+    assert arr.shape[:2] == (32, 32)
+
+
+def test_pnm_source_resized():
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(64, 64)).save(buf, format="PPM")
+    engine = Engine()
+    mime, out = engine.process_image(
+        buf.getvalue(), parse_query("w=32&h=32"), Format()
+    )
+    assert mime == "image/x-portable-anymap"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.size == (32, 32)
+
+
+def test_hdr_as_is_passthrough():
+    # as_is never decodes — only the sniff + mime must be right
+    data = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 1 +X 1\n\x00\x00\x00\x00"
+    engine = Engine()
+    mime, out = engine.process_image(data, parse_query(""), Format())
+    assert mime == "image/vnd.radiance"
+    assert out == data
+
+
+def test_dds_processing_errors_500():
+    # DDS decode may succeed (PIL) but re-encode is unsupported, like
+    # the reference's write_to(Dds) error -> 500. A garbage DDS body
+    # fails at decode; either way ProcessError is raised.
+    from fanlin_tpu.engine.processor import ProcessError
+
+    data = b"DDS " + b"\x7c\x00\x00\x00" + b"\x00" * 120
+    engine = Engine()
+    with pytest.raises(ProcessError):
+        engine.process_image(data, parse_query("w=32&h=32"), Format())

@@ -247,3 +247,30 @@ def test_no_match_404(e2e):
     # provider; a directory read is an IO error -> 500 w/ fallback
     resp, _ = _get(e2e, "/nope-not-a-file")
     assert resp.status == 404
+
+
+def test_percent_encoded_path_single_decode(e2e, fixtures_dir):
+    """The raw request path must be decoded exactly ONCE (ADVICE r1:
+    aiohttp's request.path is pre-decoded; the reference passes axum's
+    raw uri.path() into clean_path, handler.rs:558). A key containing
+    a literal percent sequence is requested double-encoded."""
+    from yarl import URL
+
+    (fixtures_dir / "name%20file.jpg").write_bytes(
+        (fixtures_dir / "lenna.jpg").read_bytes()
+    )
+    loop, gw = e2e
+
+    async def go(raw):
+        resp = await gw.get(URL(raw, encoded=True))
+        body = await resp.read()
+        return resp, body
+
+    # %2520 decodes once to %20 -> matches the on-disk "name%20file.jpg"
+    resp, body = loop.run_until_complete(go("/baz/name%2520file.jpg"))
+    assert resp.status == 200
+    assert body == (fixtures_dir / "lenna.jpg").read_bytes()
+
+    # %20 decodes once to a space -> no such file -> 404 (fallback)
+    resp, _ = loop.run_until_complete(go("/baz/name%20file.jpg"))
+    assert resp.status == 404

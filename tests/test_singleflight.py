@@ -99,3 +99,23 @@ def test_singleflight_disabled():
 
     asyncio.new_event_loop().run_until_complete(go())
     assert counting.calls == 4
+
+
+def test_leader_cancelled_follower_recovers():
+    """If the leader coroutine is cancelled (timeout middleware or a
+    client disconnect), followers must not hang on the shared future —
+    they fall back to their own origin fetch (ADVICE r1)."""
+    state, counting = _state()
+
+    async def go():
+        leader = asyncio.create_task(state.get_image("/baz/a.jpg"))
+        await asyncio.sleep(0.005)  # leader's fetch is in flight
+        follower = asyncio.create_task(state.get_image("/baz/a.jpg"))
+        await asyncio.sleep(0.005)  # follower is awaiting the shield
+        leader.cancel()
+        result = await asyncio.wait_for(follower, timeout=1.0)
+        assert result == b"IMAGEBYTES:/data/a.jpg"
+
+    asyncio.new_event_loop().run_until_complete(go())
+    assert counting.calls == 2  # leader's + follower's own fetch
+    assert state._inflight == {}
