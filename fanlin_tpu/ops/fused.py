@@ -98,16 +98,36 @@ class ImagePlan:
     want_alpha: bool = True
 
 
-@functools.lru_cache(maxsize=8192)
+# Plans hold dense (out x src) f32 matrices — up to ~16 MB each at the
+# legal query extremes — so the cache is byte-budgeted, not
+# count-bounded (adversarial geometry diversity must not OOM the host).
+from ..utils.bytelru import ByteLRU
+
+_PLAN_CACHE = ByteLRU(max_bytes=192 * 1024 * 1024)
+
+
 def plan_image(src_w: int, src_h: int, params, filter_name: str = filters.LANCZOS3,
                opaque: bool = False) -> ImagePlan:
-    """Compute the transform plan the way the reference decides it.
+    """Compute (or fetch) the transform plan the way the reference
+    decides it. Identical queries share ONE plan object (callers key
+    device-side caches on plan identity).
 
     Mirrors reference src/handler.rs:229-255: resize only when both
     dims set and differ from current; crop=true -> resize_to_fill
     (cover + center crop); else aspect-preserving fit; fill canvas
     overlay only when the fit result is smaller than requested.
     """
+    key = (src_w, src_h, params, filter_name, opaque)
+    hit = _PLAN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    plan = _plan_image_uncached(src_w, src_h, params, filter_name, opaque)
+    _PLAN_CACHE.put(key, plan, plan.av.nbytes + plan.ah.nbytes)
+    return plan
+
+
+def _plan_image_uncached(src_w: int, src_h: int, params, filter_name: str,
+                         opaque: bool) -> ImagePlan:
     gray = params.grayscale()
     inv = params.inverse()
     fill = params.fill_color()
@@ -419,10 +439,10 @@ _F32_TABLES: dict = {}
 
 
 # Device-resident cache for shared (uniform-batch) matrices. Keyed by
-# the host array's identity; the host array is retained so ids stay
-# valid. Bounded FIFO eviction.
-_DEVICE_MATRIX_CACHE: dict = {}
-_DEVICE_MATRIX_CACHE_MAX = 512
+# the host array's identity; the host array is retained IN the value
+# so live ids can't collide. Byte-budgeted LRU (device copies mirror
+# the host bytes, so one budget covers both sides).
+_DEVICE_MATRIX_CACHE = ByteLRU(max_bytes=96 * 1024 * 1024)
 
 
 def _device_cached(arr: np.ndarray):
@@ -431,16 +451,15 @@ def _device_cached(arr: np.ndarray):
     if hit is not None and hit[0] is arr:
         return hit[1]
     dev = jax.device_put(arr)
-    if len(_DEVICE_MATRIX_CACHE) >= _DEVICE_MATRIX_CACHE_MAX:
-        _DEVICE_MATRIX_CACHE.pop(next(iter(_DEVICE_MATRIX_CACHE)))
-    _DEVICE_MATRIX_CACHE[key] = (arr, dev)
+    _DEVICE_MATRIX_CACHE.put(key, (arr, dev), arr.nbytes)
     return dev
 
 
 # Padded shared-matrix cache for uniform batches, keyed by plan
-# identity (plans are lru-cached, so identical queries share a plan).
-_UNIFORM_CACHE: dict = {}
-_UNIFORM_CACHE_MAX = 512
+# identity (plans are cached in _PLAN_CACHE, so identical queries
+# share a plan object; the plan is retained in the value so live ids
+# can't collide). Byte-budgeted LRU.
+_UNIFORM_CACHE = ByteLRU(max_bytes=96 * 1024 * 1024)
 
 
 def _uniform_padded(plan: ImagePlan):
@@ -466,9 +485,8 @@ def _uniform_padded(plan: ImagePlan):
             plan.out_w, plan.blur_sigma
         )
     value = (av, ah, bv, bh)
-    if len(_UNIFORM_CACHE) >= _UNIFORM_CACHE_MAX:
-        _UNIFORM_CACHE.pop(next(iter(_UNIFORM_CACHE)))
-    _UNIFORM_CACHE[key] = (plan, value)
+    nbytes = sum(a.nbytes for a in value if a is not None)
+    _UNIFORM_CACHE.put(key, (plan, value), nbytes)
     return value
 
 

@@ -1,0 +1,79 @@
+"""Byte-budgeted cache behavior (VERDICT r1: adversarial query-geometry
+diversity must not grow host memory without bound)."""
+
+import numpy as np
+
+from fanlin_tpu.ops import fused
+from fanlin_tpu.spec.query import parse_query
+from fanlin_tpu.utils.bytelru import ByteLRU
+
+
+def test_bytelru_evicts_lru_order():
+    c = ByteLRU(max_bytes=100)
+    c.put("a", 1, 40)
+    c.put("b", 2, 40)
+    assert c.get("a") == 1  # refresh a
+    c.put("c", 3, 40)  # exceeds budget -> evict b (LRU)
+    assert c.get("b") is None
+    assert c.get("a") == 1
+    assert c.get("c") == 3
+    assert c.bytes <= 100
+
+
+def test_bytelru_oversized_entry_still_cached():
+    c = ByteLRU(max_bytes=10)
+    c.put("big", "x", 1000)
+    assert c.get("big") == "x"
+    c.put("big2", "y", 2000)
+    assert c.get("big2") == "y"
+    assert len(c) == 1  # big was evicted to make (impossible) room
+
+
+def test_bytelru_replace_updates_bytes():
+    c = ByteLRU(max_bytes=100)
+    c.put("a", 1, 60)
+    c.put("a", 2, 30)
+    assert c.bytes == 30
+    assert c.get("a") == 2
+
+
+def test_plan_cache_bytes_bounded_under_geometry_sweep():
+    """Sweep thousands of distinct legal geometries; the plan cache's
+    byte accounting must never exceed its budget (the old
+    count-bounded lru_cache admitted ~130 GB at the extremes)."""
+    budget = fused._PLAN_CACHE.max_bytes
+    # distinct (src, out) combinations, all legal query ranges
+    n = 0
+    for sw in range(40, 220, 12):
+        for sh in range(40, 220, 12):
+            for w, h in ((sw // 2 + 1, sh // 2 + 3), (sw + 13, sh + 7)):
+                p = parse_query(f"w={max(w,20)}&h={max(h,20)}")
+                fused.plan_image(sw, sh, p)
+                n += 1
+                assert fused._PLAN_CACHE.bytes <= budget
+    assert n > 400
+    # giant plans (the 16 MB extreme) also respect the budget
+    for i in range(20):
+        p = parse_query(f"w=2000&h={980 + i}")
+        fused.plan_image(2000 + i, 1000, p)
+        assert fused._PLAN_CACHE.bytes <= budget
+    s = fused._PLAN_CACHE.stats()
+    assert s["bytes"] <= s["max_bytes"]
+
+
+def test_plan_identity_shared_across_calls():
+    """Device-side caches key on plan identity: equal queries must
+    return the SAME plan object while cached."""
+    p = parse_query("w=300&h=200")
+    a = fused.plan_image(512, 512, p)
+    b = fused.plan_image(512, 512, p)
+    assert a is b
+
+
+def test_uniform_cache_bounded():
+    before = fused._UNIFORM_CACHE.max_bytes
+    for i in range(40):
+        p = parse_query(f"w={200 + i}&h=200")
+        plan = fused.plan_image(640, 480, p)
+        fused._uniform_padded(plan)
+        assert fused._UNIFORM_CACHE.bytes <= before
