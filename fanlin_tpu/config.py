@@ -147,6 +147,10 @@ class TpuConfig:
     # full device JPEG back half: DCT + quantization on TPU,
     # entropy-only host encode (for locally-attached TPUs)
     device_dct: bool = False
+    # device JPEG decode back half: host entropy-decodes only, the TPU
+    # runs dequant + iDCT + chroma upsample + YCbCr->RGB; halves
+    # host->device bytes via int8 coefficient upload
+    device_decode: bool = True
     # coalesce concurrent identical origin fetches into one request
     singleflight: bool = True
 
@@ -171,6 +175,8 @@ class TpuConfig:
             cfg.fast = _as_bool(obj["fast"], "fast")
         if "device_dct" in obj:
             cfg.device_dct = _as_bool(obj["device_dct"], "device_dct")
+        if "device_decode" in obj:
+            cfg.device_decode = _as_bool(obj["device_decode"], "device_decode")
         if "singleflight" in obj:
             cfg.singleflight = _as_bool(obj["singleflight"], "singleflight")
         return cfg

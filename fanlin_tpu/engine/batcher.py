@@ -36,6 +36,19 @@ from ..ops import fused
 
 
 def _group_key(plan: fused.ImagePlan, kind: str) -> Tuple:
+    if kind.startswith("coef"):
+        # coefficient-source programs are keyed on the EXACT source
+        # geometry (the chroma upsample's edge handling is positional);
+        # pixel-out batches group by output bucket, device-JPEG-out
+        # batches by exact output dims (the device crops on device)
+        sink = kind.split("+", 1)[1] if "+" in kind else "rgb"
+        if sink == "rgb":
+            out_key = (fused.bucket_h(plan.out_h), fused.bucket_w(plan.out_w))
+        else:
+            out_key = (plan.out_h, plan.out_w)
+        return (kind, plan.src_h, plan.src_w) + out_key + (
+            plan.blur_sigma > 0,
+        )
     if kind.startswith("jpegdct:"):
         # device DCT batches additionally share one quant quality
         return (
@@ -154,14 +167,8 @@ class MicroBatcher:
         try:
             if self._execute is not None:
                 results = self._execute(plans, images, kinds)
-            elif kinds[0].startswith("jpegdct:"):
-                quality = int(kinds[0].split(":", 1)[1])
-                results = fused.BatchAssembly(
-                    plans, images, jpegdct=True, quality=quality
-                ).run()
             else:
-                jpeg420 = kinds[0] == "jpeg420"
-                results = fused.BatchAssembly(plans, images, jpeg420).run()
+                results = fused.make_assembly(plans, images, kinds).run()
         except Exception as e:
             for f in futures:
                 if not f.cancelled():

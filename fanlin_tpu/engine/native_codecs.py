@@ -76,6 +76,16 @@ def _load():
             ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
         ]
         lib.fc_encode_jpeg_coeffs.restype = ctypes.c_int
+        try:
+            u16p = ctypes.POINTER(ctypes.c_uint16)
+            intp = ctypes.POINTER(ctypes.c_int)
+            lib.fc_read_jpeg_coeffs.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(i16p),
+                intp, intp, intp, intp, intp, intp, u16p,
+            ]
+            lib.fc_read_jpeg_coeffs.restype = ctypes.c_int
+        except AttributeError:
+            pass  # older .so without the coefficient reader
         lib.fc_free.argtypes = [u8p]
         _LIB = lib
         break
@@ -111,6 +121,52 @@ def decode_jpeg(data: bytes) -> Optional[Tuple[np.ndarray, bool]]:
     finally:
         lib.fc_free(out)
     return arr, c.value == 1
+
+
+def read_jpeg_coeffs(data: bytes) -> Optional[dict]:
+    """Entropy-decode ONLY: a JPEG's quantized DCT coefficients plus
+    quant tables, for the on-device decode back half (dequant + iDCT +
+    upsample + color convert run on TPU). Returns None to fall back to
+    the pixel decode path (unbuilt lib, non-YCbCr-4:2:0 layout, or
+    decode error).
+
+    Returns {y, cb, cr: (bh, bw, 64) int16 natural-order blocks;
+    lq, cq: (64,) uint16 natural-order quant tables; w, h: true dims}.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_read_jpeg_coeffs"):
+        return None
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    out = i16p()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ybw = ctypes.c_int()
+    ybh = ctypes.c_int()
+    cbw = ctypes.c_int()
+    cbh = ctypes.c_int()
+    qt = (ctypes.c_uint16 * 128)()
+    rc = lib.fc_read_jpeg_coeffs(
+        data, len(data), ctypes.byref(out), ctypes.byref(w), ctypes.byref(h),
+        ctypes.byref(ybw), ctypes.byref(ybh), ctypes.byref(cbw),
+        ctypes.byref(cbh), qt,
+    )
+    if rc != 0:
+        return None
+    try:
+        ny = ybh.value * ybw.value * 64
+        nc = cbh.value * cbw.value * 64
+        flat = np.ctypeslib.as_array(out, shape=(ny + 2 * nc,))
+        y = flat[:ny].reshape(ybh.value, ybw.value, 64).copy()
+        cb = flat[ny : ny + nc].reshape(cbh.value, cbw.value, 64).copy()
+        cr = flat[ny + nc :].reshape(cbh.value, cbw.value, 64).copy()
+    finally:
+        lib.fc_free(ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)))
+    tables = np.ctypeslib.as_array(qt)
+    return {
+        "y": y, "cb": cb, "cr": cr,
+        "lq": tables[:64].copy(), "cq": tables[64:].copy(),
+        "w": w.value, "h": h.value,
+    }
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int) -> Optional[bytes]:

@@ -42,18 +42,13 @@ class SyncDeviceRunner:
 
     def run(self, plans: List[fused.ImagePlan], images: List[np.ndarray],
             kinds: List[str] = None):
-        if kinds and all(k.startswith("jpegdct:") for k in kinds):
-            quality = int(kinds[0].split(":", 1)[1])
-            return fused.BatchAssembly(
-                plans, images, jpegdct=True, quality=quality
-            ).run()
-        jpeg420 = bool(kinds) and all(k == "jpeg420" for k in kinds)
-        return fused.BatchAssembly(plans, images, jpeg420).run()
+        return fused.make_assembly(plans, images, kinds or ["rgb"]).run()
 
 
 class Engine:
     def __init__(self, runner=None, cmyk2rgb=None, use_embedded_profile: bool = False,
-                 device_jpeg: bool = True, device_dct: bool = False):
+                 device_jpeg: bool = True, device_dct: bool = False,
+                 device_decode: bool = True):
         self.runner = runner or SyncDeviceRunner()
         # engine.icc.CMYK2RGB instance or None (reference handler.rs:19-20)
         self.cmyk2rgb = cmyk2rgb
@@ -67,6 +62,14 @@ class Engine:
         # larger on the wire than the u8 planes — for locally-attached
         # TPUs, not narrow host links
         self.device_dct = device_dct
+        # JPEG decode back half on device: host entropy-decodes only,
+        # TPU runs dequant + iDCT + upsample + color convert fused into
+        # the transform (ops.jpeg_decode); int8-packed coefficient
+        # upload halves host->device bytes. Applies to plain YCbCr
+        # 4:2:0 sources without EXIF rotation or ICC needs.
+        self.device_decode = device_decode
+        # observability: which source path requests took (/stats)
+        self.stats = {"coef_src": 0, "pixel_src": 0}
         # sampled-LUT device evaluation of the default ICC transform
         # (ops.cmyk_lut); enabled via enable_device_icc()
         self.device_cmyk = None
@@ -108,19 +111,48 @@ class Engine:
         converted = None
         if fmt == codecs.JPEG:
             converted = self._convert_jpeg_color_if_needed(data)
-        try:
-            if converted is not None:
-                img = converted  # (H, W, 3) RGB from the ICC transform
-                has_alpha, is_gray = False, False
-            else:
-                img, has_alpha, is_gray = codecs.decode(data)
-        except codecs.CodecError as e:
-            raise ProcessError(str(e)) from e
-        img = np.ascontiguousarray(codecs.apply_orientation(img, orientation))
+
+        # Device decode back half: plain YCbCr 4:2:0 JPEGs with no
+        # EXIF rotation and no ICC conversion upload entropy-decoded
+        # coefficients (int8 AC + int16 DC, ~1.5 B/px) instead of
+        # decoded pixels; the TPU runs dequant/iDCT/upsample/YCbCr->RGB
+        # as a prologue to the transform program.
+        meta = None
+        if (
+            self.device_decode
+            and fmt == codecs.JPEG
+            and converted is None
+            and orientation == 1
+        ):
+            from . import native_codecs
+            from ..ops import jpeg_decode
+
+            meta = native_codecs.read_jpeg_coeffs(data)
+            if meta is not None and not jpeg_decode.ac_fits_int8(meta):
+                meta = None  # rare oversized AC: take the pixel path
+
+        if meta is not None:
+            img = None
+            has_alpha, is_gray = False, False
+            h, w = meta["h"], meta["w"]
+            self.stats["coef_src"] += 1
+        else:
+            try:
+                if converted is not None:
+                    img = converted  # (H, W, 3) RGB from the ICC transform
+                    has_alpha, is_gray = False, False
+                else:
+                    img, has_alpha, is_gray = codecs.decode(data)
+            except codecs.CodecError as e:
+                raise ProcessError(str(e)) from e
+            img = np.ascontiguousarray(
+                codecs.apply_orientation(img, orientation)
+            )
+            h, w = img.shape[:2]
+            self.stats["pixel_src"] += 1
         if marks is not None:
             marks.append(("f_decode", (_time.perf_counter() - t0) * 1000.0))
 
-        h, w = img.shape[:2]
         plan = fused.plan_image(w, h, params, filters.LANCZOS3,
                                 opaque=not has_alpha)
 
@@ -131,7 +163,7 @@ class Engine:
         elif params.use_avif() and accepted.avif_accepted():
             out_fmt = codecs.AVIF
 
-        kind = "rgb"
+        sink = "rgb"
         if (
             self.device_jpeg
             and out_fmt == codecs.JPEG
@@ -142,12 +174,18 @@ class Engine:
             if native_codecs.available():
                 if self.device_dct:
                     q = min(max(params.quality(), 1), 100)
-                    kind = f"jpegdct:{q}"
+                    sink = f"jpegdct:{q}"
                 else:
-                    kind = "jpeg420"
+                    sink = "jpeg420"
+        if meta is not None:
+            kind = "coef" if sink == "rgb" else f"coef+{sink}"
+            payload = meta
+        else:
+            kind = sink
+            payload = img
 
         t1 = _time.perf_counter()
-        out = self.runner.run([plan], [img], [kind])[0]
+        out = self.runner.run([plan], [payload], [kind])[0]
         t2 = _time.perf_counter()
         if marks is not None:
             marks.append(("f_device", (t2 - t1) * 1000.0))

@@ -29,6 +29,25 @@ DEFAULT_SHAPES: Tuple[Tuple[int, int, str], ...] = (
 )
 
 
+def _synthetic_meta(src_w: int, src_h: int) -> dict:
+    """A zero-coefficient read_jpeg_coeffs dict at the true block
+    grids — enough to compile the coefficient-source program for a
+    (src_w, src_h) bucket."""
+    from ..ops import dct
+
+    lq, cq = dct.ijg_quant_tables(92)
+    ybh, ybw = -(-src_h // 8), -(-src_w // 8)
+    cbh, cbw = -(-src_h // 16), -(-src_w // 16)
+    return {
+        "y": np.zeros((ybh, ybw, 64), np.int16),
+        "cb": np.zeros((cbh, cbw, 64), np.int16),
+        "cr": np.zeros((cbh, cbw, 64), np.int16),
+        "lq": lq.reshape(64).astype(np.uint16),
+        "cq": cq.reshape(64).astype(np.uint16),
+        "w": src_w, "h": src_h,
+    }
+
+
 def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
          batch: int = 8) -> int:
     """Compile fused programs for each (src_w, src_h, query) shape.
@@ -43,16 +62,24 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
         params = parse_query(qs)
         plan = fused.plan_image(src_w, src_h, params, opaque=True)
         img = np.zeros((src_h, src_w, 3), dtype=np.uint8)
-        variants = [False]
+        variants = [("pix", False)]
         if native_codecs.available() and params.blur() == 0:
-            variants.append(True)  # the device-JPEG-front-end program
+            variants.append(("pix", True))  # device-JPEG-front-end program
+            # the coefficient-source (device decode) programs — the
+            # production hot path for plain JPEG traffic
+            variants.append(("coef", False))
+            variants.append(("coef", True))
         for b in (1, batch):
-            for jpeg420 in variants:
-                jobs.append((plan, img, b, jpeg420))
+            for src, jpeg420 in variants:
+                jobs.append((plan, img, b, src, jpeg420))
 
     def run_one(job):
-        plan, img, b, jpeg420 = job
-        fused.BatchAssembly([plan] * b, [img] * b, jpeg420).run()
+        plan, img, b, src, jpeg420 = job
+        if src == "coef":
+            meta = _synthetic_meta(plan.src_w, plan.src_h)
+            fused.CoefBatchAssembly([plan] * b, [meta] * b, jpeg420).run()
+        else:
+            fused.BatchAssembly([plan] * b, [img] * b, jpeg420).run()
 
     # compile in parallel — remote/XLA compile services overlap requests
     with ThreadPoolExecutor(min(len(jobs), 8)) as pool:

@@ -187,18 +187,21 @@ def _mm_dtype():
 # ----------------------------------------------------------------------------
 
 
-def _transform_kernel(x_u8, av, ah, flags, fill, box, bv=None, bh=None):
-    """The traced computation. Shapes:
-    x_u8  (B, 4, SH, SW) uint8   av (B, OH, SH) f32   ah (B, OW, SW) f32
-    flags (B, 3) f32 [gray, invert, use_canvas]   fill (B, 3) f32
-    box   (B, 4) i32 [x0, y0, fw, fh]
-    bv    (B, OH, OH) f32 | None   bh (B, OW, OW) f32 | None
+def _chain(r, g, b, a, av, ah, flags, fill, box, bv=None, bh=None,
+           uniform=False):
+    """The shared transform chain over f32 planes (B, SH, SW); `a` is
+    None for opaque sources (C==3 semantics: the alpha plane is never
+    materialized or resampled). uniform=True means the whole batch
+    shares ONE av/ah (and bv/bh) matrix set — av (OH, SH) instead of
+    (B, OH, SH) — letting XLA emit plain matmuls with the batch folded
+    into rows.
+
+    Op order == reference src/handler.rs steps 8-11 (SURVEY.md §3C):
+    grayscale ELSE-IF invert -> separable resample (two MXU matmuls,
+    crop/canvas folded into the matrices) -> centered fill composite
+    -> gaussian blur (two more matmuls).
     """
     f32 = jnp.float32
-    x = x_u8.astype(f32)  # (B, C, SH, SW); C==3 means opaque (alpha 255)
-    r, g, b = x[:, 0], x[:, 1], x[:, 2]
-    a = x[:, 3] if x.shape[1] == 4 else jnp.full_like(r, 255.0)
-
     # fixed-point Rec.709 luma with floor division (image crate rgb_to_luma)
     luma = jnp.floor((2126.0 * r + 7152.0 * g + 722.0 * b) / 10000.0)
     grayf = flags[:, 0][:, None, None]
@@ -210,7 +213,7 @@ def _transform_kernel(x_u8, av, ah, flags, fill, box, bv=None, bh=None):
     r1 = jnp.where(do_inv, 255.0 - r1, r1)
     g1 = jnp.where(do_inv, 255.0 - g1, g1)
     b1 = jnp.where(do_inv, 255.0 - b1, b1)
-    opaque_in = x.shape[1] == 3
+    opaque_in = a is None
     if opaque_in:
         # alpha is constant 255: inside the fg rect the resampled
         # alpha is exactly 255 (weights sum to 1), so skip the alpha
@@ -221,9 +224,11 @@ def _transform_kernel(x_u8, av, ah, flags, fill, box, bv=None, bh=None):
 
     # separable resample as two batched matmuls (MXU)
     mmd = _mm_dtype()
-    t = jnp.einsum("bds,bcsw->bcdw", av.astype(mmd), y.astype(mmd),
+    sub_v = "ds,bcsw->bcdw" if uniform else "bds,bcsw->bcdw"
+    sub_h = "ew,bcdw->bcde" if uniform else "bew,bcdw->bcde"
+    t = jnp.einsum(sub_v, av.astype(mmd), y.astype(mmd),
                    preferred_element_type=f32)
-    t = jnp.einsum("bew,bcdw->bcde", ah.astype(mmd), t.astype(mmd),
+    t = jnp.einsum(sub_h, ah.astype(mmd), t.astype(mmd),
                    preferred_element_type=f32)
     # FloatNearest: clamp then round half away from zero (non-negative)
     fg = jnp.floor(jnp.clip(t, 0.0, 255.0) + 0.5)  # (B, C, OH, OW)
@@ -243,7 +248,11 @@ def _transform_kernel(x_u8, av, ah, flags, fill, box, bv=None, bh=None):
         comp = jnp.concatenate(
             [comp_rgb, jnp.full_like(fg[:, :1], 255.0)], axis=1
         )
+        fg_full = jnp.concatenate([fg, jnp.full_like(fg[:, :1], 255.0)], axis=1)
     else:
+        # alpha blend onto the opaque fill canvas; proven within 1 LSB
+        # of image::Rgba::blend over the full grid
+        # (tests/test_alpha_blend_grid.py)
         fga = fg[:, 3]
         af = fga / 255.0
         blended = jnp.floor(fg[:, :3] * af[:, None] + fillc * (1.0 - af[:, None]))
@@ -253,20 +262,32 @@ def _transform_kernel(x_u8, av, ah, flags, fill, box, bv=None, bh=None):
         comp = jnp.concatenate(
             [comp_rgb, jnp.full_like(fga, 255.0)[:, None]], axis=1
         )
-
-    if opaque_in:
-        fg_full = jnp.concatenate([fg, jnp.full_like(fg[:, :1], 255.0)], axis=1)
-    else:
         fg_full = fg
     usec = flags[:, 2][:, None, None, None] > 0
     out = jnp.where(usec, comp, fg_full)
 
     if bv is not None:
-        t = jnp.einsum("bde,bcew->bcdw", bv, out, preferred_element_type=f32)
-        t = jnp.einsum("bfw,bcdw->bcdf", bh, t, preferred_element_type=f32)
+        sub_bv = "de,bcew->bcdw" if uniform else "bde,bcew->bcdw"
+        sub_bh = "fw,bcdw->bcdf" if uniform else "bfw,bcdw->bcdf"
+        t = jnp.einsum(sub_bv, bv, out, preferred_element_type=f32)
+        t = jnp.einsum(sub_bh, bh, t, preferred_element_type=f32)
         out = jnp.floor(jnp.clip(t, 0.0, 255.0) + 0.5)
 
     return out.astype(jnp.uint8)
+
+
+def _transform_kernel(x_u8, av, ah, flags, fill, box, bv=None, bh=None):
+    """Pixel-source program. Shapes:
+    x_u8  (B, C, SH, SW) uint8 (C==3 means opaque, alpha 255)
+    av (B, OH, SH) f32   ah (B, OW, SW) f32
+    flags (B, 3) f32 [gray, invert, use_canvas]   fill (B, 3) f32
+    box   (B, 4) i32 [x0, y0, fw, fh]
+    bv    (B, OH, OH) f32 | None   bh (B, OW, OW) f32 | None
+    """
+    x = x_u8.astype(jnp.float32)
+    a = x[:, 3] if x.shape[1] == 4 else None
+    return _chain(x[:, 0], x[:, 1], x[:, 2], a, av, ah, flags, fill, box,
+                  bv, bh, uniform=False)
 
 
 def _transform_kernel_uniform(x_u8, av, ah, flags, fill, box, bv=None, bh=None):
@@ -276,66 +297,10 @@ def _transform_kernel_uniform(x_u8, av, ah, flags, fill, box, bv=None, bh=None):
     skips re-uploading per-image matrix stacks and lets XLA emit
     plain (not batched) matmuls with the batch folded into the rows.
     """
-    f32 = jnp.float32
-    x = x_u8.astype(f32)  # (B, C, SH, SW); C==3 means opaque
-    r, g, b = x[:, 0], x[:, 1], x[:, 2]
-    a = x[:, 3] if x.shape[1] == 4 else jnp.full_like(r, 255.0)
-    luma = jnp.floor((2126.0 * r + 7152.0 * g + 722.0 * b) / 10000.0)
-    grayf = flags[:, 0][:, None, None]
-    invf = flags[:, 1][:, None, None]
-    r1 = jnp.where(grayf > 0, luma, r)
-    g1 = jnp.where(grayf > 0, luma, g)
-    b1 = jnp.where(grayf > 0, luma, b)
-    do_inv = (invf > 0) & (grayf == 0)
-    r1 = jnp.where(do_inv, 255.0 - r1, r1)
-    g1 = jnp.where(do_inv, 255.0 - g1, g1)
-    b1 = jnp.where(do_inv, 255.0 - b1, b1)
-    opaque_in = x.shape[1] == 3
-    if opaque_in:
-        y = jnp.stack([r1, g1, b1], axis=1)
-    else:
-        y = jnp.stack([r1, g1, b1, a], axis=1)
-
-    mmd = _mm_dtype()
-    t = jnp.einsum("ds,bcsw->bcdw", av.astype(mmd), y.astype(mmd),
-                   preferred_element_type=f32)
-    t = jnp.einsum("ew,bcdw->bcde", ah.astype(mmd), t.astype(mmd),
-                   preferred_element_type=f32)
-    fg = jnp.floor(jnp.clip(t, 0.0, 255.0) + 0.5)
-
-    oh, ow = fg.shape[2], fg.shape[3]
-    ii = jax.lax.broadcasted_iota(jnp.int32, (1, oh, ow), 1)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (1, oh, ow), 2)
-    x0 = box[:, 0][:, None, None]
-    y0 = box[:, 1][:, None, None]
-    fw = box[:, 2][:, None, None]
-    fh = box[:, 3][:, None, None]
-    inrect = (ii >= y0) & (ii < y0 + fh) & (jj >= x0) & (jj < x0 + fw)
-
-    fillc = fill[:, :, None, None]
-    if opaque_in:
-        comp_rgb = jnp.where(inrect[:, None], fg, fillc + jnp.zeros_like(fg))
-        comp = jnp.concatenate(
-            [comp_rgb, jnp.full_like(fg[:, :1], 255.0)], axis=1
-        )
-        fg_full = jnp.concatenate([fg, jnp.full_like(fg[:, :1], 255.0)], axis=1)
-    else:
-        fga = fg[:, 3]
-        af = fga / 255.0
-        blended = jnp.floor(fg[:, :3] * af[:, None] + fillc * (1.0 - af[:, None]))
-        opaque = fga[:, None] >= 255.0
-        comp_rgb = jnp.where(opaque, fg[:, :3], blended)
-        comp_rgb = jnp.where(inrect[:, None], comp_rgb, fillc + jnp.zeros_like(fg[:, :3]))
-        comp = jnp.concatenate([comp_rgb, jnp.full_like(fga, 255.0)[:, None]], axis=1)
-        fg_full = fg
-    usec = flags[:, 2][:, None, None, None] > 0
-    out = jnp.where(usec, comp, fg_full)
-
-    if bv is not None:
-        t = jnp.einsum("de,bcew->bcdw", bv, out, preferred_element_type=f32)
-        t = jnp.einsum("fw,bcdw->bcdf", bh, t, preferred_element_type=f32)
-        out = jnp.floor(jnp.clip(t, 0.0, 255.0) + 0.5)
-    return out.astype(jnp.uint8)
+    x = x_u8.astype(jnp.float32)
+    a = x[:, 3] if x.shape[1] == 4 else None
+    return _chain(x[:, 0], x[:, 1], x[:, 2], a, av, ah, flags, fill, box,
+                  bv, bh, uniform=True)
 
 
 def _ycbcr420_tail(out_u8):
@@ -371,6 +336,29 @@ def _ycbcr420_tail(out_u8):
     return y_u8, sub2(cb), sub2(cr)
 
 
+def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool):
+    """The shared program tail: device-side crop to true dims, alpha
+    pruning, and the optional JPEG encode front-end / full DCT back
+    half. enc_lq/enc_cq are the ENCODER's quant tables (runtime inputs
+    so one program serves every quality)."""
+
+    def tail(out, enc_lq=None, enc_cq=None):
+        if out_crop is not None:
+            out = out[:, :, : out_crop[0], : out_crop[1]]
+        if jpegdct:
+            from . import dct
+
+            y, cb, cr = _ycbcr420_tail(out)
+            return dct.ycbcr420_to_coefficients(y, cb, cr, enc_lq, enc_cq)
+        if jpeg420:
+            return _ycbcr420_tail(out)
+        if out_channels != 4:
+            out = out[:, :out_channels]
+        return out
+
+    return tail
+
+
 @functools.lru_cache(maxsize=256)
 def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
                 has_blur: bool, uniform: bool = False, out_crop=None,
@@ -390,24 +378,9 @@ def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
     front-end (YCbCr + 4:2:0), halving the download again.
     """
     kernel = _transform_kernel_uniform if uniform else _transform_kernel
-
-    def tail(out, lq=None, cq=None):
-        if out_crop is not None:
-            out = out[:, :, : out_crop[0], : out_crop[1]]
-        if jpegdct:
-            from . import dct
-
-            y, cb, cr = _ycbcr420_tail(out)
-            return dct.ycbcr420_to_coefficients(y, cb, cr, lq, cq)
-        if jpeg420:
-            return _ycbcr420_tail(out)
-        if out_channels != 4:
-            out = out[:, :out_channels]
-        return out
+    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct)
 
     if jpegdct:
-        # quant tables ride as runtime inputs so one program serves
-        # every quality
         if has_blur:
             return jax.jit(lambda lq, cq, *a: tail(kernel(*a), lq, cq))
         return jax.jit(
@@ -422,6 +395,50 @@ def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
             kernel(x, av, ah, flags, fill, box)
         )
     )
+
+
+def bucket_h16(h: int) -> int:
+    """Height bucket rounded to a multiple of 16 — coefficient-source
+    batches need whole 4:2:0 MCU rows (every _H_STEPS entry above 8 is
+    already a multiple of 16)."""
+    b = bucket_h(h)
+    return b + 8 if b % 16 else b
+
+
+@functools.lru_cache(maxsize=256)
+def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
+                     out_w: int, has_blur: bool, uniform: bool = False,
+                     out_crop=None, out_channels: int = 4,
+                     jpeg420: bool = False, fast: bool = False,
+                     jpegdct: bool = False):
+    """Fused program whose SOURCE is entropy-decoded JPEG coefficients:
+    the decode back half (dequant + iDCT + 4:2:0 fancy upsample +
+    YCbCr->RGB, ops.jpeg_decode) runs as a prologue to the transform
+    chain. Upload is ~1.5 B/px (int8 AC + int16 DC) instead of 3 B/px
+    decoded RGB, and the host never runs libjpeg's iDCT/color path.
+
+    Keyed on the EXACT source geometry (true_h, true_w): the chroma
+    upsample's edge handling is positional, so one program serves one
+    source size (production traffic concentrates on few sizes; the
+    batcher groups accordingly).
+    """
+    pad_h = bucket_h16(true_h)
+    pad_w = bucket_w(true_w)
+    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct)
+    from . import jpeg_decode
+
+    def core(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
+             av, ah, flags, fill, box, bv=None, bh=None):
+        r, g, b = jpeg_decode.decode420_rgb(
+            ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
+            true_h, true_w, pad_h, pad_w,
+        )
+        return _chain(r, g, b, None, av, ah, flags, fill, box, bv, bh,
+                      uniform=uniform)
+
+    if jpegdct:
+        return jax.jit(lambda enc_lq, enc_cq, *a: tail(core(*a), enc_lq, enc_cq))
+    return jax.jit(lambda *a: tail(core(*a)))
 
 
 def _f32_table(table: np.ndarray) -> np.ndarray:
@@ -462,13 +479,18 @@ def _device_cached(arr: np.ndarray):
 _UNIFORM_CACHE = ByteLRU(max_bytes=96 * 1024 * 1024)
 
 
-def _uniform_padded(plan: ImagePlan):
-    """(av, ah, bv, bh) padded to the plan's own buckets, cached."""
-    key = id(plan)
+def _uniform_padded(plan: ImagePlan, sh: int = None, sw: int = None):
+    """(av, ah, bv, bh) padded to the plan's buckets, cached. sh/sw
+    override the source bucket (coefficient-source batches use the
+    16-aligned bucket)."""
+    key = (id(plan), sh, sw)
     hit = _UNIFORM_CACHE.get(key)
     if hit is not None and hit[0] is plan:
         return hit[1]
-    sh, sw = bucket_h(plan.src_h), bucket_w(plan.src_w)
+    if sh is None:
+        sh = bucket_h(plan.src_h)
+    if sw is None:
+        sw = bucket_w(plan.src_w)
     oh, ow = bucket_h(plan.out_h), bucket_w(plan.out_w)
     av = np.zeros((oh, sh), dtype=np.float32)
     av[: plan.out_h, : plan.src_h] = plan.av
@@ -488,6 +510,43 @@ def _uniform_padded(plan: ImagePlan):
     nbytes = sum(a.nbytes for a in value if a is not None)
     _UNIFORM_CACHE.put(key, (plan, value), nbytes)
     return value
+
+
+def _pack_params(plans, b: int, sh: int, sw: int, oh: int, ow: int,
+                 uniform: bool, has_blur: bool):
+    """Pack the per-image parameter arrays shared by every assembly
+    flavor: (flags, fill, box) always; padded per-image (av, ah) and
+    blur (bv, bh) stacks when the batch isn't uniform."""
+    flags = np.zeros((b, 3), dtype=np.float32)
+    fill = np.zeros((b, 3), dtype=np.float32)
+    box = np.zeros((b, 4), dtype=np.int32)
+    av = ah = bv = bh = None
+    if not uniform:
+        av = np.zeros((b, oh, sh), dtype=np.float32)
+        ah = np.zeros((b, ow, sw), dtype=np.float32)
+        if has_blur:
+            bv = np.zeros((b, oh, oh), dtype=np.float32)
+            bh = np.zeros((b, ow, ow), dtype=np.float32)
+    for i, p in enumerate(plans):
+        flags[i] = (float(p.gray), float(p.invert), float(p.use_canvas))
+        fill[i] = p.fill
+        box[i] = p.box
+        if uniform:
+            continue
+        av[i, : p.out_h, : p.src_h] = p.av
+        ah[i, : p.out_w, : p.src_w] = p.ah
+        if has_blur:
+            if p.blur_sigma > 0:
+                bv[i, : p.out_h, : p.out_h] = filters.gaussian_matrix(
+                    p.out_h, p.blur_sigma
+                )
+                bh[i, : p.out_w, : p.out_w] = filters.gaussian_matrix(
+                    p.out_w, p.blur_sigma
+                )
+            else:
+                bv[i, : p.out_h, : p.out_h] = np.eye(p.out_h, dtype=np.float32)
+                bh[i, : p.out_w, : p.out_w] = np.eye(p.out_w, dtype=np.float32)
+    return flags, fill, box, av, ah, bv, bh
 
 
 class BatchAssembly:
@@ -528,41 +587,17 @@ class BatchAssembly:
         self.c_in = 4 if any(im.shape[2] == 4 for im in images) else 3
 
         self.x = np.zeros((self.b, self.c_in, self.sh, self.sw), dtype=np.uint8)
-        self.flags = np.zeros((self.b, 3), dtype=np.float32)
-        self.fill = np.zeros((self.b, 3), dtype=np.float32)
-        self.box = np.zeros((self.b, 4), dtype=np.int32)
-        self.av = self.ah = self.bv = self.bh = None
-        if not self.uniform:
-            self.av = np.zeros((self.b, self.oh, self.sh), dtype=np.float32)
-            self.ah = np.zeros((self.b, self.ow, self.sw), dtype=np.float32)
-            if self.has_blur:
-                self.bv = np.zeros((self.b, self.oh, self.oh), dtype=np.float32)
-                self.bh = np.zeros((self.b, self.ow, self.ow), dtype=np.float32)
-
+        (self.flags, self.fill, self.box,
+         self.av, self.ah, self.bv, self.bh) = _pack_params(
+            plans, self.b, self.sh, self.sw, self.oh, self.ow,
+            self.uniform, self.has_blur,
+        )
         for i, (p, img) in enumerate(zip(plans, images)):
             # channel-first, padded; 3-channel sources are opaque
             c = img.shape[2]
             self.x[i, :c, : p.src_h, : p.src_w] = img.transpose(2, 0, 1)
             if c == 3 and self.c_in == 4:
                 self.x[i, 3, : p.src_h, : p.src_w] = 255
-            self.flags[i] = (float(p.gray), float(p.invert), float(p.use_canvas))
-            self.fill[i] = p.fill
-            self.box[i] = p.box
-            if self.uniform:
-                continue
-            self.av[i, : p.out_h, : p.src_h] = p.av
-            self.ah[i, : p.out_w, : p.src_w] = p.ah
-            if self.has_blur:
-                if p.blur_sigma > 0:
-                    self.bv[i, : p.out_h, : p.out_h] = filters.gaussian_matrix(
-                        p.out_h, p.blur_sigma
-                    )
-                    self.bh[i, : p.out_w, : p.out_w] = filters.gaussian_matrix(
-                        p.out_w, p.blur_sigma
-                    )
-                else:
-                    self.bv[i, : p.out_h, : p.out_h] = np.eye(p.out_h, dtype=np.float32)
-                    self.bh[i, : p.out_w, : p.out_w] = np.eye(p.out_w, dtype=np.float32)
 
     def submit(self):
         """Dispatch the device program (async); returns the device array."""
@@ -648,6 +683,127 @@ class BatchAssembly:
     def run(self):
         """Execute on device; returns list of (out_h, out_w, 4) uint8 arrays."""
         return self.collect(self.submit())
+
+
+class CoefBatchAssembly(BatchAssembly):
+    """BatchAssembly whose sources are entropy-decoded JPEG coefficient
+    grids (from native fc_read_jpeg_coeffs) instead of pixels: the
+    device runs the full decode back half before the transform chain
+    (ops.jpeg_decode). One EXACT source geometry per batch — the
+    batcher groups accordingly. Upload is int8 AC + int16 DC,
+    ~1.5 B/px vs 3 B/px decoded RGB.
+    """
+
+    def __init__(self, plans, metas, jpeg420: bool = False,
+                 jpegdct: bool = False, quality: int = 75):
+        """metas: list of dicts from native_codecs.read_jpeg_coeffs,
+        all with identical (w, h); the caller verified |AC| <= 127
+        (jpeg_decode.ac_fits_int8)."""
+        from . import jpeg_decode
+
+        assert len(plans) == len(metas)
+        self.plans = plans
+        self.quality = quality
+        self.b = bucket_b(len(plans))
+        p0 = plans[0]
+        self.true_h = metas[0]["h"]
+        self.true_w = metas[0]["w"]
+        self.sh = bucket_h16(self.true_h)
+        self.sw = bucket_w(self.true_w)
+        self.oh = bucket_h(max(p.out_h for p in plans))
+        self.ow = bucket_w(max(p.out_w for p in plans))
+        self.has_blur = any(p.blur_sigma > 0 for p in plans)
+        self.uniform = all(p is p0 for p in plans)
+        geometry_uniform = all(
+            p.out_h == p0.out_h and p.out_w == p0.out_w for p in plans
+        )
+        self.jpegdct = jpegdct and geometry_uniform
+        self.jpeg420 = jpeg420 and geometry_uniform and not self.jpegdct
+        # JPEG sources are opaque; alpha crosses the link only if some
+        # plan demands it (it won't: plan_image was called opaque=True)
+        self.c_out = 4 if any(p.want_alpha for p in plans) else 3
+
+        ybh, ybw = self.sh // 8, self.sw // 8
+        cbh, cbw = self.sh // 16, self.sw // 16
+        self.ydc = np.zeros((self.b, ybh, ybw), dtype=np.int16)
+        self.yac = np.zeros((self.b, ybh, ybw, 63), dtype=np.int8)
+        self.cbdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
+        self.cbac = np.zeros((self.b, cbh, cbw, 63), dtype=np.int8)
+        self.crdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
+        self.crac = np.zeros((self.b, cbh, cbw, 63), dtype=np.int8)
+        self.lq = np.zeros((self.b, 64), dtype=np.float32)
+        self.cq = np.zeros((self.b, 64), dtype=np.float32)
+        (self.flags, self.fill, self.box,
+         self.av, self.ah, self.bv, self.bh) = _pack_params(
+            plans, self.b, self.sh, self.sw, self.oh, self.ow,
+            self.uniform, self.has_blur,
+        )
+        for i, m in enumerate(metas):
+            assert m["h"] == self.true_h and m["w"] == self.true_w
+            (self.ydc[i], self.yac[i], self.cbdc[i], self.cbac[i],
+             self.crdc[i], self.crac[i]) = jpeg_decode.pack_meta(
+                m, self.sh, self.sw
+            )
+            self.lq[i] = m["lq"]
+            self.cq[i] = m["cq"]
+
+    def _device_args(self):
+        p0 = self.plans[0]
+        out_crop = (
+            (p0.out_h, p0.out_w) if (self.jpeg420 or self.jpegdct) else None
+        )
+        fn = get_coef_program(self.b, self.true_h, self.true_w, self.oh,
+                              self.ow, self.has_blur, self.uniform, out_crop,
+                              self.c_out, self.jpeg420, _FAST["enabled"],
+                              self.jpegdct)
+        args = [jax.device_put(a) for a in
+                (self.ydc, self.yac, self.cbdc, self.cbac,
+                 self.crdc, self.crac, self.lq, self.cq)]
+        if self.uniform:
+            av, ah, bv, bh = _uniform_padded(p0, self.sh, self.sw)
+            args += [_device_cached(av), _device_cached(ah),
+                     jax.device_put(self.flags), jax.device_put(self.fill),
+                     jax.device_put(self.box)]
+            if self.has_blur:
+                args += [_device_cached(bv), _device_cached(bh)]
+        else:
+            args += [jax.device_put(a) for a in
+                     (self.av, self.ah, self.flags, self.fill, self.box)]
+            if self.has_blur:
+                args += [jax.device_put(self.bv), jax.device_put(self.bh)]
+        if self.jpegdct:
+            from . import dct as dct_mod
+
+            enc_lq, enc_cq = dct_mod.ijg_quant_tables(self.quality)
+            args = [_device_cached(_f32_table(enc_lq)),
+                    _device_cached(_f32_table(enc_cq))] + args
+        return fn, args
+
+
+def make_assembly(plans, payloads, kinds):
+    """Build the right assembly for a homogeneous batch.
+
+    Kind grammar (one kind per batch; the batcher groups by it):
+      "rgb"             pixel source, pixel output
+      "jpeg420"         pixel source, device JPEG front-end output
+      "jpegdct:Q"       pixel source, device DCT back half at quality Q
+      "coef"            coefficient source (device decode), pixel out
+      "coef+jpeg420"    coefficient source, JPEG front-end out
+      "coef+jpegdct:Q"  coefficient source, DCT back half out
+    payloads are (H, W, C) uint8 arrays for pixel sources, or
+    read_jpeg_coeffs dicts for coefficient sources.
+    """
+    k0 = kinds[0] if kinds else "rgb"
+    if k0.startswith("coef"):
+        sink = k0.split("+", 1)[1] if "+" in k0 else "rgb"
+        if sink.startswith("jpegdct:"):
+            return CoefBatchAssembly(plans, payloads, jpegdct=True,
+                                     quality=int(sink.split(":", 1)[1]))
+        return CoefBatchAssembly(plans, payloads, jpeg420=sink == "jpeg420")
+    if k0.startswith("jpegdct:"):
+        return BatchAssembly(plans, payloads, jpegdct=True,
+                             quality=int(k0.split(":", 1)[1]))
+    return BatchAssembly(plans, payloads, k0 == "jpeg420")
 
 
 def transform_single(image: np.ndarray, params,

@@ -1,0 +1,162 @@
+"""On-device JPEG decode back half.
+
+The reference decodes JPEGs entirely on CPU (image/zune-jpeg crates,
+reference src/handler.rs:192-219). Here the host performs entropy
+(Huffman) decode ONLY (native fc_read_jpeg_coeffs); everything after
+it — dequantization, the 8x8 inverse DCT, 4:2:0 chroma upsampling and
+YCbCr->RGB conversion — runs on the TPU, fused as a prologue to the
+transform program (ops.fused).
+
+Why: the decoded image is 3 bytes/pixel, but its quantized DCT
+coefficients fit in ~1.5 bytes/pixel (int8 AC + int16 DC), so moving
+the decode back half onto the device HALVES host->device traffic and
+removes most of the host decode cost (the 1-core host's ceiling).
+
+Parity: chroma upsampling reproduces libjpeg's h2v2 "fancy"
+(triangle) filter bit-for-bit, and YCbCr->RGB uses libjpeg's exact
+fixed-point table math (jdcolor.c build_ycc_rgb_table) in int32. The
+only divergence from a libjpeg pixel decode is the iDCT itself
+(float DCT-II vs libjpeg's islow fixed-point approximation) — both
+approximate the ideal iDCT, measured agreement is ~±1 LSB
+(tests/test_jpeg_device_decode.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .dct import _dct_matrix
+
+
+def dequant_idct(dc_i16, ac_i8, q_f32):
+    """Dequantize + inverse DCT one plane of coefficient blocks.
+
+    dc_i16 (B, bh, bw) int16; ac_i8 (B, bh, bw, 63) int8 (the host
+    verified all AC magnitudes fit); q_f32 (B, 64) f32 natural-order
+    quant table per image. Returns (B, bh*8, bw*8) int32 samples in
+    [0, 255] (level-shifted, rounded, range-limited like libjpeg's
+    sample output).
+    """
+    f32 = jnp.float32
+    coef = jnp.concatenate(
+        [dc_i16[..., None].astype(jnp.int32), ac_i8.astype(jnp.int32)],
+        axis=-1,
+    ).astype(f32)
+    coef = coef * q_f32[:, None, None, :]
+    b, bh, bw, _ = coef.shape
+    blocks = coef.reshape(b, bh, bw, 8, 8)
+    d = jnp.asarray(_dct_matrix())
+    # f[x, y] = sum_{u,v} D[u, x] * F[u, v] * D[v, y]   (orthonormal)
+    pix = jnp.einsum("ux,brcuv,vy->brcxy", d, blocks, d,
+                     preferred_element_type=f32)
+    pix = pix.transpose(0, 1, 3, 2, 4).reshape(b, bh * 8, bw * 8)
+    return jnp.clip(jnp.floor(pix + 128.5), 0.0, 255.0).astype(jnp.int32)
+
+
+def fancy_upsample_h2v2(c_i32):
+    """libjpeg h2v2_fancy_upsample (jdsample.c), vectorized, bit-exact.
+
+    c_i32: (B, ch, cw) int32 chroma samples at TRUE chroma dims
+    (edge special cases fall out of clamped neighbor indexing: the
+    first/last column formulas (colsum*4+8)>>4 / (colsum*4+7)>>4 equal
+    the interior formulas with the neighbor clamped to self).
+    Returns (B, 2*ch, 2*cw) int32.
+    """
+    b, ch, cw = c_i32.shape
+    up = jnp.concatenate([c_i32[:, :1], c_i32[:, :-1]], axis=1)
+    dn = jnp.concatenate([c_i32[:, 1:], c_i32[:, -1:]], axis=1)
+    colsum_up = 3 * c_i32 + up      # feeds output row 2r
+    colsum_dn = 3 * c_i32 + dn      # feeds output row 2r+1
+    colsum = jnp.stack([colsum_up, colsum_dn], axis=2).reshape(b, 2 * ch, cw)
+    left = jnp.concatenate([colsum[:, :, :1], colsum[:, :, :-1]], axis=2)
+    right = jnp.concatenate([colsum[:, :, 1:], colsum[:, :, -1:]], axis=2)
+    out_even = (3 * colsum + left + 8) >> 4   # output col 2c
+    out_odd = (3 * colsum + right + 7) >> 4   # output col 2c+1
+    return jnp.stack([out_even, out_odd], axis=3).reshape(b, 2 * ch, 2 * cw)
+
+
+# libjpeg jdcolor.c fixed-point constants: FIX(x) = round(x * 2^16)
+_FIX_1_40200 = 91881
+_FIX_1_77200 = 116130
+_FIX_0_71414 = 46802
+_FIX_0_34414 = 22554
+_ONE_HALF = 1 << 15
+
+
+def ycbcr_to_rgb_libjpeg(y_i32, cb_i32, cr_i32):
+    """Exact libjpeg ycc_rgb_convert table math in int32.
+
+    r = limit(y + ((FIX(1.40200)*(cr-128) + 2^15) >> 16))
+    g = limit(y + ((-FIX(0.34414)*(cb-128) + 2^15 - FIX(0.71414)*(cr-128)) >> 16))
+    b = limit(y + ((FIX(1.77200)*(cb-128) + 2^15) >> 16))
+    (right shifts are arithmetic, matching libjpeg's RIGHT_SHIFT).
+    Returns (r, g, b) f32 planes in [0, 255].
+    """
+    cbz = cb_i32 - 128
+    crz = cr_i32 - 128
+    r = y_i32 + ((_FIX_1_40200 * crz + _ONE_HALF) >> 16)
+    b = y_i32 + ((_FIX_1_77200 * cbz + _ONE_HALF) >> 16)
+    g = y_i32 + ((-_FIX_0_34414 * cbz + _ONE_HALF - _FIX_0_71414 * crz) >> 16)
+    clip = lambda v: jnp.clip(v, 0, 255).astype(jnp.float32)  # noqa: E731
+    return clip(r), clip(g), clip(b)
+
+
+def decode420_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
+                  true_h: int, true_w: int, pad_h: int, pad_w: int):
+    """Full device decode back half for a 4:2:0 batch.
+
+    Coefficient grids are block-padded by the host to
+    (pad_h/8, pad_w/8) luma / (pad_h/16, pad_w/16) chroma blocks
+    (zero blocks decode to flat 128s and are never read by the
+    resample matrices). true_h/true_w are the source's real pixel
+    dims — the chroma upsample's edge handling happens there, exactly
+    where libjpeg's does (downsampled_width boundaries).
+
+    Returns (r, g, b) f32 planes shaped (B, pad_h, pad_w).
+    """
+    yplane = dequant_idct(ydc, yac, lq)          # (B, pad_h, pad_w)
+    cb = dequant_idct(cbdc, cbac, cq)            # (B, pad_h/2, pad_w/2)
+    cr = dequant_idct(crdc, crac, cq)
+    ch = (true_h + 1) // 2
+    cw = (true_w + 1) // 2
+    cb_up = fancy_upsample_h2v2(cb[:, :ch, :cw])[:, :true_h, :true_w]
+    cr_up = fancy_upsample_h2v2(cr[:, :ch, :cw])[:, :true_h, :true_w]
+    y_true = yplane[:, :true_h, :true_w]
+    r, g, b = ycbcr_to_rgb_libjpeg(y_true, cb_up, cr_up)
+
+    def pad(p):
+        return jnp.pad(p, ((0, 0), (0, pad_h - true_h), (0, pad_w - true_w)))
+
+    return pad(r), pad(g), pad(b)
+
+
+# ----------------------------------------------------------------------------
+# host-side packing helpers (numpy)
+# ----------------------------------------------------------------------------
+
+
+def ac_fits_int8(meta: dict) -> bool:
+    """True when every AC coefficient magnitude fits int8 — the cheap
+    host check gating the packed upload (DC always ships int16)."""
+    return all(
+        int(np.abs(meta[k][:, :, 1:]).max(initial=0)) <= 127
+        for k in ("y", "cb", "cr")
+    )
+
+
+def pack_meta(meta: dict, pad_h: int, pad_w: int):
+    """Split one image's coefficient grids into block-padded
+    (dc int16, ac int8) pairs: (ydc, yac, cbdc, cbac, crdc, crac)."""
+    out = []
+    for key, bs in (("y", 8), ("cb", 16), ("cr", 16)):
+        grid = meta[key]
+        bh, bw = pad_h // bs, pad_w // bs
+        dc = np.zeros((bh, bw), dtype=np.int16)
+        ac = np.zeros((bh, bw, 63), dtype=np.int8)
+        gh, gw = grid.shape[:2]
+        dc[:gh, :gw] = grid[:, :, 0]
+        ac[:gh, :gw] = grid[:, :, 1:]  # host pre-verified |AC| <= 127
+        out += [dc, ac]
+    return tuple(out)

@@ -29,7 +29,21 @@ class MeshRunner:
 
     def run(self, plans: List[fused.ImagePlan], images: List[np.ndarray],
             kinds: List[str] = None):
-        jpeg420 = bool(kinds) and all(k == "jpeg420" for k in kinds)
+        k0 = kinds[0] if kinds else "rgb"
+        if k0 != "rgb" and k0 != "jpeg420":
+            # coef/jpegdct batches execute single-device for now; warn
+            # once so the perf-affecting config interaction is visible
+            # (ADVICE r1)
+            if not getattr(self, "_warned_kinds", False):
+                self._warned_kinds = True
+                import logging
+
+                logging.getLogger("fanlin.parallel").warning(
+                    "kind %r falls back to single-device under "
+                    "data_parallel", k0,
+                )
+            return fused.make_assembly(plans, images, kinds).run()
+        jpeg420 = k0 == "jpeg420"
         asm = fused.BatchAssembly(plans, images, jpeg420)
         if asm.jpeg420 or asm.b % self.n_dp != 0:
             # jpeg420 emits ragged plane tuples (unsharded for now);

@@ -138,12 +138,14 @@ async def stats_handler(request: web.Request) -> web.Response:
     counters + compiled-program cache info, JSON."""
     import json
 
-    from ..ops.fused import get_program
+    from ..ops.fused import get_coef_program, get_program
 
     state: State = request.app[STATE_KEY]
     batcher = getattr(state.engine.runner, "batcher", None)
     body = {
-        "programs_cached": get_program.cache_info().currsize,
+        "programs_cached": get_program.cache_info().currsize
+        + get_coef_program.cache_info().currsize,
+        "engine": dict(getattr(state.engine, "stats", {})),
         "batcher": dict(batcher.stats) if batcher is not None else None,
     }
     return web.Response(
@@ -247,7 +249,8 @@ async def build_state(cfg: config_mod.Config) -> State:
             log.info("data-parallel mesh enabled: %s", mesh_runner.mesh)
     batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms, execute)
     engine = Engine(runner=BatchingRunner(batcher),
-                    device_dct=cfg.tpu.device_dct)
+                    device_dct=cfg.tpu.device_dct,
+                    device_decode=cfg.tpu.device_decode)
     if cfg.tpu.codec_threads:
         # dedicated host codec pool (asyncio.to_thread rides the
         # default executor)

@@ -322,6 +322,108 @@ int fc_encode_jpeg_coeffs(const int16_t* y_coef, const int16_t* cb_coef,
   return 0;
 }
 
+// Read a JPEG's quantized DCT coefficients WITHOUT dequantizing or
+// performing the iDCT — the host does entropy (Huffman) decode only,
+// and the TPU runs the whole decode back half (dequant + iDCT +
+// chroma upsample + YCbCr->RGB) fused into the transform program.
+// This is the decode-side mirror of fc_encode_jpeg_coeffs.
+//
+// Accepts 3-component YCbCr 4:2:0 (the overwhelmingly common layout)
+// with one luma + one shared chroma quant table; anything else
+// (grayscale, 4:4:4/4:2:2, CMYK, per-component tables) returns 2 and
+// the caller uses the normal pixel decode path.
+//
+// Output blob layout (single malloc, int16, natural block order —
+// libjpeg stores both coefficients and DQT tables in natural order):
+//   y  blocks: y_bh * y_bw * 64
+//   cb blocks: c_bh * c_bw * 64
+//   cr blocks: c_bh * c_bw * 64
+// qtables: caller-provided 128 u16 (luma 64 + chroma 64).
+int fc_read_jpeg_coeffs(const uint8_t* data, size_t len, int16_t** out,
+                        int* width, int* height, int* y_bw, int* y_bh,
+                        int* c_bw, int* c_bh, uint16_t* qtables) {
+  jpeg_decompress_struct cinfo;
+  fc_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = fc_error_exit;
+  int16_t* blob = nullptr;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    free(blob);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  if (cinfo.num_components != 3 || cinfo.jpeg_color_space != JCS_YCbCr) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  jpeg_component_info* comp = cinfo.comp_info;
+  // 4:2:0 only: Y 2x2, chroma 1x1, chroma components share one table
+  if (comp[0].h_samp_factor != 2 || comp[0].v_samp_factor != 2 ||
+      comp[1].h_samp_factor != 1 || comp[1].v_samp_factor != 1 ||
+      comp[2].h_samp_factor != 1 || comp[2].v_samp_factor != 1 ||
+      comp[1].quant_tbl_no != comp[2].quant_tbl_no) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  jvirt_barray_ptr* coef_arrays = jpeg_read_coefficients(&cinfo);
+  if (coef_arrays == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  const JDIMENSION ybw = comp[0].width_in_blocks;
+  const JDIMENSION ybh = comp[0].height_in_blocks;
+  const JDIMENSION cbw = comp[1].width_in_blocks;
+  const JDIMENSION cbh = comp[1].height_in_blocks;
+  const size_t n =
+      (static_cast<size_t>(ybw) * ybh + 2 * static_cast<size_t>(cbw) * cbh) *
+      DCTSIZE2;
+  blob = static_cast<int16_t*>(malloc(n * sizeof(int16_t)));
+  if (!blob) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  int16_t* dst = blob;
+  const JDIMENSION bws[3] = {ybw, cbw, cbw};
+  const JDIMENSION bhs[3] = {ybh, cbh, cbh};
+  for (int ci = 0; ci < 3; ++ci) {
+    for (JDIMENSION row = 0; row < bhs[ci]; ++row) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), coef_arrays[ci], row, 1,
+          FALSE);
+      memcpy(dst, rows[0],
+             static_cast<size_t>(bws[ci]) * DCTSIZE2 * sizeof(JCOEF));
+      dst += static_cast<size_t>(bws[ci]) * DCTSIZE2;
+    }
+  }
+  JQUANT_TBL* lt = cinfo.quant_tbl_ptrs[comp[0].quant_tbl_no];
+  JQUANT_TBL* ct = cinfo.quant_tbl_ptrs[comp[1].quant_tbl_no];
+  if (lt == nullptr || ct == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    free(blob);
+    return 2;
+  }
+  for (int i = 0; i < 64; ++i) {
+    qtables[i] = lt->quantval[i];
+    qtables[64 + i] = ct->quantval[i];
+  }
+  *width = cinfo.image_width;
+  *height = cinfo.image_height;
+  *y_bw = ybw;
+  *y_bh = ybh;
+  *c_bw = cbw;
+  *c_bh = cbh;
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out = blob;
+  return 0;
+}
+
 void fc_free(uint8_t* ptr) { free(ptr); }
 
 int fc_abi_version() { return 1; }

@@ -1,0 +1,194 @@
+"""On-device JPEG decode back half (VERDICT r1 item 1).
+
+The host performs entropy decode only (native fc_read_jpeg_coeffs);
+the device runs dequant + iDCT + 4:2:0 fancy upsample + YCbCr->RGB as
+a prologue to the transform program. Reference decode stage:
+src/handler.rs:192-219 (image/zune-jpeg crates over libjpeg-style
+decoding).
+
+Parity layers tested here:
+* chroma upsample == libjpeg h2v2_fancy_upsample, bit-exact vs a
+  scalar transliteration of jdsample.c;
+* YCbCr->RGB == libjpeg's fixed-point table math, bit-exact vs a
+  scalar transliteration of jdcolor.c;
+* whole decode vs libjpeg's own pixel output: >=50 dB (only the iDCT
+  approximation differs);
+* engine end-to-end: coefficient path output ~= pixel path output.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import codecs, native_codecs
+from fanlin_tpu.engine.processor import Engine
+from fanlin_tpu.ops import fused, jpeg_decode
+from fanlin_tpu.spec.content import Format
+from fanlin_tpu.spec.query import parse_query
+
+from conftest import make_test_image, psnr
+
+pytestmark = pytest.mark.skipif(
+    not native_codecs.available(), reason="native codec core not built"
+)
+
+
+def _jpeg_bytes(img=None, quality=92, subsampling=-1):
+    buf = io.BytesIO()
+    Image.fromarray(img if img is not None else make_test_image()).save(
+        buf, format="JPEG", quality=quality, subsampling=subsampling
+    )
+    return buf.getvalue()
+
+
+# -- scalar reference implementations (transliterated from libjpeg) ----------
+
+
+def _scalar_fancy_upsample(c):
+    """jdsample.c h2v2_fancy_upsample, straight loop transliteration."""
+    ch, cw = c.shape
+    out = np.zeros((2 * ch, 2 * cw), dtype=np.int64)
+    for r in range(ch):
+        for v in range(2):  # v=0: pair with row above; v=1: below
+            near = c[r].astype(np.int64)
+            far = c[max(r - 1, 0)] if v == 0 else c[min(r + 1, ch - 1)]
+            colsum = 3 * near + far.astype(np.int64)
+            orow = 2 * r + v
+            for col in range(cw):
+                left = colsum[col - 1] if col > 0 else colsum[col]
+                right = colsum[col + 1] if col < cw - 1 else colsum[col]
+                out[orow, 2 * col] = (3 * colsum[col] + left + 8) >> 4
+                out[orow, 2 * col + 1] = (3 * colsum[col] + right + 7) >> 4
+    return out
+
+
+def _scalar_ycc_rgb(y, cb, cr):
+    """jdcolor.c build_ycc_rgb_table / ycc_rgb_convert."""
+    FIX = lambda x: int(round(x * 65536))  # noqa: E731
+    y = y.astype(np.int64)
+    cbz = cb.astype(np.int64) - 128
+    crz = cr.astype(np.int64) - 128
+    r = y + ((FIX(1.40200) * crz + 32768) >> 16)
+    b = y + ((FIX(1.77200) * cbz + 32768) >> 16)
+    g = y + ((-FIX(0.34414) * cbz + 32768 - FIX(0.71414) * crz) >> 16)
+    return tuple(np.clip(v, 0, 255) for v in (r, g, b))
+
+
+def test_fancy_upsample_bit_exact():
+    rng = np.random.default_rng(5)
+    for ch, cw in ((4, 6), (7, 5), (16, 16), (1, 1), (13, 128)):
+        c = rng.integers(0, 256, (2, ch, cw), dtype=np.int64).astype(np.int32)
+        got = np.asarray(jpeg_decode.fancy_upsample_h2v2(c))
+        for b in range(2):
+            want = _scalar_fancy_upsample(c[b])
+            assert np.array_equal(got[b], want), (ch, cw)
+
+
+def test_ycbcr_convert_bit_exact():
+    rng = np.random.default_rng(6)
+    y = rng.integers(0, 256, (64, 64), dtype=np.int64).astype(np.int32)
+    cb = rng.integers(0, 256, (64, 64), dtype=np.int64).astype(np.int32)
+    cr = rng.integers(0, 256, (64, 64), dtype=np.int64).astype(np.int32)
+    r, g, b = jpeg_decode.ycbcr_to_rgb_libjpeg(y[None], cb[None], cr[None])
+    wr, wg, wb = _scalar_ycc_rgb(y, cb, cr)
+    assert np.array_equal(np.asarray(r)[0].astype(np.int64), wr)
+    assert np.array_equal(np.asarray(g)[0].astype(np.int64), wg)
+    assert np.array_equal(np.asarray(b)[0].astype(np.int64), wb)
+
+
+# -- whole decode vs libjpeg --------------------------------------------------
+
+
+@pytest.mark.parametrize("dims", [(512, 512), (500, 375), (37, 23)])
+def test_device_decode_matches_libjpeg(dims):
+    w, h = dims
+    data = _jpeg_bytes(make_test_image(w, h))
+    host, _ = native_codecs.decode_jpeg(data)
+    meta = native_codecs.read_jpeg_coeffs(data)
+    assert meta is not None and meta["w"] == w and meta["h"] == h
+    assert jpeg_decode.ac_fits_int8(meta)
+    # identity transform (no dims -> no resize): pure decode comparison
+    plan = fused.plan_image(w, h, parse_query(""), opaque=True)
+    out = fused.CoefBatchAssembly([plan], [meta]).run()[0]
+    assert out.shape == (h, w, 3)
+    d = psnr(out, host)
+    assert d >= 50.0, d
+    assert int(np.abs(out.astype(int) - host.astype(int)).max()) <= 4
+
+
+def test_engine_coef_path_matches_pixel_path():
+    data = _jpeg_bytes()
+    q = parse_query("w=300&h=200")
+    e_coef = Engine(device_decode=True)
+    e_pix = Engine(device_decode=False)
+    mime1, out1 = e_coef.process_image(data, q, Format())
+    mime2, out2 = e_pix.process_image(data, q, Format())
+    assert mime1 == mime2 == "image/jpeg"
+    assert e_coef.stats["coef_src"] == 1
+    assert e_pix.stats["pixel_src"] == 1
+    a = np.asarray(Image.open(io.BytesIO(out1)))
+    b = np.asarray(Image.open(io.BytesIO(out2)))
+    d = psnr(a, b)
+    assert d >= 48.0, d
+
+
+def test_engine_coef_path_with_ops():
+    """grayscale / fill-canvas / crop / blur all compose with the
+    device decode prologue."""
+    data = _jpeg_bytes()
+    for qs in ("w=300&h=200&grayscale=true", "w=700&h=300&rgb=10,20,30",
+               "w=300&h=200&crop=true", "w=100&h=80&blur=1"):
+        q = parse_query(qs)
+        m1, out1 = Engine(device_decode=True).process_image(data, q, Format())
+        m2, out2 = Engine(device_decode=False).process_image(data, q, Format())
+        a = np.asarray(Image.open(io.BytesIO(out1)).convert("RGB"))
+        b = np.asarray(Image.open(io.BytesIO(out2)).convert("RGB"))
+        assert a.shape == b.shape
+        d = psnr(a, b)
+        assert d >= 45.0, (qs, d)
+
+
+def test_non_420_and_rotated_fall_back():
+    # 4:4:4 source: read_jpeg_coeffs refuses -> pixel path
+    data444 = _jpeg_bytes(subsampling=0)
+    e = Engine(device_decode=True)
+    e.process_image(data444, parse_query("w=100&h=100"), Format())
+    assert e.stats["pixel_src"] == 1 and e.stats["coef_src"] == 0
+    # grayscale source: 1 component -> pixel path
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image()[:, :, 0]).save(buf, format="JPEG")
+    e.process_image(buf.getvalue(), parse_query("w=100&h=100"), Format())
+    assert e.stats["pixel_src"] == 2
+
+
+def test_ac_overflow_falls_back(monkeypatch):
+    data = _jpeg_bytes()
+    real = native_codecs.read_jpeg_coeffs
+
+    def oversized(d):
+        m = real(d)
+        m["y"][0, 0, 1] = 300  # force an AC that can't pack to int8
+        return m
+
+    monkeypatch.setattr(native_codecs, "read_jpeg_coeffs", oversized)
+    e = Engine(device_decode=True)
+    mime, out = e.process_image(data, parse_query("w=64&h=64"), Format())
+    assert e.stats["pixel_src"] == 1 and e.stats["coef_src"] == 0
+    assert mime == "image/jpeg"
+
+
+def test_batcher_groups_coef_kinds():
+    from fanlin_tpu.engine.batcher import _group_key
+
+    p1 = fused.plan_image(512, 512, parse_query("w=300&h=200"), opaque=True)
+    p2 = fused.plan_image(512, 512, parse_query("w=300&h=200&grayscale=true"),
+                          opaque=True)
+    p3 = fused.plan_image(500, 375, parse_query("w=300&h=200"), opaque=True)
+    # same exact source + out dims, different ops -> same coef batch
+    assert _group_key(p1, "coef+jpeg420") == _group_key(p2, "coef+jpeg420")
+    # different exact source dims -> different program
+    assert _group_key(p1, "coef+jpeg420") != _group_key(p3, "coef+jpeg420")
+    # source kinds never mix
+    assert _group_key(p1, "coef") != _group_key(p1, "rgb")
