@@ -84,14 +84,27 @@ def main() -> None:
     pool = ThreadPoolExecutor(threads)
 
     from fanlin_tpu.engine import native_codecs
+    from fanlin_tpu.ops import jpeg_decode
 
     jpeg420 = (
         out_fmt == codecs.JPEG
         and native_codecs.available()
         and os.environ.get("BENCH_JPEG420", "1") == "1"
     )
+    # Coefficient-source pipeline (device decode back half): host does
+    # entropy decode only and uploads int8-packed coefficients
+    # (~1.5 B/px) instead of decoded RGB (3 B/px).
+    coef_src = (
+        native_codecs.available()
+        and os.environ.get("BENCH_COEF", "1") == "1"
+        and native_codecs.read_jpeg_coeffs(data) is not None
+    )
 
     def decode_task(_i):
+        if coef_src:
+            m = native_codecs.read_jpeg_coeffs(data)
+            if m is not None and jpeg_decode.ac_fits_int8(m):
+                return m
         img, _, _ = codecs.decode(data)
         return img
 
@@ -100,20 +113,23 @@ def main() -> None:
             return native_codecs.encode_jpeg_raw420(arr[1], arr[2], arr[3], out_q)
         return codecs.encode(arr, out_fmt, out_q, "RGBA")
 
-    def make_assembly(imgs):
-        return fused.BatchAssembly([plan] * len(imgs), imgs, jpeg420)
+    def make_assembly(payloads):
+        plans = [plan] * len(payloads)
+        if coef_src:
+            return fused.CoefBatchAssembly(plans, payloads, jpeg420)
+        return fused.BatchAssembly(plans, payloads, jpeg420)
 
     # -- warmup: compile the programs (in parallel — the remote compile
     # service overlaps them), prime codec paths ---------------------------
     warm = decode_task(0)
 
     def _warm_main():
-        a = fused.BatchAssembly([plan] * batch, [warm] * batch, jpeg420)
+        a = make_assembly([warm] * batch)
         encode_task(a.run()[0])
 
     def _warm_single():
         # the latency section runs single-request batches (B=1 bucket)
-        a = fused.BatchAssembly([plan], [warm], jpeg420)
+        a = make_assembly([warm])
         a.run()
 
     w1 = pool.submit(_warm_main)
@@ -126,7 +142,7 @@ def main() -> None:
     # so lazy/eliding runtimes can't skip repeated identical programs
     import jax.numpy as jnp
 
-    asm0 = fused.BatchAssembly([plan] * batch, [warm] * batch, jpeg420)
+    asm0 = make_assembly([warm] * batch)
     out0 = asm0.submit()
     jax.block_until_ready(out0)
 
@@ -201,12 +217,26 @@ def main() -> None:
     )
     engine.process_image(data, params, accepted)  # warm
     lats = []
-    for _ in range(int(os.environ.get("BENCH_LAT_SAMPLES", "30"))):
+    # >=300 samples so the p99 is a real quantile, not the max
+    # (BASELINE.md's latency target is a p99)
+    for _ in range(int(os.environ.get("BENCH_LAT_SAMPLES", "300"))):
         t = time.perf_counter()
         engine.process_image(data, params, accepted)
         lats.append((time.perf_counter() - t) * 1000.0)
     batcher.close()
     lats.sort()
+
+    def pct(p: float) -> float:
+        return round(lats[min(int(len(lats) * p), len(lats) - 1)], 1)
+
+    # the relay's per-dispatch sync latency floors every request on
+    # this rig; report it so the captured latencies are self-explaining
+    t = time.perf_counter()
+    for _ in range(10):
+        np.asarray(asm0.submit_resident()[0] if isinstance(out0, tuple)
+                   else asm0.submit_resident())
+    rtt_floor_ms = (time.perf_counter() - t) / 10 * 1000.0
+
     result = {
         "metric": metric,
         "value": round(rate, 1),
@@ -216,17 +246,19 @@ def main() -> None:
         "wall_s": round(wall, 2),
         "mean_bytes_out": mean_bytes,
         "device": str(jax.devices()[0]),
+        "source_path": "coefficients" if coef_src else "pixels",
         # pure device-compute throughput with data resident (no host
         # link in the loop): the chip's capability; the e2e `value` on
         # this dev relay is host-link-bound.
         "device_images_per_sec": round(device_rate, 1),
-        # p50/p90 over the sample set; with ~30 samples p99 would just
-        # be the max, which on this relay can catch a one-off RPC
-        # stall rather than system latency
-        "latency_ms_p50": round(lats[len(lats) // 2], 1),
-        "latency_ms_p90": round(lats[min(int(len(lats) * 0.9), len(lats) - 1)], 1),
+        "latency_ms_p50": pct(0.50),
+        "latency_ms_p90": pct(0.90),
+        "latency_ms_p99": pct(0.99),
         "latency_ms_max": round(lats[-1], 1),
         "latency_samples": len(lats),
+        # single round trip through the device link with resident
+        # inputs — the floor below which no request latency can go here
+        "relay_rtt_floor_ms": round(rtt_floor_ms, 1),
     }
     print(json.dumps(result))
 

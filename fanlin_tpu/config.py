@@ -153,6 +153,9 @@ class TpuConfig:
     device_decode: bool = True
     # coalesce concurrent identical origin fetches into one request
     singleflight: bool = True
+    # serve cold (not-yet-compiled) shape buckets from the host numpy
+    # mirror while the device program compiles in the background
+    host_fallback: bool = True
 
     @classmethod
     def from_obj(cls, obj: dict) -> "TpuConfig":
@@ -179,6 +182,8 @@ class TpuConfig:
             cfg.device_decode = _as_bool(obj["device_decode"], "device_decode")
         if "singleflight" in obj:
             cfg.singleflight = _as_bool(obj["singleflight"], "singleflight")
+        if "host_fallback" in obj:
+            cfg.host_fallback = _as_bool(obj["host_fallback"], "host_fallback")
         return cfg
 
 

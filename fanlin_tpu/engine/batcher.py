@@ -85,13 +85,21 @@ class MicroBatcher:
     """Shape-bucketed batching queue with adaptive flush."""
 
     def __init__(self, max_batch: int = 8, window_ms: float = 2.0,
-                 execute=None):
+                 execute=None, host_fallback: bool = False):
         """execute(plans, images, kinds) -> results overrides how a
         flushed batch runs on the device (e.g. parallel.MeshRunner.run
-        for dp-sharded execution); default is single-device."""
+        for dp-sharded execution); default is single-device.
+
+        host_fallback=True serves batches whose device program hasn't
+        compiled yet from a numpy mirror (ops.hostexec) while the
+        compile runs in a background thread — a cold shape bucket must
+        never 408 a request (VERDICT r1 item 2; remote compiles can
+        take minutes)."""
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         self._execute = execute
+        self._host_fallback = host_fallback
+        self._compiling: set = set()
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
         # key -> (deadline, [(plan, image, future, kind), ...])
@@ -104,7 +112,7 @@ class MicroBatcher:
         self._scheduler.start()
         # observability counters (read by the gateway's /stats)
         self.stats = {"batches": 0, "images": 0, "full_flushes": 0,
-                      "timer_flushes": 0}
+                      "timer_flushes": 0, "host_fallbacks": 0}
 
     # -- submission --------------------------------------------------------
 
@@ -168,7 +176,37 @@ class MicroBatcher:
             if self._execute is not None:
                 results = self._execute(plans, images, kinds)
             else:
-                results = fused.make_assembly(plans, images, kinds).run()
+                asm = fused.make_assembly(plans, images, kinds)
+                key = asm.program_key()
+                if self._host_fallback and not fused.is_warm(key):
+                    # serve THIS batch from the numpy mirror; pay the
+                    # compile in the background so the bucket is warm
+                    # for the next batch (cold compiles can take
+                    # minutes through a remote compile service — the
+                    # 10 s request timeout must never fire for this)
+                    from ..ops import hostexec
+
+                    with self._lock:
+                        spawn = key not in self._compiling
+                        if spawn:
+                            self._compiling.add(key)
+                    if spawn:
+                        def _compile(asm=asm, key=key):
+                            try:
+                                asm.run()
+                            except Exception:
+                                pass
+                            finally:
+                                with self._lock:
+                                    self._compiling.discard(key)
+
+                        threading.Thread(
+                            target=_compile, name="fanlin-warm", daemon=True
+                        ).start()
+                    self.stats["host_fallbacks"] += 1
+                    results = hostexec.run_host(asm)
+                else:
+                    results = asm.run()
         except Exception as e:
             for f in futures:
                 if not f.cancelled():

@@ -549,6 +549,22 @@ def _pack_params(plans, b: int, sh: int, sw: int, oh: int, ow: int,
     return flags, fill, box, av, ah, bv, bh
 
 
+# Program keys that have completed at least one device execution (so
+# their XLA compile cost is paid). The batcher consults this to serve
+# cold buckets from the host while the device program compiles in the
+# background (ops.hostexec) — the reference never blocks a request on
+# anything compile-like (handler.rs has no such concept).
+_WARM_KEYS: set = set()
+
+
+def is_warm(key) -> bool:
+    return key in _WARM_KEYS
+
+
+def mark_warm(key) -> None:
+    _WARM_KEYS.add(key)
+
+
 class BatchAssembly:
     """Host-side staging buffers for one device batch."""
 
@@ -599,11 +615,30 @@ class BatchAssembly:
             if c == 3 and self.c_in == 4:
                 self.x[i, 3, : p.src_h, : p.src_w] = 255
 
+    def program_key(self):
+        """Cache/warm key identifying this batch's compiled program."""
+        p0 = self.plans[0]
+        out_crop = (
+            (p0.out_h, p0.out_w) if (self.jpeg420 or self.jpegdct) else None
+        )
+        src = (
+            ("coef", self.true_h, self.true_w)
+            if isinstance(self, CoefBatchAssembly)
+            else ("pix", self.sh, self.sw, self.c_in)
+        )
+        return src + (self.b, self.oh, self.ow, self.has_blur, self.uniform,
+                      out_crop, self.c_out, self.jpeg420, _FAST["enabled"],
+                      self.jpegdct)
+
     def submit(self):
         """Dispatch the device program (async); returns the device array."""
         fn, args = self._device_args()
         self._fn, self._args = fn, args
-        return fn(*args)
+        out = fn(*args)
+        # the first call of a jitted program blocks on compile; once we
+        # are here the executable exists
+        mark_warm(self.program_key())
+        return out
 
     def submit_resident(self):
         """Re-dispatch on the device-resident inputs of the last submit

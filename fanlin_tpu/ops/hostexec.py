@@ -1,0 +1,226 @@
+"""Host (numpy) execution of an assembled batch — cold-bucket survival.
+
+First execution of a shape bucket compiles an XLA program; through a
+remote-compile service that can take minutes, during which the
+reference would have served every request from CPU without blinking
+(it has no compile concept — handler.rs is plain Rust). This module
+mirrors the device programs in numpy so the gateway can serve a
+not-yet-compiled bucket immediately while the real program compiles in
+the background (engine.batcher spawns the warming run).
+
+It operates on the SAME packed arrays the assembly would upload, so
+results match the device path to float32 rounding (the matrices, op
+order and integer math are identical; only matmul accumulation order
+differs — worst case observed is ±1 LSB).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import fused
+
+
+def _np_chain(planes, av, ah, flags, fill, box, bv, bh, uniform):
+    """numpy mirror of fused._chain. planes: (r, g, b[, a]) f32 arrays
+    (B, SH, SW); av/ah either (B, OH, SH)/(B, OW, SW) or shared 2-D."""
+    f32 = np.float32
+    r, g, b = planes[0], planes[1], planes[2]
+    a = planes[3] if len(planes) == 4 else None
+    luma = np.floor((2126.0 * r + 7152.0 * g + 722.0 * b).astype(f32) / f32(10000.0))
+    grayf = flags[:, 0][:, None, None]
+    invf = flags[:, 1][:, None, None]
+    r1 = np.where(grayf > 0, luma, r)
+    g1 = np.where(grayf > 0, luma, g)
+    b1 = np.where(grayf > 0, luma, b)
+    do_inv = (invf > 0) & (grayf == 0)
+    r1 = np.where(do_inv, 255.0 - r1, r1).astype(f32)
+    g1 = np.where(do_inv, 255.0 - g1, g1).astype(f32)
+    b1 = np.where(do_inv, 255.0 - b1, b1).astype(f32)
+    y = np.stack([r1, g1, b1] + ([a] if a is not None else []), axis=1)
+
+    sub_v = "ds,bcsw->bcdw" if uniform else "bds,bcsw->bcdw"
+    sub_h = "ew,bcdw->bcde" if uniform else "bew,bcdw->bcde"
+    t = np.einsum(sub_v, av, y, dtype=f32)
+    t = np.einsum(sub_h, ah, t, dtype=f32)
+    fg = np.floor(np.clip(t, 0.0, 255.0) + f32(0.5))
+
+    bsz, c, oh, ow = fg.shape
+    ii = np.arange(oh)[None, :, None]
+    jj = np.arange(ow)[None, None, :]
+    x0 = box[:, 0][:, None, None]
+    y0 = box[:, 1][:, None, None]
+    fw = box[:, 2][:, None, None]
+    fh = box[:, 3][:, None, None]
+    inrect = (ii >= y0) & (ii < y0 + fh) & (jj >= x0) & (jj < x0 + fw)
+
+    fillc = fill[:, :, None, None].astype(f32)
+    if a is None:
+        comp_rgb = np.where(inrect[:, None], fg, fillc + np.zeros_like(fg))
+        comp = np.concatenate([comp_rgb, np.full_like(fg[:, :1], 255.0)], axis=1)
+        fg_full = np.concatenate([fg, np.full_like(fg[:, :1], 255.0)], axis=1)
+    else:
+        fga = fg[:, 3]
+        af = (fga / f32(255.0)).astype(f32)
+        blended = np.floor(fg[:, :3] * af[:, None] + fillc * (f32(1.0) - af[:, None]))
+        opaque = fga[:, None] >= 255.0
+        comp_rgb = np.where(opaque, fg[:, :3], blended)
+        comp_rgb = np.where(inrect[:, None], comp_rgb, fillc + np.zeros_like(fg[:, :3]))
+        comp = np.concatenate(
+            [comp_rgb, np.full_like(fga, 255.0)[:, None]], axis=1
+        )
+        fg_full = fg
+    usec = flags[:, 2][:, None, None, None] > 0
+    out = np.where(usec, comp, fg_full).astype(f32)
+
+    if bv is not None:
+        sub_bv = "de,bcew->bcdw" if uniform else "bde,bcew->bcdw"
+        sub_bh = "fw,bcdw->bcdf" if uniform else "bfw,bcdw->bcdf"
+        t = np.einsum(sub_bv, bv, out, dtype=f32)
+        t = np.einsum(sub_bh, bh, t, dtype=f32)
+        out = np.floor(np.clip(t, 0.0, 255.0) + f32(0.5))
+    return out.astype(np.uint8)
+
+
+def _np_ycbcr420(out_u8):
+    """numpy mirror of fused._ycbcr420_tail."""
+    f32 = np.float32
+    f = out_u8[:, :3].astype(f32)
+    r, g, b = f[:, 0], f[:, 1], f[:, 2]
+    yy = (0.299 * r + 0.587 * g + 0.114 * b).astype(f32)
+    cb = (128.0 - 0.168735892 * r - 0.331264108 * g + 0.5 * b).astype(f32)
+    cr = (128.0 + 0.5 * r - 0.418687589 * g - 0.081312411 * b).astype(f32)
+    y_u8 = np.clip(np.floor(yy + 0.5), 0, 255).astype(np.uint8)
+
+    def sub2(c):
+        bsz, h, w = c.shape
+        if h % 2:
+            c = np.concatenate([c, c[:, -1:, :]], axis=1)
+            h += 1
+        if w % 2:
+            c = np.concatenate([c, c[:, :, -1:]], axis=2)
+            w += 1
+        c = c.reshape(bsz, h // 2, 2, w // 2, 2)
+        m = ((c[:, :, 0, :, 0] + c[:, :, 0, :, 1]
+              + c[:, :, 1, :, 0] + c[:, :, 1, :, 1]) * np.float32(0.25))
+        return np.clip(np.floor(m + 0.5), 0, 255).astype(np.uint8)
+
+    return y_u8, sub2(cb), sub2(cr)
+
+
+def _np_dct_tail(y, cb, cr, quality):
+    """numpy mirror of dct.ycbcr420_to_coefficients at `quality`."""
+    from . import dct
+
+    lq, cq = dct.ijg_quant_tables(quality)
+    d = dct._dct_matrix()
+
+    def pad_edge(p, mult):
+        b, h, w = p.shape
+        ph, pw = -(-h // mult) * mult, -(-w // mult) * mult
+        if ph != h:
+            p = np.concatenate([p, np.repeat(p[:, -1:, :], ph - h, axis=1)], axis=1)
+        if pw != w:
+            p = np.concatenate([p, np.repeat(p[:, :, -1:], pw - w, axis=2)], axis=2)
+        return p
+
+    def block_q(p, q):
+        b, h, w = p.shape
+        x = p.reshape(b, h // 8, 8, w // 8, 8)
+        coef = np.einsum("ui,bricj,vj->brcuv", d, x, d, dtype=np.float32)
+        qq = coef / q.astype(np.float32)
+        qq = np.sign(qq) * np.floor(np.abs(qq) + 0.5)
+        return qq.reshape(b, h // 8, w // 8, 64).astype(np.int16)
+
+    yp = pad_edge(y.astype(np.float32), 16) - 128.0
+    cbp = pad_edge(cb.astype(np.float32), 8) - 128.0
+    crp = pad_edge(cr.astype(np.float32), 8) - 128.0
+    return block_q(yp, lq), block_q(cbp, cq), block_q(crp, cq)
+
+
+def _np_decode420(asm):
+    """numpy mirror of jpeg_decode.decode420_rgb on a CoefBatchAssembly."""
+    from .dct import _dct_matrix
+
+    d = _dct_matrix()
+
+    def idct(dc, ac, q):
+        coef = np.concatenate(
+            [dc[..., None].astype(np.int32), ac.astype(np.int32)], axis=-1
+        ).astype(np.float32) * q[:, None, None, :]
+        b, bh, bw, _ = coef.shape
+        blocks = coef.reshape(b, bh, bw, 8, 8)
+        pix = np.einsum("ux,brcuv,vy->brcxy", d, blocks, d, dtype=np.float32)
+        pix = pix.transpose(0, 1, 3, 2, 4).reshape(b, bh * 8, bw * 8)
+        return np.clip(np.floor(pix + 128.5), 0, 255).astype(np.int64)
+
+    def upsample(c):
+        b, ch, cw = c.shape
+        up = np.concatenate([c[:, :1], c[:, :-1]], axis=1)
+        dn = np.concatenate([c[:, 1:], c[:, -1:]], axis=1)
+        colsum = np.stack([3 * c + up, 3 * c + dn], axis=2).reshape(b, 2 * ch, cw)
+        left = np.concatenate([colsum[:, :, :1], colsum[:, :, :-1]], axis=2)
+        right = np.concatenate([colsum[:, :, 1:], colsum[:, :, -1:]], axis=2)
+        even = (3 * colsum + left + 8) >> 4
+        odd = (3 * colsum + right + 7) >> 4
+        return np.stack([even, odd], axis=3).reshape(b, 2 * ch, 2 * cw)
+
+    th, tw = asm.true_h, asm.true_w
+    yp = idct(asm.ydc, asm.yac, asm.lq)[:, :th, :tw]
+    ch, cw = (th + 1) // 2, (tw + 1) // 2
+    cb = upsample(idct(asm.cbdc, asm.cbac, asm.cq)[:, :ch, :cw])[:, :th, :tw]
+    cr = upsample(idct(asm.crdc, asm.crac, asm.cq)[:, :ch, :cw])[:, :th, :tw]
+    cbz, crz = cb - 128, cr - 128
+    r = yp + ((91881 * crz + 32768) >> 16)
+    b_ = yp + ((116130 * cbz + 32768) >> 16)
+    g = yp + ((-22554 * cbz + 32768 - 46802 * crz) >> 16)
+
+    def pad(p):
+        return np.pad(
+            np.clip(p, 0, 255).astype(np.float32),
+            ((0, 0), (0, asm.sh - th), (0, asm.sw - tw)),
+        )
+
+    return pad(r), pad(g), pad(b_)
+
+
+def run_host(asm) -> list:
+    """Execute an assembled batch entirely on the host; returns the
+    same structures as asm.run()."""
+    if isinstance(asm, fused.CoefBatchAssembly):
+        planes = _np_decode420(asm)
+    else:
+        x = asm.x.astype(np.float32)
+        planes = tuple(x[:, i] for i in range(asm.c_in))
+    if asm.uniform:
+        if isinstance(asm, fused.CoefBatchAssembly):
+            av, ah, bv, bh = fused._uniform_padded(asm.plans[0], asm.sh, asm.sw)
+        else:
+            av, ah, bv, bh = fused._uniform_padded(asm.plans[0])
+    else:
+        av, ah, bv, bh = asm.av, asm.ah, asm.bv, asm.bh
+    if not asm.has_blur:
+        bv = bh = None
+    out = _np_chain(planes, av, ah, asm.flags, asm.fill, asm.box, bv, bh,
+                    asm.uniform)
+
+    p0 = asm.plans[0]
+    if asm.jpeg420 or asm.jpegdct:
+        out = out[:, :, : p0.out_h, : p0.out_w]
+        y, cb, cr = _np_ycbcr420(out)
+        if asm.jpegdct:
+            yc, cbc, crc = _np_dct_tail(y, cb, cr, asm.quality)
+            return [
+                ("coeffs", yc[i], cbc[i], crc[i], p0.out_w, p0.out_h,
+                 asm.quality)
+                for i in range(len(asm.plans))
+            ]
+        return [("ycbcr420", y[i], cb[i], cr[i]) for i in range(len(asm.plans))]
+    results = []
+    for i, p in enumerate(asm.plans):
+        results.append(
+            np.ascontiguousarray(
+                out[i, : asm.c_out, : p.out_h, : p.out_w].transpose(1, 2, 0)
+            )
+        )
+    return results

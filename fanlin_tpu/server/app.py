@@ -247,7 +247,8 @@ async def build_state(cfg: config_mod.Config) -> State:
             mesh_runner = MeshRunner(n_sp=cfg.tpu.mesh_sp)
             execute = mesh_runner.run
             log.info("data-parallel mesh enabled: %s", mesh_runner.mesh)
-    batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms, execute)
+    batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms, execute,
+                           host_fallback=cfg.tpu.host_fallback)
     engine = Engine(runner=BatchingRunner(batcher),
                     device_dct=cfg.tpu.device_dct,
                     device_decode=cfg.tpu.device_decode)

@@ -1,0 +1,157 @@
+"""Cold-bucket survival (VERDICT r1 item 2): a request on a shape
+bucket whose device program hasn't compiled yet must be served
+immediately from the host numpy mirror (ops.hostexec) — never blocked
+on the compile (which can take minutes through a remote compile
+service) and never 408'd. The compile is paid once, in the background.
+
+Also pins the numpy mirror's numerics to the device path across every
+program flavor (pixel/coef source x rgb/420/dct sink).
+"""
+
+import io
+import threading
+import time
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import native_codecs
+from fanlin_tpu.engine.batcher import BatchingRunner, MicroBatcher
+from fanlin_tpu.engine.processor import Engine
+from fanlin_tpu.ops import fused, hostexec
+from fanlin_tpu.spec.content import Format
+from fanlin_tpu.spec.query import parse_query
+
+from conftest import make_test_image, psnr
+
+
+def _img(w=160, h=120, alpha=None):
+    base = make_test_image(w, h)
+    if alpha is None:
+        return base
+    return np.dstack([base, np.full((h, w), alpha, np.uint8)])
+
+
+# -- host mirror numerics -----------------------------------------------------
+
+
+@pytest.mark.parametrize("qs", [
+    "w=100&h=80", "w=100&h=80&grayscale=true", "w=300&h=200&rgb=5,6,7",
+    "w=100&h=80&crop=true", "w=60&h=40&blur=1", "w=100&h=80&inverse=true",
+])
+def test_host_mirror_matches_device_pixels(qs):
+    img = _img()
+    params = parse_query(qs)
+    plan = fused.plan_image(160, 120, params, opaque=True)
+    asm = fused.BatchAssembly([plan, plan], [img, img])
+    dev = asm.run()
+    host = hostexec.run_host(asm)
+    for d, h in zip(dev, host):
+        assert d.shape == h.shape
+        assert int(np.abs(d.astype(int) - h.astype(int)).max()) <= 1, qs
+
+
+def test_host_mirror_matches_device_alpha():
+    img = _img(alpha=128)
+    params = parse_query("w=300&h=200&rgb=9,9,9")
+    plan = fused.plan_image(160, 120, params)
+    asm = fused.BatchAssembly([plan], [img])
+    d = asm.run()[0]
+    h = hostexec.run_host(asm)[0]
+    assert int(np.abs(d.astype(int) - h.astype(int)).max()) <= 1
+
+
+@pytest.mark.skipif(not native_codecs.available(), reason="no native core")
+def test_host_mirror_matches_device_420_and_dct():
+    img = _img()
+    params = parse_query("w=100&h=80")
+    plan = fused.plan_image(160, 120, params, opaque=True)
+    asm = fused.BatchAssembly([plan], [img], jpeg420=True)
+    (_, dy, dcb, dcr) = asm.run()[0]
+    (_, hy, hcb, hcr) = hostexec.run_host(asm)[0]
+    for d, h in ((dy, hy), (dcb, hcb), (dcr, hcr)):
+        assert int(np.abs(d.astype(int) - h.astype(int)).max()) <= 1
+    asm2 = fused.BatchAssembly([plan], [img], jpegdct=True, quality=75)
+    dres = asm2.run()[0]
+    hres = hostexec.run_host(asm2)[0]
+    for d, h in zip(dres[1:4], hres[1:4]):
+        assert int(np.abs(d.astype(int) - h.astype(int)).max()) <= 1
+
+
+@pytest.mark.skipif(not native_codecs.available(), reason="no native core")
+def test_host_mirror_matches_device_coef():
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(160, 120)).save(buf, format="JPEG",
+                                                    quality=90)
+    meta = native_codecs.read_jpeg_coeffs(buf.getvalue())
+    assert meta is not None
+    plan = fused.plan_image(160, 120, parse_query("w=100&h=80"), opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [meta])
+    d = asm.run()[0]
+    h = hostexec.run_host(asm)[0]
+    assert int(np.abs(d.astype(int) - h.astype(int)).max()) <= 1
+
+
+# -- the survival property ----------------------------------------------------
+
+
+def test_cold_bucket_served_fast_while_compile_sleeps(monkeypatch):
+    """Stub the device program with a slow compile; the first request
+    must still be answered quickly (host path), and the background
+    warm run must mark the bucket warm."""
+    compile_started = threading.Event()
+    compile_done = threading.Event()
+    real_run = fused.BatchAssembly.run
+
+    def slow_run(self):
+        compile_started.set()
+        time.sleep(3.0)  # stands in for a minutes-long remote compile
+        out = real_run(self)
+        compile_done.set()
+        return out
+
+    monkeypatch.setattr(fused.BatchAssembly, "run", slow_run)
+    # unique geometry so the program key can't already be warm
+    img = make_test_image(151, 97)
+    params = parse_query("w=77&h=53")
+    batcher = MicroBatcher(max_batch=4, window_ms=1.0, host_fallback=True)
+    try:
+        engine = Engine(runner=BatchingRunner(batcher), device_jpeg=False,
+                        device_decode=False)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        t0 = time.perf_counter()
+        mime, out = engine.process_image(buf.getvalue(), params, Format())
+        elapsed = time.perf_counter() - t0
+        assert elapsed < 2.0, f"request blocked on compile ({elapsed:.1f}s)"
+        assert mime == "image/png"
+        with Image.open(io.BytesIO(out)) as im:
+            assert im.size == (77, 53)
+        assert batcher.stats["host_fallbacks"] == 1
+        assert compile_started.wait(2.0)  # background warm run launched
+        assert compile_done.wait(10.0)
+    finally:
+        monkeypatch.setattr(fused.BatchAssembly, "run", real_run)
+        batcher.close()
+
+
+def test_warm_bucket_uses_device(monkeypatch):
+    img = make_test_image(149, 95)
+    params = parse_query("w=71&h=51")
+    plan = fused.plan_image(149, 95, params, opaque=True)
+    # warm the exact program key first
+    fused.BatchAssembly([plan], [img]).run()
+    batcher = MicroBatcher(max_batch=4, window_ms=1.0, host_fallback=True)
+    try:
+        called = []
+        monkeypatch.setattr(
+            hostexec, "run_host",
+            lambda asm: called.append(1) or pytest.fail("host path taken"),
+        )
+        runner = BatchingRunner(batcher)
+        out = runner.run([plan], [img], ["rgb"])[0]
+        assert out.shape[:2] == (51, 71)
+        assert batcher.stats["host_fallbacks"] == 0
+    finally:
+        batcher.close()
