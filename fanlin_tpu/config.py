@@ -151,6 +151,10 @@ class TpuConfig:
     # runs dequant + iDCT + chroma upsample + YCbCr->RGB; halves
     # host->device bytes via int8 coefficient upload
     device_decode: bool = True
+    # fold the decode back half INTO the resample matrices (resize in
+    # coefficient space, ~3.3x fewer device FLOPs; ±2 LSB vs the
+    # staged decode). Applies to uniform no-gray/invert JPEG batches.
+    fast_decode: bool = False
     # coalesce concurrent identical origin fetches into one request
     singleflight: bool = True
     # serve cold (not-yet-compiled) shape buckets from the host numpy
@@ -180,6 +184,8 @@ class TpuConfig:
             cfg.device_dct = _as_bool(obj["device_dct"], "device_dct")
         if "device_decode" in obj:
             cfg.device_decode = _as_bool(obj["device_decode"], "device_decode")
+        if "fast_decode" in obj:
+            cfg.fast_decode = _as_bool(obj["fast_decode"], "fast_decode")
         if "singleflight" in obj:
             cfg.singleflight = _as_bool(obj["singleflight"], "singleflight")
         if "host_fallback" in obj:

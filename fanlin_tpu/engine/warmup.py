@@ -77,6 +77,7 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
         plan, img, b, src, jpeg420 = job
         if src == "coef":
             meta = _synthetic_meta(plan.src_w, plan.src_h)
+            # compiles the folded program instead when fast_decode is on
             fused.CoefBatchAssembly([plan] * b, [meta] * b, jpeg420).run()
         else:
             fused.BatchAssembly([plan] * b, [img] * b, jpeg420).run()

@@ -72,6 +72,16 @@ def bucket_b(b: int) -> int:
     return -(-b // 32) * 32
 
 
+def _bucket_b_mesh(n: int, mesh) -> int:
+    """Batch bucket, padded up to a dp multiple when mesh-sharded."""
+    b = bucket_b(n)
+    if mesh is not None:
+        dp = mesh.shape["dp"]
+        if b % dp:
+            b = -(-b // dp) * dp
+    return b
+
+
 @dataclasses.dataclass(eq=False)
 class ImagePlan:
     """Host-side per-image plan for one trip through the device program.
@@ -178,6 +188,17 @@ def set_fast_mode(enabled: bool) -> None:
     _FAST["enabled"] = bool(enabled)
 
 
+# Folded decode-resize (resample in coefficient space, ~3.3x fewer
+# device FLOPs; ±2 LSB vs the staged decode): opt-in via
+# tpu.fast_decode / set_fold. Applies to uniform coefficient batches
+# with no grayscale/invert (those ops need full-res pixels).
+_FOLD = {"enabled": False}
+
+
+def set_fold(enabled: bool) -> None:
+    _FOLD["enabled"] = bool(enabled)
+
+
 def _mm_dtype():
     return jnp.bfloat16 if _FAST["enabled"] else jnp.float32
 
@@ -232,7 +253,15 @@ def _chain(r, g, b, a, av, ah, flags, fill, box, bv=None, bh=None,
                    preferred_element_type=f32)
     # FloatNearest: clamp then round half away from zero (non-negative)
     fg = jnp.floor(jnp.clip(t, 0.0, 255.0) + 0.5)  # (B, C, OH, OW)
+    return _post_resample(fg, flags, fill, box, bv, bh, uniform, opaque_in)
 
+
+def _post_resample(fg, flags, fill, box, bv=None, bh=None, uniform=False,
+                   opaque_in=True):
+    """Everything after the resample: centered fill composite, blur,
+    u8 cast. Shared by the pixel/coefficient chains and the folded
+    decode-resample program (which produces `fg` its own way)."""
+    f32 = jnp.float32
     oh, ow = fg.shape[2], fg.shape[3]
     ii = jax.lax.broadcasted_iota(jnp.int32, (1, oh, ow), 1)
     jj = jax.lax.broadcasted_iota(jnp.int32, (1, oh, ow), 2)
@@ -405,6 +434,53 @@ def bucket_h16(h: int) -> int:
     return b + 8 if b % 16 else b
 
 
+# folded (resample-in-coefficient-space) matrices per (plan, bucket)
+_FOLDED_CACHE = ByteLRU(max_bytes=128 * 1024 * 1024)
+
+
+def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
+                   true_w: int):
+    key = (id(plan), sh, sw)
+    hit = _FOLDED_CACHE.get(key)
+    if hit is not None and hit[0] is plan:
+        return hit[1]
+    from . import jpeg_decode
+
+    av, ah, _, _ = _uniform_padded(plan, sh, sw)
+    mats = jpeg_decode.folded_matrices(av, ah, true_h, true_w)
+    _FOLDED_CACHE.put(key, (plan, mats), sum(m.nbytes for m in mats))
+    return mats
+
+
+@functools.lru_cache(maxsize=128)
+def get_folded_program(batch: int, true_h: int, true_w: int, out_h: int,
+                       out_w: int, has_blur: bool, out_crop=None,
+                       out_channels: int = 4, jpeg420: bool = False,
+                       jpegdct: bool = False):
+    """Folded decode-resize program (uniform batches, no gray/invert):
+    the resample happens IN COEFFICIENT SPACE — iDCT, triangle chroma
+    upsample and color conversion are composed into the resample
+    matrices on the host (ops.jpeg_decode.folded_matrices), so the
+    device runs one matmul pair per plane with chroma at QUARTER
+    resolution. ~3.3x fewer FLOPs than the staged decode."""
+    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct)
+    from . import jpeg_decode
+
+    def core(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
+             ay, ahy, acv, ach, dyv, dyh, dcv, dch,
+             flags, fill, box, bv=None, bh=None):
+        fg = jpeg_decode.folded_decode_resample(
+            ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
+            (ay, ahy, acv, ach, dyv, dyh, dcv, dch),
+        )
+        return _post_resample(fg, flags, fill, box, bv, bh, uniform=True,
+                              opaque_in=True)
+
+    if jpegdct:
+        return jax.jit(lambda enc_lq, enc_cq, *a: tail(core(*a), enc_lq, enc_cq))
+    return jax.jit(lambda *a: tail(core(*a)))
+
+
 @functools.lru_cache(maxsize=256)
 def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
                      out_w: int, has_blur: bool, uniform: bool = False,
@@ -462,12 +538,12 @@ _F32_TABLES: dict = {}
 _DEVICE_MATRIX_CACHE = ByteLRU(max_bytes=96 * 1024 * 1024)
 
 
-def _device_cached(arr: np.ndarray):
-    key = id(arr)
+def _device_cached(arr: np.ndarray, sharding=None):
+    key = (id(arr), str(sharding) if sharding is not None else None)
     hit = _DEVICE_MATRIX_CACHE.get(key)
     if hit is not None and hit[0] is arr:
         return hit[1]
-    dev = jax.device_put(arr)
+    dev = jax.device_put(arr, sharding) if sharding is not None else jax.device_put(arr)
     _DEVICE_MATRIX_CACHE.put(key, (arr, dev), arr.nbytes)
     return dev
 
@@ -569,19 +645,26 @@ class BatchAssembly:
     """Host-side staging buffers for one device batch."""
 
     def __init__(self, plans, images, jpeg420: bool = False,
-                 jpegdct: bool = False, quality: int = 75):
+                 jpegdct: bool = False, quality: int = 75, mesh=None):
         """plans: list[ImagePlan]; images: list[(H, W, 3|4) uint8].
 
         jpeg420=True appends the device JPEG front-end (YCbCr + 4:2:0
         planes out); jpegdct=True additionally runs DCT + quantization
         at `quality` on device (coefficient blocks out). Both need one
         true output geometry per batch — the batcher keys these groups
-        accordingly."""
+        accordingly.
+
+        mesh: optional ('dp','sp') jax.sharding.Mesh — inputs are
+        device_put with dp/sp NamedShardings and the SAME programs
+        re-trace with sharded arguments (GSPMD inserts any
+        collectives); the batch bucket pads up to a dp multiple so
+        every chip gets an equal shard."""
         assert len(plans) == len(images)
         self.plans = plans
         self.quality = quality
+        self.mesh = mesh
         n = len(plans)
-        self.b = bucket_b(n)
+        self.b = _bucket_b_mesh(n, mesh)
         self.sh = bucket_h(max(p.src_h for p in plans))
         self.sw = bucket_w(max(p.src_w for p in plans))
         self.oh = bucket_h(max(p.out_h for p in plans))
@@ -622,13 +705,16 @@ class BatchAssembly:
             (p0.out_h, p0.out_w) if (self.jpeg420 or self.jpegdct) else None
         )
         src = (
-            ("coef", self.true_h, self.true_w)
+            ("coef", self.true_h, self.true_w, self.fold)
             if isinstance(self, CoefBatchAssembly)
             else ("pix", self.sh, self.sw, self.c_in)
         )
+        mesh_key = (
+            None if self.mesh is None else tuple(self.mesh.shape.items())
+        )
         return src + (self.b, self.oh, self.ow, self.has_blur, self.uniform,
                       out_crop, self.c_out, self.jpeg420, _FAST["enabled"],
-                      self.jpegdct)
+                      self.jpegdct, mesh_key)
 
     def submit(self):
         """Dispatch the device program (async); returns the device array."""
@@ -645,10 +731,26 @@ class BatchAssembly:
         (benchmarking / repeated-transform use)."""
         return self._fn(*self._args)
 
+    def _put(self, a, *spec):
+        """device_put, with a dp/sp NamedSharding when mesh-attached.
+        Explicit device_put either way: the direct jit-argument
+        transfer path is dramatically slower on some PJRT transports
+        (measured ~35 MB/s vs ~1.7 GB/s through the axon relay)."""
+        if self.mesh is None:
+            return jax.device_put(a)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(a, NamedSharding(self.mesh, P(*spec)))
+
+    def _cput(self, a, *spec):
+        """device-cached put (shared matrices), mesh-aware."""
+        if self.mesh is None:
+            return _device_cached(a)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return _device_cached(a, NamedSharding(self.mesh, P(*spec)))
+
     def _device_args(self):
-        # Explicit device_put: the direct jit-argument transfer path is
-        # dramatically slower than device_put on some PJRT transports
-        # (measured ~35 MB/s vs ~1.7 GB/s through the axon relay).
         if self.uniform:
             p0 = self.plans[0]
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
@@ -656,11 +758,12 @@ class BatchAssembly:
                              self.c_out, self.jpeg420, _FAST["enabled"],
                              self.jpegdct)
             av, ah, bv, bh = _uniform_padded(p0)
-            args = [jax.device_put(self.x), _device_cached(av),
-                    _device_cached(ah), jax.device_put(self.flags),
-                    jax.device_put(self.fill), jax.device_put(self.box)]
+            args = [self._put(self.x, "dp", None, None, "sp"),
+                    self._cput(av), self._cput(ah, None, "sp"),
+                    self._put(self.flags, "dp"), self._put(self.fill, "dp"),
+                    self._put(self.box, "dp")]
             if self.has_blur:
-                args += [_device_cached(bv), _device_cached(bh)]
+                args += [self._cput(bv), self._cput(bh)]
         else:
             out_crop = (
                 (self.plans[0].out_h, self.plans[0].out_w)
@@ -669,16 +772,19 @@ class BatchAssembly:
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
                              self.has_blur, False, out_crop, self.c_out,
                              self.jpeg420, _FAST["enabled"], self.jpegdct)
-            args = [jax.device_put(a) for a in
-                    (self.x, self.av, self.ah, self.flags, self.fill, self.box)]
+            args = [self._put(self.x, "dp", None, None, "sp"),
+                    self._put(self.av, "dp"),
+                    self._put(self.ah, "dp", None, "sp"),
+                    self._put(self.flags, "dp"), self._put(self.fill, "dp"),
+                    self._put(self.box, "dp")]
             if self.has_blur:
-                args += [jax.device_put(self.bv), jax.device_put(self.bh)]
+                args += [self._put(self.bv, "dp"), self._put(self.bh, "dp")]
         if self.jpegdct:
             from . import dct as dct_mod
 
             lq, cq = dct_mod.ijg_quant_tables(self.quality)
-            args = [_device_cached(_f32_table(lq)),
-                    _device_cached(_f32_table(cq))] + args
+            args = [self._cput(_f32_table(lq)),
+                    self._cput(_f32_table(cq))] + args
         return fn, args
 
     def collect(self, out):
@@ -730,16 +836,17 @@ class CoefBatchAssembly(BatchAssembly):
     """
 
     def __init__(self, plans, metas, jpeg420: bool = False,
-                 jpegdct: bool = False, quality: int = 75):
+                 jpegdct: bool = False, quality: int = 75, mesh=None):
         """metas: list of dicts from native_codecs.read_jpeg_coeffs,
         all with identical (w, h); the caller verified |AC| <= 127
-        (jpeg_decode.ac_fits_int8)."""
+        (jpeg_decode.ac_fits_int8). mesh: see BatchAssembly."""
         from . import jpeg_decode
 
         assert len(plans) == len(metas)
         self.plans = plans
         self.quality = quality
-        self.b = bucket_b(len(plans))
+        self.mesh = mesh
+        self.b = _bucket_b_mesh(len(plans), mesh)
         p0 = plans[0]
         self.true_h = metas[0]["h"]
         self.true_w = metas[0]["w"]
@@ -757,15 +864,25 @@ class CoefBatchAssembly(BatchAssembly):
         # JPEG sources are opaque; alpha crosses the link only if some
         # plan demands it (it won't: plan_image was called opaque=True)
         self.c_out = 4 if any(p.want_alpha for p in plans) else 3
+        # folded decode-resize (opt-in): uniform batch, no per-pixel
+        # pre-resample ops (grayscale/invert need full-res pixels)
+        self.fold = (
+            _FOLD["enabled"]
+            and self.uniform
+            and not p0.gray
+            and not p0.invert
+        )
 
         ybh, ybw = self.sh // 8, self.sw // 8
         cbh, cbw = self.sh // 16, self.sw // 16
+        # AC planes are PLANAR int8 (host pre-shuffled, pack_meta);
+        # DC grids int16
         self.ydc = np.zeros((self.b, ybh, ybw), dtype=np.int16)
-        self.yac = np.zeros((self.b, ybh, ybw, 63), dtype=np.int8)
+        self.yac = np.zeros((self.b, self.sh, self.sw), dtype=np.int8)
         self.cbdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
-        self.cbac = np.zeros((self.b, cbh, cbw, 63), dtype=np.int8)
+        self.cbac = np.zeros((self.b, self.sh // 2, self.sw // 2), dtype=np.int8)
         self.crdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
-        self.crac = np.zeros((self.b, cbh, cbw, 63), dtype=np.int8)
+        self.crac = np.zeros((self.b, self.sh // 2, self.sw // 2), dtype=np.int8)
         self.lq = np.zeros((self.b, 64), dtype=np.float32)
         self.cq = np.zeros((self.b, 64), dtype=np.float32)
         (self.flags, self.fill, self.box,
@@ -787,35 +904,66 @@ class CoefBatchAssembly(BatchAssembly):
         out_crop = (
             (p0.out_h, p0.out_w) if (self.jpeg420 or self.jpegdct) else None
         )
+        args = [self._put(self.ydc, "dp"),
+                self._put(self.yac, "dp", None, "sp"),
+                self._put(self.cbdc, "dp"),
+                self._put(self.cbac, "dp", None, "sp"),
+                self._put(self.crdc, "dp"),
+                self._put(self.crac, "dp", None, "sp"),
+                self._put(self.lq, "dp"), self._put(self.cq, "dp")]
+        if self.fold:
+            fn = get_folded_program(self.b, self.true_h, self.true_w,
+                                    self.oh, self.ow, self.has_blur,
+                                    out_crop, self.c_out, self.jpeg420,
+                                    self.jpegdct)
+            mats = _folded_padded(p0, self.sh, self.sw, self.true_h,
+                                  self.true_w)
+            # row-matrices replicated; the AC column-matrices contract
+            # the sp-sharded width so they shard on their second axis
+            # (DC planes are tiny and ride unsharded)
+            for i, m in enumerate(mats):
+                spec = (None, "sp") if i in (1, 3) else ()
+                args.append(self._cput(m, *spec))
+            args += [self._put(self.flags, "dp"), self._put(self.fill, "dp"),
+                     self._put(self.box, "dp")]
+            if self.has_blur:
+                _, _, bv, bh = _uniform_padded(p0, self.sh, self.sw)
+                args += [self._cput(bv), self._cput(bh)]
+            if self.jpegdct:
+                from . import dct as dct_mod
+
+                enc_lq, enc_cq = dct_mod.ijg_quant_tables(self.quality)
+                args = [self._cput(_f32_table(enc_lq)),
+                        self._cput(_f32_table(enc_cq))] + args
+            return fn, args
         fn = get_coef_program(self.b, self.true_h, self.true_w, self.oh,
                               self.ow, self.has_blur, self.uniform, out_crop,
                               self.c_out, self.jpeg420, _FAST["enabled"],
                               self.jpegdct)
-        args = [jax.device_put(a) for a in
-                (self.ydc, self.yac, self.cbdc, self.cbac,
-                 self.crdc, self.crac, self.lq, self.cq)]
         if self.uniform:
             av, ah, bv, bh = _uniform_padded(p0, self.sh, self.sw)
-            args += [_device_cached(av), _device_cached(ah),
-                     jax.device_put(self.flags), jax.device_put(self.fill),
-                     jax.device_put(self.box)]
+            args += [self._cput(av), self._cput(ah, None, "sp"),
+                     self._put(self.flags, "dp"), self._put(self.fill, "dp"),
+                     self._put(self.box, "dp")]
             if self.has_blur:
-                args += [_device_cached(bv), _device_cached(bh)]
+                args += [self._cput(bv), self._cput(bh)]
         else:
-            args += [jax.device_put(a) for a in
-                     (self.av, self.ah, self.flags, self.fill, self.box)]
+            args += [self._put(self.av, "dp"),
+                     self._put(self.ah, "dp", None, "sp"),
+                     self._put(self.flags, "dp"), self._put(self.fill, "dp"),
+                     self._put(self.box, "dp")]
             if self.has_blur:
-                args += [jax.device_put(self.bv), jax.device_put(self.bh)]
+                args += [self._put(self.bv, "dp"), self._put(self.bh, "dp")]
         if self.jpegdct:
             from . import dct as dct_mod
 
             enc_lq, enc_cq = dct_mod.ijg_quant_tables(self.quality)
-            args = [_device_cached(_f32_table(enc_lq)),
-                    _device_cached(_f32_table(enc_cq))] + args
+            args = [self._cput(_f32_table(enc_lq)),
+                    self._cput(_f32_table(enc_cq))] + args
         return fn, args
 
 
-def make_assembly(plans, payloads, kinds):
+def make_assembly(plans, payloads, kinds, mesh=None):
     """Build the right assembly for a homogeneous batch.
 
     Kind grammar (one kind per batch; the batcher groups by it):
@@ -826,19 +974,22 @@ def make_assembly(plans, payloads, kinds):
       "coef+jpeg420"    coefficient source, JPEG front-end out
       "coef+jpegdct:Q"  coefficient source, DCT back half out
     payloads are (H, W, C) uint8 arrays for pixel sources, or
-    read_jpeg_coeffs dicts for coefficient sources.
+    read_jpeg_coeffs dicts for coefficient sources. mesh: optional
+    ('dp','sp') Mesh for sharded execution (see BatchAssembly).
     """
     k0 = kinds[0] if kinds else "rgb"
     if k0.startswith("coef"):
         sink = k0.split("+", 1)[1] if "+" in k0 else "rgb"
         if sink.startswith("jpegdct:"):
             return CoefBatchAssembly(plans, payloads, jpegdct=True,
-                                     quality=int(sink.split(":", 1)[1]))
-        return CoefBatchAssembly(plans, payloads, jpeg420=sink == "jpeg420")
+                                     quality=int(sink.split(":", 1)[1]),
+                                     mesh=mesh)
+        return CoefBatchAssembly(plans, payloads, jpeg420=sink == "jpeg420",
+                                 mesh=mesh)
     if k0.startswith("jpegdct:"):
         return BatchAssembly(plans, payloads, jpegdct=True,
-                             quality=int(k0.split(":", 1)[1]))
-    return BatchAssembly(plans, payloads, k0 == "jpeg420")
+                             quality=int(k0.split(":", 1)[1]), mesh=mesh)
+    return BatchAssembly(plans, payloads, k0 == "jpeg420", mesh=mesh)
 
 
 def transform_single(image: np.ndarray, params,

@@ -41,8 +41,8 @@ def _np_chain(planes, av, ah, flags, fill, box, bv, bh, uniform):
 
     sub_v = "ds,bcsw->bcdw" if uniform else "bds,bcsw->bcdw"
     sub_h = "ew,bcdw->bcde" if uniform else "bew,bcdw->bcde"
-    t = np.einsum(sub_v, av, y, dtype=f32)
-    t = np.einsum(sub_h, ah, t, dtype=f32)
+    t = np.einsum(sub_v, av, y, dtype=f32, optimize=True)
+    t = np.einsum(sub_h, ah, t, dtype=f32, optimize=True)
     fg = np.floor(np.clip(t, 0.0, 255.0) + f32(0.5))
 
     bsz, c, oh, ow = fg.shape
@@ -76,8 +76,8 @@ def _np_chain(planes, av, ah, flags, fill, box, bv, bh, uniform):
     if bv is not None:
         sub_bv = "de,bcew->bcdw" if uniform else "bde,bcew->bcdw"
         sub_bh = "fw,bcdw->bcdf" if uniform else "bfw,bcdw->bcdf"
-        t = np.einsum(sub_bv, bv, out, dtype=f32)
-        t = np.einsum(sub_bh, bh, t, dtype=f32)
+        t = np.einsum(sub_bv, bv, out, dtype=f32, optimize=True)
+        t = np.einsum(sub_bh, bh, t, dtype=f32, optimize=True)
         out = np.floor(np.clip(t, 0.0, 255.0) + f32(0.5))
     return out.astype(np.uint8)
 
@@ -127,7 +127,7 @@ def _np_dct_tail(y, cb, cr, quality):
     def block_q(p, q):
         b, h, w = p.shape
         x = p.reshape(b, h // 8, 8, w // 8, 8)
-        coef = np.einsum("ui,bricj,vj->brcuv", d, x, d, dtype=np.float32)
+        coef = np.einsum("ui,bricj,vj->brcuv", d, x, d, dtype=np.float32, optimize=True)
         qq = coef / q.astype(np.float32)
         qq = np.sign(qq) * np.floor(np.abs(qq) + 0.5)
         return qq.reshape(b, h // 8, w // 8, 64).astype(np.int16)
@@ -139,20 +139,22 @@ def _np_dct_tail(y, cb, cr, quality):
 
 
 def _np_decode420(asm):
-    """numpy mirror of jpeg_decode.decode420_rgb on a CoefBatchAssembly."""
-    from .dct import _dct_matrix
+    """numpy mirror of jpeg_decode.decode420_rgb on a CoefBatchAssembly
+    (planar int8 AC + int16 DC layout)."""
+    from .jpeg_decode import _idct_blockdiag
 
-    d = _dct_matrix()
-
-    def idct(dc, ac, q):
-        coef = np.concatenate(
-            [dc[..., None].astype(np.int32), ac.astype(np.int32)], axis=-1
-        ).astype(np.float32) * q[:, None, None, :]
-        b, bh, bw, _ = coef.shape
-        blocks = coef.reshape(b, bh, bw, 8, 8)
-        pix = np.einsum("ux,brcuv,vy->brcxy", d, blocks, d, dtype=np.float32)
-        pix = pix.transpose(0, 1, 3, 2, 4).reshape(b, bh * 8, bw * 8)
-        return np.clip(np.floor(pix + 128.5), 0, 255).astype(np.int64)
+    def idct(dc, ac_planar, q):
+        b, h, w = ac_planar.shape
+        bh, bw = h // 8, w // 8
+        qtile = np.tile(q.reshape(b, 8, 8), (1, bh, bw))
+        coef = ac_planar.astype(np.float32) * qtile
+        mv = _idct_blockdiag(h)
+        mh = _idct_blockdiag(w)
+        t = np.einsum("de,bew->bdw", mv, coef, dtype=np.float32, optimize=True)
+        pix = np.einsum("fw,bdw->bdf", mh, t, dtype=np.float32, optimize=True)
+        dcv = dc.astype(np.float32) * (q[:, 0] / 8.0)[:, None, None]
+        dc_pix = np.repeat(np.repeat(dcv, 8, axis=1), 8, axis=2)
+        return np.clip(np.floor(pix + dc_pix + 128.5), 0, 255).astype(np.int64)
 
     def upsample(c):
         b, ch, cw = c.shape

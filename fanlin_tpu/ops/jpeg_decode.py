@@ -23,6 +23,8 @@ approximate the ideal iDCT, measured agreement is ~±1 LSB
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -30,29 +32,57 @@ import numpy as np
 from .dct import _dct_matrix
 
 
-def dequant_idct(dc_i16, ac_i8, q_f32):
-    """Dequantize + inverse DCT one plane of coefficient blocks.
+@functools.lru_cache(maxsize=64)
+def _idct_blockdiag(n: int) -> np.ndarray:
+    """(n, n) block-diagonal matrix of 8x8 D^T blocks: multiplying a
+    planar coefficient grid by it on both sides IS the blockwise iDCT,
+    expressed as two big dense matmuls — the MXU-friendly layout (a
+    batched 8-wide einsum over ~262k tiny blocks lowers to scalar-ish
+    code and measured ~300x slower on TPU)."""
+    d = _dct_matrix()  # (u, x)
+    m = np.zeros((n, n), dtype=np.float32)
+    for i in range(n // 8):
+        m[8 * i : 8 * i + 8, 8 * i : 8 * i + 8] = d.T
+    return m
 
-    dc_i16 (B, bh, bw) int16; ac_i8 (B, bh, bw, 63) int8 (the host
-    verified all AC magnitudes fit); q_f32 (B, 64) f32 natural-order
-    quant table per image. Returns (B, bh*8, bw*8) int32 samples in
-    [0, 255] (level-shifted, rounded, range-limited like libjpeg's
-    sample output).
+
+def dequant_idct(dc_i16, ac_planar_i8, q_f32):
+    """Dequantize + inverse DCT one plane.
+
+    ac_planar_i8 (B, H, W) int8 in PLANAR layout — the HOST places
+    AC coefficient (u, v) of block (i, j) at [8i+u, 8j+v] and zeroes
+    the DC slots (pack_meta). The device never reshuffles blocks: an
+    on-device block->planar transpose measured ~0.5 s/batch through
+    XLA's tiled layouts, vs ~0 for a numpy reshuffle on the host.
+
+    dc_i16 (B, H/8, W/8) int16 rides separately (doesn't fit int8);
+    its iDCT is analytic — the DC basis is constant, so its pixel
+    contribution is just dc*quant/8 broadcast over each 8x8 block.
+
+    q_f32 (B, 64) natural-order quant table per image. Returns
+    (B, H, W) int32 samples in [0, 255] (level-shifted, rounded,
+    range-limited like libjpeg's sample output).
     """
     f32 = jnp.float32
-    coef = jnp.concatenate(
-        [dc_i16[..., None].astype(jnp.int32), ac_i8.astype(jnp.int32)],
-        axis=-1,
-    ).astype(f32)
-    coef = coef * q_f32[:, None, None, :]
-    b, bh, bw, _ = coef.shape
-    blocks = coef.reshape(b, bh, bw, 8, 8)
-    d = jnp.asarray(_dct_matrix())
-    # f[x, y] = sum_{u,v} D[u, x] * F[u, v] * D[v, y]   (orthonormal)
-    pix = jnp.einsum("ux,brcuv,vy->brcxy", d, blocks, d,
-                     preferred_element_type=f32)
-    pix = pix.transpose(0, 1, 3, 2, 4).reshape(b, bh * 8, bw * 8)
-    return jnp.clip(jnp.floor(pix + 128.5), 0.0, 255.0).astype(jnp.int32)
+    b, h, w = ac_planar_i8.shape
+    bh, bw = h // 8, w // 8
+    # per-position quant values, tiled planar (broadcast, fused by XLA)
+    qblk = q_f32.reshape(b, 8, 8)
+    qtile = jnp.broadcast_to(
+        qblk[:, None, :, None, :], (b, bh, 8, bw, 8)
+    ).reshape(b, h, w)
+    coef = ac_planar_i8.astype(f32) * qtile
+    mv = jnp.asarray(_idct_blockdiag(h))
+    mh = jnp.asarray(_idct_blockdiag(w))
+    # pix_ac = blockdiag(D^T) @ planar @ blockdiag(D^T)^T — 2 MXU matmuls
+    t = jnp.einsum("de,bew->bdw", mv, coef, preferred_element_type=f32)
+    pix = jnp.einsum("fw,bdw->bdf", mh, t, preferred_element_type=f32)
+    # DC contribution: constant dc*q_dc/8 over each 8x8 block
+    dcv = dc_i16.astype(f32) * (q_f32[:, 0] / 8.0)[:, None, None]
+    dc_pix = jnp.broadcast_to(
+        dcv[:, :, None, :, None], (b, bh, 8, bw, 8)
+    ).reshape(b, h, w)
+    return jnp.clip(jnp.floor(pix + dc_pix + 128.5), 0.0, 255.0).astype(jnp.int32)
 
 
 def fancy_upsample_h2v2(c_i32):
@@ -133,6 +163,138 @@ def decode420_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
 
 
 # ----------------------------------------------------------------------------
+# folded decode-resize: resample IN COEFFICIENT SPACE
+# ----------------------------------------------------------------------------
+#
+# Every step between the dequantized coefficients and the resampled
+# pixels is linear (iDCT, triangle chroma upsample, YCbCr->RGB,
+# Lanczos resample), so the whole prefix composes into the resample
+# matrices ON THE HOST:
+#     Y_resampled  = (Av·Mv) · C_y · (Ah·Mh)^T
+#     Cb_resampled = (Av·Uv·Mv½) · C_cb · (Ah·Uh·Mh½)^T   (half-res!)
+# and the color conversion runs on the SMALL resampled planes. This
+# drops per-image device FLOPs ~3.3x vs the staged decode (chroma is
+# resampled at quarter resolution and RGB never exists at full res)
+# at the cost of skipping the staged path's intermediate integer
+# roundings — parity vs the staged path is ~±2 LSB (>=45 dB), so it's
+# the opt-in fast path (tpu.fast_decode / fused.set_fold).
+
+
+def _upsample_triangle(n_out: int, n_in: int) -> np.ndarray:
+    """The LINEAR part of libjpeg's fancy h2v2 upsample as an
+    (n_out, n_in) matrix: out[2k] = (3c[k] + c[k-1])/4,
+    out[2k+1] = (3c[k] + c[k+1])/4, neighbors clamped at the edges."""
+    u = np.zeros((n_out, n_in), dtype=np.float32)
+    for k in range(n_in):
+        if 2 * k < n_out:
+            u[2 * k, k] += 0.75
+            u[2 * k, max(k - 1, 0)] += 0.25
+        if 2 * k + 1 < n_out:
+            u[2 * k + 1, k] += 0.75
+            u[2 * k + 1, min(k + 1, n_in - 1)] += 0.25
+    return u
+
+
+def _repeat8(n: int) -> np.ndarray:
+    """(n, n/8) block-broadcast matrix: R[8i+x, i] = 1."""
+    r = np.zeros((n, n // 8), dtype=np.float32)
+    for i in range(n // 8):
+        r[8 * i : 8 * i + 8, i] = 1.0
+    return r
+
+
+def _fold_blockdiag(a: np.ndarray) -> np.ndarray:
+    """a @ blockdiag(D^T) without materializing the block diagonal:
+    per 8-column block, a[:, 8i:8i+8] @ D^T."""
+    d = _dct_matrix()  # (u, x); blockdiag blocks are D^T (x rows? no:
+    # _idct_blockdiag places d.T at each diagonal block)
+    rows, cols = a.shape
+    blocks = a.reshape(rows, cols // 8, 8)
+    return np.einsum("rbk,kx->rbx", blocks, d.T.astype(np.float32),
+                     dtype=np.float32).reshape(rows, cols)
+
+
+def folded_matrices(av_pad: np.ndarray, ah_pad: np.ndarray,
+                    true_h: int, true_w: int):
+    """Compose the resample matrices with the decode-linear prefix.
+
+    av_pad (OH, SH), ah_pad (OW, SW): bucket-padded resample matrices
+    (crop/canvas already folded in, zero outside the true source).
+    Returns (ay, ahy, acv, ach, dyv, dyh, dcv, dch):
+      ay (OH, SH), ahy (OW, SW)        — luma: resample ∘ iDCT
+      acv (OH, SH/2), ach (OW, SW/2)   — chroma: resample ∘ upsample ∘ iDCT
+      dyv (OH, SH/8), dyh (OW, SW/8)   — luma DC (block-constant) path
+      dcv (OH, SH/16), dch (OW, SW/16) — chroma DC path
+    """
+    sh, sw = av_pad.shape[1], ah_pad.shape[1]
+    ch, cw = (true_h + 1) // 2, (true_w + 1) // 2
+    ay = _fold_blockdiag(av_pad)
+    ahy = _fold_blockdiag(ah_pad)
+    uv = av_pad[:, :true_h] @ _upsample_triangle(true_h, ch)  # (OH, ch)
+    uh = ah_pad[:, :true_w] @ _upsample_triangle(true_w, cw)
+    # extend to the padded chroma width before folding the iDCT
+    uv_pad = np.zeros((uv.shape[0], sh // 2), dtype=np.float32)
+    uv_pad[:, :ch] = uv
+    uh_pad = np.zeros((uh.shape[0], sw // 2), dtype=np.float32)
+    uh_pad[:, :cw] = uh
+    acv = _fold_blockdiag(uv_pad)
+    ach = _fold_blockdiag(uh_pad)
+    dyv = av_pad @ _repeat8(sh)
+    dyh = ah_pad @ _repeat8(sw)
+    dcv = uv_pad @ _repeat8(sh // 2)
+    dch = uh_pad @ _repeat8(sw // 2)
+    return (np.ascontiguousarray(ay), np.ascontiguousarray(ahy),
+            acv, ach, dyv, dyh, dcv, dch)
+
+
+# libjpeg's exact fixed-point ratios, as f32 multipliers
+_CR_R = 91881.0 / 65536.0
+_CB_B = 116130.0 / 65536.0
+_CB_G = 22554.0 / 65536.0
+_CR_G = 46802.0 / 65536.0
+
+
+def folded_decode_resample(ydc, yac, cbdc, cbac, crdc, crac, lq, cq, mats):
+    """Device side of the folded path: dequant -> ONE matmul pair per
+    plane (luma full-res, chroma QUARTER-res) -> color convert on the
+    small resampled planes. Returns fg (B, 3, OH, OW) f32, rounded and
+    clamped like the staged resample output."""
+    f32 = jnp.float32
+    (ay, ahy, acv, ach, dyv, dyh, dcv, dch) = mats
+    b, h, w = yac.shape
+
+    def tile(q, hh, ww):
+        qblk = q.reshape(b, 8, 8)
+        return jnp.broadcast_to(
+            qblk[:, None, :, None, :], (b, hh // 8, 8, ww // 8, 8)
+        ).reshape(b, hh, ww)
+
+    def plane(ac, mv, mh, q, hh, ww):
+        c = ac.astype(f32) * tile(q, hh, ww)
+        t = jnp.einsum("ds,bsw->bdw", mv, c, preferred_element_type=f32)
+        return jnp.einsum("ew,bdw->bde", mh, t, preferred_element_type=f32)
+
+    def dc_plane(dc, mv, mh, q0, shift):
+        v = dc.astype(f32) * (q0 / 8.0)[:, None, None] + shift
+        t = jnp.einsum("ds,bsw->bdw", mv, v, preferred_element_type=f32)
+        return jnp.einsum("ew,bdw->bde", mh, t, preferred_element_type=f32)
+
+    yr = plane(yac, ay, ahy, lq, h, w) + dc_plane(ydc, dyv, dyh, lq[:, 0], 128.0)
+    # chroma stays CENTERED (no +128): the color matrix consumes cz
+    cbz = plane(cbac, acv, ach, cq, h // 2, w // 2) + dc_plane(
+        cbdc, dcv, dch, cq[:, 0], 0.0
+    )
+    crz = plane(crac, acv, ach, cq, h // 2, w // 2) + dc_plane(
+        crdc, dcv, dch, cq[:, 0], 0.0
+    )
+    r = yr + _CR_R * crz
+    g = yr - _CB_G * cbz - _CR_G * crz
+    bl = yr + _CB_B * cbz
+    fg = jnp.stack([r, g, bl], axis=1)
+    return jnp.floor(jnp.clip(fg, 0.0, 255.0) + 0.5)
+
+
+# ----------------------------------------------------------------------------
 # host-side packing helpers (numpy)
 # ----------------------------------------------------------------------------
 
@@ -147,16 +309,28 @@ def ac_fits_int8(meta: dict) -> bool:
 
 
 def pack_meta(meta: dict, pad_h: int, pad_w: int):
-    """Split one image's coefficient grids into block-padded
-    (dc int16, ac int8) pairs: (ydc, yac, cbdc, cbac, crdc, crac)."""
+    """Split one image's coefficient grids into (dc int16 block grid,
+    ac int8 PLANAR plane) pairs: (ydc, yac, cbdc, cbac, crdc, crac).
+
+    The planar reshuffle (block (i,j) coef (u,v) -> plane[8i+u, 8j+v])
+    happens HERE, on the host, where it's a single cheap numpy copy —
+    doing it on-device forces an XLA tiled-layout transpose that
+    measured ~0.5 s/batch."""
     out = []
-    for key, bs in (("y", 8), ("cb", 16), ("cr", 16)):
+    for key, scale in (("y", 1), ("cb", 2), ("cr", 2)):
         grid = meta[key]
-        bh, bw = pad_h // bs, pad_w // bs
-        dc = np.zeros((bh, bw), dtype=np.int16)
-        ac = np.zeros((bh, bw, 63), dtype=np.int8)
+        ph, pw = pad_h // scale, pad_w // scale
         gh, gw = grid.shape[:2]
+        dc = np.zeros((ph // 8, pw // 8), dtype=np.int16)
         dc[:gh, :gw] = grid[:, :, 0]
-        ac[:gh, :gw] = grid[:, :, 1:]  # host pre-verified |AC| <= 127
+        g = grid.copy()
+        g[:, :, 0] = 0  # DC rides in the int16 grid
+        planar = (
+            g.reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
+        ac = np.zeros((ph, pw), dtype=np.int8)
+        ac[: gh * 8, : gw * 8] = planar  # host pre-verified |AC| <= 127
         out += [dc, ac]
     return tuple(out)

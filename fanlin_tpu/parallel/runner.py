@@ -1,14 +1,21 @@
 """Data-parallel device runner.
 
-Engine-compatible runner that executes the fused transform with the
-request batch sharded across a ('dp','sp') mesh — the production
-configuration for a TPU pod slice (SURVEY.md §5.8: embarrassingly
-parallel DP, no cross-chip tensor traffic on the transform path; XLA
-owns any collectives the sp axis needs).
+Engine-compatible runner that executes EVERY program flavor — pixel
+and coefficient sources, rgb / jpeg420 / jpegdct sinks, uniform and
+mixed batches, the folded decode-resize — with the batch sharded
+across a ('dp','sp') mesh. The production configuration for a TPU pod
+slice (SURVEY.md §5.8: embarrassingly parallel DP, no cross-chip
+tensor traffic on the transform path; the sp axis shards the source
+width for very large images and XLA GSPMD inserts the reduction
+collectives).
 
-Padding note: the batch is padded up to a multiple of dp so every
-chip gets an equal shard (XLA requires divisibility for sharded
-leading axes)."""
+Sharding rides on the assemblies themselves (fused.BatchAssembly /
+CoefBatchAssembly with mesh=...): inputs are device_put with dp/sp
+NamedShardings, the same jitted programs re-trace for sharded
+arguments, and the batch bucket pads up to a dp multiple so every
+chip receives an equal shard (padding slots are zero images whose
+outputs are simply not collected).
+"""
 
 from __future__ import annotations
 
@@ -17,73 +24,18 @@ from typing import List, Optional
 import numpy as np
 
 from ..ops import fused
-from .mesh import make_mesh, shard_batch_args, sharded_program
+from .mesh import make_mesh
 
 
 class MeshRunner:
-    """Runs device batches dp-sharded over all (or n) local devices."""
+    """Runs device batches dp/sp-sharded over all (or n) local devices."""
 
     def __init__(self, n_dp: Optional[int] = None, n_sp: int = 1):
         self.mesh = make_mesh(n_dp, n_sp)
-        self.n_dp = self.mesh.devices.shape[0]
+        self.n_dp = self.mesh.shape["dp"]
 
     def run(self, plans: List[fused.ImagePlan], images: List[np.ndarray],
             kinds: List[str] = None):
-        k0 = kinds[0] if kinds else "rgb"
-        if k0 != "rgb" and k0 != "jpeg420":
-            # coef/jpegdct batches execute single-device for now; warn
-            # once so the perf-affecting config interaction is visible
-            # (ADVICE r1)
-            if not getattr(self, "_warned_kinds", False):
-                self._warned_kinds = True
-                import logging
-
-                logging.getLogger("fanlin.parallel").warning(
-                    "kind %r falls back to single-device under "
-                    "data_parallel", k0,
-                )
-            return fused.make_assembly(plans, images, kinds).run()
-        jpeg420 = k0 == "jpeg420"
-        asm = fused.BatchAssembly(plans, images, jpeg420)
-        if asm.jpeg420 or asm.b % self.n_dp != 0:
-            # jpeg420 emits ragged plane tuples (unsharded for now);
-            # odd batch buckets fall back to single-device execution
-            return asm.run()
-        fn = sharded_program(self.mesh, asm.has_blur)
-        if asm.uniform:
-            # the sharded program expects per-image matrices; broadcast
-            av = np.broadcast_to(
-                fused._uniform_padded(asm.plans[0])[0], (asm.b, asm.oh, asm.sh)
-            )
-            ah = np.broadcast_to(
-                fused._uniform_padded(asm.plans[0])[1], (asm.b, asm.ow, asm.sw)
-            )
-        else:
-            av, ah = asm.av, asm.ah
-        x = asm.x
-        if x.shape[1] == 3:
-            # sharded program is compiled for 4-channel input
-            x4 = np.empty((asm.b, 4, asm.sh, asm.sw), np.uint8)
-            x4[:, :3] = x
-            x4[:, 3] = 255
-            x = x4
-        args = [x, np.ascontiguousarray(av), np.ascontiguousarray(ah),
-                asm.flags, asm.fill, asm.box]
-        if asm.has_blur:
-            if asm.uniform:
-                _, _, bv, bh = fused._uniform_padded(asm.plans[0])
-                args += [np.broadcast_to(bv, (asm.b,) + bv.shape).copy(),
-                         np.broadcast_to(bh, (asm.b,) + bh.shape).copy()]
-            else:
-                args += [asm.bv, asm.bh]
-        sharded = shard_batch_args(self.mesh, args, asm.has_blur)
-        out = fn(*sharded)
-        host = np.asarray(out)
-        results = []
-        for i, p in enumerate(asm.plans):
-            results.append(
-                np.ascontiguousarray(
-                    host[i, : asm.c_out, : p.out_h, : p.out_w].transpose(1, 2, 0)
-                )
-            )
-        return results
+        asm = fused.make_assembly(plans, images, kinds or ["rgb"],
+                                  mesh=self.mesh)
+        return asm.run()

@@ -234,6 +234,10 @@ async def build_state(cfg: config_mod.Config) -> State:
         from ..ops.fused import set_fast_mode
 
         set_fast_mode(True)
+    if cfg.tpu.fast_decode:
+        from ..ops.fused import set_fold
+
+        set_fold(True)
     execute = None
     if cfg.tpu.data_parallel:
         import jax

@@ -1,0 +1,111 @@
+"""Folded decode-resize (resample in coefficient space).
+
+Everything between dequantized JPEG coefficients and resampled pixels
+is linear, so the iDCT, triangle chroma upsample and YCbCr->RGB fold
+into the resample matrices on the host (jpeg_decode.folded_matrices)
+— the device runs one matmul pair per plane with chroma at QUARTER
+resolution. Opt-in (tpu.fast_decode): parity vs the staged decode is
+a few LSB (the staged path's intermediate integer roundings are
+skipped), verified here across op combinations.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import native_codecs
+from fanlin_tpu.ops import fused, jpeg_decode
+from fanlin_tpu.spec.query import parse_query
+
+from conftest import make_test_image, psnr
+
+pytestmark = pytest.mark.skipif(
+    not native_codecs.available(), reason="native codec core not built"
+)
+
+
+def _meta(w=512, h=512, seed=7, quality=92):
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(w, h, seed=seed)).save(
+        buf, format="JPEG", quality=quality
+    )
+    return native_codecs.read_jpeg_coeffs(buf.getvalue())
+
+
+@pytest.fixture(autouse=True)
+def _fold_on():
+    fused.set_fold(True)
+    yield
+    fused.set_fold(False)
+
+
+def _run(plan, metas, fold, **kw):
+    fused.set_fold(fold)
+    asm = fused.CoefBatchAssembly([plan] * len(metas), metas, **kw)
+    assert asm.fold == fold
+    return asm.run()
+
+
+@pytest.mark.parametrize("qs,dims", [
+    ("w=300&h=200", (512, 512)),          # fit + canvas (bench row 3)
+    ("w=300&h=200&crop=true", (512, 512)),
+    ("w=100&h=80&rgb=7,8,9", (500, 375)), # odd dims + fill color
+    ("w=60&h=40&blur=1", (512, 512)),     # blur composes after
+    ("w=700&h=600", (512, 512)),          # upscale + canvas
+])
+def test_folded_matches_staged(qs, dims):
+    w, h = dims
+    metas = [_meta(w, h, seed=s) for s in (1, 2)]
+    plan = fused.plan_image(w, h, parse_query(qs), opaque=True)
+    folded = _run(plan, metas, True)
+    staged = _run(plan, metas, False)
+    for f, s in zip(folded, staged):
+        assert f.shape == s.shape
+        d = psnr(f, s)
+        assert d >= 45.0, (qs, d)
+        assert int(np.abs(f.astype(int) - s.astype(int)).max()) <= 16, qs
+
+
+def test_folded_gray_falls_back_to_staged():
+    metas = [_meta()]
+    plan = fused.plan_image(512, 512, parse_query("w=100&h=80&grayscale=true"),
+                            opaque=True)
+    fused.set_fold(True)
+    asm = fused.CoefBatchAssembly([plan], metas)
+    assert not asm.fold  # grayscale needs full-res pixels
+
+
+def test_folded_with_jpeg420_tail():
+    metas = [_meta(seed=3)]
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"), opaque=True)
+    (_, fy, fcb, fcr) = _run(plan, metas, True, jpeg420=True)[0]
+    (_, sy, scb, scr) = _run(plan, metas, False, jpeg420=True)[0]
+    for f, s in ((fy, sy), (fcb, scb), (fcr, scr)):
+        assert psnr(f, s) >= 45.0
+
+
+def test_folded_vs_libjpeg_ground_truth():
+    """End-to-end quality gate: folded identity-resize vs libjpeg's
+    own pixel decode stays comfortably above the 45 dB parity bar."""
+    m = _meta()
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image()).save(buf, format="JPEG", quality=92)
+    host, _ = native_codecs.decode_jpeg(buf.getvalue())
+    plan = fused.plan_image(512, 512, parse_query(""), opaque=True)
+    out = _run(plan, [m], True)[0]
+    d = psnr(out[:, :, :3], host)
+    assert d >= 45.0, d
+
+
+def test_upsample_triangle_matches_integer_filter():
+    """The linear triangle matrix is the libjpeg fancy upsample minus
+    its integer rounding: agreement within 1 on random data."""
+    rng = np.random.default_rng(0)
+    c = rng.integers(0, 256, (1, 12, 9)).astype(np.int32)
+    exact = np.asarray(jpeg_decode.fancy_upsample_h2v2(c))[0]
+    uv = jpeg_decode._upsample_triangle(24, 12)
+    uh = jpeg_decode._upsample_triangle(18, 9)
+    lin = uv @ c[0].astype(np.float64) @ uh.T
+    assert np.abs(lin - exact).max() <= 1.0

@@ -49,12 +49,83 @@ def test_mesh_runner_through_batcher():
         assert im.size == (32, 32)
 
 
-def test_mesh_runner_odd_batch_falls_back():
+def test_mesh_runner_odd_batch_pads_to_dp():
+    """Non-dp-divisible batches pad with zero images instead of
+    falling back to single-device (VERDICT r1 item 3)."""
     runner = MeshRunner(n_dp=4, n_sp=1)
     imgs = [_rgba(make_test_image(48, 48, seed=i)) for i in range(3)]
     q = parse_query("grayscale=true")
     plans = [fused.plan_image(48, 48, q) for _ in imgs]
+    asm = fused.make_assembly(plans, imgs, ["rgb"], mesh=runner.mesh)
+    assert asm.b % 4 == 0  # padded to a dp multiple
     got = runner.run(plans, imgs)
     assert len(got) == 3
     single = fused.transform_single(imgs[0], q)
     np.testing.assert_array_equal(got[0], single)
+
+
+def test_mesh_runner_jpeg420_sharded_matches():
+    """The device-JPEG-front-end tail executes SHARDED and
+    byte-matches single-device output (VERDICT r1 item 3)."""
+    runner = MeshRunner(n_dp=4, n_sp=1)
+    imgs = [make_test_image(64, 64, seed=i) for i in range(4)]
+    q = parse_query("w=32&h=32")
+    plans = [fused.plan_image(64, 64, q, opaque=True) for _ in imgs]
+    got = runner.run(plans, imgs, ["jpeg420"] * 4)
+    ref = fused.BatchAssembly(plans, imgs, jpeg420=True).run()
+    for g, r in zip(got, ref):
+        assert g[0] == r[0] == "ycbcr420"
+        for a, b in zip(g[1:], r[1:]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_runner_jpegdct_sharded_matches():
+    runner = MeshRunner(n_dp=2, n_sp=1)
+    imgs = [make_test_image(64, 64, seed=i) for i in range(2)]
+    q = parse_query("w=32&h=32")
+    plans = [fused.plan_image(64, 64, q, opaque=True) for _ in imgs]
+    got = runner.run(plans, imgs, ["jpegdct:75"] * 2)
+    ref = fused.BatchAssembly(plans, imgs, jpegdct=True, quality=75).run()
+    for g, r in zip(got, ref):
+        assert g[0] == r[0] == "coeffs"
+        for a, b in zip(g[1:4], r[1:4]):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_runner_coef_source_sharded_matches():
+    """Coefficient-source (device decode) batches execute sharded."""
+    import io
+
+    from PIL import Image
+
+    from fanlin_tpu.engine import native_codecs
+
+    if not native_codecs.available():
+        import pytest
+
+        pytest.skip("native codec core not built")
+    runner = MeshRunner(n_dp=4, n_sp=2)
+    metas = []
+    for i in range(4):
+        buf = io.BytesIO()
+        Image.fromarray(make_test_image(128, 128, seed=i)).save(
+            buf, format="JPEG", quality=90
+        )
+        metas.append(native_codecs.read_jpeg_coeffs(buf.getvalue()))
+    q = parse_query("w=64&h=48")
+    plans = [fused.plan_image(128, 128, q, opaque=True) for _ in metas]
+    got = runner.run(plans, metas, ["coef+jpeg420"] * 4)
+    ref = fused.CoefBatchAssembly(plans, metas, jpeg420=True).run()
+    for g, r in zip(got, ref):
+        for a, b in zip(g[1:], r[1:]):
+            np.testing.assert_array_equal(a, b)
+    # and the folded variant
+    fused.set_fold(True)
+    try:
+        got_f = runner.run(plans, metas, ["coef+jpeg420"] * 4)
+        ref_f = fused.CoefBatchAssembly(plans, metas, jpeg420=True).run()
+    finally:
+        fused.set_fold(False)
+    for g, r in zip(got_f, ref_f):
+        for a, b in zip(g[1:], r[1:]):
+            np.testing.assert_array_equal(a, b)
