@@ -1,13 +1,21 @@
 # Developer workflow (parity with the reference Makefile's
 # build/test/bench targets).
 
-.PHONY: test lint serve bench bench-webp native clean
+.PHONY: test s3test lint serve bench bench-webp native clean
 
 test:
 	python -m pytest tests/ -q
 
+# real-S3-protocol leg against compose MinIO (reference CI parity,
+# reference test.yaml:29-63)
+s3test:
+	docker compose --progress quiet up -d
+	sleep 3; FANLIN_MINIO=1 python -m pytest tests/test_s3_minio.py -q; \
+	  status=$$?; docker compose --progress quiet down; exit $$status
+
 lint:
-	python -m compileall -q fanlin_tpu
+	@command -v ruff >/dev/null && ruff check fanlin_tpu tests tools bench.py \
+	  || python -m compileall -q fanlin_tpu
 	@echo lint ok
 
 serve:

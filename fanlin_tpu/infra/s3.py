@@ -89,16 +89,21 @@ class S3Client:
 
     def _sign_headers(self, host: str, canonical_path: str,
                       now: Optional[datetime.datetime] = None,
-                      extra_headers: Optional[dict] = None) -> dict:
-        """SigV4-sign a GET. `now`/`extra_headers` exist so tests can
-        pin the output against AWS's published example vectors."""
+                      extra_headers: Optional[dict] = None,
+                      method: str = "GET",
+                      payload_hash: str = _EMPTY_SHA256) -> dict:
+        """SigV4-sign a request (GET on the serving path; PUT/DELETE
+        exist for the test-only bucket manager, mirroring the
+        reference's test helper, s3.rs:141-183). `now`/`extra_headers`
+        exist so tests can pin the output against AWS's published
+        example vectors."""
         if now is None:
             now = datetime.datetime.now(datetime.timezone.utc)
         amz_date = now.strftime("%Y%m%dT%H%M%SZ")
         datestamp = now.strftime("%Y%m%d")
         headers = {
             "host": host,
-            "x-amz-content-sha256": _EMPTY_SHA256,
+            "x-amz-content-sha256": payload_hash,
             "x-amz-date": amz_date,
         }
         if extra_headers:
@@ -108,7 +113,7 @@ class S3Client:
         signed = ";".join(sorted(headers))
         canonical_headers = "".join(f"{k}:{headers[k]}\n" for k in sorted(headers))
         canonical_request = "\n".join(
-            ["GET", canonical_path, "", canonical_headers, signed, _EMPTY_SHA256]
+            [method, canonical_path, "", canonical_headers, signed, payload_hash]
         )
         scope = f"{datestamp}/{self.region}/s3/aws4_request"
         string_to_sign = "\n".join(

@@ -456,7 +456,7 @@ def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
 def get_folded_program(batch: int, true_h: int, true_w: int, out_h: int,
                        out_w: int, has_blur: bool, out_crop=None,
                        out_channels: int = 4, jpeg420: bool = False,
-                       jpegdct: bool = False):
+                       jpegdct: bool = False, fast: bool = False):
     """Folded decode-resize program (uniform batches, no gray/invert):
     the resample happens IN COEFFICIENT SPACE — iDCT, triangle chroma
     upsample and color conversion are composed into the resample
@@ -466,12 +466,14 @@ def get_folded_program(batch: int, true_h: int, true_w: int, out_h: int,
     tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct)
     from . import jpeg_decode
 
+    mmd = jnp.bfloat16 if fast else jnp.float32
+
     def core(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
              ay, ahy, acv, ach, dyv, dyh, dcv, dch,
              flags, fill, box, bv=None, bh=None):
         fg = jpeg_decode.folded_decode_resample(
             ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
-            (ay, ahy, acv, ach, dyv, dyh, dcv, dch),
+            (ay, ahy, acv, ach, dyv, dyh, dcv, dch), mm_dtype=mmd,
         )
         return _post_resample(fg, flags, fill, box, bv, bh, uniform=True,
                               opaque_in=True)
@@ -915,7 +917,7 @@ class CoefBatchAssembly(BatchAssembly):
             fn = get_folded_program(self.b, self.true_h, self.true_w,
                                     self.oh, self.ow, self.has_blur,
                                     out_crop, self.c_out, self.jpeg420,
-                                    self.jpegdct)
+                                    self.jpegdct, _FAST["enabled"])
             mats = _folded_padded(p0, self.sh, self.sw, self.true_h,
                                   self.true_w)
             # row-matrices replicated; the AC column-matrices contract

@@ -1,8 +1,6 @@
 """Byte-budgeted cache behavior (VERDICT r1: adversarial query-geometry
 diversity must not grow host memory without bound)."""
 
-import numpy as np
-
 from fanlin_tpu.ops import fused
 from fanlin_tpu.spec.query import parse_query
 from fanlin_tpu.utils.bytelru import ByteLRU

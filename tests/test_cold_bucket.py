@@ -23,7 +23,7 @@ from fanlin_tpu.ops import fused, hostexec
 from fanlin_tpu.spec.content import Format
 from fanlin_tpu.spec.query import parse_query
 
-from conftest import make_test_image, psnr
+from conftest import make_test_image
 
 
 def _img(w=160, h=120, alpha=None):

@@ -3,7 +3,6 @@ unicode-key fetches survive yarl (no re-encoding)."""
 
 import asyncio
 
-import pytest
 from aiohttp import web
 from aiohttp.test_utils import TestClient, TestServer
 

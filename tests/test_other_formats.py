@@ -3,7 +3,6 @@
 
 import io
 
-import numpy as np
 from PIL import Image
 
 from fanlin_tpu.engine import Engine, codecs

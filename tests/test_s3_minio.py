@@ -1,0 +1,138 @@
+"""Real-S3-protocol integration leg against MinIO (reference CI runs
+cargo test against compose MinIO, .github/workflows/test.yaml:29-63;
+the bucket lifecycle mirrors the reference's test-only BucketManager,
+src/infra/s3.rs:141-183).
+
+Run with `make s3test` (starts compose MinIO) or set FANLIN_MINIO=1
+with a MinIO already listening on 127.0.0.1:4567. Skipped otherwise —
+the default suite covers the S3 protocol with an in-process fake.
+"""
+
+import asyncio
+import hashlib
+import io
+import os
+import socket
+import time
+
+import pytest
+from PIL import Image
+
+from fanlin_tpu.config import Config
+from fanlin_tpu.infra.s3 import S3Client
+from fanlin_tpu.server.app import build_state, create_app
+
+from conftest import make_test_image
+
+ENDPOINT = "http://127.0.0.1:4567"
+CREDS = {
+    "aws_access_key_id": "AAAAAAAAAAAAAAAAAAAA",
+    "aws_secret_access_key": "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA",
+}
+
+
+def _minio_up() -> bool:
+    if os.environ.get("FANLIN_MINIO") != "1":
+        return False
+    try:
+        with socket.create_connection(("127.0.0.1", 4567), timeout=1):
+            return True
+    except OSError:
+        return False
+
+
+pytestmark = pytest.mark.skipif(
+    not _minio_up(), reason="MinIO not available (set FANLIN_MINIO=1; see `make s3test`)"
+)
+
+
+class BucketManager:
+    """Test-only bucket lifecycle via the client's own SigV4 signer."""
+
+    def __init__(self, client: S3Client, bucket: str):
+        self.c = client
+        self.bucket = bucket
+
+    async def _request(self, method: str, key: str = "", body: bytes = b""):
+        from yarl import URL
+
+        url, host, path = self.c._url_for(self.bucket, key)
+        if not key:
+            url, path = url.rstrip("/"), path.rstrip("/") or f"/{self.bucket}"
+        payload_hash = hashlib.sha256(body).hexdigest()
+        headers = self.c._sign_headers(
+            host, path, method=method, payload_hash=payload_hash
+        )
+        session = self.c._get_session()
+        async with session.request(
+            method, URL(url, encoded=True), headers=headers, data=body
+        ) as resp:
+            assert resp.status < 300, (method, key, resp.status, await resp.text())
+
+    async def create(self):
+        await self._request("PUT")
+
+    async def put(self, key: str, body: bytes):
+        await self._request("PUT", key, body)
+
+    async def delete(self, keys):
+        for k in keys:
+            await self._request("DELETE", k)
+        await self._request("DELETE")
+
+
+def test_fetch_resize_via_minio(fixtures_dir):
+    bucket = f"fanlin-test-{int(time.time())}"
+    cfg = Config.from_str(
+        """
+{
+  "port": 0, "bind_addr": "127.0.0.1", "max_clients": 8,
+  "client": {
+    "s3": {"aws_region": "test-region-1", "aws_endpoint_url": "%s",
+           "aws_access_key_id": "%s", "aws_secret_access_key": "%s"},
+    "web": {"user_agent": "fanlin-tpu-test/0", "timeout": 2}
+  },
+  "providers": [{"path": "foo", "src": "s3://%s/images"}],
+  "tpu": {"warmup": false}
+}
+"""
+        % (ENDPOINT, CREDS["aws_access_key_id"],
+           CREDS["aws_secret_access_key"], bucket)
+    )
+
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image()).save(buf, format="JPEG", quality=92)
+    jpg = buf.getvalue()
+
+    async def go():
+        from aiohttp.test_utils import TestClient, TestServer
+
+        state = await build_state(cfg)
+        mgr = BucketManager(state.client.s3, bucket)
+        await mgr.create()
+        await mgr.put("images/lenna.jpg", jpg)
+        try:
+            client = TestClient(TestServer(create_app(cfg, state)))
+            await client.start_server()
+            try:
+                r1 = await client.get("/foo/lenna.jpg")
+                b1 = await r1.read()
+                r2 = await client.get("/foo/lenna.jpg?w=300&h=200")
+                b2 = await r2.read()
+                r3 = await client.get("/foo/nope.jpg")
+                # UTF-8 keys percent-encode through the signer
+                await mgr.put("images/犬.jpg", jpg)
+                r4 = await client.get("/foo/%E7%8A%AC.jpg?w=64&h=64")
+                return (r1.status, b1, r2.status, b2, r3.status, r4.status)
+            finally:
+                await client.close()
+        finally:
+            await mgr.delete(["images/lenna.jpg", "images/犬.jpg"])
+
+    s1, b1, s2, b2, s3, s4 = asyncio.new_event_loop().run_until_complete(go())
+    assert s1 == 200 and b1 == jpg  # as_is passthrough, byte-identical
+    assert s2 == 200
+    with Image.open(io.BytesIO(b2)) as im:
+        assert im.size == (300, 200)
+    assert s3 == 404  # NoSuchKey -> None -> 404
+    assert s4 == 200
