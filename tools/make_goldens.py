@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Generate the golden parity corpus (tests/golden/).
+
+No Rust toolchain exists in this build environment, so the corpus is
+produced by tools/refimpl.py — an INDEPENDENT reimplementation of the
+reference chain written from the image crate's semantics, sharing no
+code with fanlin_tpu (BASELINE.md "Output parity" methodology note).
+tests/test_golden_parity.py asserts the production pipeline stays
+>=45 dB against these committed bytes; regenerate only when the
+corpus definition changes, never to paper over a regression.
+
+Source image: the deterministic 512x512 synthetic photo from
+tests/conftest.py, saved as JPEG q92 (the lenna.jpg stand-in used by
+every benchmark in this repo). If the reference checkout is present,
+its images/lenna.jpg is processed too (goldens prefixed `lenna_`).
+"""
+
+import io
+import os
+import sys
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+import refimpl  # noqa: E402
+from conftest import make_test_image  # noqa: E402
+
+# the BASELINE.md workload grid: rows 1-4 pre-encode pixels + op coverage
+CONFIGS = [
+    ("r300x200", dict(w=300, h=200)),
+    ("r300x200_rgb32", dict(w=300, h=200, fill=(32, 32, 32))),
+    ("crop100", dict(w=100, h=100, crop=True)),
+    ("gray300x200", dict(w=300, h=200, gray=True)),
+    ("inv150", dict(w=150, h=150, inv=True)),
+    ("blur100x80", dict(w=100, h=80, sigma=10.0)),
+    ("upscale700x600", dict(w=700, h=600, fill=(7, 8, 9))),
+]
+
+
+def main() -> None:
+    out_dir = os.path.join(os.path.dirname(__file__), "..", "tests", "golden")
+    os.makedirs(out_dir, exist_ok=True)
+
+    sources = []
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image()).save(buf, format="JPEG", quality=92)
+    sources.append(("synth", buf.getvalue()))
+    ref_lenna = "/root/reference/images/lenna.jpg"
+    if os.path.exists(ref_lenna):
+        with open(ref_lenna, "rb") as f:
+            sources.append(("lenna", f.read()))
+
+    for src_name, data in sources:
+        with Image.open(io.BytesIO(data)) as im:
+            img = np.asarray(im.convert("RGB"), dtype=np.uint8)
+        for cfg_name, kw in CONFIGS:
+            golden = refimpl.process(img, **kw)
+            # pre-encode pixels (lossless): the transform-parity golden
+            path = os.path.join(out_dir, f"{src_name}_{cfg_name}.png")
+            Image.fromarray(golden).save(path, compress_level=9)
+            # encoded output (JPEG q75 4:2:0, the reference default):
+            # the end-to-end golden — compare decoded-vs-decoded so
+            # both sides carry the same q75 quantization loss
+            jpath = os.path.join(out_dir, f"{src_name}_{cfg_name}.jpg")
+            Image.fromarray(golden).save(jpath, format="JPEG", quality=75,
+                                         subsampling=2)
+            print(f"wrote {path} {golden.shape}")
+        # the source bytes themselves, for decoding in the test
+        with open(os.path.join(out_dir, f"{src_name}_src.jpg"), "wb") as f:
+            f.write(data)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,152 @@
+"""Independent reference implementation of the fanlin-rs processing
+chain (reference src/handler.rs:185-309), written from the image
+crate's documented/source semantics with NO imports from fanlin_tpu —
+used to generate the golden parity corpus (tools/make_goldens.py,
+tests/golden/) in an environment without a Rust toolchain.
+
+Covered chain: grayscale ELSE-IF invert -> Lanczos3 resize
+(fit via resize_dimensions / fill via resize_to_fill center-crop) ->
+centered overlay on an opaque RGB fill canvas -> gaussian blur.
+Pixel math follows image 0.25:
+  * Lanczos3: support 3.0, scaled by max(ratio, 1), window clamped to
+    the image, weights normalized, f32 accumulation, clamp + round
+    half away from zero per pass (sample.rs horizontal/vertical_sample)
+  * grayscale: fixed-point Rec.709 luma with floor
+    ((2126 r + 7152 g + 722 b) / 10000)
+  * gaussian blur: pdf kernel with support 2 sigma (same sampling)
+  * resize_dimensions: min-ratio fit, round(), >=1 (math.rs)
+  * resize_to_fill: max-ratio cover + center crop with /2 offsets
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+
+def _lanczos3(x: float) -> float:
+    if x == 0.0:
+        return 1.0
+    if abs(x) >= 3.0:
+        return 0.0
+    a = math.pi * x
+    b = a / 3.0
+    return (math.sin(a) / a) * (math.sin(b) / b)
+
+
+def _gaussian(x: float, sigma: float) -> float:
+    return math.exp(-(x * x) / (2.0 * sigma * sigma)) / (
+        math.sqrt(2.0 * math.pi) * sigma
+    )
+
+
+def _sample_axis(length_in: int, length_out: int, kernel,
+                 support: float) -> np.ndarray:
+    """(length_out, length_in) weight matrix for one separable pass,
+    replicating image::imageops::sample's window arithmetic (the
+    gaussian blur goes through the same sampler with support 2*sigma
+    and the kernel closed over sigma)."""
+    m = np.zeros((length_out, length_in), dtype=np.float64)
+    ratio = length_in / length_out
+    sratio = max(ratio, 1.0)
+    src_support = support * sratio
+    for outx in range(length_out):
+        inputx = (outx + 0.5) * ratio
+        left = int(math.floor(inputx - src_support))
+        left = max(left, 0)
+        right = int(math.ceil(inputx + src_support))
+        right = min(right, length_in)
+        center = inputx - 0.5
+        ws = np.array(
+            [kernel((i - center) / sratio) for i in range(left, right)],
+            dtype=np.float64,
+        )
+        s = ws.sum()
+        if s != 0:
+            ws = ws / s
+        m[outx, left:right] = ws
+    return m
+
+
+def _apply_separable(img: np.ndarray, mv: np.ndarray, mh: np.ndarray) -> np.ndarray:
+    """Vertical then horizontal pass with an f32 INTERMEDIATE (the
+    image crate's vertical_sample yields an Rgba32F buffer; only the
+    final conversion clamps and rounds half away from zero)."""
+    f = img.astype(np.float32)
+    t = np.einsum("ds,shc->dhc", mv.astype(np.float32), f, optimize=True)
+    t = np.einsum("ew,dwc->dec", mh.astype(np.float32), t, optimize=True)
+    return np.floor(np.clip(t, 0.0, 255.0) + 0.5).astype(np.uint8)
+
+
+def resize_dimensions(w: int, h: int, nw: int, nh: int, fill: bool):
+    """image::math::resize_dimensions (min/max ratio, round, >=1)."""
+    wratio = nw / w
+    hratio = nh / h
+    ratio = max(wratio, hratio) if fill else min(wratio, hratio)
+    nw2 = max(int(round(w * ratio)), 1)
+    nh2 = max(int(round(h * ratio)), 1)
+    return nw2, nh2
+
+
+def lanczos3_resize(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    mv = _sample_axis(h, nh, _lanczos3, 3.0)
+    mh = _sample_axis(w, nw, _lanczos3, 3.0)
+    return _apply_separable(img, mv, mh)
+
+
+def resize_to_fill(img: np.ndarray, nw: int, nh: int) -> np.ndarray:
+    """cover-resize then center crop (image::DynamicImage::resize_to_fill)."""
+    h, w = img.shape[:2]
+    w2, h2 = resize_dimensions(w, h, nw, nh, True)
+    big = lanczos3_resize(img, w2, h2)
+    x0 = (w2 - nw) // 2 if w2 > nw else 0
+    y0 = (h2 - nh) // 2 if h2 > nh else 0
+    return big[y0 : y0 + nh, x0 : x0 + nw]
+
+
+def gaussian_blur(img: np.ndarray, sigma: float) -> np.ndarray:
+    h, w = img.shape[:2]
+    kernel = lambda x: _gaussian(x, sigma)  # noqa: E731
+    mv = _sample_axis(h, h, kernel, 2.0 * sigma)
+    mh = _sample_axis(w, w, kernel, 2.0 * sigma)
+    return _apply_separable(img, mv, mh)
+
+
+def grayscale(img: np.ndarray) -> np.ndarray:
+    f = img.astype(np.int64)
+    luma = (2126 * f[..., 0] + 7152 * f[..., 1] + 722 * f[..., 2]) // 10000
+    return np.repeat(luma[..., None], 3, axis=2).astype(np.uint8)
+
+
+def invert(img: np.ndarray) -> np.ndarray:
+    return (255 - img.astype(np.int64)).astype(np.uint8)
+
+
+def process(img: np.ndarray, w=None, h=None, crop=False, gray=False,
+            inv=False, fill=(32, 32, 32), sigma=0.0) -> np.ndarray:
+    """The ordered chain of handler.rs:224-255 on an opaque RGB array."""
+    out = img[:, :, :3]
+    if gray:
+        out = grayscale(out)
+    elif inv:
+        out = invert(out)
+    ih, iw = out.shape[:2]
+    if w is not None and h is not None and (w != iw or h != ih):
+        if crop:
+            out = resize_to_fill(out, w, h)
+        else:
+            rw, rh = resize_dimensions(iw, ih, w, h, False)
+            out = lanczos3_resize(out, rw, rh)
+        oh, ow = out.shape[:2]
+        if w > ow or h > oh:
+            canvas = np.empty((h, w, 3), dtype=np.uint8)
+            canvas[:] = fill
+            x0 = abs(w - ow) // 2
+            y0 = abs(h - oh) // 2
+            canvas[y0 : y0 + oh, x0 : x0 + ow] = out
+            out = canvas
+    if sigma > 0:
+        out = gaussian_blur(out, max(min(sigma, 20.0), 10.0))
+    return out
