@@ -199,6 +199,20 @@ def set_fold(enabled: bool) -> None:
     _FOLD["enabled"] = bool(enabled)
 
 
+# Hand-written Pallas kernel for the uniform opaque pixel path
+# (ops.pallas_kernels): both weight matrix sets pinned in VMEM across
+# the batch grid. Opt-in (FANLIN_PALLAS=1 / set_pallas) — on this
+# hardware the XLA lowering of the same program measured faster (see
+# BENCH_NOTES.md), so XLA stays the default.
+import os as _os
+
+_PALLAS = {"enabled": _os.environ.get("FANLIN_PALLAS") == "1"}
+
+
+def set_pallas(enabled: bool) -> None:
+    _PALLAS["enabled"] = bool(enabled)
+
+
 def _mm_dtype():
     return jnp.bfloat16 if _FAST["enabled"] else jnp.float32
 
@@ -716,7 +730,7 @@ class BatchAssembly:
         )
         return src + (self.b, self.oh, self.ow, self.has_blur, self.uniform,
                       out_crop, self.c_out, self.jpeg420, _FAST["enabled"],
-                      self.jpegdct, mesh_key)
+                      self.jpegdct, mesh_key, self._pallas_eligible())
 
     def submit(self):
         """Dispatch the device program (async); returns the device array."""
@@ -752,7 +766,35 @@ class BatchAssembly:
 
         return _device_cached(a, NamedSharding(self.mesh, P(*spec)))
 
+    def _pallas_eligible(self) -> bool:
+        return (
+            _PALLAS["enabled"]
+            and self.uniform
+            and getattr(self, "c_in", 0) == 3  # pixel source, opaque
+            and self.mesh is None
+            and not self.jpeg420
+            and not self.jpegdct
+        )
+
     def _device_args(self):
+        if self._pallas_eligible():
+            import jax as _jax
+
+            from . import pallas_kernels
+
+            p0 = self.plans[0]
+            av, ah, bv, bh = _uniform_padded(p0)
+            fn = pallas_kernels.get_resample_program(
+                self.b, 3, self.sh, self.sw, self.oh, self.ow,
+                interpret=_jax.default_backend() != "tpu",
+                has_blur=self.has_blur,
+            )
+            args = [self._put(self.flags, "dp"), self._put(self.fill, "dp"),
+                    self._put(self.box, "dp"), self._cput(av), self._cput(ah)]
+            if self.has_blur:
+                args += [self._cput(bv), self._cput(bh)]
+            args.append(self._put(self.x, "dp", None, None, "sp"))
+            return fn, args
         if self.uniform:
             p0 = self.plans[0]
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,

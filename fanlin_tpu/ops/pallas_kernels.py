@@ -13,9 +13,13 @@ uniform-batch resample — for cases where explicit control pays:
 * the channel loop is unrolled inside the kernel, reusing the VMEM-
   resident weights for all three planes.
 
-Select with FANLIN_PALLAS=1 (or ops.fused.set_pallas(True)); falls
-back transparently when Pallas/TPU is unavailable. Correctness is
-pinned to the XLA path bit-for-bit in tests (interpret mode on CPU).
+Select with FANLIN_PALLAS=1 (or ops.fused.set_pallas(True)): eligible
+batches — uniform geometry, opaque 3-channel input, pixel output, no
+mesh — run the Pallas program (with or without the blur stage); all
+other shapes keep the XLA path. On non-TPU backends the kernel runs
+in interpret mode, so the selection is exercised by the CPU test
+suite too. Correctness is pinned to the XLA path bit-for-bit in
+tests/test_pallas.py.
 """
 
 from __future__ import annotations
@@ -29,14 +33,15 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _resample_kernel(flags_ref, fill_ref, box_ref, av_ref, ah_ref, x_ref,
-                     o_ref):
+def _kernel_body(flags_ref, fill_ref, box_ref, av_ref, ah_ref, x_ref, o_ref,
+                 bv_ref=None, bh_ref=None):
     """One grid step = one image of the batch.
 
     Shapes: av (OH, SH) f32, ah (OW, SW) f32, x (1, C, SH, SW) u8,
-    o (1, 3, OH, OW) u8; flags (B, 3), fill (B, 3), box (B, 4) in SMEM.
+    o (1, 3, OH, OW) u8; flags (B, 3), fill (B, 3), box (B, 4) in SMEM;
+    optional blur matrices bv (OH, OH), bh (OW, OW) in VMEM.
     Opaque (C==3) uniform-batch chain: mask -> Av @ plane @ Ah^T ->
-    round -> rect/fill composite.
+    round -> rect/fill composite -> (optional) Bv @ out @ Bh^T -> round.
     """
     b = pl.program_id(0)
     f32 = jnp.float32
@@ -70,54 +75,95 @@ def _resample_kernel(flags_ref, fill_ref, box_ref, av_ref, ah_ref, x_ref,
         fg = jnp.floor(jnp.clip(t, 0.0, 255.0) + 0.5)
         fillc = fill_ref[b, c]
         composed = jnp.where(use_canvas & (~inrect), fillc, fg)
+        if bv_ref is not None:
+            t = jnp.dot(bv_ref[:], composed, preferred_element_type=f32)
+            t = jnp.dot(t, bh_ref[:].T, preferred_element_type=f32)
+            composed = jnp.floor(jnp.clip(t, 0.0, 255.0) + 0.5)
         # Mosaic: f32 -> u8 must hop through int32
         o_ref[0, c] = composed.astype(jnp.int32).astype(jnp.uint8)
 
 
+def _resample_kernel(flags_ref, fill_ref, box_ref, av_ref, ah_ref, x_ref,
+                     o_ref):
+    _kernel_body(flags_ref, fill_ref, box_ref, av_ref, ah_ref, x_ref, o_ref)
+
+
+def _resample_blur_kernel(flags_ref, fill_ref, box_ref, av_ref, ah_ref,
+                          bv_ref, bh_ref, x_ref, o_ref):
+    _kernel_body(flags_ref, fill_ref, box_ref, av_ref, ah_ref, x_ref, o_ref,
+                 bv_ref, bh_ref)
+
+
 @functools.lru_cache(maxsize=64)
 def get_resample_program(batch: int, channels: int, src_h: int, src_w: int,
-                         out_h: int, out_w: int, interpret: bool = False):
-    """Pallas uniform-resample program: (flags, fill, box, av, ah, x) ->
-    (B, 3, OH, OW) uint8. Opaque inputs only (C==3 semantics)."""
+                         out_h: int, out_w: int, interpret: bool = False,
+                         has_blur: bool = False):
+    """Pallas uniform-resample program:
+      (flags, fill, box, av, ah[, bv, bh], x) -> (B, 3, OH, OW) uint8.
+    Opaque inputs only (C==3 semantics); both weight matrix sets stay
+    VMEM-resident across the whole grid."""
 
+    in_specs = [
+        pl.BlockSpec((out_h, src_h), lambda b, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((out_w, src_w), lambda b, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    if has_blur:
+        in_specs += [
+            pl.BlockSpec((out_h, out_h), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((out_w, out_w), lambda b, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+    in_specs.append(
+        pl.BlockSpec((1, channels, src_h, src_w), lambda b, *_: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,  # flags, fill, box
         grid=(batch,),
-        in_specs=[
-            pl.BlockSpec((out_h, src_h), lambda b, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((out_w, src_w), lambda b, *_: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, channels, src_h, src_w),
-                         lambda b, *_: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 3, out_h, out_w),
                                lambda b, *_: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
+    blur_flops = 2 * batch * 3 * (out_h * out_h * out_w + out_h * out_w * out_w)
     call = pl.pallas_call(
-        _resample_kernel,
+        _resample_blur_kernel if has_blur else _resample_kernel,
         out_shape=jax.ShapeDtypeStruct((batch, 3, out_h, out_w), jnp.uint8),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=2 * batch * 3 * (out_h * src_h * src_w + out_h * out_w * src_w),
+            flops=2 * batch * 3 * (out_h * src_h * src_w + out_h * out_w * src_w)
+            + (blur_flops if has_blur else 0),
             bytes_accessed=batch * (channels * src_h * src_w + 3 * out_h * out_w),
             transcendentals=0,
         ),
     )
 
-    return jax.jit(lambda flags, fill, box, av, ah, x: call(flags, fill, box, av, ah, x))
+    if has_blur:
+        return jax.jit(
+            lambda flags, fill, box, av, ah, bv, bh, x: call(
+                flags, fill, box, av, ah, bv, bh, x
+            )
+        )
+    return jax.jit(
+        lambda flags, fill, box, av, ah, x: call(flags, fill, box, av, ah, x)
+    )
 
 
 def resample_uniform(flags: np.ndarray, fill: np.ndarray, box: np.ndarray,
                      av: np.ndarray, ah: np.ndarray, x: np.ndarray,
-                     interpret: bool = False):
+                     interpret: bool = False, bv=None, bh=None):
     """Run the Pallas uniform resample. x: (B, C, SH, SW) u8 opaque."""
     b, c, sh, sw = x.shape
     oh, ow = av.shape[0], ah.shape[0]
-    fn = get_resample_program(b, c, sh, sw, oh, ow, interpret)
-    return fn(flags.astype(np.float32), fill.astype(np.float32),
-              box.astype(np.int32), av, ah, x)
+    fn = get_resample_program(b, c, sh, sw, oh, ow, interpret,
+                              has_blur=bv is not None)
+    args = [flags.astype(np.float32), fill.astype(np.float32),
+            box.astype(np.int32), av, ah]
+    if bv is not None:
+        args += [bv, bh]
+    return fn(*args, x)

@@ -43,3 +43,52 @@ def test_pallas_matches_xla_invert_crop():
     xla, pal = _run_both("inverse=true&w=40&h=24&crop=true")
     for a, b in zip(xla, pal):
         np.testing.assert_array_equal(a[..., :3], b)
+
+
+def test_pallas_matches_xla_blur():
+    q = parse_query("w=64&h=40&blur=1")
+    plan = fused.plan_image(64, 64, q, opaque=True)
+    imgs = [make_test_image(64, 64, seed=s) for s in (3, 4)]
+    asm = fused.BatchAssembly([plan] * 2, imgs)
+    xla = asm.run()
+    av, ah, bv, bh = fused._uniform_padded(plan)
+    got = np.asarray(
+        pallas_kernels.resample_uniform(
+            asm.flags, asm.fill, asm.box, av, ah, asm.x,
+            interpret=True, bv=bv, bh=bh,
+        )
+    )
+    for i, a in enumerate(xla):
+        np.testing.assert_array_equal(
+            a[..., :3], got[i, :, : plan.out_h, : plan.out_w].transpose(1, 2, 0)
+        )
+
+
+def test_set_pallas_selection_end_to_end():
+    """The advertised selection switch: with set_pallas(True), eligible
+    uniform opaque batches run the Pallas program through the normal
+    BatchAssembly path and match the XLA result exactly."""
+    q = parse_query("w=100&h=48&rgb=3,4,5")
+    plan = fused.plan_image(64, 64, q, opaque=True)
+    imgs = [make_test_image(64, 64, seed=s) for s in (5, 6)]
+    ref = fused.BatchAssembly([plan] * 2, imgs).run()
+    fused.set_pallas(True)
+    try:
+        asm = fused.BatchAssembly([plan] * 2, imgs)
+        assert asm._pallas_eligible()
+        got = asm.run()
+    finally:
+        fused.set_pallas(False)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(a[..., :3], b[..., :3])
+    # alpha sources and device-JPEG sinks stay on XLA
+    rgba = [np.dstack([im, np.full(im.shape[:2], 255, np.uint8)])
+            for im in imgs]
+    fused.set_pallas(True)
+    try:
+        asm4 = fused.BatchAssembly([plan] * 2, rgba)
+        assert not asm4._pallas_eligible()
+        asm420 = fused.BatchAssembly([plan] * 2, imgs, jpeg420=True)
+        assert not asm420._pallas_eligible()
+    finally:
+        fused.set_pallas(False)
