@@ -120,6 +120,36 @@ def ycbcr420_to_coefficients(y, cb, cr, luma_q, chroma_q):
     )
 
 
+def pack_coefficients(coefs):
+    """int8-pack quantized coefficient blocks for the host link
+    (VERDICT r1 item 9: int16 downloads were ~2x the u8-plane bytes).
+
+    coefs: 3 int16 arrays (B, rows, cols, 64). Returns
+    (y_dc i16, y_ac i8, cb_dc i16, cb_ac i8, cr_dc i16, cr_ac i8,
+    overflow i32 (B,)): DC always rides int16 (range ±2048); AC is
+    saturated to int8 with a per-image overflow count — zero in
+    practice below ~q95, and the caller re-runs the full-int16
+    program for the rare batch where it isn't."""
+    out = []
+    overflow = None
+    for c in coefs:
+        dc = c[..., 0]
+        ac = c[..., 1:]
+        clipped = jnp.clip(ac, -128, 127)
+        ov = (clipped != ac).astype(jnp.int32).sum(axis=(1, 2, 3))
+        overflow = ov if overflow is None else overflow + ov
+        out += [dc, clipped.astype(jnp.int8)]
+    return tuple(out) + (overflow,)
+
+
+def unpack_coefficients(dc: np.ndarray, ac8: np.ndarray) -> np.ndarray:
+    """Host-side inverse of pack_coefficients for one image's plane:
+    (rows, cols) i16 DC + (rows, cols, 63) i8 AC -> (rows, cols, 64) i16."""
+    return np.concatenate(
+        [dc[..., None].astype(np.int16), ac8.astype(np.int16)], axis=-1
+    )
+
+
 @functools.lru_cache(maxsize=32)
 def coefficients_program(batch: int, h: int, w: int, quality: int):
     """jit'd: (y, cb, cr) u8 planes -> int16 coefficient blocks."""

@@ -379,11 +379,14 @@ def _ycbcr420_tail(out_u8):
     return y_u8, sub2(cb), sub2(cr)
 
 
-def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool):
+def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool,
+               dct_full: bool = False):
     """The shared program tail: device-side crop to true dims, alpha
     pruning, and the optional JPEG encode front-end / full DCT back
     half. enc_lq/enc_cq are the ENCODER's quant tables (runtime inputs
-    so one program serves every quality)."""
+    so one program serves every quality). jpegdct outputs ship
+    int8-packed (DC int16 + AC int8 + overflow sentinel) unless
+    dct_full — the fallback program for the rare saturating batch."""
 
     def tail(out, enc_lq=None, enc_cq=None):
         if out_crop is not None:
@@ -392,7 +395,8 @@ def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool):
             from . import dct
 
             y, cb, cr = _ycbcr420_tail(out)
-            return dct.ycbcr420_to_coefficients(y, cb, cr, enc_lq, enc_cq)
+            coefs = dct.ycbcr420_to_coefficients(y, cb, cr, enc_lq, enc_cq)
+            return coefs if dct_full else dct.pack_coefficients(coefs)
         if jpeg420:
             return _ycbcr420_tail(out)
         if out_channels != 4:
@@ -406,7 +410,8 @@ def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool):
 def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
                 has_blur: bool, uniform: bool = False, out_crop=None,
                 out_channels: int = 4, jpeg420: bool = False,
-                fast: bool = False, jpegdct: bool = False):
+                fast: bool = False, jpegdct: bool = False,
+                dct_full: bool = False):
     """Compile (once) and return the fused program for a shape bucket.
 
     The shape arguments are only the cache key — jit re-traces per
@@ -421,7 +426,7 @@ def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
     front-end (YCbCr + 4:2:0), halving the download again.
     """
     kernel = _transform_kernel_uniform if uniform else _transform_kernel
-    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct)
+    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_full)
 
     if jpegdct:
         if has_blur:
@@ -470,7 +475,8 @@ def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
 def get_folded_program(batch: int, true_h: int, true_w: int, out_h: int,
                        out_w: int, has_blur: bool, out_crop=None,
                        out_channels: int = 4, jpeg420: bool = False,
-                       jpegdct: bool = False, fast: bool = False):
+                       jpegdct: bool = False, fast: bool = False,
+                       dct_full: bool = False):
     """Folded decode-resize program (uniform batches, no gray/invert):
     the resample happens IN COEFFICIENT SPACE — iDCT, triangle chroma
     upsample and color conversion are composed into the resample
@@ -502,7 +508,7 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
                      out_w: int, has_blur: bool, uniform: bool = False,
                      out_crop=None, out_channels: int = 4,
                      jpeg420: bool = False, fast: bool = False,
-                     jpegdct: bool = False):
+                     jpegdct: bool = False, dct_full: bool = False):
     """Fused program whose SOURCE is entropy-decoded JPEG coefficients:
     the decode back half (dequant + iDCT + 4:2:0 fancy upsample +
     YCbCr->RGB, ops.jpeg_decode) runs as a prologue to the transform
@@ -516,7 +522,7 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
     """
     pad_h = bucket_h16(true_h)
     pad_w = bucket_w(true_w)
-    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct)
+    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_full)
     from . import jpeg_decode
 
     def core(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
@@ -800,7 +806,7 @@ class BatchAssembly:
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
                              self.has_blur, True, (p0.out_h, p0.out_w),
                              self.c_out, self.jpeg420, _FAST["enabled"],
-                             self.jpegdct)
+                             self.jpegdct, getattr(self, "dct_full", False))
             av, ah, bv, bh = _uniform_padded(p0)
             args = [self._put(self.x, "dp", None, None, "sp"),
                     self._cput(av), self._cput(ah, None, "sp"),
@@ -815,7 +821,8 @@ class BatchAssembly:
             )
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
                              self.has_blur, False, out_crop, self.c_out,
-                             self.jpeg420, _FAST["enabled"], self.jpegdct)
+                             self.jpeg420, _FAST["enabled"], self.jpegdct,
+                             getattr(self, "dct_full", False))
             args = [self._put(self.x, "dp", None, None, "sp"),
                     self._put(self.av, "dp"),
                     self._put(self.ah, "dp", None, "sp"),
@@ -838,10 +845,33 @@ class BatchAssembly:
         yc, cbc, crc, w, h, q) coefficient tuples ready for the native
         entropy encoders."""
         if self.jpegdct:
+            p0 = self.plans[0]
+            if len(out) == 7:
+                # int8-packed download (DC i16 + AC i8 + overflow count)
+                overflow = np.asarray(out[6])
+                if int(overflow.sum()) > 0:
+                    # an AC magnitude saturated int8 (only near q100):
+                    # re-run this batch through the full-int16 program
+                    self.dct_full = True
+                    fn, args = self._device_args()
+                    self.dct_full = False
+                    return self.collect(fn(*args))
+                from . import dct as dct_mod
+
+                ydc, yac = np.asarray(out[0]), np.asarray(out[1])
+                cbdc, cbac = np.asarray(out[2]), np.asarray(out[3])
+                crdc, crac = np.asarray(out[4]), np.asarray(out[5])
+                return [
+                    ("coeffs",
+                     dct_mod.unpack_coefficients(ydc[i], yac[i]),
+                     dct_mod.unpack_coefficients(cbdc[i], cbac[i]),
+                     dct_mod.unpack_coefficients(crdc[i], crac[i]),
+                     p0.out_w, p0.out_h, self.quality)
+                    for i in range(len(self.plans))
+                ]
             yc = np.asarray(out[0])
             cbc = np.asarray(out[1])
             crc = np.asarray(out[2])
-            p0 = self.plans[0]
             return [
                 ("coeffs", yc[i], cbc[i], crc[i], p0.out_w, p0.out_h,
                  self.quality)
@@ -959,7 +989,8 @@ class CoefBatchAssembly(BatchAssembly):
             fn = get_folded_program(self.b, self.true_h, self.true_w,
                                     self.oh, self.ow, self.has_blur,
                                     out_crop, self.c_out, self.jpeg420,
-                                    self.jpegdct, _FAST["enabled"])
+                                    self.jpegdct, _FAST["enabled"],
+                                    getattr(self, "dct_full", False))
             mats = _folded_padded(p0, self.sh, self.sw, self.true_h,
                                   self.true_w)
             # row-matrices replicated; the AC column-matrices contract
@@ -983,7 +1014,7 @@ class CoefBatchAssembly(BatchAssembly):
         fn = get_coef_program(self.b, self.true_h, self.true_w, self.oh,
                               self.ow, self.has_blur, self.uniform, out_crop,
                               self.c_out, self.jpeg420, _FAST["enabled"],
-                              self.jpegdct)
+                              self.jpegdct, getattr(self, "dct_full", False))
         if self.uniform:
             av, ah, bv, bh = _uniform_padded(p0, self.sh, self.sw)
             args += [self._cput(av), self._cput(ah, None, "sp"),
