@@ -253,9 +253,17 @@ async def build_state(cfg: config_mod.Config) -> State:
             log.info("data-parallel mesh enabled: %s", mesh_runner.mesh)
     batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms, execute,
                            host_fallback=cfg.tpu.host_fallback)
+    # The decode back half exists to cut host->device transfer and
+    # host decode CPU — on a CPU "device" it's pure extra FLOPs (the
+    # iDCT would run on the same core), so gate it to accelerators.
+    import jax as _jax
+
+    device_decode = cfg.tpu.device_decode and _jax.default_backend() != "cpu"
+    if cfg.tpu.device_decode and not device_decode:
+        log.info("device_decode disabled on the cpu backend")
     engine = Engine(runner=BatchingRunner(batcher),
                     device_dct=cfg.tpu.device_dct,
-                    device_decode=cfg.tpu.device_decode)
+                    device_decode=device_decode)
     if cfg.tpu.codec_threads:
         # dedicated host codec pool (asyncio.to_thread rides the
         # default executor)
