@@ -80,3 +80,51 @@ def test_engine_sweep_small(fixtures_dir):
             with Image.open(io.BytesIO(out)) as im:
                 eh, ew = expected_dims(sw, sh, q)
                 assert im.size == (ew, eh), f"{(sw,sh)} {qs}"
+
+
+def test_fuzz_coef_vs_pixel_paths():
+    """Random source geometries and queries: the coefficient-source
+    path (device decode back half) and the folded variant must stay
+    >=45 dB of the pixel path across arbitrary shapes."""
+    import io
+
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from fanlin_tpu.engine import native_codecs
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+    from tests.conftest import make_test_image, psnr
+
+    if not native_codecs.available():
+        pytest.skip("native codec core not built")
+
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        w = int(rng.integers(33, 400))
+        h = int(rng.integers(33, 300))
+        ow = int(rng.integers(20, 350))
+        oh = int(rng.integers(20, 260))
+        crop = bool(rng.integers(0, 2))
+        q = parse_query(f"w={ow}&h={oh}" + ("&crop=true" if crop else ""))
+        buf = io.BytesIO()
+        Image.fromarray(make_test_image(w, h, seed=trial)).save(
+            buf, format="JPEG", quality=88
+        )
+        data = buf.getvalue()
+        meta = native_codecs.read_jpeg_coeffs(data)
+        assert meta is not None and (meta["w"], meta["h"]) == (w, h)
+        img, _ = native_codecs.decode_jpeg(data)
+        plan = fused.plan_image(w, h, q, opaque=True)
+        ref = fused.BatchAssembly([plan], [img]).run()[0]
+        staged = fused.CoefBatchAssembly([plan], [meta]).run()[0]
+        d = psnr(staged, ref[:, :, : staged.shape[2]])
+        assert d >= 48.0, (trial, w, h, ow, oh, crop, d)
+        fused.set_fold(True)
+        try:
+            folded = fused.CoefBatchAssembly([plan], [meta]).run()[0]
+        finally:
+            fused.set_fold(False)
+        d2 = psnr(folded, ref[:, :, : folded.shape[2]])
+        assert d2 >= 45.0, (trial, w, h, ow, oh, crop, d2)

@@ -16,7 +16,9 @@ def test_entry_compiles_and_runs():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     out.block_until_ready()
-    assert out.shape[0] == 8
+    # flagship program: folded decode-resize + jpeg420 front-end;
+    # Y (200x300) + Cb + Cr (100x150 each) planes concatenated
+    assert out.shape == (8, 200 * 300 + 2 * 100 * 150)
     assert np.asarray(out).dtype == np.uint8
 
 
