@@ -92,6 +92,16 @@ def main() -> None:
         and native_codecs.available()
         and os.environ.get("BENCH_JPEG420", "1") == "1"
     )
+    if (
+        not jpeg420
+        and webp_mode
+        and native_codecs.available()
+        and hasattr(native_codecs._load(), "fc_encode_webp_yuv420")
+        and os.environ.get("BENCH_WEBP420", "1") == "1"
+    ):
+        # device WebP-range YUV front-end: host encodes via the
+        # YUV-import path, download is 1.5 B/px instead of 3
+        jpeg420 = "webp"
     # Coefficient-source pipeline (device decode back half): host does
     # entropy decode only and uploads int8-packed coefficients
     # (~1.5 B/px) instead of decoded RGB (3 B/px).
@@ -121,6 +131,8 @@ def main() -> None:
     def encode_task(arr):
         if isinstance(arr, tuple) and arr[0] == "ycbcr420":
             return native_codecs.encode_jpeg_raw420(arr[1], arr[2], arr[3], out_q)
+        if isinstance(arr, tuple) and arr[0] == "webpyuv":
+            return native_codecs.encode_webp_yuv420(arr[1], arr[2], arr[3], out_q)
         return codecs.encode(arr, out_fmt, out_q, "RGBA")
 
     def make_assembly(payloads):

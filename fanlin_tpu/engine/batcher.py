@@ -59,12 +59,12 @@ def _group_key(plan: fused.ImagePlan, kind: str) -> Tuple:
             plan.out_w,
             plan.blur_sigma > 0,
         )
-    if kind == "jpeg420":
-        # the device JPEG front-end crops + subsamples at ONE true
-        # geometry per program, so jpeg420 groups key on exact output
+    if kind in ("jpeg420", "webp420"):
+        # the device YUV front-ends crop + subsample at ONE true
+        # geometry per program, so these kinds key on exact output
         # dims (mixed grayscale/invert/fill ops still share a batch)
         return (
-            "jpeg420",
+            kind,
             fused.bucket_h(plan.src_h),
             fused.bucket_w(plan.src_w),
             plan.out_h,

@@ -86,6 +86,14 @@ def _load():
             lib.fc_read_jpeg_coeffs.restype = ctypes.c_int
         except AttributeError:
             pass  # older .so without the coefficient reader
+        try:
+            lib.fc_encode_webp_yuv420.argtypes = [
+                u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
+            ]
+            lib.fc_encode_webp_yuv420.restype = ctypes.c_int
+        except AttributeError:
+            pass  # older .so without the YUV WebP encoder
         lib.fc_free.argtypes = [u8p]
         _LIB = lib
         break
@@ -247,6 +255,35 @@ def encode_jpeg_coeffs(y_coef: np.ndarray, cb_coef: np.ndarray,
         y_coef.ctypes.data_as(i16p), cb_coef.ctypes.data_as(i16p),
         cr_coef.ctypes.data_as(i16p), width, height, int(quality),
         ctypes.byref(out), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fc_free(out)
+
+
+def encode_webp_yuv420(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                       quality: int) -> Optional[bytes]:
+    """Lossy-encode device-produced WebP-range YUV 4:2:0 planes via the
+    advanced WebPPicture API (no host RGB->YUV import). q 1-99;
+    y: (H, W); u/v: (ceil(H/2), ceil(W/2)). None -> fall back."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_encode_webp_yuv420"):
+        return None
+    h, w = y.shape
+    if u.shape != ((h + 1) // 2, (w + 1) // 2) or v.shape != u.shape:
+        return None
+    y = np.ascontiguousarray(y)
+    u = np.ascontiguousarray(u)
+    v = np.ascontiguousarray(v)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    out_len = ctypes.c_size_t()
+    rc = lib.fc_encode_webp_yuv420(
+        y.ctypes.data_as(u8p), u.ctypes.data_as(u8p), v.ctypes.data_as(u8p),
+        w, h, int(quality), ctypes.byref(out), ctypes.byref(out_len),
     )
     if rc != 0:
         return None

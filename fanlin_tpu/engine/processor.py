@@ -177,6 +177,20 @@ class Engine:
                     sink = f"jpegdct:{q}"
                 else:
                     sink = "jpeg420"
+        elif (
+            self.device_jpeg
+            and out_fmt == codecs.WEBP
+            # alpha must be provably constant 255 (YUV drops it)
+            and (mode == "RGB" or (mode == "RGBA" and not plan.want_alpha))
+            and 1 <= params.quality() < 100  # q==100 is lossless (RGB path)
+        ):
+            from . import native_codecs
+
+            if (native_codecs.available()
+                    and native_codecs._load() is not None
+                    and hasattr(native_codecs._load(),
+                                "fc_encode_webp_yuv420")):
+                sink = "webp420"
         if meta is not None:
             kind = "coef" if sink == "rgb" else f"coef+{sink}"
             payload = meta
@@ -206,6 +220,14 @@ class Engine:
             payload = native_codecs.encode_jpeg_raw420(out[1], out[2], out[3], q)
             if payload is None:
                 raise codecs.CodecError("raw jpeg encode failed")
+            return payload
+        if isinstance(out, tuple) and out[0] == "webpyuv":
+            from . import native_codecs
+
+            q = min(max(quality, 1), 99)
+            payload = native_codecs.encode_webp_yuv420(out[1], out[2], out[3], q)
+            if payload is None:
+                raise codecs.CodecError("yuv webp encode failed")
             return payload
         if isinstance(out, tuple) and out[0] == "coeffs":
             from . import native_codecs

@@ -69,6 +69,8 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
             # production hot path for plain JPEG traffic
             variants.append(("coef", False))
             variants.append(("coef", True))
+            if hasattr(native_codecs._load(), "fc_encode_webp_yuv420"):
+                variants.append(("coef", "webp"))  # WebP YUV front-end
         for b in (1, batch):
             for src, jpeg420 in variants:
                 jobs.append((plan, img, b, src, jpeg420))

@@ -397,6 +397,8 @@ def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool,
             y, cb, cr = _ycbcr420_tail(out)
             coefs = dct.ycbcr420_to_coefficients(y, cb, cr, enc_lq, enc_cq)
             return coefs if dct_full else dct.pack_coefficients(coefs)
+        if jpeg420 == "webp":
+            return _webp420_tail(out)
         if jpeg420:
             return _ycbcr420_tail(out)
         if out_channels != 4:
@@ -404,6 +406,44 @@ def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool,
         return out
 
     return tail
+
+
+def _webp420_tail(out_u8):
+    """Device WebP front-end: RGB -> libwebp's limited-range BT.601
+    YUV (the exact fixed-point constants of src/dsp/yuv.h VP8RGBToY/
+    U/V) + 2x2 chroma subsampling, so the host encodes via the
+    YUV-import path (native fc_encode_webp_yuv420) with no RGB->YUV
+    work. Chroma averages 2x2 RGB first ((sum+2)>>2, libwebp's SUM4
+    rounding without its optional gamma linearization — within ±1 of
+    libwebp's own import on natural images).
+
+    out_u8: (B, C>=3, OH, OW) uint8, already cropped to true dims.
+    Returns (Y (B,OH,OW), U (B,ceil/2,ceil/2), V) uint8.
+    """
+    i32 = jnp.int32
+    p = out_u8[:, :3].astype(i32)
+    r, g, b = p[:, 0], p[:, 1], p[:, 2]
+    # VP8RGBToY: (16839 r + 33059 g + 6420 b + YUV_HALF + (16<<16)) >> 16
+    y = (16839 * r + 33059 * g + 6420 * b + 32768 + (16 << 16)) >> 16
+    y_u8 = jnp.clip(y, 0, 255).astype(jnp.uint8)
+
+    def sub2(c):
+        bsz, h, w = c.shape
+        if h % 2:
+            c = jnp.concatenate([c, c[:, -1:, :]], axis=1)
+            h += 1
+        if w % 2:
+            c = jnp.concatenate([c, c[:, :, -1:]], axis=2)
+            w += 1
+        c = c.reshape(bsz, h // 2, 2, w // 2, 2)
+        s = c[:, :, 0, :, 0] + c[:, :, 0, :, 1] + c[:, :, 1, :, 0] + c[:, :, 1, :, 1]
+        return (s + 2) >> 2
+
+    rs, gs, bs = sub2(r), sub2(g), sub2(b)
+    u = (-9719 * rs - 19081 * gs + 28800 * bs + 32768 + (128 << 16)) >> 16
+    v = (28800 * rs - 24116 * gs - 4684 * bs + 32768 + (128 << 16)) >> 16
+    return (y_u8, jnp.clip(u, 0, 255).astype(jnp.uint8),
+            jnp.clip(v, 0, 255).astype(jnp.uint8))
 
 
 @functools.lru_cache(maxsize=256)
@@ -701,7 +741,11 @@ class BatchAssembly:
             p.out_h == p0.out_h and p.out_w == p0.out_w for p in plans
         )
         self.jpegdct = jpegdct and geometry_uniform
-        self.jpeg420 = jpeg420 and geometry_uniform and not self.jpegdct
+        # jpeg420 may be True (JPEG front-end) or "webp" (WebP-range
+        # YUV front-end); both need one true output geometry per batch
+        self.jpeg420 = (
+            jpeg420 if (geometry_uniform and not self.jpegdct) else False
+        )
         # alpha plane crosses the link only when some image needs it
         self.c_out = 4 if any(p.want_alpha for p in plans) else 3
         # ... and goes UP only when some source actually has one
@@ -724,7 +768,9 @@ class BatchAssembly:
         """Cache/warm key identifying this batch's compiled program."""
         p0 = self.plans[0]
         out_crop = (
-            (p0.out_h, p0.out_w) if (self.jpeg420 or self.jpegdct) else None
+            (p0.out_h, p0.out_w)
+            if (self.jpeg420 or self.jpegdct or self.uniform)
+            else None
         )
         src = (
             ("coef", self.true_h, self.true_w, self.fold)
@@ -878,11 +924,12 @@ class BatchAssembly:
                 for i in range(len(self.plans))
             ]
         if self.jpeg420:
+            tag = "webpyuv" if self.jpeg420 == "webp" else "ycbcr420"
             y = np.asarray(out[0])
             cb = np.asarray(out[1])
             cr = np.asarray(out[2])
             return [
-                ("ycbcr420", y[i], cb[i], cr[i])
+                (tag, y[i], cb[i], cr[i])
                 for i in range(len(self.plans))
             ]
         host = np.asarray(out)  # (B, C, OH|true_oh, OW|true_ow)
@@ -934,7 +981,9 @@ class CoefBatchAssembly(BatchAssembly):
             p.out_h == p0.out_h and p.out_w == p0.out_w for p in plans
         )
         self.jpegdct = jpegdct and geometry_uniform
-        self.jpeg420 = jpeg420 and geometry_uniform and not self.jpegdct
+        self.jpeg420 = (
+            jpeg420 if (geometry_uniform and not self.jpegdct) else False
+        )
         # JPEG sources are opaque; alpha crosses the link only if some
         # plan demands it (it won't: plan_image was called opaque=True)
         self.c_out = 4 if any(p.want_alpha for p in plans) else 3
@@ -975,8 +1024,12 @@ class CoefBatchAssembly(BatchAssembly):
 
     def _device_args(self):
         p0 = self.plans[0]
+        # uniform batches crop to true output dims ON DEVICE (like the
+        # pixel path) so padded buckets never cross the host link
         out_crop = (
-            (p0.out_h, p0.out_w) if (self.jpeg420 or self.jpegdct) else None
+            (p0.out_h, p0.out_w)
+            if (self.jpeg420 or self.jpegdct or self.uniform)
+            else None
         )
         args = [self._put(self.ydc, "dp"),
                 self._put(self.yac, "dp", None, "sp"),
@@ -1044,6 +1097,7 @@ def make_assembly(plans, payloads, kinds, mesh=None):
     Kind grammar (one kind per batch; the batcher groups by it):
       "rgb"             pixel source, pixel output
       "jpeg420"         pixel source, device JPEG front-end output
+      "webp420"         pixel source, device WebP-range YUV front-end
       "jpegdct:Q"       pixel source, device DCT back half at quality Q
       "coef"            coefficient source (device decode), pixel out
       "coef+jpeg420"    coefficient source, JPEG front-end out
@@ -1059,12 +1113,13 @@ def make_assembly(plans, payloads, kinds, mesh=None):
             return CoefBatchAssembly(plans, payloads, jpegdct=True,
                                      quality=int(sink.split(":", 1)[1]),
                                      mesh=mesh)
-        return CoefBatchAssembly(plans, payloads, jpeg420=sink == "jpeg420",
-                                 mesh=mesh)
+        yuv = "webp" if sink == "webp420" else (sink == "jpeg420")
+        return CoefBatchAssembly(plans, payloads, jpeg420=yuv, mesh=mesh)
     if k0.startswith("jpegdct:"):
         return BatchAssembly(plans, payloads, jpegdct=True,
                              quality=int(k0.split(":", 1)[1]), mesh=mesh)
-    return BatchAssembly(plans, payloads, k0 == "jpeg420", mesh=mesh)
+    yuv = "webp" if k0 == "webp420" else (k0 == "jpeg420")
+    return BatchAssembly(plans, payloads, yuv, mesh=mesh)
 
 
 def transform_single(image: np.ndarray, params,

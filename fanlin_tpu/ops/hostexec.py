@@ -108,6 +108,33 @@ def _np_ycbcr420(out_u8):
     return y_u8, sub2(cb), sub2(cr)
 
 
+def _np_webp420(out_u8):
+    """numpy mirror of fused._webp420_tail (libwebp-range YUV)."""
+    p = out_u8[:, :3].astype(np.int64)
+    r, g, b = p[:, 0], p[:, 1], p[:, 2]
+    y = (16839 * r + 33059 * g + 6420 * b + 32768 + (16 << 16)) >> 16
+    y_u8 = np.clip(y, 0, 255).astype(np.uint8)
+
+    def sub2(c):
+        bsz, h, w = c.shape
+        if h % 2:
+            c = np.concatenate([c, c[:, -1:, :]], axis=1)
+            h += 1
+        if w % 2:
+            c = np.concatenate([c, c[:, :, -1:]], axis=2)
+            w += 1
+        c = c.reshape(bsz, h // 2, 2, w // 2, 2)
+        s = (c[:, :, 0, :, 0] + c[:, :, 0, :, 1]
+             + c[:, :, 1, :, 0] + c[:, :, 1, :, 1])
+        return (s + 2) >> 2
+
+    rs, gs, bs = sub2(r), sub2(g), sub2(b)
+    u = (-9719 * rs - 19081 * gs + 28800 * bs + 32768 + (128 << 16)) >> 16
+    v = (28800 * rs - 24116 * gs - 4684 * bs + 32768 + (128 << 16)) >> 16
+    return (y_u8, np.clip(u, 0, 255).astype(np.uint8),
+            np.clip(v, 0, 255).astype(np.uint8))
+
+
 def _np_dct_tail(y, cb, cr, quality):
     """numpy mirror of dct.ycbcr420_to_coefficients at `quality`."""
     from . import dct
@@ -209,6 +236,10 @@ def run_host(asm) -> list:
     p0 = asm.plans[0]
     if asm.jpeg420 or asm.jpegdct:
         out = out[:, :, : p0.out_h, : p0.out_w]
+        if asm.jpeg420 == "webp":
+            y, u, v = _np_webp420(out)
+            return [("webpyuv", y[i], u[i], v[i])
+                    for i in range(len(asm.plans))]
         y, cb, cr = _np_ycbcr420(out)
         if asm.jpegdct:
             yc, cbc, crc = _np_dct_tail(y, cb, cr, asm.quality)

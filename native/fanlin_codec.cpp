@@ -160,6 +160,65 @@ int fc_encode_webp(const uint8_t* pixels, int width, int height,
   return 0;
 }
 
+// Encode pre-computed YUV 4:2:0 planes (the TPU's WebP front-end:
+// libwebp-range color conversion + subsampling already done on
+// device) as lossy WebP via the advanced WebPPicture API — skipping
+// libwebp's own RGB import entirely. quality 1-99 (q==100/lossless
+// needs ARGB; callers keep the RGB path for it).
+//
+// y is (h x w); u/v are (ceil(h/2) x ceil(w/2)), tightly packed.
+#include <webp/mux_types.h>
+
+static int fc_webp_mem_write(const uint8_t* data, size_t data_size,
+                             const WebPPicture* picture) {
+  WebPMemoryWriter* const w = (WebPMemoryWriter*)picture->custom_ptr;
+  return WebPMemoryWrite(data, data_size, picture);
+  (void)w;
+}
+
+int fc_encode_webp_yuv420(const uint8_t* y, const uint8_t* u,
+                          const uint8_t* v, int width, int height,
+                          int quality, uint8_t** out, size_t* out_len) {
+  if (quality < 1) quality = 1;
+  if (quality > 99) quality = 99;
+  WebPConfig config;
+  if (!WebPConfigPreset(&config, WEBP_PRESET_DEFAULT,
+                        static_cast<float>(quality))) {
+    return 1;
+  }
+  WebPPicture pic;
+  if (!WebPPictureInit(&pic)) return 1;
+  pic.width = width;
+  pic.height = height;
+  pic.use_argb = 0;
+  pic.colorspace = WEBP_YUV420;
+  if (!WebPPictureAlloc(&pic)) return 3;
+  const int cw = (width + 1) / 2;
+  const int ch = (height + 1) / 2;
+  for (int r = 0; r < height; ++r)
+    memcpy(pic.y + static_cast<size_t>(r) * pic.y_stride,
+           y + static_cast<size_t>(r) * width, width);
+  for (int r = 0; r < ch; ++r) {
+    memcpy(pic.u + static_cast<size_t>(r) * pic.uv_stride,
+           u + static_cast<size_t>(r) * cw, cw);
+    memcpy(pic.v + static_cast<size_t>(r) * pic.uv_stride,
+           v + static_cast<size_t>(r) * cw, cw);
+  }
+  WebPMemoryWriter writer;
+  WebPMemoryWriterInit(&writer);
+  pic.writer = fc_webp_mem_write;
+  pic.custom_ptr = &writer;
+  const int ok = WebPEncode(&config, &pic);
+  WebPPictureFree(&pic);
+  if (!ok) {
+    WebPMemoryWriterClear(&writer);
+    return 1;
+  }
+  *out = writer.mem;  // malloc'd by libwebp; fc_free releases it
+  *out_len = writer.size;
+  return 0;
+}
+
 // Entropy-encode pre-computed YCbCr 4:2:0 planes (the TPU's JPEG
 // front-end output: color conversion + subsampling already done on
 // device) into a baseline JPEG. Skips libjpeg's color conversion and

@@ -1,0 +1,129 @@
+"""Device WebP front-end: RGB -> libwebp-range BT.601 YUV 4:2:0 on
+device, host encodes via the YUV-import path (no host RGB->YUV).
+
+The reference reaches WebP through the webp crate's RGBA import
+(reference src/handler.rs:286-305); the color constants here are
+libwebp's own fixed-point VP8RGBToY/U/V (src/dsp/yuv.h), so the
+encoded stream is the same family — chroma may differ by ~±1 vs
+libwebp's optional gamma-corrected downsampling.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import native_codecs
+from fanlin_tpu.engine.processor import Engine
+from fanlin_tpu.ops import fused, hostexec
+from fanlin_tpu.spec.content import extract_accepted_image_formats
+from fanlin_tpu.spec.query import parse_query
+
+from conftest import make_test_image, psnr
+
+pytestmark = pytest.mark.skipif(
+    not (native_codecs.available()
+         and hasattr(native_codecs._load(), "fc_encode_webp_yuv420")),
+    reason="native YUV WebP encoder not built",
+)
+
+
+def _scalar_webp_yuv(rgb):
+    """Scalar transliteration of libwebp VP8RGBToY/U/V + SUM4."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    y = (16839 * r + 33059 * g + 6420 * b + 32768 + (16 << 16)) >> 16
+    h, w = r.shape
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    u = np.zeros((ch, cw), np.int64)
+    v = np.zeros((ch, cw), np.int64)
+    for i in range(ch):
+        for j in range(cw):
+            ys, xs = min(2 * i + 1, h - 1), min(2 * j + 1, w - 1)
+            quad = [(2 * i, 2 * j), (2 * i, xs), (ys, 2 * j), (ys, xs)]
+            rs = sum(int(r[a, b_]) for a, b_ in quad)
+            gs = sum(int(g[a, b_]) for a, b_ in quad)
+            bs = sum(int(b[a, b_]) for a, b_ in quad)
+            rs, gs, bs = (rs + 2) >> 2, (gs + 2) >> 2, (bs + 2) >> 2
+            u[i, j] = (-9719 * rs - 19081 * gs + 28800 * bs + 32768
+                       + (128 << 16)) >> 16
+            v[i, j] = (28800 * rs - 24116 * gs - 4684 * bs + 32768
+                       + (128 << 16)) >> 16
+    clip = lambda a: np.clip(a, 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(u), clip(v)
+
+
+def test_webp420_tail_matches_scalar():
+    img = make_test_image(34, 27, seed=9)
+    plan = fused.plan_image(34, 27, parse_query(""), opaque=True)
+    (tag, y, u, v) = fused.BatchAssembly([plan], [img],
+                                         jpeg420="webp").run()[0]
+    assert tag == "webpyuv"
+    wy, wu, wv = _scalar_webp_yuv(img)
+    np.testing.assert_array_equal(y, wy)
+    np.testing.assert_array_equal(u, wu)
+    np.testing.assert_array_equal(v, wv)
+
+
+def test_host_mirror_matches_device_webp420():
+    img = make_test_image(64, 48)
+    plan = fused.plan_image(64, 48, parse_query("w=32&h=24"), opaque=True)
+    asm = fused.BatchAssembly([plan], [img], jpeg420="webp")
+    d = asm.run()[0]
+    h = hostexec.run_host(asm)[0]
+    assert d[0] == h[0] == "webpyuv"
+    for a, b in zip(d[1:], h[1:]):
+        assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 1
+
+
+def test_native_yuv_encoder_roundtrip():
+    img = make_test_image(120, 90)
+    plan = fused.plan_image(120, 90, parse_query(""), opaque=True)
+    (_, y, u, v) = fused.BatchAssembly([plan], [img],
+                                       jpeg420="webp").run()[0]
+    data = native_codecs.encode_webp_yuv420(y, u, v, 90)
+    assert data is not None and data[:4] == b"RIFF"
+    with Image.open(io.BytesIO(data)) as im:
+        out = np.asarray(im.convert("RGB"))
+    assert out.shape == (90, 120, 3)
+    d = psnr(out, img)
+    assert d >= 30.0, d  # q90 lossy encode of the exact pixels
+
+
+def test_engine_webp_uses_device_front_end():
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image()).save(buf, format="JPEG", quality=92)
+    data = buf.getvalue()
+    accepted = extract_accepted_image_formats(["image/webp"])
+    q = parse_query("w=300&h=200&webp=true&quality=85")
+
+    kinds_seen = []
+    engine = Engine(device_decode=False)
+    real_run = engine.runner.run
+
+    def spy(plans, images, kinds=None):
+        kinds_seen.extend(kinds or [])
+        return real_run(plans, images, kinds)
+
+    engine.runner.run = spy
+    mime, out1 = engine.process_image(data, q, accepted)
+    assert mime == "image/webp"
+    assert kinds_seen == ["webp420"]
+    # the classic RGB-import path for comparison
+    e2 = Engine(device_jpeg=False, device_decode=False)
+    mime2, out2 = e2.process_image(data, q, accepted)
+    a = np.asarray(Image.open(io.BytesIO(out1)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(out2)).convert("RGB"))
+    d = psnr(a, b)
+    assert d >= 35.0, d  # two lossy q85 encodes of ±1 inputs
+    # alpha-bearing output must NOT take the YUV path
+    kinds_seen.clear()
+    png = io.BytesIO()
+    rgba = np.dstack([make_test_image(64, 64),
+                      np.full((64, 64), 128, np.uint8)])
+    Image.fromarray(rgba, "RGBA").save(png, format="PNG")
+    engine.process_image(png.getvalue(), parse_query("w=32&h=32&webp=true"),
+                         accepted)
+    assert kinds_seen == ["rgb"]
