@@ -192,3 +192,21 @@ def test_batcher_groups_coef_kinds():
     assert _group_key(p1, "coef+jpeg420") != _group_key(p3, "coef+jpeg420")
     # source kinds never mix
     assert _group_key(p1, "coef") != _group_key(p1, "rgb")
+
+
+def test_progressive_jpeg_takes_coef_path():
+    """jpeg_read_coefficients entropy-decodes progressive scans too —
+    exactly where host pixel decode is most expensive — and the device
+    back half is scan-structure agnostic."""
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image()).save(buf, format="JPEG", quality=90,
+                                            progressive=True)
+    data = buf.getvalue()
+    e = Engine(device_decode=True)
+    mime, out = e.process_image(data, parse_query("w=300&h=200"), Format())
+    assert e.stats["coef_src"] == 1
+    host, _ = native_codecs.decode_jpeg(data)
+    meta = native_codecs.read_jpeg_coeffs(data)
+    plan = fused.plan_image(512, 512, parse_query(""), opaque=True)
+    dev = fused.CoefBatchAssembly([plan], [meta]).run()[0]
+    assert psnr(dev, host) >= 50.0
