@@ -100,6 +100,7 @@ class MicroBatcher:
         self._execute = execute
         self._host_fallback = host_fallback
         self._compiling: set = set()
+        self._warm_threads: list = []
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
         # key -> (deadline, [(plan, image, future, kind), ...])
@@ -200,9 +201,11 @@ class MicroBatcher:
                                 with self._lock:
                                     self._compiling.discard(key)
 
-                        threading.Thread(
+                        t = threading.Thread(
                             target=_compile, name="fanlin-warm", daemon=True
-                        ).start()
+                        )
+                        self._warm_threads.append(t)
+                        t.start()
                     self.stats["host_fallbacks"] += 1
                     results = hostexec.run_host(asm)
                 else:
@@ -226,6 +229,10 @@ class MicroBatcher:
             self._device.submit(self._run_batch, group)
         self._device.shutdown(wait=True)
         self._scheduler.join(timeout=5)
+        # join outstanding background warm runs: an XLA execution
+        # in flight at interpreter teardown aborts the process
+        for t in self._warm_threads:
+            t.join(timeout=60)
 
 
 class BatchingRunner:

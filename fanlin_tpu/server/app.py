@@ -138,15 +138,23 @@ async def stats_handler(request: web.Request) -> web.Response:
     counters + compiled-program cache info, JSON."""
     import json
 
-    from ..ops.fused import get_coef_program, get_program
+    from ..ops import fused
 
     state: State = request.app[STATE_KEY]
     batcher = getattr(state.engine.runner, "batcher", None)
     body = {
-        "programs_cached": get_program.cache_info().currsize
-        + get_coef_program.cache_info().currsize,
+        "programs_cached": fused.get_program.cache_info().currsize
+        + fused.get_coef_program.cache_info().currsize
+        + fused.get_folded_program.cache_info().currsize,
+        "programs_warm": len(fused._WARM_KEYS),
         "engine": dict(getattr(state.engine, "stats", {})),
         "batcher": dict(batcher.stats) if batcher is not None else None,
+        "caches": {
+            "plans": fused._PLAN_CACHE.stats(),
+            "uniform_matrices": fused._UNIFORM_CACHE.stats(),
+            "device_matrices": fused._DEVICE_MATRIX_CACHE.stats(),
+            "folded_matrices": fused._FOLDED_CACHE.stats(),
+        },
     }
     return web.Response(
         text=json.dumps(body), content_type="application/json"
