@@ -148,7 +148,6 @@ def test_packed_dct_overflow_falls_back_to_full():
 
     from fanlin_tpu.ops import fused
     from fanlin_tpu.spec.query import parse_query
-    from tests.conftest import make_test_image
 
     yy, xx = np.mgrid[0:64, 0:64]
     checker = ((xx + yy) % 2 * 255).astype(np.uint8)
