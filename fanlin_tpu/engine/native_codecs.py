@@ -81,7 +81,7 @@ def _load():
             intp = ctypes.POINTER(ctypes.c_int)
             lib.fc_read_jpeg_coeffs.argtypes = [
                 ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(i16p),
-                intp, intp, intp, intp, intp, intp, u16p,
+                intp, intp, intp, intp, intp, intp, u16p, intp,
             ]
             lib.fc_read_jpeg_coeffs.restype = ctypes.c_int
         except AttributeError:
@@ -135,11 +135,12 @@ def read_jpeg_coeffs(data: bytes) -> Optional[dict]:
     """Entropy-decode ONLY: a JPEG's quantized DCT coefficients plus
     quant tables, for the on-device decode back half (dequant + iDCT +
     upsample + color convert run on TPU). Returns None to fall back to
-    the pixel decode path (unbuilt lib, non-YCbCr-4:2:0 layout, or
+    the pixel decode path (unbuilt lib, unsupported layout, or
     decode error).
 
     Returns {y, cb, cr: (bh, bw, 64) int16 natural-order blocks;
-    lq, cq: (64,) uint16 natural-order quant tables; w, h: true dims}.
+    lq, cq: (64,) uint16 natural-order quant tables; w, h: true dims;
+    subsamp: 420 or 444}.
     """
     lib = _load()
     if lib is None or not hasattr(lib, "fc_read_jpeg_coeffs"):
@@ -153,10 +154,11 @@ def read_jpeg_coeffs(data: bytes) -> Optional[dict]:
     cbw = ctypes.c_int()
     cbh = ctypes.c_int()
     qt = (ctypes.c_uint16 * 128)()
+    subsamp = ctypes.c_int()
     rc = lib.fc_read_jpeg_coeffs(
         data, len(data), ctypes.byref(out), ctypes.byref(w), ctypes.byref(h),
         ctypes.byref(ybw), ctypes.byref(ybh), ctypes.byref(cbw),
-        ctypes.byref(cbh), qt,
+        ctypes.byref(cbh), qt, ctypes.byref(subsamp),
     )
     if rc != 0:
         return None
@@ -173,7 +175,7 @@ def read_jpeg_coeffs(data: bytes) -> Optional[dict]:
     return {
         "y": y, "cb": cb, "cr": cr,
         "lq": tables[:64].copy(), "cq": tables[64:].copy(),
-        "w": w.value, "h": h.value,
+        "w": w.value, "h": h.value, "subsamp": subsamp.value,
     }
 
 

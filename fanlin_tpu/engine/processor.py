@@ -192,7 +192,8 @@ class Engine:
                                 "fc_encode_webp_yuv420")):
                 sink = "webp420"
         if meta is not None:
-            kind = "coef" if sink == "rgb" else f"coef+{sink}"
+            base = "coef" if meta.get("subsamp", 420) == 420 else "coef444"
+            kind = base if sink == "rgb" else f"{base}+{sink}"
             payload = meta
         else:
             kind = sink

@@ -44,7 +44,7 @@ def _synthetic_meta(src_w: int, src_h: int) -> dict:
         "cr": np.zeros((cbh, cbw, 64), np.int16),
         "lq": lq.reshape(64).astype(np.uint16),
         "cq": cq.reshape(64).astype(np.uint16),
-        "w": src_w, "h": src_h,
+        "w": src_w, "h": src_h, "subsamp": 420,
     }
 
 

@@ -498,15 +498,15 @@ _FOLDED_CACHE = ByteLRU(max_bytes=128 * 1024 * 1024)
 
 
 def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
-                   true_w: int):
-    key = (id(plan), sh, sw)
+                   true_w: int, subsamp: int = 420):
+    key = (id(plan), sh, sw, subsamp)
     hit = _FOLDED_CACHE.get(key)
     if hit is not None and hit[0] is plan:
         return hit[1]
     from . import jpeg_decode
 
     av, ah, _, _ = _uniform_padded(plan, sh, sw)
-    mats = jpeg_decode.folded_matrices(av, ah, true_h, true_w)
+    mats = jpeg_decode.folded_matrices(av, ah, true_h, true_w, subsamp)
     _FOLDED_CACHE.put(key, (plan, mats), sum(m.nbytes for m in mats))
     return mats
 
@@ -548,7 +548,8 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
                      out_w: int, has_blur: bool, uniform: bool = False,
                      out_crop=None, out_channels: int = 4,
                      jpeg420: bool = False, fast: bool = False,
-                     jpegdct: bool = False, dct_full: bool = False):
+                     jpegdct: bool = False, dct_full: bool = False,
+                     subsamp: int = 420):
     """Fused program whose SOURCE is entropy-decoded JPEG coefficients:
     the decode back half (dequant + iDCT + 4:2:0 fancy upsample +
     YCbCr->RGB, ops.jpeg_decode) runs as a prologue to the transform
@@ -565,9 +566,12 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
     tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_full)
     from . import jpeg_decode
 
+    decode = (jpeg_decode.decode444_rgb if subsamp == 444
+              else jpeg_decode.decode420_rgb)
+
     def core(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
              av, ah, flags, fill, box, bv=None, bh=None):
-        r, g, b = jpeg_decode.decode420_rgb(
+        r, g, b = decode(
             ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
             true_h, true_w, pad_h, pad_w,
         )
@@ -773,7 +777,7 @@ class BatchAssembly:
             else None
         )
         src = (
-            ("coef", self.true_h, self.true_w, self.fold)
+            ("coef", self.true_h, self.true_w, self.fold, self.subsamp)
             if isinstance(self, CoefBatchAssembly)
             else ("pix", self.sh, self.sw, self.c_in)
         )
@@ -967,6 +971,7 @@ class CoefBatchAssembly(BatchAssembly):
         self.plans = plans
         self.quality = quality
         self.mesh = mesh
+        self.subsamp = metas[0].get("subsamp", 420)
         self.b = _bucket_b_mesh(len(plans), mesh)
         p0 = plans[0]
         self.true_h = metas[0]["h"]
@@ -996,16 +1001,17 @@ class CoefBatchAssembly(BatchAssembly):
             and not p0.invert
         )
 
+        cs = 1 if self.subsamp == 444 else 2  # chroma scale
         ybh, ybw = self.sh // 8, self.sw // 8
-        cbh, cbw = self.sh // 16, self.sw // 16
+        cbh, cbw = self.sh // (8 * cs), self.sw // (8 * cs)
         # AC planes are PLANAR int8 (host pre-shuffled, pack_meta);
         # DC grids int16
         self.ydc = np.zeros((self.b, ybh, ybw), dtype=np.int16)
         self.yac = np.zeros((self.b, self.sh, self.sw), dtype=np.int8)
         self.cbdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
-        self.cbac = np.zeros((self.b, self.sh // 2, self.sw // 2), dtype=np.int8)
+        self.cbac = np.zeros((self.b, self.sh // cs, self.sw // cs), dtype=np.int8)
         self.crdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
-        self.crac = np.zeros((self.b, self.sh // 2, self.sw // 2), dtype=np.int8)
+        self.crac = np.zeros((self.b, self.sh // cs, self.sw // cs), dtype=np.int8)
         self.lq = np.zeros((self.b, 64), dtype=np.float32)
         self.cq = np.zeros((self.b, 64), dtype=np.float32)
         (self.flags, self.fill, self.box,
@@ -1015,6 +1021,7 @@ class CoefBatchAssembly(BatchAssembly):
         )
         for i, m in enumerate(metas):
             assert m["h"] == self.true_h and m["w"] == self.true_w
+            assert m.get("subsamp", 420) == self.subsamp
             (self.ydc[i], self.yac[i], self.cbdc[i], self.cbac[i],
              self.crdc[i], self.crac[i]) = jpeg_decode.pack_meta(
                 m, self.sh, self.sw
@@ -1045,7 +1052,7 @@ class CoefBatchAssembly(BatchAssembly):
                                     self.jpegdct, _FAST["enabled"],
                                     getattr(self, "dct_full", False))
             mats = _folded_padded(p0, self.sh, self.sw, self.true_h,
-                                  self.true_w)
+                                  self.true_w, self.subsamp)
             # row-matrices replicated; the AC column-matrices contract
             # the sp-sharded width so they shard on their second axis
             # (DC planes are tiny and ride unsharded)
@@ -1067,7 +1074,8 @@ class CoefBatchAssembly(BatchAssembly):
         fn = get_coef_program(self.b, self.true_h, self.true_w, self.oh,
                               self.ow, self.has_blur, self.uniform, out_crop,
                               self.c_out, self.jpeg420, _FAST["enabled"],
-                              self.jpegdct, getattr(self, "dct_full", False))
+                              self.jpegdct, getattr(self, "dct_full", False),
+                              self.subsamp)
         if self.uniform:
             av, ah, bv, bh = _uniform_padded(p0, self.sh, self.sw)
             args += [self._cput(av), self._cput(ah, None, "sp"),

@@ -196,9 +196,13 @@ def _np_decode420(asm):
 
     th, tw = asm.true_h, asm.true_w
     yp = idct(asm.ydc, asm.yac, asm.lq)[:, :th, :tw]
-    ch, cw = (th + 1) // 2, (tw + 1) // 2
-    cb = upsample(idct(asm.cbdc, asm.cbac, asm.cq)[:, :ch, :cw])[:, :th, :tw]
-    cr = upsample(idct(asm.crdc, asm.crac, asm.cq)[:, :ch, :cw])[:, :th, :tw]
+    if getattr(asm, "subsamp", 420) == 444:
+        cb = idct(asm.cbdc, asm.cbac, asm.cq)[:, :th, :tw]
+        cr = idct(asm.crdc, asm.crac, asm.cq)[:, :th, :tw]
+    else:
+        ch, cw = (th + 1) // 2, (tw + 1) // 2
+        cb = upsample(idct(asm.cbdc, asm.cbac, asm.cq)[:, :ch, :cw])[:, :th, :tw]
+        cr = upsample(idct(asm.crdc, asm.crac, asm.cq)[:, :ch, :cw])[:, :th, :tw]
     cbz, crz = cb - 128, cr - 128
     r = yp + ((91881 * crz + 32768) >> 16)
     b_ = yp + ((116130 * cbz + 32768) >> 16)

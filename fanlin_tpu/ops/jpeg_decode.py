@@ -162,6 +162,21 @@ def decode420_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
     return pad(r), pad(g), pad(b)
 
 
+def decode444_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
+                  true_h: int, true_w: int, pad_h: int, pad_w: int):
+    """4:4:4 decode back half: chroma at full resolution, no upsample
+    (everything else identical to decode420_rgb)."""
+    yplane = dequant_idct(ydc, yac, lq)[:, :true_h, :true_w]
+    cb = dequant_idct(cbdc, cbac, cq)[:, :true_h, :true_w]
+    cr = dequant_idct(crdc, crac, cq)[:, :true_h, :true_w]
+    r, g, b = ycbcr_to_rgb_libjpeg(yplane, cb, cr)
+
+    def pad(p):
+        return jnp.pad(p, ((0, 0), (0, pad_h - true_h), (0, pad_w - true_w)))
+
+    return pad(r), pad(g), pad(b)
+
+
 # ----------------------------------------------------------------------------
 # folded decode-resize: resample IN COEFFICIENT SPACE
 # ----------------------------------------------------------------------------
@@ -215,7 +230,7 @@ def _fold_blockdiag(a: np.ndarray) -> np.ndarray:
 
 
 def folded_matrices(av_pad: np.ndarray, ah_pad: np.ndarray,
-                    true_h: int, true_w: int):
+                    true_h: int, true_w: int, subsamp: int = 420):
     """Compose the resample matrices with the decode-linear prefix.
 
     av_pad (OH, SH), ah_pad (OW, SW): bucket-padded resample matrices
@@ -227,9 +242,14 @@ def folded_matrices(av_pad: np.ndarray, ah_pad: np.ndarray,
       dcv (OH, SH/16), dch (OW, SW/16) — chroma DC path
     """
     sh, sw = av_pad.shape[1], ah_pad.shape[1]
-    ch, cw = (true_h + 1) // 2, (true_w + 1) // 2
     ay = _fold_blockdiag(av_pad)
     ahy = _fold_blockdiag(ah_pad)
+    dyv = av_pad @ _repeat8(sh)
+    dyh = ah_pad @ _repeat8(sw)
+    if subsamp == 444:
+        # chroma at full resolution: the luma folds apply verbatim
+        return (ay, ahy, ay, ahy, dyv, dyh, dyv, dyh)
+    ch, cw = (true_h + 1) // 2, (true_w + 1) // 2
     uv = av_pad[:, :true_h] @ _upsample_triangle(true_h, ch)  # (OH, ch)
     uh = ah_pad[:, :true_w] @ _upsample_triangle(true_w, cw)
     # extend to the padded chroma width before folding the iDCT
@@ -239,8 +259,6 @@ def folded_matrices(av_pad: np.ndarray, ah_pad: np.ndarray,
     uh_pad[:, :cw] = uh
     acv = _fold_blockdiag(uv_pad)
     ach = _fold_blockdiag(uh_pad)
-    dyv = av_pad @ _repeat8(sh)
-    dyh = ah_pad @ _repeat8(sw)
     dcv = uv_pad @ _repeat8(sh // 2)
     dch = uh_pad @ _repeat8(sw // 2)
     return (np.ascontiguousarray(ay), np.ascontiguousarray(ahy),
@@ -283,12 +301,13 @@ def folded_decode_resample(ydc, yac, cbdc, cbac, crdc, crac, lq, cq, mats,
         t = jnp.einsum("ds,bsw->bdw", mv, v, preferred_element_type=f32)
         return jnp.einsum("ew,bdw->bde", mh, t, preferred_element_type=f32)
 
+    ch, cw = cbac.shape[1], cbac.shape[2]  # SH/2 (4:2:0) or SH (4:4:4)
     yr = plane(yac, ay, ahy, lq, h, w) + dc_plane(ydc, dyv, dyh, lq[:, 0], 128.0)
     # chroma stays CENTERED (no +128): the color matrix consumes cz
-    cbz = plane(cbac, acv, ach, cq, h // 2, w // 2) + dc_plane(
+    cbz = plane(cbac, acv, ach, cq, ch, cw) + dc_plane(
         cbdc, dcv, dch, cq[:, 0], 0.0
     )
-    crz = plane(crac, acv, ach, cq, h // 2, w // 2) + dc_plane(
+    crz = plane(crac, acv, ach, cq, ch, cw) + dc_plane(
         crdc, dcv, dch, cq[:, 0], 0.0
     )
     r = yr + _CR_R * crz
@@ -320,8 +339,9 @@ def pack_meta(meta: dict, pad_h: int, pad_w: int):
     happens HERE, on the host, where it's a single cheap numpy copy —
     doing it on-device forces an XLA tiled-layout transpose that
     measured ~0.5 s/batch."""
+    cscale = 1 if meta.get("subsamp", 420) == 444 else 2
     out = []
-    for key, scale in (("y", 1), ("cb", 2), ("cr", 2)):
+    for key, scale in (("y", 1), ("cb", cscale), ("cr", cscale)):
         grid = meta[key]
         ph, pw = pad_h // scale, pad_w // scale
         gh, gw = grid.shape[:2]

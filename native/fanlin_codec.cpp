@@ -388,9 +388,10 @@ int fc_encode_jpeg_coeffs(const int16_t* y_coef, const int16_t* cb_coef,
 // This is the decode-side mirror of fc_encode_jpeg_coeffs.
 //
 // Accepts 3-component YCbCr 4:2:0 (the overwhelmingly common layout)
-// with one luma + one shared chroma quant table; anything else
-// (grayscale, 4:4:4/4:2:2, CMYK, per-component tables) returns 2 and
-// the caller uses the normal pixel decode path.
+// and 4:4:4, with one luma + one shared chroma quant table; anything
+// else (grayscale, 4:2:2, CMYK, per-component tables) returns 2 and
+// the caller uses the normal pixel decode path. *subsamp is 420 or
+// 444.
 //
 // Output blob layout (single malloc, int16, natural block order —
 // libjpeg stores both coefficients and DQT tables in natural order):
@@ -400,7 +401,8 @@ int fc_encode_jpeg_coeffs(const int16_t* y_coef, const int16_t* cb_coef,
 // qtables: caller-provided 128 u16 (luma 64 + chroma 64).
 int fc_read_jpeg_coeffs(const uint8_t* data, size_t len, int16_t** out,
                         int* width, int* height, int* y_bw, int* y_bh,
-                        int* c_bw, int* c_bh, uint16_t* qtables) {
+                        int* c_bw, int* c_bh, uint16_t* qtables,
+                        int* subsamp) {
   jpeg_decompress_struct cinfo;
   fc_error_mgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -422,14 +424,16 @@ int fc_read_jpeg_coeffs(const uint8_t* data, size_t len, int16_t** out,
     return 2;
   }
   jpeg_component_info* comp = cinfo.comp_info;
-  // 4:2:0 only: Y 2x2, chroma 1x1, chroma components share one table
-  if (comp[0].h_samp_factor != 2 || comp[0].v_samp_factor != 2 ||
+  const int is420 = comp[0].h_samp_factor == 2 && comp[0].v_samp_factor == 2;
+  const int is444 = comp[0].h_samp_factor == 1 && comp[0].v_samp_factor == 1;
+  if (!(is420 || is444) ||
       comp[1].h_samp_factor != 1 || comp[1].v_samp_factor != 1 ||
       comp[2].h_samp_factor != 1 || comp[2].v_samp_factor != 1 ||
       comp[1].quant_tbl_no != comp[2].quant_tbl_no) {
     jpeg_destroy_decompress(&cinfo);
     return 2;
   }
+  *subsamp = is420 ? 420 : 444;
   jvirt_barray_ptr* coef_arrays = jpeg_read_coefficients(&cinfo);
   if (coef_arrays == nullptr) {
     jpeg_destroy_decompress(&cinfo);

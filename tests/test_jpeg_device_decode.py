@@ -150,17 +150,44 @@ def test_engine_coef_path_with_ops():
         assert d >= 45.0, (qs, d)
 
 
-def test_non_420_and_rotated_fall_back():
-    # 4:4:4 source: read_jpeg_coeffs refuses -> pixel path
-    data444 = _jpeg_bytes(subsampling=0)
+def test_unsupported_layouts_fall_back():
+    # 4:2:2 source: read_jpeg_coeffs refuses -> pixel path
+    data422 = _jpeg_bytes(subsampling=1)
     e = Engine(device_decode=True)
-    e.process_image(data444, parse_query("w=100&h=100"), Format())
+    e.process_image(data422, parse_query("w=100&h=100"), Format())
     assert e.stats["pixel_src"] == 1 and e.stats["coef_src"] == 0
     # grayscale source: 1 component -> pixel path
     buf = io.BytesIO()
     Image.fromarray(make_test_image()[:, :, 0]).save(buf, format="JPEG")
     e.process_image(buf.getvalue(), parse_query("w=100&h=100"), Format())
     assert e.stats["pixel_src"] == 2
+
+
+@pytest.mark.parametrize("dims", [(512, 512), (100, 80)])
+def test_444_source_device_decode(dims):
+    """4:4:4 sources take the coefficient path (chroma at full res, no
+    upsample) and match libjpeg's own decode even closer than 4:2:0
+    (no upsample stage at all)."""
+    w, h = dims
+    data = _jpeg_bytes(make_test_image(w, h), subsampling=0)
+    meta = native_codecs.read_jpeg_coeffs(data)
+    assert meta is not None and meta["subsamp"] == 444
+    host, _ = native_codecs.decode_jpeg(data)
+    plan = fused.plan_image(w, h, parse_query(""), opaque=True)
+    out = fused.CoefBatchAssembly([plan], [meta]).run()[0]
+    d = psnr(out, host)
+    assert d >= 50.0, d
+    # engine end to end, counted on the coef path
+    e = Engine(device_decode=True)
+    mime, _ = e.process_image(data, parse_query("w=64&h=48"), Format())
+    assert e.stats["coef_src"] == 1
+    # folded variant too
+    fused.set_fold(True)
+    try:
+        folded = fused.CoefBatchAssembly([plan], [meta]).run()[0]
+    finally:
+        fused.set_fold(False)
+    assert psnr(folded, host) >= 45.0
 
 
 def test_ac_overflow_falls_back(monkeypatch):
