@@ -204,6 +204,9 @@ class MicroBatcher:
                         t = threading.Thread(
                             target=_compile, name="fanlin-warm", daemon=True
                         )
+                        self._warm_threads = [
+                            w for w in self._warm_threads if w.is_alive()
+                        ]
                         self._warm_threads.append(t)
                         t.start()
                     self.stats["host_fallbacks"] += 1
