@@ -192,7 +192,8 @@ class Engine:
                                 "fc_encode_webp_yuv420")):
                 sink = "webp420"
         if meta is not None:
-            base = "coef" if meta.get("subsamp", 420) == 420 else "coef444"
+            base = {420: "coef", 422: "coef422",
+                    444: "coef444"}[meta.get("subsamp", 420)]
             kind = base if sink == "rgb" else f"{base}+{sink}"
             payload = meta
         else:

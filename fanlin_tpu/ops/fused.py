@@ -566,8 +566,9 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
     tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_full)
     from . import jpeg_decode
 
-    decode = (jpeg_decode.decode444_rgb if subsamp == 444
-              else jpeg_decode.decode420_rgb)
+    decode = {444: jpeg_decode.decode444_rgb,
+              422: jpeg_decode.decode422_rgb,
+              420: jpeg_decode.decode420_rgb}[subsamp]
 
     def core(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
              av, ah, flags, fill, box, bv=None, bh=None):
@@ -1001,17 +1002,18 @@ class CoefBatchAssembly(BatchAssembly):
             and not p0.invert
         )
 
-        cs = 1 if self.subsamp == 444 else 2  # chroma scale
+        # chroma scale per axis: 420 halves both, 422 halves width only
+        csv, csh = {420: (2, 2), 422: (1, 2), 444: (1, 1)}[self.subsamp]
         ybh, ybw = self.sh // 8, self.sw // 8
-        cbh, cbw = self.sh // (8 * cs), self.sw // (8 * cs)
+        cbh, cbw = self.sh // (8 * csv), self.sw // (8 * csh)
         # AC planes are PLANAR int8 (host pre-shuffled, pack_meta);
         # DC grids int16
         self.ydc = np.zeros((self.b, ybh, ybw), dtype=np.int16)
         self.yac = np.zeros((self.b, self.sh, self.sw), dtype=np.int8)
         self.cbdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
-        self.cbac = np.zeros((self.b, self.sh // cs, self.sw // cs), dtype=np.int8)
+        self.cbac = np.zeros((self.b, self.sh // csv, self.sw // csh), dtype=np.int8)
         self.crdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
-        self.crac = np.zeros((self.b, self.sh // cs, self.sw // cs), dtype=np.int8)
+        self.crac = np.zeros((self.b, self.sh // csv, self.sw // csh), dtype=np.int8)
         self.lq = np.zeros((self.b, 64), dtype=np.float32)
         self.cq = np.zeros((self.b, 64), dtype=np.float32)
         (self.flags, self.fill, self.box,

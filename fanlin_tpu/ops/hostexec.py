@@ -196,9 +196,22 @@ def _np_decode420(asm):
 
     th, tw = asm.true_h, asm.true_w
     yp = idct(asm.ydc, asm.yac, asm.lq)[:, :th, :tw]
-    if getattr(asm, "subsamp", 420) == 444:
+    subsamp = getattr(asm, "subsamp", 420)
+    if subsamp == 444:
         cb = idct(asm.cbdc, asm.cbac, asm.cq)[:, :th, :tw]
         cr = idct(asm.crdc, asm.crac, asm.cq)[:, :th, :tw]
+    elif subsamp == 422:
+        def ups_h(c):
+            left = np.concatenate([c[:, :, :1], c[:, :, :-1]], axis=2)
+            right = np.concatenate([c[:, :, 1:], c[:, :, -1:]], axis=2)
+            even = (3 * c + left + 1) >> 2
+            odd = (3 * c + right + 2) >> 2
+            return np.stack([even, odd], axis=3).reshape(
+                c.shape[0], c.shape[1], 2 * c.shape[2]
+            )
+        cw = (tw + 1) // 2
+        cb = ups_h(idct(asm.cbdc, asm.cbac, asm.cq)[:, :th, :cw])[:, :, :tw]
+        cr = ups_h(idct(asm.crdc, asm.crac, asm.cq)[:, :th, :cw])[:, :, :tw]
     else:
         ch, cw = (th + 1) // 2, (tw + 1) // 2
         cb = upsample(idct(asm.cbdc, asm.cbac, asm.cq)[:, :ch, :cw])[:, :th, :tw]

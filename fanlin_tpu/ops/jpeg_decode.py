@@ -162,6 +162,40 @@ def decode420_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
     return pad(r), pad(g), pad(b)
 
 
+def fancy_upsample_h2v1(c_i32):
+    """libjpeg h2v1_fancy_upsample (jdsample.c), vectorized, bit-exact:
+    out[2c] = (3*in[c] + in[c-1] + 1) >> 2,
+    out[2c+1] = (3*in[c] + in[c+1] + 2) >> 2, neighbors clamped — the
+    edge special cases (copy the sample verbatim) are exactly what the
+    clamped formulas produce ((4x+1)>>2 == (4x+2)>>2 == x)."""
+    b, h, cw = c_i32.shape
+    left = jnp.concatenate([c_i32[:, :, :1], c_i32[:, :, :-1]], axis=2)
+    right = jnp.concatenate([c_i32[:, :, 1:], c_i32[:, :, -1:]], axis=2)
+    even = (3 * c_i32 + left + 1) >> 2
+    odd = (3 * c_i32 + right + 2) >> 2
+    return jnp.stack([even, odd], axis=3).reshape(b, h, 2 * cw)
+
+
+def decode422_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
+                  true_h: int, true_w: int, pad_h: int, pad_w: int):
+    """4:2:2 decode back half: chroma at full height, half width —
+    horizontal fancy upsample only."""
+    yplane = dequant_idct(ydc, yac, lq)[:, :true_h, :true_w]
+    cw = (true_w + 1) // 2
+    cb = fancy_upsample_h2v1(
+        dequant_idct(cbdc, cbac, cq)[:, :true_h, :cw]
+    )[:, :, :true_w]
+    cr = fancy_upsample_h2v1(
+        dequant_idct(crdc, crac, cq)[:, :true_h, :cw]
+    )[:, :, :true_w]
+    r, g, b = ycbcr_to_rgb_libjpeg(yplane, cb, cr)
+
+    def pad(p):
+        return jnp.pad(p, ((0, 0), (0, pad_h - true_h), (0, pad_w - true_w)))
+
+    return pad(r), pad(g), pad(b)
+
+
 def decode444_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
                   true_h: int, true_w: int, pad_h: int, pad_w: int):
     """4:4:4 decode back half: chroma at full resolution, no upsample
@@ -249,6 +283,15 @@ def folded_matrices(av_pad: np.ndarray, ah_pad: np.ndarray,
     if subsamp == 444:
         # chroma at full resolution: the luma folds apply verbatim
         return (ay, ahy, ay, ahy, dyv, dyh, dyv, dyh)
+    if subsamp == 422:
+        # chroma full height, half width: horizontal fold only
+        cw = (true_w + 1) // 2
+        uh = ah_pad[:, :true_w] @ _upsample_triangle(true_w, cw)
+        uh_pad = np.zeros((uh.shape[0], sw // 2), dtype=np.float32)
+        uh_pad[:, :cw] = uh
+        ach = _fold_blockdiag(uh_pad)
+        dch = uh_pad @ _repeat8(sw // 2)
+        return (ay, ahy, ay, ach, dyv, dyh, dyv, dch)
     ch, cw = (true_h + 1) // 2, (true_w + 1) // 2
     uv = av_pad[:, :true_h] @ _upsample_triangle(true_h, ch)  # (OH, ch)
     uh = ah_pad[:, :true_w] @ _upsample_triangle(true_w, cw)
@@ -339,11 +382,13 @@ def pack_meta(meta: dict, pad_h: int, pad_w: int):
     happens HERE, on the host, where it's a single cheap numpy copy —
     doing it on-device forces an XLA tiled-layout transpose that
     measured ~0.5 s/batch."""
-    cscale = 1 if meta.get("subsamp", 420) == 444 else 2
+    sub = meta.get("subsamp", 420)
+    csv, csh = {420: (2, 2), 422: (1, 2), 444: (1, 1)}[sub]  # (vert, horiz)
     out = []
-    for key, scale in (("y", 1), ("cb", cscale), ("cr", cscale)):
+    for key, (sv, sh_) in (("y", (1, 1)), ("cb", (csv, csh)),
+                           ("cr", (csv, csh))):
         grid = meta[key]
-        ph, pw = pad_h // scale, pad_w // scale
+        ph, pw = pad_h // sv, pad_w // sh_
         gh, gw = grid.shape[:2]
         dc = np.zeros((ph // 8, pw // 8), dtype=np.int16)
         dc[:gh, :gw] = grid[:, :, 0]

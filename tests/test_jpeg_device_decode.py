@@ -151,16 +151,20 @@ def test_engine_coef_path_with_ops():
 
 
 def test_unsupported_layouts_fall_back():
-    # 4:2:2 source: read_jpeg_coeffs refuses -> pixel path
-    data422 = _jpeg_bytes(subsampling=1)
     e = Engine(device_decode=True)
-    e.process_image(data422, parse_query("w=100&h=100"), Format())
-    assert e.stats["pixel_src"] == 1 and e.stats["coef_src"] == 0
     # grayscale source: 1 component -> pixel path
     buf = io.BytesIO()
     Image.fromarray(make_test_image()[:, :, 0]).save(buf, format="JPEG")
     e.process_image(buf.getvalue(), parse_query("w=100&h=100"), Format())
-    assert e.stats["pixel_src"] == 2
+    assert e.stats["pixel_src"] == 1 and e.stats["coef_src"] == 0
+    # EXIF-rotated source -> pixel path (orientation must apply)
+    buf2 = io.BytesIO()
+    im = Image.fromarray(make_test_image(64, 64))
+    exif = im.getexif()
+    exif[0x0112] = 6
+    im.save(buf2, format="JPEG", exif=exif)
+    e.process_image(buf2.getvalue(), parse_query("w=32&h=32"), Format())
+    assert e.stats["pixel_src"] == 2 and e.stats["coef_src"] == 0
 
 
 @pytest.mark.parametrize("dims", [(512, 512), (100, 80)])
@@ -237,3 +241,28 @@ def test_progressive_jpeg_takes_coef_path():
     plan = fused.plan_image(512, 512, parse_query(""), opaque=True)
     dev = fused.CoefBatchAssembly([plan], [meta]).run()[0]
     assert psnr(dev, host) >= 50.0
+
+
+@pytest.mark.parametrize("dims", [(512, 512), (101, 83)])
+def test_422_source_device_decode(dims):
+    """4:2:2 sources (chroma full height, half width) take the
+    coefficient path via the h2v1 fancy upsample."""
+    w, h = dims
+    data = _jpeg_bytes(make_test_image(w, h), subsampling=1)
+    meta = native_codecs.read_jpeg_coeffs(data)
+    assert meta is not None and meta["subsamp"] == 422
+    host, _ = native_codecs.decode_jpeg(data)
+    plan = fused.plan_image(w, h, parse_query(""), opaque=True)
+    out = fused.CoefBatchAssembly([plan], [meta]).run()[0]
+    d = psnr(out, host)
+    assert d >= 50.0, d
+    assert int(np.abs(out.astype(int) - host.astype(int)).max()) <= 4
+    e = Engine(device_decode=True)
+    e.process_image(data, parse_query("w=64&h=48"), Format())
+    assert e.stats["coef_src"] == 1
+    fused.set_fold(True)
+    try:
+        folded = fused.CoefBatchAssembly([plan], [meta]).run()[0]
+    finally:
+        fused.set_fold(False)
+    assert psnr(folded, host) >= 45.0
