@@ -266,3 +266,30 @@ def test_422_source_device_decode(dims):
     finally:
         fused.set_fold(False)
     assert psnr(folded, host) >= 45.0
+
+
+def test_mixed_subsampling_through_batcher():
+    """Interleaved 420/422/444 sources must land in separate batch
+    groups (per-layout programs) and all decode correctly through the
+    shared micro-batcher."""
+    from fanlin_tpu.engine.batcher import BatchingRunner, MicroBatcher
+
+    batcher = MicroBatcher(max_batch=4, window_ms=1.0)
+    try:
+        e = Engine(runner=BatchingRunner(batcher), device_decode=True)
+        outs = {}
+        for sub, name in ((-1, 420), (1, 422), (0, 444)):
+            data = _jpeg_bytes(make_test_image(96, 64), subsampling=sub)
+            mime, payload = e.process_image(
+                data, parse_query("w=48&h=32"), Format()
+            )
+            assert mime == "image/jpeg"
+            outs[name] = np.asarray(
+                Image.open(io.BytesIO(payload)).convert("RGB")
+            )
+        assert e.stats["coef_src"] == 3
+        # all three encode the same underlying photo: mutually close
+        assert psnr(outs[420], outs[444]) >= 40.0
+        assert psnr(outs[422], outs[444]) >= 40.0
+    finally:
+        batcher.close()
