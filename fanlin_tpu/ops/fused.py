@@ -523,7 +523,7 @@ def get_folded_program(batch: int, true_h: int, true_w: int, out_h: int,
     matrices on the host (ops.jpeg_decode.folded_matrices), so the
     device runs one matmul pair per plane with chroma at QUARTER
     resolution. ~3.3x fewer FLOPs than the staged decode."""
-    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct)
+    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_full)
     from . import jpeg_decode
 
     mmd = jnp.bfloat16 if fast else jnp.float32
@@ -790,14 +790,18 @@ class BatchAssembly:
                       self.jpegdct, mesh_key, self._pallas_eligible())
 
     def submit(self):
-        """Dispatch the device program (async); returns the device array."""
+        """Dispatch the device program (async); returns the device array.
+
+        NB: do NOT mark the program warm here — on async-dispatch
+        platforms (the axon relay) fn(*args) returns while the first
+        compile is still in flight, and a premature warm mark routes
+        the next request onto a minutes-long compile wait (the exact
+        cold-bucket 408 the host fallback exists to prevent). Warmth
+        is marked in collect(), after materialization proves the
+        executable ran."""
         fn, args = self._device_args()
         self._fn, self._args = fn, args
-        out = fn(*args)
-        # the first call of a jitted program blocks on compile; once we
-        # are here the executable exists
-        mark_warm(self.program_key())
-        return out
+        return fn(*args)
 
     def submit_resident(self):
         """Re-dispatch on the device-resident inputs of the last submit
@@ -894,7 +898,14 @@ class BatchAssembly:
         (out_h, out_w, c_out) uint8 arrays — or, for jpeg420/jpegdct
         batches, ("ycbcr420", y, cb, cr) plane tuples / ("coeffs",
         yc, cbc, crc, w, h, q) coefficient tuples ready for the native
-        entropy encoders."""
+        entropy encoders. Marks the program warm: the np.asarray
+        fetches below are the first point that PROVES the compiled
+        executable ran (dispatch is async on remote-relay platforms)."""
+        results = self._collect(out)
+        mark_warm(self.program_key())
+        return results
+
+    def _collect(self, out):
         if self.jpegdct:
             p0 = self.plans[0]
             if len(out) == 7:

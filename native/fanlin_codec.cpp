@@ -46,7 +46,7 @@ int fc_decode_jpeg(const uint8_t* data, size_t len, int force_rgb,
   fc_error_mgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = fc_error_exit;
-  uint8_t* buf = nullptr;
+  uint8_t* volatile buf = nullptr;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     free(buf);
@@ -104,7 +104,7 @@ int fc_encode_jpeg(const uint8_t* pixels, int width, int height,
   fc_error_mgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = fc_error_exit;
-  unsigned char* mem = nullptr;
+  unsigned char* volatile mem = nullptr;
   unsigned long mem_len = 0;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_compress(&cinfo);
@@ -112,7 +112,7 @@ int fc_encode_jpeg(const uint8_t* pixels, int width, int height,
     return 1;
   }
   jpeg_create_compress(&cinfo);
-  jpeg_mem_dest(&cinfo, &mem, &mem_len);
+  jpeg_mem_dest(&cinfo, const_cast<unsigned char**>(&mem), &mem_len);
   cinfo.image_width = width;
   cinfo.image_height = height;
   cinfo.input_components = channels;
@@ -232,9 +232,9 @@ int fc_encode_jpeg_raw420(const uint8_t* y, const uint8_t* cb,
   fc_error_mgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = fc_error_exit;
-  unsigned char* mem = nullptr;
+  unsigned char* volatile mem = nullptr;
   unsigned long mem_len = 0;
-  uint8_t* pad = nullptr;
+  uint8_t* volatile pad = nullptr;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_compress(&cinfo);
     free(mem);
@@ -242,7 +242,7 @@ int fc_encode_jpeg_raw420(const uint8_t* y, const uint8_t* cb,
     return 1;
   }
   jpeg_create_compress(&cinfo);
-  jpeg_mem_dest(&cinfo, &mem, &mem_len);
+  jpeg_mem_dest(&cinfo, const_cast<unsigned char**>(&mem), &mem_len);
   cinfo.image_width = width;
   cinfo.image_height = height;
   cinfo.input_components = 3;
@@ -329,7 +329,7 @@ int fc_encode_jpeg_coeffs(const int16_t* y_coef, const int16_t* cb_coef,
   fc_error_mgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = fc_error_exit;
-  unsigned char* mem = nullptr;
+  unsigned char* volatile mem = nullptr;
   unsigned long mem_len = 0;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_compress(&cinfo);
@@ -337,7 +337,7 @@ int fc_encode_jpeg_coeffs(const int16_t* y_coef, const int16_t* cb_coef,
     return 1;
   }
   jpeg_create_compress(&cinfo);
-  jpeg_mem_dest(&cinfo, &mem, &mem_len);
+  jpeg_mem_dest(&cinfo, const_cast<unsigned char**>(&mem), &mem_len);
   cinfo.image_width = width;
   cinfo.image_height = height;
   cinfo.input_components = 3;
@@ -407,7 +407,7 @@ int fc_read_jpeg_coeffs(const uint8_t* data, size_t len, int16_t** out,
   fc_error_mgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = fc_error_exit;
-  int16_t* blob = nullptr;
+  int16_t* volatile blob = nullptr;
   if (setjmp(jerr.jump)) {
     jpeg_destroy_decompress(&cinfo);
     free(blob);

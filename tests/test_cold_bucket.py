@@ -155,3 +155,21 @@ def test_warm_bucket_uses_device(monkeypatch):
         assert batcher.stats["host_fallbacks"] == 0
     finally:
         batcher.close()
+
+
+def test_warm_mark_requires_materialization():
+    """submit() alone must NOT mark a program warm: on async-dispatch
+    platforms (the axon relay) the dispatch returns while the first
+    compile is still in flight, and a premature warm mark routes the
+    next batch onto a minutes-long device wait instead of the host
+    fallback (found by driving the live gateway in round 3)."""
+    img = _img()
+    params = parse_query("w=97&h=53&blur=2")  # a bucket nothing else uses
+    plan = fused.plan_image(160, 120, params, opaque=True)
+    asm = fused.BatchAssembly([plan], [img])
+    key = asm.program_key()
+    assert not fused.is_warm(key)
+    out = asm.submit()
+    assert not fused.is_warm(key), "warm before materialization"
+    asm.collect(out)
+    assert fused.is_warm(key)

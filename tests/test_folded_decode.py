@@ -109,3 +109,27 @@ def test_upsample_triangle_matches_integer_filter():
     uh = jpeg_decode._upsample_triangle(18, 9)
     lin = uv @ c[0].astype(np.float64) @ uh.T
     assert np.abs(lin - exact).max() <= 1.0
+
+
+def test_folded_jpegdct_overflow_falls_back_to_full():
+    """A folded batch whose device-DCT output saturates int8 AC must
+    re-run through the FULL-int16 folded program exactly once —
+    get_folded_program must forward dct_full to its tail, otherwise
+    collect() re-runs the same packed program forever (ADVICE r2)."""
+    yy, xx = np.mgrid[0:64, 0:64]
+    checker = ((xx + yy) % 2 * 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(np.stack([checker] * 3, axis=-1)).save(
+        buf, format="JPEG", quality=75
+    )
+    m = native_codecs.read_jpeg_coeffs(buf.getvalue())
+    assert m is not None and jpeg_decode.ac_fits_int8(m)
+    plan = fused.plan_image(64, 64, parse_query(""), opaque=True)
+    # identity resize keeps the checkerboard's Nyquist energy; q98's
+    # tiny quant divisors push |AC| past 127 on the download side
+    got = _run(plan, [m], True, jpegdct=True, quality=98)[0]
+    assert got[0] == "coeffs"
+    assert max(int(np.abs(c[..., 1:]).max()) for c in got[1:4]) > 127
+    staged = _run(plan, [m], False, jpegdct=True, quality=98)[0]
+    for cg, cs in zip(got[1:4], staged[1:4]):
+        np.testing.assert_array_equal(cg, cs)

@@ -84,8 +84,10 @@ def resize_dimensions(w: int, h: int, nw: int, nh: int, fill: bool):
     wratio = nw / w
     hratio = nh / h
     ratio = max(wratio, hratio) if fill else min(wratio, hratio)
-    nw2 = max(int(round(w * ratio)), 1)
-    nh2 = max(int(round(h * ratio)), 1)
+    # Rust f64::round is half-AWAY-FROM-ZERO; Python round() is
+    # banker's rounding — they differ on exact .5 ties (e.g. 4.5)
+    nw2 = max(int(np.floor(w * ratio + 0.5)), 1)
+    nh2 = max(int(np.floor(h * ratio + 0.5)), 1)
     return nw2, nh2
 
 
