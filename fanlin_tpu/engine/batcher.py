@@ -85,19 +85,23 @@ class MicroBatcher:
     """Shape-bucketed batching queue with adaptive flush."""
 
     def __init__(self, max_batch: int = 8, window_ms: float = 2.0,
-                 execute=None, host_fallback: bool = False):
-        """execute(plans, images, kinds) -> results overrides how a
-        flushed batch runs on the device (e.g. parallel.MeshRunner.run
-        for dp-sharded execution); default is single-device.
+                 mesh=None, host_fallback: bool = False):
+        """mesh: optional ('dp','sp') jax.sharding.Mesh — flushed
+        batches execute dp/sp-sharded across it (the assemblies own
+        the shardings; fused.make_assembly(mesh=...)). One execution
+        path for single-chip and mesh means every batcher behavior —
+        including the cold-bucket host fallback — applies to both.
 
         host_fallback=True serves batches whose device program hasn't
         compiled yet from a numpy mirror (ops.hostexec) while the
         compile runs in a background thread — a cold shape bucket must
         never 408 a request (VERDICT r1 item 2; remote compiles can
-        take minutes)."""
+        take minutes). The mirror operates on the assembly's packed
+        host arrays, so it covers mesh batches identically (sharding
+        only affects device placement)."""
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
-        self._execute = execute
+        self._mesh = mesh
         self._host_fallback = host_fallback
         self._compiling: set = set()
         self._warm_threads: list = []
@@ -174,45 +178,42 @@ class MicroBatcher:
         futures = [g[2] for g in group]
         kinds = [g[3] for g in group]
         try:
-            if self._execute is not None:
-                results = self._execute(plans, images, kinds)
-            else:
-                asm = fused.make_assembly(plans, images, kinds)
-                key = asm.program_key()
-                if self._host_fallback and not fused.is_warm(key):
-                    # serve THIS batch from the numpy mirror; pay the
-                    # compile in the background so the bucket is warm
-                    # for the next batch (cold compiles can take
-                    # minutes through a remote compile service — the
-                    # 10 s request timeout must never fire for this)
-                    from ..ops import hostexec
+            asm = fused.make_assembly(plans, images, kinds, mesh=self._mesh)
+            key = asm.program_key()
+            if self._host_fallback and not fused.is_warm(key):
+                # serve THIS batch from the numpy mirror; pay the
+                # compile in the background so the bucket is warm
+                # for the next batch (cold compiles can take
+                # minutes through a remote compile service — the
+                # 10 s request timeout must never fire for this)
+                from ..ops import hostexec
 
-                    with self._lock:
-                        spawn = key not in self._compiling
-                        if spawn:
-                            self._compiling.add(key)
+                with self._lock:
+                    spawn = key not in self._compiling
                     if spawn:
-                        def _compile(asm=asm, key=key):
-                            try:
-                                asm.run()
-                            except Exception:
-                                pass
-                            finally:
-                                with self._lock:
-                                    self._compiling.discard(key)
+                        self._compiling.add(key)
+                if spawn:
+                    def _compile(asm=asm, key=key):
+                        try:
+                            asm.run()
+                        except Exception:
+                            pass
+                        finally:
+                            with self._lock:
+                                self._compiling.discard(key)
 
-                        t = threading.Thread(
-                            target=_compile, name="fanlin-warm", daemon=True
-                        )
-                        self._warm_threads = [
-                            w for w in self._warm_threads if w.is_alive()
-                        ]
-                        self._warm_threads.append(t)
-                        t.start()
-                    self.stats["host_fallbacks"] += 1
-                    results = hostexec.run_host(asm)
-                else:
-                    results = asm.run()
+                    t = threading.Thread(
+                        target=_compile, name="fanlin-warm", daemon=True
+                    )
+                    self._warm_threads = [
+                        w for w in self._warm_threads if w.is_alive()
+                    ]
+                    self._warm_threads.append(t)
+                    t.start()
+                self.stats["host_fallbacks"] += 1
+                results = hostexec.run_host(asm)
+            else:
+                results = asm.run()
         except Exception as e:
             for f in futures:
                 if not f.cancelled():

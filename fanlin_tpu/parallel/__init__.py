@@ -1,2 +1,2 @@
-from .mesh import make_mesh, sharded_program, shard_batch_args  # noqa: F401
+from .mesh import make_mesh  # noqa: F401
 from .runner import MeshRunner  # noqa: F401

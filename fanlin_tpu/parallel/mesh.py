@@ -15,21 +15,21 @@ scale-out story is different and first-class here:
   XLA inserts the reduce over ICI automatically. This is the
   image-domain analogue of sequence parallelism (SURVEY.md §5.7).
 
-Shardings are expressed with NamedSharding/PartitionSpec and handed
-to jit; XLA GSPMD inserts the collectives. No hand-written NCCL-ish
-code, by design.
+There is exactly ONE sharding implementation: the batch assemblies
+(ops.fused.BatchAssembly / CoefBatchAssembly with mesh=...) device_put
+their inputs with dp/sp NamedShardings and the same jitted programs
+re-trace for sharded arguments — XLA GSPMD inserts the collectives.
+No hand-written NCCL-ish code, by design. This module only builds the
+mesh itself.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-
-from ..ops.fused import _transform_kernel
+from jax.sharding import Mesh
 
 
 def make_mesh(n_dp: Optional[int] = None, n_sp: int = 1,
@@ -43,40 +43,3 @@ def make_mesh(n_dp: Optional[int] = None, n_sp: int = 1,
         raise ValueError(f"need {n} devices, have {len(devices)}")
     grid = np.array(devices[:n]).reshape(n_dp, n_sp)
     return Mesh(grid, ("dp", "sp"))
-
-
-def _shardings(mesh: Mesh, has_blur: bool) -> Tuple:
-    """PartitionSpecs for the fused-transform argument list.
-
-    x (B,4,SH,SW): batch on dp, source width on sp.
-    av (B,OH,SH): batch on dp.   ah (B,OW,SW): batch on dp, SW on sp.
-    flags/fill/box (B,*): batch on dp.
-    blur matrices (B,OH,OH)/(B,OW,OW): batch on dp.
-    """
-    x = NamedSharding(mesh, P("dp", None, None, "sp"))
-    av = NamedSharding(mesh, P("dp", None, None))
-    ah = NamedSharding(mesh, P("dp", None, "sp"))
-    vec = NamedSharding(mesh, P("dp"))
-    out = NamedSharding(mesh, P("dp", None, None, None))
-    in_shardings = [x, av, ah, vec, vec, vec]
-    if has_blur:
-        in_shardings += [av, NamedSharding(mesh, P("dp", None, None))]
-    return tuple(in_shardings), out
-
-
-@functools.lru_cache(maxsize=32)
-def sharded_program(mesh: Mesh, has_blur: bool):
-    """jit the fused transform with dp/sp shardings over `mesh`."""
-    in_shardings, out_sharding = _shardings(mesh, has_blur)
-    if has_blur:
-        fn = _transform_kernel
-    else:
-        def fn(x, av, ah, flags, fill, box):
-            return _transform_kernel(x, av, ah, flags, fill, box)
-    return jax.jit(fn, in_shardings=in_shardings, out_shardings=out_sharding)
-
-
-def shard_batch_args(mesh: Mesh, arrays, has_blur: bool):
-    """Device-put host batch arrays with the dp/sp shardings."""
-    in_shardings, _ = _shardings(mesh, has_blur)
-    return [jax.device_put(a, s) for a, s in zip(arrays, in_shardings)]

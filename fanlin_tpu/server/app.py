@@ -246,21 +246,21 @@ async def build_state(cfg: config_mod.Config) -> State:
         from ..ops.fused import set_fold
 
         set_fold(True)
-    execute = None
+    mesh = None
     if cfg.tpu.data_parallel:
         import jax
 
         if len(jax.devices()) > 1:
             # device batches shard dp-wise across the local mesh; the
-            # batcher still owns coalescing and hands flushed batches
-            # to the mesh runner
-            from ..parallel import MeshRunner
+            # batcher owns coalescing AND the cold-bucket fallback, so
+            # the mesh rides inside its assemblies (one execution path
+            # for single-chip and sharded — VERDICT r2 item 2)
+            from ..parallel import make_mesh
 
-            mesh_runner = MeshRunner(n_sp=cfg.tpu.mesh_sp)
-            execute = mesh_runner.run
-            log.info("data-parallel mesh enabled: %s", mesh_runner.mesh)
-    batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms, execute,
-                           host_fallback=cfg.tpu.host_fallback)
+            mesh = make_mesh(n_sp=cfg.tpu.mesh_sp)
+            log.info("data-parallel mesh enabled: %s", mesh)
+    batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms,
+                           mesh=mesh, host_fallback=cfg.tpu.host_fallback)
     # The decode back half exists to cut host->device transfer and
     # host decode CPU — on a CPU "device" it's pure extra FLOPs (the
     # iDCT would run on the same core), so gate it to accelerators.

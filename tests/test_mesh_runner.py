@@ -30,9 +30,10 @@ def test_mesh_runner_matches_single_device():
 
 
 def test_mesh_runner_through_batcher():
-    mesh_runner = MeshRunner(n_dp=4, n_sp=1)
+    from fanlin_tpu.parallel import make_mesh
+
     batcher = MicroBatcher(max_batch=4, window_ms=2.0,
-                           execute=mesh_runner.run)
+                           mesh=make_mesh(n_dp=4, n_sp=1))
     engine = Engine(runner=BatchingRunner(batcher), device_jpeg=False)
     import io
 
