@@ -56,8 +56,14 @@ async def serve(cfg: config_mod.Config) -> None:
 
         from .engine import warmup as warmup_mod
 
+        # default lattice + any configured provider geometries
+        # (tpu.warmup_shapes: "WxH:query" strings) — a cold bucket is
+        # survivable via the host mirror but not cheap on a 1-core
+        # host, so production configs should warm their real shapes
+        shapes = warmup_mod.DEFAULT_SHAPES + tuple(cfg.tpu.warmup_shapes)
         threading.Thread(
-            target=warmup_mod.warm, name="fanlin-warmup", daemon=True
+            target=lambda: warmup_mod.warm(shapes),
+            name="fanlin-warmup", daemon=True,
         ).start()
     app = create_app(cfg, state)
     runner = web.AppRunner(app, access_log=None)

@@ -160,6 +160,18 @@ class TpuConfig:
     # serve cold (not-yet-compiled) shape buckets from the host numpy
     # mirror while the device program compiles in the background
     host_fallback: bool = True
+    # device batches allowed between dispatch and collect (2 = double
+    # buffering: batch N+1's host->device upload overlaps batch N's
+    # execution — ~2x sustained throughput on link-bound deployments)
+    pipeline_depth: int = 2
+    # per-group cap on entries queued for a flush; past it, requests
+    # are rejected with 503 instead of queueing unboundedly (0 = off,
+    # matching the reference's queue-forever concurrency layer)
+    max_queue: int = 0
+    # extra (src_w, src_h, "query") warmup shapes precompiled at
+    # startup alongside the defaults, as "WxH:query" strings, e.g.
+    # "1024x768:w=400&h=300&blur=5"
+    warmup_shapes: tuple = ()
 
     @classmethod
     def from_obj(cls, obj: dict) -> "TpuConfig":
@@ -190,6 +202,31 @@ class TpuConfig:
             cfg.singleflight = _as_bool(obj["singleflight"], "singleflight")
         if "host_fallback" in obj:
             cfg.host_fallback = _as_bool(obj["host_fallback"], "host_fallback")
+        if "pipeline_depth" in obj:
+            cfg.pipeline_depth = max(
+                _as_uint(obj["pipeline_depth"], "pipeline_depth"), 1
+            )
+        if "max_queue" in obj:
+            cfg.max_queue = _as_uint(obj["max_queue"], "max_queue")
+        if "warmup_shapes" in obj:
+            raw = obj["warmup_shapes"]
+            if not isinstance(raw, list) or not all(
+                isinstance(s, str) for s in raw
+            ):
+                raise ConfigError(
+                    "invalid type for `warmup_shapes`: expected array of strings"
+                )
+            shapes = []
+            for s in raw:
+                try:
+                    dims, qs = s.split(":", 1)
+                    w, h = dims.lower().split("x", 1)
+                    shapes.append((int(w), int(h), qs))
+                except ValueError as e:
+                    raise ConfigError(
+                        f"invalid warmup shape {s!r}: expected 'WxH:query'"
+                    ) from e
+            cfg.warmup_shapes = tuple(shapes)
         return cfg
 
 

@@ -116,6 +116,14 @@ async def generic_handler(request: web.Request) -> web.Response:
             original, params, accepted, marks
         )
     except Exception as err:
+        from ..engine.batcher import BatcherOverload
+
+        if isinstance(err, BatcherOverload) or isinstance(
+            err.__cause__, BatcherOverload
+        ):
+            # admission control (tpu.max_queue): shed instead of
+            # queueing unboundedly — additive, off by default
+            return web.Response(status=503, text="server overloaded")
         log.error("failed to process an image; %s %r", path, err)
         return await _fallback_or_message(
             state, path, params, accepted, 500, "server error on processing an image"
@@ -181,8 +189,16 @@ async def trace_middleware(request: web.Request, handler):
 
 
 def make_timeout_middleware(timeout: float):
+    from ..engine.batcher import REQUEST_DEADLINE
+
     @web.middleware
     async def timeout_middleware(request: web.Request, handler):
+        # publish the absolute deadline: engine worker threads inherit
+        # it via asyncio.to_thread's context copy, and the batcher
+        # sheds entries whose deadline passed before paying device
+        # time (the 408 below abandons the response — the work must
+        # not be done for nobody)
+        REQUEST_DEADLINE.set(time.monotonic() + timeout)
         try:
             return await asyncio.wait_for(handler(request), timeout=timeout)
         except asyncio.TimeoutError:
@@ -260,7 +276,9 @@ async def build_state(cfg: config_mod.Config) -> State:
             mesh = make_mesh(n_sp=cfg.tpu.mesh_sp)
             log.info("data-parallel mesh enabled: %s", mesh)
     batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms,
-                           mesh=mesh, host_fallback=cfg.tpu.host_fallback)
+                           mesh=mesh, host_fallback=cfg.tpu.host_fallback,
+                           pipeline_depth=cfg.tpu.pipeline_depth,
+                           max_queue=cfg.tpu.max_queue)
     # The decode back half exists to cut host->device transfer and
     # host decode CPU — on a CPU "device" it's pure extra FLOPs (the
     # iDCT would run on the same core), so gate it to accelerators.

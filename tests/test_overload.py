@@ -1,0 +1,101 @@
+"""Admission control under sustained over-capacity traffic
+(VERDICT r2 item 6): with tpu.max_queue set, the gateway sheds excess
+requests with 503 at admission instead of queueing them unboundedly,
+and the requests it does accept keep bounded latency."""
+
+import asyncio
+import io
+import time
+
+from aiohttp.test_utils import TestClient, TestServer
+
+from fanlin_tpu.config import Config
+from fanlin_tpu.ops import fused
+from fanlin_tpu.server.app import build_state, create_app
+
+
+def test_overload_sheds_with_503(fixtures_dir, monkeypatch):
+    real_collect = fused.BatchAssembly.collect
+
+    def slow_collect(self, out):
+        time.sleep(0.25)  # stands in for slow device execution
+        return real_collect(self, out)
+
+    monkeypatch.setattr(fused.BatchAssembly, "collect", slow_collect)
+    cfg = Config.from_str(
+        """
+{
+  "port": 0,
+  "bind_addr": "127.0.0.1",
+  "max_clients": 32,
+  "client": {
+    "s3": {"aws_region": "x"},
+    "web": {"user_agent": "t", "timeout": 2}
+  },
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "tpu": {"warmup": false, "max_batch": 1, "batch_window_ms": 1.0,
+          "max_queue": 2, "host_fallback": false,
+          "device_decode": false}
+}
+"""
+        % fixtures_dir
+    )
+
+    async def go():
+        state = await build_state(cfg)
+        client = TestClient(TestServer(create_app(cfg, state)))
+        await client.start_server()
+        try:
+            t0 = time.monotonic()
+            resps = await asyncio.gather(
+                *[client.get("/baz/lenna.jpg?w=100&h=80") for _ in range(12)]
+            )
+            elapsed = time.monotonic() - t0
+            return [r.status for r in resps], elapsed
+        finally:
+            await client.close()
+
+    statuses, elapsed = asyncio.new_event_loop().run_until_complete(go())
+    served = statuses.count(200)
+    shed = statuses.count(503)
+    assert served + shed == 12, statuses
+    assert served >= 1, statuses
+    assert shed >= 1, f"nothing shed under 12x over-capacity: {statuses}"
+    # accepted work stays bounded: nothing waited for the whole herd
+    assert elapsed < 12 * 0.25, f"queue was not bounded ({elapsed:.1f}s)"
+
+
+def test_no_cap_keeps_reference_queueing(fixtures_dir):
+    """Default (max_queue=0) keeps the reference's queue-everything
+    semantics: every request completes with 200."""
+    cfg = Config.from_str(
+        """
+{
+  "port": 0,
+  "bind_addr": "127.0.0.1",
+  "max_clients": 8,
+  "client": {
+    "s3": {"aws_region": "x"},
+    "web": {"user_agent": "t", "timeout": 2}
+  },
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "tpu": {"warmup": false, "max_batch": 4, "batch_window_ms": 2.0}
+}
+"""
+        % fixtures_dir
+    )
+
+    async def go():
+        state = await build_state(cfg)
+        client = TestClient(TestServer(create_app(cfg, state)))
+        await client.start_server()
+        try:
+            resps = await asyncio.gather(
+                *[client.get("/baz/lenna.jpg?w=100&h=80") for _ in range(8)]
+            )
+            return [r.status for r in resps]
+        finally:
+            await client.close()
+
+    statuses = asyncio.new_event_loop().run_until_complete(go())
+    assert statuses == [200] * 8
