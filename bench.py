@@ -254,6 +254,21 @@ def main() -> None:
         th.join()
         return payloads, wall
 
+    # relay-weather calibration: a fixed 137-GFLOP matmul timed next
+    # to the measurement (BENCH_NOTES.md: the shared relay's effective
+    # compute rate swings 15-45x between windows; the calib number
+    # says which window this run landed in — ~30 ms fast, >1 s slow)
+    _ca = jax.device_put(
+        np.random.default_rng(0).standard_normal((4096, 4096), dtype=np.float32)
+    )
+    _cf = jax.jit(lambda x: x @ x)
+    np.asarray(_cf(_ca))  # compile + settle
+
+    def calib_ms() -> float:
+        t = time.perf_counter()
+        np.asarray(_cf(_ca))
+        return round((time.perf_counter() - t) * 1000.0, 1)
+
     # multiple passes: the shared relay's effective rate varies by
     # window, so the peak pass is the least-contended sustained sample
     # (each pass is still a full pipelined run over >= BENCH_N/passes
@@ -262,10 +277,12 @@ def main() -> None:
     per_pass -= per_pass % batch
     pass_rates = []
     payloads = []
+    calib_before = calib_ms()
     for _ in range(n_passes):
         p, w = run_pass(per_pass)
         payloads.extend(p)
         pass_rates.append(round(len(p) / w, 1))
+    calib_after = calib_ms()
     pool.shutdown(wait=False)
     n_images = len(payloads)
     rate = max(pass_rates)
@@ -311,8 +328,19 @@ def main() -> None:
         "images": n_images,
         # rate of each full pipelined pass; `value` is the peak pass —
         # the shared relay's window-to-window variance is documented in
-        # BENCH_NOTES.md and visible here
+        # BENCH_NOTES.md and visible here. rate_mean is the mean pass:
+        # read BOTH (a mean regression can hide under a lucky peak).
         "pass_rates": pass_rates,
+        "rate_mean": round(float(np.mean(pass_rates)), 1),
+        # the in-band relay-weather probe (137-GFLOP matmul, ms):
+        # ~30 ms = fast window, >1000 ms = slow/contended window
+        "calib_ms": [calib_before, calib_after],
+        # host->device AC bytes per image (the link-bound regime's
+        # limiting quantity; sub-int8 pack modes cut it ~1.7x)
+        "upload_kb_per_image": (
+            round(make_assembly([warm]).upload_ac_bytes / 1024.0, 1)
+            if coef_src else None
+        ),
         "mean_bytes_out": mean_bytes,
         "device": str(jax.devices()[0]),
         "source_path": "coefficients" if coef_src else "pixels",

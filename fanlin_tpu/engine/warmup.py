@@ -30,18 +30,26 @@ DEFAULT_SHAPES: Tuple[Tuple[int, int, str], ...] = (
 
 
 def _synthetic_meta(src_w: int, src_h: int) -> dict:
-    """A zero-coefficient read_jpeg_coeffs dict at the true block
-    grids — enough to compile the coefficient-source program for a
-    (src_w, src_h) bucket."""
+    """A synthetic read_jpeg_coeffs dict at the true block grids —
+    enough to compile the coefficient-source program for a
+    (src_w, src_h) bucket. Coefficient magnitudes are chosen so the
+    upload pack modes come out ("i4h", "lo8") — what photographic
+    JPEG traffic selects at production qualities — so warmup compiles
+    the program variants real requests will hit."""
     from ..ops import dct
 
     lq, cq = dct.ijg_quant_tables(92)
     ybh, ybw = -(-src_h // 8), -(-src_w // 8)
     cbh, cbw = -(-src_h // 16), -(-src_w // 16)
+    y = np.zeros((ybh, ybw, 64), np.int16)
+    y[:, :, 1] = 30  # low-corner magnitude past int4 -> needs i4h
+    y[:, :, 5] = 3   # high-frequency content fits int4
+    c = np.zeros((cbh, cbw, 64), np.int16)
+    c[:, :, 1] = 12  # low corner only -> lo8
     return {
-        "y": np.zeros((ybh, ybw, 64), np.int16),
-        "cb": np.zeros((cbh, cbw, 64), np.int16),
-        "cr": np.zeros((cbh, cbw, 64), np.int16),
+        "y": y,
+        "cb": c,
+        "cr": c.copy(),
         "lq": lq.reshape(64).astype(np.uint16),
         "cq": cq.reshape(64).astype(np.uint16),
         "w": src_w, "h": src_h, "subsamp": 420,

@@ -166,9 +166,16 @@ def _np_dct_tail(y, cb, cr, quality):
 
 
 def _np_decode420(asm):
-    """numpy mirror of jpeg_decode.decode420_rgb on a CoefBatchAssembly
-    (planar int8 AC + int16 DC layout)."""
-    from .jpeg_decode import _idct_blockdiag
+    """numpy mirror of jpeg_decode.decode*_rgb on a CoefBatchAssembly:
+    the mode-packed uploads (i8 planar / lo8 low-corner / i4h nibble +
+    residual) are first reconstructed into dense int16 planar planes —
+    the packing is lossless, so the mirror's math is unchanged."""
+    from .jpeg_decode import _idct_blockdiag, planar_from_arrays_np
+
+    ymode, cmode = asm.pack_modes
+    yac = planar_from_arrays_np(ymode, asm.y_arrays)
+    cbac = planar_from_arrays_np(cmode, asm.cb_arrays)
+    crac = planar_from_arrays_np(cmode, asm.cr_arrays)
 
     def idct(dc, ac_planar, q):
         b, h, w = ac_planar.shape
@@ -195,11 +202,11 @@ def _np_decode420(asm):
         return np.stack([even, odd], axis=3).reshape(b, 2 * ch, 2 * cw)
 
     th, tw = asm.true_h, asm.true_w
-    yp = idct(asm.ydc, asm.yac, asm.lq)[:, :th, :tw]
+    yp = idct(asm.ydc, yac, asm.lq)[:, :th, :tw]
     subsamp = getattr(asm, "subsamp", 420)
     if subsamp == 444:
-        cb = idct(asm.cbdc, asm.cbac, asm.cq)[:, :th, :tw]
-        cr = idct(asm.crdc, asm.crac, asm.cq)[:, :th, :tw]
+        cb = idct(asm.cbdc, cbac, asm.cq)[:, :th, :tw]
+        cr = idct(asm.crdc, crac, asm.cq)[:, :th, :tw]
     elif subsamp == 422:
         def ups_h(c):
             left = np.concatenate([c[:, :, :1], c[:, :, :-1]], axis=2)
@@ -210,12 +217,12 @@ def _np_decode420(asm):
                 c.shape[0], c.shape[1], 2 * c.shape[2]
             )
         cw = (tw + 1) // 2
-        cb = ups_h(idct(asm.cbdc, asm.cbac, asm.cq)[:, :th, :cw])[:, :, :tw]
-        cr = ups_h(idct(asm.crdc, asm.crac, asm.cq)[:, :th, :cw])[:, :, :tw]
+        cb = ups_h(idct(asm.cbdc, cbac, asm.cq)[:, :th, :cw])[:, :, :tw]
+        cr = ups_h(idct(asm.crdc, crac, asm.cq)[:, :th, :cw])[:, :, :tw]
     else:
         ch, cw = (th + 1) // 2, (tw + 1) // 2
-        cb = upsample(idct(asm.cbdc, asm.cbac, asm.cq)[:, :ch, :cw])[:, :th, :tw]
-        cr = upsample(idct(asm.crdc, asm.crac, asm.cq)[:, :ch, :cw])[:, :th, :tw]
+        cb = upsample(idct(asm.cbdc, cbac, asm.cq)[:, :ch, :cw])[:, :th, :tw]
+        cr = upsample(idct(asm.crdc, crac, asm.cq)[:, :ch, :cw])[:, :th, :tw]
     cbz, crz = cb - 128, cr - 128
     r = yp + ((91881 * crz + 32768) >> 16)
     b_ = yp + ((116130 * cbz + 32768) >> 16)

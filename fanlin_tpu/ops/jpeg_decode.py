@@ -46,37 +46,54 @@ def _idct_blockdiag(n: int) -> np.ndarray:
     return m
 
 
-def dequant_idct(dc_i16, ac_planar_i8, q_f32):
+def dequant_idct(dc_i16, ac_planar, q_f32, low=None, shape=None):
     """Dequantize + inverse DCT one plane.
 
-    ac_planar_i8 (B, H, W) int8 in PLANAR layout — the HOST places
+    ac_planar (B, H, W) int8/int32 in PLANAR layout — the HOST places
     AC coefficient (u, v) of block (i, j) at [8i+u, 8j+v] and zeroes
-    the DC slots (pack_meta). The device never reshuffles blocks: an
+    the DC slots (pack_plane). The device never reshuffles blocks: an
     on-device block->planar transpose measured ~0.5 s/batch through
     XLA's tiled layouts, vs ~0 for a numpy reshuffle on the host.
+    None = the plane has no full-resolution AC content (the "lo8"
+    upload mode) — the main matmul pair is skipped entirely; `shape`
+    then supplies (h, w).
 
     dc_i16 (B, H/8, W/8) int16 rides separately (doesn't fit int8);
     its iDCT is analytic — the DC basis is constant, so its pixel
     contribution is just dc*quant/8 broadcast over each 8x8 block.
+
+    low: optional (low_plane_i8 (B, H/2, W/2), mv_low, mh_low) — the
+    half-resolution low-corner correction of the sub-int8 upload
+    modes, added in pixel space through the rectangular iDCT matmuls
+    (low_pixels) BEFORE rounding.
 
     q_f32 (B, 64) natural-order quant table per image. Returns
     (B, H, W) int32 samples in [0, 255] (level-shifted, rounded,
     range-limited like libjpeg's sample output).
     """
     f32 = jnp.float32
-    b, h, w = ac_planar_i8.shape
+    if ac_planar is not None:
+        b, h, w = ac_planar.shape
+    else:
+        b, (h, w) = dc_i16.shape[0], shape
     bh, bw = h // 8, w // 8
-    # per-position quant values, tiled planar (broadcast, fused by XLA)
-    qblk = q_f32.reshape(b, 8, 8)
-    qtile = jnp.broadcast_to(
-        qblk[:, None, :, None, :], (b, bh, 8, bw, 8)
-    ).reshape(b, h, w)
-    coef = ac_planar_i8.astype(f32) * qtile
-    mv = jnp.asarray(_idct_blockdiag(h))
-    mh = jnp.asarray(_idct_blockdiag(w))
-    # pix_ac = blockdiag(D^T) @ planar @ blockdiag(D^T)^T — 2 MXU matmuls
-    t = jnp.einsum("de,bew->bdw", mv, coef, preferred_element_type=f32)
-    pix = jnp.einsum("fw,bdw->bdf", mh, t, preferred_element_type=f32)
+    if ac_planar is not None:
+        # per-position quant values, tiled planar (broadcast, fused)
+        qblk = q_f32.reshape(b, 8, 8)
+        qtile = jnp.broadcast_to(
+            qblk[:, None, :, None, :], (b, bh, 8, bw, 8)
+        ).reshape(b, h, w)
+        coef = ac_planar.astype(f32) * qtile
+        mv = jnp.asarray(_idct_blockdiag(h))
+        mh = jnp.asarray(_idct_blockdiag(w))
+        # pix_ac = blockdiag(D^T) @ planar @ blockdiag(D^T)^T — 2 matmuls
+        t = jnp.einsum("de,bew->bdw", mv, coef, preferred_element_type=f32)
+        pix = jnp.einsum("fw,bdw->bdf", mh, t, preferred_element_type=f32)
+    else:
+        pix = jnp.zeros((b, h, w), f32)
+    if low is not None:
+        low_plane, mv_low, mh_low = low
+        pix = pix + low_pixels(low_plane, q_f32, mv_low, mh_low)
     # DC contribution: constant dc*q_dc/8 over each 8x8 block
     dcv = dc_i16.astype(f32) * (q_f32[:, 0] / 8.0)[:, None, None]
     dc_pix = jnp.broadcast_to(
@@ -134,7 +151,8 @@ def ycbcr_to_rgb_libjpeg(y_i32, cb_i32, cr_i32):
 
 
 def decode420_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
-                  true_h: int, true_w: int, pad_h: int, pad_w: int):
+                  true_h: int, true_w: int, pad_h: int, pad_w: int,
+                  y_low=None, cb_low=None, cr_low=None):
     """Full device decode back half for a 4:2:0 batch.
 
     Coefficient grids are block-padded by the host to
@@ -144,11 +162,14 @@ def decode420_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
     dims — the chroma upsample's edge handling happens there, exactly
     where libjpeg's does (downsampled_width boundaries).
 
+    yac/cbac/crac may be None (sub-int8 upload modes) with the plane's
+    content arriving through the *_low corrections — see dequant_idct.
+
     Returns (r, g, b) f32 planes shaped (B, pad_h, pad_w).
     """
-    yplane = dequant_idct(ydc, yac, lq)          # (B, pad_h, pad_w)
-    cb = dequant_idct(cbdc, cbac, cq)            # (B, pad_h/2, pad_w/2)
-    cr = dequant_idct(crdc, crac, cq)
+    yplane = dequant_idct(ydc, yac, lq, y_low, (pad_h, pad_w))
+    cb = dequant_idct(cbdc, cbac, cq, cb_low, (pad_h // 2, pad_w // 2))
+    cr = dequant_idct(crdc, crac, cq, cr_low, (pad_h // 2, pad_w // 2))
     ch = (true_h + 1) // 2
     cw = (true_w + 1) // 2
     cb_up = fancy_upsample_h2v2(cb[:, :ch, :cw])[:, :true_h, :true_w]
@@ -177,16 +198,19 @@ def fancy_upsample_h2v1(c_i32):
 
 
 def decode422_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
-                  true_h: int, true_w: int, pad_h: int, pad_w: int):
+                  true_h: int, true_w: int, pad_h: int, pad_w: int,
+                  y_low=None, cb_low=None, cr_low=None):
     """4:2:2 decode back half: chroma at full height, half width —
     horizontal fancy upsample only."""
-    yplane = dequant_idct(ydc, yac, lq)[:, :true_h, :true_w]
+    yplane = dequant_idct(ydc, yac, lq, y_low,
+                          (pad_h, pad_w))[:, :true_h, :true_w]
     cw = (true_w + 1) // 2
+    cshape = (pad_h, pad_w // 2)
     cb = fancy_upsample_h2v1(
-        dequant_idct(cbdc, cbac, cq)[:, :true_h, :cw]
+        dequant_idct(cbdc, cbac, cq, cb_low, cshape)[:, :true_h, :cw]
     )[:, :, :true_w]
     cr = fancy_upsample_h2v1(
-        dequant_idct(crdc, crac, cq)[:, :true_h, :cw]
+        dequant_idct(crdc, crac, cq, cr_low, cshape)[:, :true_h, :cw]
     )[:, :, :true_w]
     r, g, b = ycbcr_to_rgb_libjpeg(yplane, cb, cr)
 
@@ -197,12 +221,14 @@ def decode422_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
 
 
 def decode444_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
-                  true_h: int, true_w: int, pad_h: int, pad_w: int):
+                  true_h: int, true_w: int, pad_h: int, pad_w: int,
+                  y_low=None, cb_low=None, cr_low=None):
     """4:4:4 decode back half: chroma at full resolution, no upsample
     (everything else identical to decode420_rgb)."""
-    yplane = dequant_idct(ydc, yac, lq)[:, :true_h, :true_w]
-    cb = dequant_idct(cbdc, cbac, cq)[:, :true_h, :true_w]
-    cr = dequant_idct(crdc, crac, cq)[:, :true_h, :true_w]
+    shape = (pad_h, pad_w)
+    yplane = dequant_idct(ydc, yac, lq, y_low, shape)[:, :true_h, :true_w]
+    cb = dequant_idct(cbdc, cbac, cq, cb_low, shape)[:, :true_h, :true_w]
+    cr = dequant_idct(crdc, crac, cq, cr_low, shape)[:, :true_h, :true_w]
     r, g, b = ycbcr_to_rgb_libjpeg(yplane, cb, cr)
 
     def pad(p):
@@ -315,16 +341,39 @@ _CB_G = 22554.0 / 65536.0
 _CR_G = 46802.0 / 65536.0
 
 
+def low_cols(m: np.ndarray) -> np.ndarray:
+    """Restrict a matrix operating on a PLANAR axis to the u < 4
+    low-corner columns of each 8-block: (O, N) -> (O, N/2). For a
+    folded matrix A (= resample ∘ iDCT), A_low @ low_plane adds the
+    half-resolution low-corner contribution directly in resampled
+    space — the folded-path analogue of idct_low_matrix."""
+    o, n = m.shape
+    return np.ascontiguousarray(
+        m.reshape(o, n // 8, 8)[:, :, :4].reshape(o, n // 2)
+    )
+
+
 def folded_decode_resample(ydc, yac, cbdc, cbac, crdc, crac, lq, cq, mats,
-                           mm_dtype=jnp.float32):
+                           mm_dtype=jnp.float32, y_low=None, cb_low=None,
+                           cr_low=None, low_mats=None):
     """Device side of the folded path: dequant -> ONE matmul pair per
     plane (luma full-res, chroma QUARTER-res) -> color convert on the
     small resampled planes. Returns fg (B, 3, OH, OW) f32, rounded and
     clamped like the staged resample output. mm_dtype=bfloat16 doubles
-    MXU rate at a small quality cost (tpu.fast)."""
+    MXU rate at a small quality cost (tpu.fast).
+
+    yac/cbac/crac may be None (sub-int8 upload modes): the plane's
+    content then arrives as a half-resolution low-corner array in
+    y_low/cb_low/cr_low (the low plane only — matrices come from
+    low_mats = (ay_low, ahy_low, acv_low, ach_low), the low_cols()
+    restrictions of the folded matrices)."""
     f32 = jnp.float32
     (ay, ahy, acv, ach, dyv, dyh, dcv, dch) = mats
-    b, h, w = yac.shape
+    b = ydc.shape[0]
+    h, w = ay.shape[1], ahy.shape[1]
+    ch, cw = acv.shape[1], ach.shape[1]  # SH/2 (4:2:0) or SH (4:4:4)
+    if low_mats is not None:
+        ay_low, ahy_low, acv_low, ach_low = low_mats
 
     def tile(q, hh, ww):
         qblk = q.reshape(b, 8, 8)
@@ -332,27 +381,42 @@ def folded_decode_resample(ydc, yac, cbdc, cbac, crdc, crac, lq, cq, mats,
             qblk[:, None, :, None, :], (b, hh // 8, 8, ww // 8, 8)
         ).reshape(b, hh, ww)
 
-    def plane(ac, mv, mh, q, hh, ww):
-        c = (ac.astype(f32) * tile(q, hh, ww)).astype(mm_dtype)
-        t = jnp.einsum("ds,bsw->bdw", mv.astype(mm_dtype), c,
-                       preferred_element_type=f32)
+    def mm_pair(c, mv, mh):
+        t = jnp.einsum("ds,bsw->bdw", mv.astype(mm_dtype),
+                       c.astype(mm_dtype), preferred_element_type=f32)
         return jnp.einsum("ew,bdw->bde", mh.astype(mm_dtype),
                           t.astype(mm_dtype), preferred_element_type=f32)
+
+    def plane(ac, low, mv, mh, mv_low, mh_low, q, hh, ww):
+        out = None
+        if ac is not None:
+            out = mm_pair(ac.astype(f32) * tile(q, hh, ww), mv, mh)
+        if low is not None:
+            lc = low.astype(f32) * _tile_qlow(q, hh // 2, ww // 2)
+            lr = mm_pair(lc, mv_low, mh_low)
+            out = lr if out is None else out + lr
+        if out is None:
+            out = jnp.zeros((b, mv.shape[0], mh.shape[0]), f32)
+        return out
 
     def dc_plane(dc, mv, mh, q0, shift):
         v = dc.astype(f32) * (q0 / 8.0)[:, None, None] + shift
         t = jnp.einsum("ds,bsw->bdw", mv, v, preferred_element_type=f32)
         return jnp.einsum("ew,bdw->bde", mh, t, preferred_element_type=f32)
 
-    ch, cw = cbac.shape[1], cbac.shape[2]  # SH/2 (4:2:0) or SH (4:4:4)
-    yr = plane(yac, ay, ahy, lq, h, w) + dc_plane(ydc, dyv, dyh, lq[:, 0], 128.0)
+    yr = plane(yac, y_low, ay, ahy,
+               ay_low if y_low is not None else None,
+               ahy_low if y_low is not None else None,
+               lq, h, w) + dc_plane(ydc, dyv, dyh, lq[:, 0], 128.0)
     # chroma stays CENTERED (no +128): the color matrix consumes cz
-    cbz = plane(cbac, acv, ach, cq, ch, cw) + dc_plane(
-        cbdc, dcv, dch, cq[:, 0], 0.0
-    )
-    crz = plane(crac, acv, ach, cq, ch, cw) + dc_plane(
-        crdc, dcv, dch, cq[:, 0], 0.0
-    )
+    cbz = plane(cbac, cb_low, acv, ach,
+                acv_low if cb_low is not None else None,
+                ach_low if cb_low is not None else None,
+                cq, ch, cw) + dc_plane(cbdc, dcv, dch, cq[:, 0], 0.0)
+    crz = plane(crac, cr_low, acv, ach,
+                acv_low if cr_low is not None else None,
+                ach_low if cr_low is not None else None,
+                cq, ch, cw) + dc_plane(crdc, dcv, dch, cq[:, 0], 0.0)
     r = yr + _CR_R * crz
     g = yr - _CB_G * cbz - _CR_G * crz
     bl = yr + _CB_B * cbz
@@ -361,8 +425,165 @@ def folded_decode_resample(ydc, yac, cbdc, cbac, crdc, crac, lq, cq, mats,
 
 
 # ----------------------------------------------------------------------------
-# host-side packing helpers (numpy)
+# sub-int8 AC upload packing (VERDICT r2 item 1)
 # ----------------------------------------------------------------------------
+#
+# The int8 planar AC upload saturates a narrow host link (399 KB per
+# 512x512 image sits exactly on the measured relay ceiling). Most of
+# those bytes are structurally wasteful: at production qualities the
+# HIGH-frequency positions (u >= 4 or v >= 4, 48 of 64 per block) are
+# tiny — the quant divisors there are large — while only the 4x4
+# low-frequency corner carries big values. Three per-plane modes,
+# chosen on the host per batch (cheapest that fits, all LOSSLESS):
+#
+#   "lo8"  every high coefficient is zero  ->  ship ONLY the low
+#          corner, (H/2, W/2) int8                       0.25 B/coef
+#   "i4h"  high fits int4 ([-8, 7])        ->  nibble-packed int4
+#          plane (values clipped to [-8,7]) + int8 RESIDUAL for the
+#          low corner (value - clipped, always fits int8) 0.75 B/coef
+#   "i8"   anything else                   ->  planar int8 1.00 B/coef
+#
+# Device-side reconstruction avoids block<->planar reshuffles (those
+# lower to catastrophic layout transposes on TPU, see pack_plane):
+# the int4 plane unpacks with bitwise ops + ONE lane-dim concat, and
+# the half-resolution low-corner planes enter the iDCT through
+# RECTANGULAR matrices (idct_low_matrix: blockdiag(D^T) restricted to
+# the u < 4 columns), i.e. extra MXU matmuls instead of scatters.
+
+# natural-order index -> (u, v); high = outside the 4x4 low corner
+_NAT_U = np.arange(64) // 8
+_NAT_V = np.arange(64) % 8
+_HIGH_MASK = (_NAT_U >= 4) | (_NAT_V >= 4)  # (64,) bool
+_LOW_IDX = np.where(~_HIGH_MASK)[0]  # 16 low positions, natural order
+
+_MODE_COST = {"lo8": 0, "i4h": 1, "i8": 2}
+
+
+def plane_mode(grid: np.ndarray) -> str:
+    """Cheapest lossless upload mode for one (bh, bw, 64) int16 plane
+    (caller already verified |AC| <= 127 via ac_fits_int8)."""
+    high = grid[:, :, _HIGH_MASK]
+    if high.size == 0 or (
+        int(high.max(initial=0)) == 0 and int(high.min(initial=0)) == 0
+    ):
+        return "lo8"
+    # int4 is asymmetric: [-8, 7]
+    if int(high.max(initial=0)) <= 7 and int(high.min(initial=0)) >= -8:
+        return "i4h"
+    return "i8"
+
+
+def widest_mode(a: str, b: str) -> str:
+    """The mode that can carry both (the ladder's max)."""
+    return a if _MODE_COST[a] >= _MODE_COST[b] else b
+
+
+def meta_modes(meta: dict) -> tuple:
+    """(y_mode, chroma_mode) for one image; cb/cr share a mode (they
+    share a quant table and a program input structure)."""
+    y = plane_mode(meta["y"])
+    c = widest_mode(plane_mode(meta["cb"]), plane_mode(meta["cr"]))
+    return y, c
+
+
+def pack_low(grid: np.ndarray, ph: int, pw: int,
+             residual: bool) -> np.ndarray:
+    """(bh, bw, 64) int16 -> (ph/2, pw/2) int8 low-corner plane at
+    [4i+u, 4j+v] (DC slot zeroed — it rides the int16 DC grid).
+    residual=True stores value - clip(value, -8, 7) (the i4h
+    correction); False stores the full value (the lo8 payload)."""
+    gh, gw = grid.shape[:2]
+    low = grid[:, :, _LOW_IDX].reshape(gh, gw, 4, 4).astype(np.int16)
+    low[:, :, 0, 0] = 0  # DC rides separately
+    if residual:
+        low = low - np.clip(low, -8, 7)
+    out = np.zeros((ph // 2, pw // 2), dtype=np.int8)
+    out[: gh * 4, : gw * 4] = (
+        low.transpose(0, 2, 1, 3).reshape(gh * 4, gw * 4)
+    )
+    return out
+
+
+def pack_nibbles(planar: np.ndarray) -> np.ndarray:
+    """(H, W) int8 planar plane with every value in [-8, 7] ->
+    (H, W/2) uint8: low nibble = column j (left half), high nibble =
+    column j + W/2 (right half), so the device unpack is two bitwise
+    ops + one lane-dim concatenation (no interleave)."""
+    h, w = planar.shape
+    half = w // 2
+    lo = planar[:, :half].astype(np.int16) & 15
+    hi = planar[:, half:].astype(np.int16) & 15
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def unpack_nibbles(packed_u8):
+    """Device inverse of pack_nibbles: (B, H, W/2) uint8 ->
+    (B, H, W) int32 with sign-extended 4-bit values."""
+    p = packed_u8.astype(jnp.int32)
+
+    def sx(n):  # sign-extend 4-bit
+        return ((n ^ 8) - 8)
+
+    lo = sx(p & 15)
+    hi = sx(p >> 4)
+    return jnp.concatenate([lo, hi], axis=2)
+
+
+@functools.lru_cache(maxsize=64)
+def idct_low_matrix(n: int) -> np.ndarray:
+    """(n, n/2) rectangular iDCT for half-resolution low-corner
+    planes: column 4i+u maps through D^T's u-th column into rows
+    8i..8i+7 — multiplying low planes by it on both sides adds the
+    low corner's pixel contribution with plain MXU matmuls (no
+    block<->planar scatter on device)."""
+    d = _dct_matrix()  # (u, x)
+    m = np.zeros((n, n // 2), dtype=np.float32)
+    for i in range(n // 8):
+        m[8 * i : 8 * i + 8, 4 * i : 4 * i + 4] = d.T[:, :4]
+    return m
+
+
+def _tile_qlow(q_f32, hh: int, ww: int):
+    """Per-position quant for a low-corner plane: (B, 64) natural ->
+    (B, hh, ww) tiling the 4x4 low corner (hh, ww are H/2, W/2)."""
+    b = q_f32.shape[0]
+    qblk = q_f32.reshape(b, 8, 8)[:, :4, :4]
+    return jnp.broadcast_to(
+        qblk[:, None, :, None, :], (b, hh // 4, 4, ww // 4, 4)
+    ).reshape(b, hh, ww)
+
+
+def low_pixels(low_i8, q_f32, mv_low, mh_low):
+    """Pixel-domain contribution of a low-corner plane:
+    mv_low @ (low * qlow) @ mh_low^T — two MXU matmuls."""
+    f32 = jnp.float32
+    b, hh, ww = low_i8.shape
+    c = low_i8.astype(f32) * _tile_qlow(q_f32, hh, ww)
+    t = jnp.einsum("ds,bsw->bdw", mv_low, c, preferred_element_type=f32)
+    return jnp.einsum("ew,bdw->bde", mh_low, t, preferred_element_type=f32)
+
+
+def unpack_plane_args(mode: str, arrays, pad_h: int, pad_w: int,
+                      chroma_div: tuple = (1, 1)):
+    """Reassemble one plane's AC contribution from its mode-specific
+    device arrays. Returns (planar_ac, low_tuple):
+      planar_ac: (B, h, w) int planar AC plane, or None (lo8 — the
+        full-resolution matmul pair is skipped entirely);
+      low_tuple: (low_plane, mv_low, mh_low) | None — the half-res
+        low-corner correction dequant_idct adds in PIXEL space via
+        low_pixels() (i4h residual / lo8 payload).
+    arrays: the mode's device inputs; chroma_div scales the plane dims.
+    """
+    h = pad_h // chroma_div[0]
+    w = pad_w // chroma_div[1]
+    if mode == "i8":
+        return arrays[0], None
+    mv_low = jnp.asarray(idct_low_matrix(h))
+    mh_low = jnp.asarray(idct_low_matrix(w))
+    if mode == "lo8":
+        return None, (arrays[0], mv_low, mh_low)
+    # i4h: nibble plane + residual low corner
+    return unpack_nibbles(arrays[0]), (arrays[1], mv_low, mh_low)
 
 
 def ac_fits_int8(meta: dict) -> bool:
@@ -374,32 +595,55 @@ def ac_fits_int8(meta: dict) -> bool:
     )
 
 
-def pack_meta(meta: dict, pad_h: int, pad_w: int):
-    """Split one image's coefficient grids into (dc int16 block grid,
-    ac int8 PLANAR plane) pairs: (ydc, yac, cbdc, cbac, crdc, crac).
+def pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str):
+    """Mode-aware upload packing of one (bh, bw, 64) int16 plane at
+    padded dims (ph, pw). Returns (dc int16 (ph/8, pw/8),
+    arrays tuple) where arrays is
+      "i8":  (planar int8 (ph, pw),)
+      "lo8": (low-corner int8 (ph/2, pw/2),)
+      "i4h": (nibble-packed uint8 (ph, pw/2),
+              low-corner residual int8 (ph/2, pw/2))
+    All modes are lossless given plane_mode()'s fit checks."""
+    gh, gw = grid.shape[:2]
+    dc = np.zeros((ph // 8, pw // 8), dtype=np.int16)
+    dc[:gh, :gw] = grid[:, :, 0]
+    if mode == "lo8":
+        return dc, (pack_low(grid, ph, pw, residual=False),)
+    g = grid.copy()
+    g[:, :, 0] = 0  # DC rides in the int16 grid
+    planar16 = (
+        g.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+    )
+    if mode == "i4h":
+        clipped = np.zeros((ph, pw), dtype=np.int8)
+        clipped[: gh * 8, : gw * 8] = np.clip(planar16, -8, 7)
+        return dc, (pack_nibbles(clipped),
+                    pack_low(grid, ph, pw, residual=True))
+    ac = np.zeros((ph, pw), dtype=np.int8)
+    ac[: gh * 8, : gw * 8] = planar16  # host pre-verified |AC| <= 127
+    return dc, (ac,)
 
-    The planar reshuffle (block (i,j) coef (u,v) -> plane[8i+u, 8j+v])
-    happens HERE, on the host, where it's a single cheap numpy copy —
-    doing it on-device forces an XLA tiled-layout transpose that
-    measured ~0.5 s/batch."""
-    sub = meta.get("subsamp", 420)
-    csv, csh = {420: (2, 2), 422: (1, 2), 444: (1, 1)}[sub]  # (vert, horiz)
-    out = []
-    for key, (sv, sh_) in (("y", (1, 1)), ("cb", (csv, csh)),
-                           ("cr", (csv, csh))):
-        grid = meta[key]
-        ph, pw = pad_h // sv, pad_w // sh_
-        gh, gw = grid.shape[:2]
-        dc = np.zeros((ph // 8, pw // 8), dtype=np.int16)
-        dc[:gh, :gw] = grid[:, :, 0]
-        g = grid.copy()
-        g[:, :, 0] = 0  # DC rides in the int16 grid
-        planar = (
-            g.reshape(gh, gw, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(gh * 8, gw * 8)
-        )
-        ac = np.zeros((ph, pw), dtype=np.int8)
-        ac[: gh * 8, : gw * 8] = planar  # host pre-verified |AC| <= 127
-        out += [dc, ac]
-    return tuple(out)
+
+def planar_from_arrays_np(mode: str, arrays) -> np.ndarray:
+    """Numpy inverse of the upload packing for the HOST mirror
+    (ops.hostexec): reconstruct the dense (B, H, W) int16 planar AC
+    plane from one plane's mode-specific packed arrays. Lossless for
+    every mode by construction."""
+    if mode == "i8":
+        return arrays[0].astype(np.int16)
+    if mode == "lo8":
+        low = arrays[0]  # (B, H/2, W/2) full low-corner values
+        b, hh, ww = low.shape
+        planar = np.zeros((b, hh * 2, ww * 2), dtype=np.int16)
+        pv = planar.reshape(b, hh // 4, 8, ww // 4, 8)
+        pv[:, :, :4, :, :4] = low.reshape(b, hh // 4, 4, ww // 4, 4)
+        return planar
+    packed, res = arrays  # i4h
+    p = packed.astype(np.int16)
+    lo = ((p & 15) ^ 8) - 8
+    hi = ((p >> 4) ^ 8) - 8
+    planar = np.concatenate([lo, hi], axis=2)
+    b, h, w = planar.shape
+    pv = planar.reshape(b, h // 8, 8, w // 8, 8)
+    pv[:, :, :4, :, :4] += res.reshape(b, h // 8, 4, w // 8, 4)
+    return planar

@@ -1,0 +1,170 @@
+"""Sub-int8 coefficient upload packing (VERDICT r2 item 1).
+
+The AC upload chooses the cheapest LOSSLESS per-plane mode
+(lo8 < i4h < i8, jpeg_decode.plane_mode); every mode must reconstruct
+the exact planar int16 plane, and the device programs must produce
+byte-identical outputs whichever mode carried the coefficients."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import native_codecs
+from fanlin_tpu.ops import fused, jpeg_decode
+from fanlin_tpu.spec.query import parse_query
+
+from conftest import make_test_image
+
+pytestmark = pytest.mark.skipif(
+    not native_codecs.available(), reason="native codec core not built"
+)
+
+
+def _grid(bh=3, bw=4, low=0, high=0):
+    g = np.zeros((bh, bw, 64), np.int16)
+    g[:, :, 0] = 77  # DC (rides separately, must not leak into AC)
+    if low:
+        g[:, :, 9] = low    # (u=1, v=1): low corner
+    if high:
+        g[:, :, 5] = high   # (u=0, v=5): high frequency
+    return g
+
+
+def test_plane_mode_ladder():
+    assert jpeg_decode.plane_mode(_grid()) == "lo8"
+    assert jpeg_decode.plane_mode(_grid(low=120)) == "lo8"
+    assert jpeg_decode.plane_mode(_grid(low=120, high=7)) == "i4h"
+    assert jpeg_decode.plane_mode(_grid(low=120, high=-8)) == "i4h"
+    assert jpeg_decode.plane_mode(_grid(low=1, high=8)) == "i8"
+    assert jpeg_decode.widest_mode("lo8", "i4h") == "i4h"
+    assert jpeg_decode.widest_mode("i8", "lo8") == "i8"
+
+
+@pytest.mark.parametrize("mode,low,high", [
+    ("lo8", 120, 0), ("i4h", 120, 7), ("i4h", -128, -8), ("i8", 99, 99),
+])
+def test_pack_roundtrip_exact(mode, low, high):
+    """pack_plane -> planar_from_arrays_np reproduces the exact planar
+    plane (DC zeroed) for every mode."""
+    g = _grid(low=low, high=high)
+    assert jpeg_decode.plane_mode(g) == mode
+    ph, pw = 32, 128
+    dc, arrays = jpeg_decode.pack_plane(g, ph, pw, mode)
+    np.testing.assert_array_equal(dc[:3, :4], g[:, :, 0])
+    planar = jpeg_decode.planar_from_arrays_np(
+        mode, [a[None] for a in arrays]
+    )[0]
+    # reference planar layout with DC zeroed
+    ref = np.zeros((ph, pw), np.int16)
+    gz = g.copy()
+    gz[:, :, 0] = 0
+    ref[:24, :32] = (
+        gz.reshape(3, 4, 8, 8).transpose(0, 2, 1, 3).reshape(24, 32)
+    )
+    np.testing.assert_array_equal(planar, ref)
+
+
+def _photo_meta(quality=85, w=512, h=512):
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(w, h)).save(
+        buf, format="JPEG", quality=quality
+    )
+    return native_codecs.read_jpeg_coeffs(buf.getvalue())
+
+
+def test_photo_selects_sub_int8_modes():
+    """Photographic content at production quality takes the packed
+    upload: i4h luma, lo8 chroma — ~1.6x fewer bytes on the wire."""
+    m = _photo_meta()
+    assert jpeg_decode.meta_modes(m) == ("i4h", "lo8")
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [m])
+    assert asm.pack_modes == ("i4h", "lo8")
+    full = 512 * 512 + 2 * 256 * 256  # the old int8 planar bytes
+    assert asm.upload_ac_bytes <= 0.65 * full
+
+
+@pytest.mark.parametrize("kind", ["rgb", "jpeg420", "jpegdct"])
+def test_packed_modes_match_i8_device_output(kind, monkeypatch):
+    """The device output must be byte-identical whether the
+    coefficients rode the packed modes or plain int8 (the packing is
+    lossless; only the argument structure differs)."""
+    m = _photo_meta()
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+
+    def build(**kw):
+        return fused.CoefBatchAssembly([plan] * 2, [m, m], **kw)
+
+    kw = {}
+    if kind == "jpeg420":
+        kw = {"jpeg420": True}
+    elif kind == "jpegdct":
+        kw = {"jpegdct": True, "quality": 75}
+    packed = build(**kw)
+    assert packed.pack_modes == ("i4h", "lo8")
+    got = packed.run()
+    monkeypatch.setattr(jpeg_decode, "meta_modes", lambda m: ("i8", "i8"))
+    plain = build(**kw)
+    assert plain.pack_modes == ("i8", "i8")
+    ref = plain.run()
+    for g, r in zip(got, ref):
+        if kind == "rgb":
+            np.testing.assert_array_equal(g, r)
+        else:
+            for a, b in zip(g[1:4], r[1:4]):
+                np.testing.assert_array_equal(a, b)
+
+
+def test_packed_modes_match_i8_folded(monkeypatch):
+    """Same equivalence through the FOLDED decode-resize."""
+    m = _photo_meta()
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    fused.set_fold(True)
+    try:
+        packed = fused.CoefBatchAssembly([plan], [m])
+        assert packed.fold and packed.pack_modes == ("i4h", "lo8")
+        got = packed.run()
+        monkeypatch.setattr(jpeg_decode, "meta_modes",
+                            lambda m: ("i8", "i8"))
+        plain = fused.CoefBatchAssembly([plan], [m])
+        assert plain.fold and plain.pack_modes == ("i8", "i8")
+        ref = plain.run()
+    finally:
+        fused.set_fold(False)
+    np.testing.assert_array_equal(got[0], ref[0])
+
+
+def test_mixed_mode_batch_upgrades_to_widest(monkeypatch):
+    """A batch mixing a lo8-able image with an i8-needing one must
+    upgrade everyone to i8 and still match per-image single runs."""
+    m_soft = _photo_meta(quality=70)   # strong quant -> narrow modes
+    m_hard = _photo_meta(quality=98)   # weak quant -> wide values
+    ym_hard = jpeg_decode.meta_modes(m_hard)[0]
+    plan = fused.plan_image(512, 512, parse_query("w=100&h=80"),
+                            opaque=True)
+    both = fused.CoefBatchAssembly([plan, plan], [m_soft, m_hard])
+    assert both.pack_modes[0] == ym_hard  # the widest wins
+    got = both.run()
+    for i, m in enumerate([m_soft, m_hard]):
+        single = fused.CoefBatchAssembly([plan], [m]).run()[0]
+        np.testing.assert_array_equal(got[i], single)
+
+
+def test_low_matrix_is_exact_restriction():
+    """idct_low_matrix must equal blockdiag(D^T) restricted to the
+    u < 4 columns: low-corner-only content decodes identically through
+    either path."""
+    rng = np.random.default_rng(0)
+    n = 32
+    full = jpeg_decode._idct_blockdiag(n)
+    lowm = jpeg_decode.idct_low_matrix(n)
+    # scatter a low plane into planar positions and compare
+    low = rng.integers(-100, 100, (n // 2,)).astype(np.float32)
+    planar = np.zeros((n,), np.float32)
+    planar.reshape(n // 8, 8)[:, :4] = low.reshape(n // 8, 4)
+    np.testing.assert_allclose(full @ planar, lowm @ low, rtol=1e-6)
