@@ -172,6 +172,10 @@ class TpuConfig:
     # startup alongside the defaults, as "WxH:query" strings, e.g.
     # "1024x768:w=400&h=300&blur=5"
     warmup_shapes: tuple = ()
+    # directory for JAX profiler traces (SURVEY.md §5.1): when set,
+    # GET /profile?seconds=N captures a device trace there — the way
+    # to see MXU-vs-transfer time on real hardware
+    profile_dir: str = ""
 
     @classmethod
     def from_obj(cls, obj: dict) -> "TpuConfig":
@@ -208,6 +212,8 @@ class TpuConfig:
             )
         if "max_queue" in obj:
             cfg.max_queue = _as_uint(obj["max_queue"], "max_queue")
+        if "profile_dir" in obj:
+            cfg.profile_dir = _as_str(obj["profile_dir"], "profile_dir")
         if "warmup_shapes" in obj:
             raw = obj["warmup_shapes"]
             if not isinstance(raw, list) or not all(

@@ -21,31 +21,113 @@ import numpy as np
 from . import fused
 
 
+def _windowed_apply(m: np.ndarray, x: np.ndarray, axis: int) -> np.ndarray:
+    """y = m @ x along `axis`, exploiting the per-row support window.
+
+    Every matrix the mirror applies — Lanczos/triangle resample rows
+    (support ~6-10 taps), gaussian blur rows (2*sigma band), blockdiag
+    iDCT rows (8 taps) — has CONTIGUOUS nonzeros. The dense einsum
+    paid the full O*S*rest anyway — seconds of the single host core
+    for a 2000-wide blurred output (VERDICT r2 item 4). Gathering the
+    k-tap window per output row costs O*k*rest instead (k = widest
+    row support), using the matrix's own weights, so results match the
+    dense apply to f32 accumulation order. Returns the contracted
+    axis FIRST (like tensordot); callers moveaxis it back."""
+    o, s = m.shape
+    nz = m != 0
+    any_rows = nz.any(axis=1)
+    first = np.where(any_rows, nz.argmax(axis=1), 0)
+    last = np.where(any_rows, s - 1 - nz[:, ::-1].argmax(axis=1), 0)
+    k = int((last - first + 1).max(initial=1))
+    if k * 4 >= s or s < 64:
+        return np.tensordot(
+            m.astype(np.float32), x.astype(np.float32), axes=([1], [axis])
+        )
+    # BLAS-tiled: chunks of output rows hit a bounded column window,
+    # so each chunk is a small dense sgemm (full BLAS efficiency; the
+    # elementwise-gather formulation measured memory-bound and LOST
+    # to the dense matmul it was replacing)
+    xm = np.moveaxis(x, axis, 0)
+    rest = xm.shape[1:]
+    xf = np.ascontiguousarray(xm.reshape(s, -1), dtype=np.float32)
+    out = np.empty((o, xf.shape[1]), np.float32)
+    step = 192
+    for i0 in range(0, o, step):
+        i1 = min(i0 + step, o)
+        c0 = int(first[i0:i1].min())
+        c1 = int(last[i0:i1].max()) + 1
+        np.dot(np.ascontiguousarray(m[i0:i1, c0:c1], dtype=np.float32),
+               xf[c0:c1], out=out[i0:i1])
+    return out.reshape((o,) + rest)
+
+
+def _np_blur(bv: np.ndarray, bh: np.ndarray, out: np.ndarray,
+             uniform: bool) -> np.ndarray:
+    """The blur stage of the mirror: windowed for the shared-matrix
+    case (one matrix, the window trick applies wholesale), per-image
+    windowed otherwise."""
+    f32 = np.float32
+    if uniform:
+        t = np.moveaxis(_windowed_apply(bv, out, 2), 0, 2)
+        t = np.moveaxis(_windowed_apply(bh, t, 3), 0, 3)
+    else:
+        t = np.empty_like(out, dtype=f32)
+        for i in range(out.shape[0]):
+            s = np.moveaxis(_windowed_apply(bv[i], out[i], 1), 0, 1)
+            t[i] = np.moveaxis(_windowed_apply(bh[i], s, 2), 0, 2)
+    return np.floor(np.clip(t, 0.0, 255.0) + f32(0.5))
+
+
 def _np_chain(planes, av, ah, flags, fill, box, bv, bh, uniform):
     """numpy mirror of fused._chain. planes: (r, g, b[, a]) f32 arrays
     (B, SH, SW); av/ah either (B, OH, SH)/(B, OW, SW) or shared 2-D."""
     f32 = np.float32
     r, g, b = planes[0], planes[1], planes[2]
     a = planes[3] if len(planes) == 4 else None
-    luma = np.floor((2126.0 * r + 7152.0 * g + 722.0 * b).astype(f32) / f32(10000.0))
-    grayf = flags[:, 0][:, None, None]
-    invf = flags[:, 1][:, None, None]
-    r1 = np.where(grayf > 0, luma, r)
-    g1 = np.where(grayf > 0, luma, g)
-    b1 = np.where(grayf > 0, luma, b)
-    do_inv = (invf > 0) & (grayf == 0)
-    r1 = np.where(do_inv, 255.0 - r1, r1).astype(f32)
-    g1 = np.where(do_inv, 255.0 - g1, g1).astype(f32)
-    b1 = np.where(do_inv, 255.0 - b1, b1).astype(f32)
-    y = np.stack([r1, g1, b1] + ([a] if a is not None else []), axis=1)
+    if not (flags[:, 0].any() or flags[:, 1].any()):
+        # no gray/invert anywhere in the batch: skip the luma/where
+        # pass AND the plane restack (full-size elementwise work that
+        # profiled as half the mirror's cost on large sources)
+        y = np.stack(planes, axis=1) if len(planes) == 4 else np.stack(
+            [r, g, b], axis=1
+        )
+    else:
+        luma = np.floor(
+            (2126.0 * r + 7152.0 * g + 722.0 * b).astype(f32) / f32(10000.0)
+        )
+        grayf = flags[:, 0][:, None, None]
+        invf = flags[:, 1][:, None, None]
+        r1 = np.where(grayf > 0, luma, r)
+        g1 = np.where(grayf > 0, luma, g)
+        b1 = np.where(grayf > 0, luma, b)
+        do_inv = (invf > 0) & (grayf == 0)
+        r1 = np.where(do_inv, 255.0 - r1, r1).astype(f32)
+        g1 = np.where(do_inv, 255.0 - g1, g1).astype(f32)
+        b1 = np.where(do_inv, 255.0 - b1, b1).astype(f32)
+        y = np.stack([r1, g1, b1] + ([a] if a is not None else []), axis=1)
 
-    sub_v = "ds,bcsw->bcdw" if uniform else "bds,bcsw->bcdw"
-    sub_h = "ew,bcdw->bcde" if uniform else "bew,bcdw->bcde"
-    t = np.einsum(sub_v, av, y, dtype=f32, optimize=True)
-    t = np.einsum(sub_h, ah, t, dtype=f32, optimize=True)
+    if uniform:
+        t = np.moveaxis(_windowed_apply(av, y, 2), 0, 2)
+        t = np.moveaxis(_windowed_apply(ah, t, 3), 0, 3)
+    else:
+        t = np.empty((y.shape[0], y.shape[1], av.shape[1], ah.shape[1]), f32)
+        for i in range(y.shape[0]):  # per-image matrices, per-image windows
+            s_ = np.moveaxis(_windowed_apply(av[i], y[i], 1), 0, 1)
+            t[i] = np.moveaxis(_windowed_apply(ah[i], s_, 2), 0, 2)
     fg = np.floor(np.clip(t, 0.0, 255.0) + f32(0.5))
 
     bsz, c, oh, ow = fg.shape
+    if not flags[:, 2].any():
+        # no fill-canvas composite anywhere in the batch
+        if a is None:
+            out = np.concatenate(
+                [fg, np.full_like(fg[:, :1], 255.0)], axis=1
+            )
+        else:
+            out = fg
+        if bv is not None:
+            out = _np_blur(bv, bh, out, uniform)
+        return out.astype(np.uint8)
     ii = np.arange(oh)[None, :, None]
     jj = np.arange(ow)[None, None, :]
     x0 = box[:, 0][:, None, None]
@@ -74,11 +156,7 @@ def _np_chain(planes, av, ah, flags, fill, box, bv, bh, uniform):
     out = np.where(usec, comp, fg_full).astype(f32)
 
     if bv is not None:
-        sub_bv = "de,bcew->bcdw" if uniform else "bde,bcew->bcdw"
-        sub_bh = "fw,bcdw->bcdf" if uniform else "bfw,bcdw->bcdf"
-        t = np.einsum(sub_bv, bv, out, dtype=f32, optimize=True)
-        t = np.einsum(sub_bh, bh, t, dtype=f32, optimize=True)
-        out = np.floor(np.clip(t, 0.0, 255.0) + f32(0.5))
+        out = _np_blur(bv, bh, out, uniform)
     return out.astype(np.uint8)
 
 
@@ -182,10 +260,10 @@ def _np_decode420(asm):
         bh, bw = h // 8, w // 8
         qtile = np.tile(q.reshape(b, 8, 8), (1, bh, bw))
         coef = ac_planar.astype(np.float32) * qtile
-        mv = _idct_blockdiag(h)
-        mh = _idct_blockdiag(w)
-        t = np.einsum("de,bew->bdw", mv, coef, dtype=np.float32, optimize=True)
-        pix = np.einsum("fw,bdw->bdf", mh, t, dtype=np.float32, optimize=True)
+        mv = _idct_blockdiag(h)  # 8-tap rows: the windowed apply
+        mh = _idct_blockdiag(w)  # turns O(n^3) into O(8 n^2)
+        t = np.moveaxis(_windowed_apply(mv, coef, 1), 0, 1)
+        pix = np.moveaxis(_windowed_apply(mh, t, 2), 0, 2)
         dcv = dc.astype(np.float32) * (q[:, 0] / 8.0)[:, None, None]
         dc_pix = np.repeat(np.repeat(dcv, 8, axis=1), 8, axis=2)
         return np.clip(np.floor(pix + dc_pix + 128.5), 0, 255).astype(np.int64)

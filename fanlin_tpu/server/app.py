@@ -169,6 +169,42 @@ async def stats_handler(request: web.Request) -> web.Response:
     )
 
 
+def make_profile_handler(profile_dir: str):
+    """GET /profile?seconds=N — capture a JAX device trace into
+    tpu.profile_dir (SURVEY.md §5.1: the profiler hook that shows
+    MXU-vs-transfer time on real hardware; view with TensorBoard or
+    xprof). One capture at a time; additive debug route, enabled only
+    when tpu.profile_dir is configured."""
+    lock = asyncio.Lock()
+
+    async def profile_handler(request: web.Request) -> web.Response:
+        import json
+
+        try:
+            seconds = min(max(float(request.query.get("seconds", 3)), 0.1), 60.0)
+        except ValueError:
+            return web.Response(status=400, text="bad seconds")
+        if lock.locked():
+            return web.Response(status=409, text="profile already running")
+        async with lock:
+            import jax
+
+            def capture():
+                jax.profiler.start_trace(profile_dir)
+                try:
+                    time.sleep(seconds)
+                finally:
+                    jax.profiler.stop_trace()
+
+            await asyncio.to_thread(capture)
+        return web.Response(
+            text=json.dumps({"trace_dir": profile_dir, "seconds": seconds}),
+            content_type="application/json",
+        )
+
+    return profile_handler
+
+
 @web.middleware
 async def trace_middleware(request: web.Request, handler):
     t0 = time.perf_counter()
@@ -230,6 +266,10 @@ def create_app(cfg: config_mod.Config, state: State) -> web.Application:
     app[STATE_KEY] = state
     app.router.add_get("/ping", ping_handler)
     app.router.add_get("/stats", stats_handler)
+    if cfg.tpu.profile_dir:
+        app.router.add_get(
+            "/profile", make_profile_handler(cfg.tpu.profile_dir)
+        )
     # axum's .fallback() catches every method (reference main.rs:90) —
     # the generic handler serves them all identically
     app.router.add_route("*", "/{tail:.*}", generic_handler)

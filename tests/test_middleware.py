@@ -97,3 +97,50 @@ def test_unicode_key_over_http_origin(fixtures_dir, tmp_path):
     s1, s2 = asyncio.new_event_loop().run_until_complete(go())
     assert s1 == 200
     assert s2 == 200
+
+
+def test_profile_endpoint_captures_trace(fixtures_dir, tmp_path):
+    """tpu.profile_dir enables GET /profile?seconds=N — a JAX device
+    trace lands in the directory (SURVEY.md §5.1 profiler hook)."""
+    import asyncio
+    import os
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from fanlin_tpu.config import Config
+    from fanlin_tpu.server.app import build_state, create_app
+
+    prof = str(tmp_path / "traces")
+    cfg = Config.from_str(
+        """
+{
+  "port": 0, "bind_addr": "127.0.0.1", "max_clients": 4,
+  "client": {"s3": {"aws_region": "x"},
+             "web": {"user_agent": "t", "timeout": 2}},
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "tpu": {"warmup": false, "profile_dir": "%s"}
+}
+""" % (fixtures_dir, prof)
+    )
+
+    async def go():
+        state = await build_state(cfg)
+        client = TestClient(TestServer(create_app(cfg, state)))
+        await client.start_server()
+        try:
+            # work under the trace so it has content
+            req = client.get("/baz/lenna.jpg?w=64&h=48")
+            resp = await client.get("/profile?seconds=0.3")
+            body = await resp.json()
+            await req
+            return resp.status, body
+        finally:
+            await client.close()
+
+    status, body = asyncio.new_event_loop().run_until_complete(go())
+    assert status == 200
+    assert body["trace_dir"] == prof
+    found = []
+    for root, _dirs, files in os.walk(prof):
+        found.extend(files)
+    assert found, "no trace files captured"
