@@ -172,10 +172,21 @@ def read_jpeg_coeffs(data: bytes) -> Optional[dict]:
     finally:
         lib.fc_free(ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)))
     tables = np.ctypeslib.as_array(qt)
+    gray = subsamp.value == 400
+    if gray:
+        # Grayscale source: synthesize ALL-ZERO chroma at 4:4:4 dims —
+        # zero coefficients decode to constant 128, and libjpeg's
+        # YCbCr(y, 128, 128) -> RGB is exactly r = g = b = y, so the
+        # whole existing pipeline applies verbatim. The "zero" upload
+        # pack mode ships nothing but the tiny DC grids for them.
+        cb = np.zeros((ybh.value, ybw.value, 64), np.int16)
+        cr = np.zeros((ybh.value, ybw.value, 64), np.int16)
     return {
         "y": y, "cb": cb, "cr": cr,
         "lq": tables[:64].copy(), "cq": tables[64:].copy(),
-        "w": w.value, "h": h.value, "subsamp": subsamp.value,
+        "w": w.value, "h": h.value,
+        "subsamp": 444 if gray else subsamp.value,
+        "gray": gray,
     }
 
 

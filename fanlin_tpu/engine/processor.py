@@ -133,7 +133,10 @@ class Engine:
 
         if meta is not None:
             img = None
-            has_alpha, is_gray = False, False
+            # grayscale JPEGs take the Y-only device decode (synthesized
+            # zero chroma -> r=g=b=y exactly); is_gray keeps the output
+            # pixel-type tracking identical to the host decode path
+            has_alpha, is_gray = False, bool(meta.get("gray"))
             h, w = meta["h"], meta["w"]
             self.stats["coef_src"] += 1
         else:

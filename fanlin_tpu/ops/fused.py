@@ -520,7 +520,7 @@ def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
 
 
 def _n_arrays(mode: str) -> int:
-    return 2 if mode == "i4h" else 1
+    return {"zero": 0, "lo8": 1, "i8": 1, "i4h": 2}[mode]
 
 
 def _plane_from_arrays(mode: str, arrays):
@@ -529,6 +529,8 @@ def _plane_from_arrays(mode: str, arrays):
     separately as low_cols() restrictions)."""
     from . import jpeg_decode
 
+    if mode == "zero":
+        return None, None
     if mode == "i8":
         return arrays[0], None
     if mode == "lo8":
@@ -559,7 +561,9 @@ def get_folded_program(batch: int, true_h: int, true_w: int, out_h: int,
     mmd = jnp.bfloat16 if fast else jnp.float32
     ymode, cmode = pack
     n_y, n_c = _n_arrays(ymode), _n_arrays(cmode)
-    n_low = (0 if ymode == "i8" else 2) + (0 if cmode == "i8" else 2)
+    y_has_low = ymode in ("lo8", "i4h")
+    c_has_low = cmode in ("lo8", "i4h")
+    n_low = (2 if y_has_low else 0) + (2 if c_has_low else 0)
 
     def core(*a):
         i = 0
@@ -584,11 +588,11 @@ def get_folded_program(batch: int, true_h: int, true_w: int, out_h: int,
         crac, cr_low = _plane_from_arrays(cmode, cr_arr)
         # low matrices: (ay_low, ahy_low)[, (acv_low, ach_low)] in the
         # order the assembly appended them
-        if ymode != "i8" and cmode != "i8":
+        if y_has_low and c_has_low:
             low_mats = lows
-        elif ymode != "i8":
+        elif y_has_low:
             low_mats = (lows[0], lows[1], None, None)
-        elif cmode != "i8":
+        elif c_has_low:
             low_mats = (None, None, lows[0], lows[1])
         else:
             low_mats = None
@@ -1109,7 +1113,7 @@ class CoefBatchAssembly(BatchAssembly):
         # batch needs (lo8 < i4h < i8, all lossless): typically
         # ("i4h", "lo8") at production qualities — ~1 B/px on the wire
         # instead of the int8 planar ~1.5 B/px (VERDICT r2 item 1).
-        ymode, cmode = "lo8", "lo8"
+        ymode, cmode = "zero", "zero"
         for m in metas:
             ym, cm = jpeg_decode.meta_modes(m)
             ymode = jpeg_decode.widest_mode(ymode, ym)
@@ -1117,6 +1121,8 @@ class CoefBatchAssembly(BatchAssembly):
         self.pack_modes = (ymode, cmode)
 
         def alloc(mode, ph, pw):
+            if mode == "zero":
+                return []
             if mode == "lo8":
                 return [np.zeros((self.b, ph // 2, pw // 2), np.int8)]
             if mode == "i4h":
@@ -1197,10 +1203,10 @@ class CoefBatchAssembly(BatchAssembly):
                 spec = (None, "sp") if i in (1, 3) else ()
                 args.append(self._cput(m, *spec))
             ymode, cmode = self.pack_modes
-            if ymode != "i8":
+            if ymode in ("lo8", "i4h"):
                 args += [self._cput(lows[0]),
                          self._cput(lows[1], None, "sp")]
-            if cmode != "i8":
+            if cmode in ("lo8", "i4h"):
                 args += [self._cput(lows[2]),
                          self._cput(lows[3], None, "sp")]
             args += [self._put(self.flags, "dp"), self._put(self.fill, "dp"),

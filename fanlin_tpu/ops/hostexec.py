@@ -251,9 +251,13 @@ def _np_decode420(asm):
     from .jpeg_decode import _idct_blockdiag, planar_from_arrays_np
 
     ymode, cmode = asm.pack_modes
-    yac = planar_from_arrays_np(ymode, asm.y_arrays)
-    cbac = planar_from_arrays_np(cmode, asm.cb_arrays)
-    crac = planar_from_arrays_np(cmode, asm.cr_arrays)
+    csv, csh = {420: (2, 2), 422: (1, 2), 444: (1, 1)}[
+        getattr(asm, "subsamp", 420)
+    ]
+    cshape = (asm.b, asm.sh // csv, asm.sw // csh)
+    yac = planar_from_arrays_np(ymode, asm.y_arrays, (asm.b, asm.sh, asm.sw))
+    cbac = planar_from_arrays_np(cmode, asm.cb_arrays, cshape)
+    crac = planar_from_arrays_np(cmode, asm.cr_arrays, cshape)
 
     def idct(dc, ac_planar, q):
         b, h, w = ac_planar.shape

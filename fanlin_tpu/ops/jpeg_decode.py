@@ -456,12 +456,19 @@ _NAT_V = np.arange(64) % 8
 _HIGH_MASK = (_NAT_U >= 4) | (_NAT_V >= 4)  # (64,) bool
 _LOW_IDX = np.where(~_HIGH_MASK)[0]  # 16 low positions, natural order
 
-_MODE_COST = {"lo8": 0, "i4h": 1, "i8": 2}
+_MODE_COST = {"zero": 0, "lo8": 1, "i4h": 2, "i8": 3}
 
 
 def plane_mode(grid: np.ndarray) -> str:
     """Cheapest lossless upload mode for one (bh, bw, 64) int16 plane
-    (caller already verified |AC| <= 127 via ac_fits_int8)."""
+    (caller already verified |AC| <= 127 via ac_fits_int8). "zero"
+    (no AC content at all — only the DC grid ships) covers synthesized
+    grayscale chroma and ultra-smooth planes."""
+    ac = grid[:, :, 1:]
+    if ac.size == 0 or (
+        int(ac.max(initial=0)) == 0 and int(ac.min(initial=0)) == 0
+    ):
+        return "zero"
     high = grid[:, :, _HIGH_MASK]
     if high.size == 0 or (
         int(high.max(initial=0)) == 0 and int(high.min(initial=0)) == 0
@@ -576,6 +583,8 @@ def unpack_plane_args(mode: str, arrays, pad_h: int, pad_w: int,
     """
     h = pad_h // chroma_div[0]
     w = pad_w // chroma_div[1]
+    if mode == "zero":
+        return None, None  # DC-only plane
     if mode == "i8":
         return arrays[0], None
     mv_low = jnp.asarray(idct_low_matrix(h))
@@ -607,6 +616,8 @@ def pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str):
     gh, gw = grid.shape[:2]
     dc = np.zeros((ph // 8, pw // 8), dtype=np.int16)
     dc[:gh, :gw] = grid[:, :, 0]
+    if mode == "zero":
+        return dc, ()
     if mode == "lo8":
         return dc, (pack_low(grid, ph, pw, residual=False),)
     g = grid.copy()
@@ -624,11 +635,14 @@ def pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str):
     return dc, (ac,)
 
 
-def planar_from_arrays_np(mode: str, arrays) -> np.ndarray:
+def planar_from_arrays_np(mode: str, arrays, shape=None) -> np.ndarray:
     """Numpy inverse of the upload packing for the HOST mirror
     (ops.hostexec): reconstruct the dense (B, H, W) int16 planar AC
     plane from one plane's mode-specific packed arrays. Lossless for
-    every mode by construction."""
+    every mode by construction. shape=(B, H, W) is required for the
+    array-less "zero" mode."""
+    if mode == "zero":
+        return np.zeros(shape, np.int16)
     if mode == "i8":
         return arrays[0].astype(np.int16)
     if mode == "lo8":

@@ -387,11 +387,11 @@ int fc_encode_jpeg_coeffs(const int16_t* y_coef, const int16_t* cb_coef,
 // chroma upsample + YCbCr->RGB) fused into the transform program.
 // This is the decode-side mirror of fc_encode_jpeg_coeffs.
 //
-// Accepts 3-component YCbCr 4:2:0 (the overwhelmingly common layout)
-// and 4:4:4, with one luma + one shared chroma quant table; anything
-// else (grayscale, 4:2:2, CMYK, per-component tables) returns 2 and
-// the caller uses the normal pixel decode path. *subsamp is 420 or
-// 444.
+// Accepts 3-component YCbCr (4:2:0 / 4:2:2 / 4:4:4 with one luma +
+// one shared chroma quant table) and 1-component grayscale (*subsamp
+// = 400: Y blocks only, c_bw = c_bh = 0, chroma qtable mirrors
+// luma); anything else (CMYK, per-component chroma tables) returns 2
+// and the caller uses the normal pixel decode path.
 //
 // Output blob layout (single malloc, int16, natural block order —
 // libjpeg stores both coefficients and DQT tables in natural order):
@@ -419,22 +419,29 @@ int fc_read_jpeg_coeffs(const uint8_t* data, size_t len, int16_t** out,
     jpeg_destroy_decompress(&cinfo);
     return 1;
   }
-  if (cinfo.num_components != 3 || cinfo.jpeg_color_space != JCS_YCbCr) {
+  const int is_gray =
+      cinfo.num_components == 1 && cinfo.jpeg_color_space == JCS_GRAYSCALE;
+  if (!is_gray &&
+      (cinfo.num_components != 3 || cinfo.jpeg_color_space != JCS_YCbCr)) {
     jpeg_destroy_decompress(&cinfo);
     return 2;
   }
   jpeg_component_info* comp = cinfo.comp_info;
-  const int is420 = comp[0].h_samp_factor == 2 && comp[0].v_samp_factor == 2;
-  const int is422 = comp[0].h_samp_factor == 2 && comp[0].v_samp_factor == 1;
-  const int is444 = comp[0].h_samp_factor == 1 && comp[0].v_samp_factor == 1;
-  if (!(is420 || is422 || is444) ||
-      comp[1].h_samp_factor != 1 || comp[1].v_samp_factor != 1 ||
-      comp[2].h_samp_factor != 1 || comp[2].v_samp_factor != 1 ||
-      comp[1].quant_tbl_no != comp[2].quant_tbl_no) {
-    jpeg_destroy_decompress(&cinfo);
-    return 2;
+  if (is_gray) {
+    *subsamp = 400;
+  } else {
+    const int is420 = comp[0].h_samp_factor == 2 && comp[0].v_samp_factor == 2;
+    const int is422 = comp[0].h_samp_factor == 2 && comp[0].v_samp_factor == 1;
+    const int is444 = comp[0].h_samp_factor == 1 && comp[0].v_samp_factor == 1;
+    if (!(is420 || is422 || is444) ||
+        comp[1].h_samp_factor != 1 || comp[1].v_samp_factor != 1 ||
+        comp[2].h_samp_factor != 1 || comp[2].v_samp_factor != 1 ||
+        comp[1].quant_tbl_no != comp[2].quant_tbl_no) {
+      jpeg_destroy_decompress(&cinfo);
+      return 2;
+    }
+    *subsamp = is420 ? 420 : (is422 ? 422 : 444);
   }
-  *subsamp = is420 ? 420 : (is422 ? 422 : 444);
   jvirt_barray_ptr* coef_arrays = jpeg_read_coefficients(&cinfo);
   if (coef_arrays == nullptr) {
     jpeg_destroy_decompress(&cinfo);
@@ -442,8 +449,8 @@ int fc_read_jpeg_coeffs(const uint8_t* data, size_t len, int16_t** out,
   }
   const JDIMENSION ybw = comp[0].width_in_blocks;
   const JDIMENSION ybh = comp[0].height_in_blocks;
-  const JDIMENSION cbw = comp[1].width_in_blocks;
-  const JDIMENSION cbh = comp[1].height_in_blocks;
+  const JDIMENSION cbw = is_gray ? 0 : comp[1].width_in_blocks;
+  const JDIMENSION cbh = is_gray ? 0 : comp[1].height_in_blocks;
   const size_t n =
       (static_cast<size_t>(ybw) * ybh + 2 * static_cast<size_t>(cbw) * cbh) *
       DCTSIZE2;
@@ -455,7 +462,7 @@ int fc_read_jpeg_coeffs(const uint8_t* data, size_t len, int16_t** out,
   int16_t* dst = blob;
   const JDIMENSION bws[3] = {ybw, cbw, cbw};
   const JDIMENSION bhs[3] = {ybh, cbh, cbh};
-  for (int ci = 0; ci < 3; ++ci) {
+  for (int ci = 0; ci < cinfo.num_components; ++ci) {
     for (JDIMENSION row = 0; row < bhs[ci]; ++row) {
       JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
           reinterpret_cast<j_common_ptr>(&cinfo), coef_arrays[ci], row, 1,
@@ -466,7 +473,8 @@ int fc_read_jpeg_coeffs(const uint8_t* data, size_t len, int16_t** out,
     }
   }
   JQUANT_TBL* lt = cinfo.quant_tbl_ptrs[comp[0].quant_tbl_no];
-  JQUANT_TBL* ct = cinfo.quant_tbl_ptrs[comp[1].quant_tbl_no];
+  JQUANT_TBL* ct =
+      is_gray ? lt : cinfo.quant_tbl_ptrs[comp[1].quant_tbl_no];
   if (lt == nullptr || ct == nullptr) {
     jpeg_destroy_decompress(&cinfo);
     free(blob);

@@ -152,11 +152,6 @@ def test_engine_coef_path_with_ops():
 
 def test_unsupported_layouts_fall_back():
     e = Engine(device_decode=True)
-    # grayscale source: 1 component -> pixel path
-    buf = io.BytesIO()
-    Image.fromarray(make_test_image()[:, :, 0]).save(buf, format="JPEG")
-    e.process_image(buf.getvalue(), parse_query("w=100&h=100"), Format())
-    assert e.stats["pixel_src"] == 1 and e.stats["coef_src"] == 0
     # EXIF-rotated source -> pixel path (orientation must apply)
     buf2 = io.BytesIO()
     im = Image.fromarray(make_test_image(64, 64))
@@ -164,7 +159,7 @@ def test_unsupported_layouts_fall_back():
     exif[0x0112] = 6
     im.save(buf2, format="JPEG", exif=exif)
     e.process_image(buf2.getvalue(), parse_query("w=32&h=32"), Format())
-    assert e.stats["pixel_src"] == 2 and e.stats["coef_src"] == 0
+    assert e.stats["pixel_src"] == 1 and e.stats["coef_src"] == 0
 
 
 @pytest.mark.parametrize("dims", [(512, 512), (100, 80)])
@@ -293,3 +288,56 @@ def test_mixed_subsampling_through_batcher():
         assert psnr(outs[422], outs[444]) >= 40.0
     finally:
         batcher.close()
+
+
+def test_grayscale_source_device_decode():
+    """Grayscale (1-component) JPEGs take the Y-only device decode:
+    synthesized zero chroma decodes to exactly r=g=b=y (ROADMAP 9
+    residue / VERDICT r2 item 10)."""
+    gray = np.asarray(
+        Image.fromarray(make_test_image(96, 64)).convert("L")
+    )
+    buf = io.BytesIO()
+    Image.fromarray(gray).save(buf, format="JPEG", quality=90)
+    data = buf.getvalue()
+    meta = native_codecs.read_jpeg_coeffs(data)
+    assert meta is not None and meta.get("gray") is True
+    assert meta["subsamp"] == 444 and not meta["cb"].any()
+    # identity decode vs libjpeg's own pixel decode of the same bytes
+    host, _ = native_codecs.decode_jpeg(data)
+    if host.ndim == 2 or host.shape[2] == 1:
+        host = np.repeat(host.reshape(host.shape[0], host.shape[1], 1), 3, 2)
+    plan = fused.plan_image(96, 64, parse_query(""), opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [meta])
+    assert asm.pack_modes[1] == "zero"  # chroma ships only DC grids
+    out = asm.run()[0]
+    assert int(np.abs(out.astype(int) - host.astype(int)).max()) <= 4
+    # the planes really are r=g=b
+    assert np.array_equal(out[..., 0], out[..., 1])
+    assert np.array_equal(out[..., 0], out[..., 2])
+
+
+def test_engine_grayscale_jpeg_coef_path_matches_pixel_path():
+    """Engine e2e: a grayscale JPEG rides the coefficient path, keeps
+    the 'L' output pixel type, and matches the host decode path."""
+    gray = np.asarray(
+        Image.fromarray(make_test_image(128, 96)).convert("L")
+    )
+    buf = io.BytesIO()
+    Image.fromarray(gray).save(buf, format="JPEG", quality=90)
+    data = buf.getvalue()
+    q = parse_query("w=64&h=48")
+    e_coef = Engine(device_decode=True)
+    e_pix = Engine(device_decode=False)
+    mime1, out1 = e_coef.process_image(data, q, Format())
+    mime2, out2 = e_pix.process_image(data, q, Format())
+    assert mime1 == mime2 == "image/jpeg"
+    assert e_coef.stats["coef_src"] == 1
+    assert e_pix.stats["pixel_src"] == 1
+    with Image.open(io.BytesIO(out1)) as im1, \
+            Image.open(io.BytesIO(out2)) as im2:
+        assert im1.mode == im2.mode  # 'L' output type preserved
+        a = np.asarray(im1.convert("RGB"))
+        b = np.asarray(im2.convert("RGB"))
+    d = psnr(a, b)
+    assert d >= 48.0, d

@@ -33,13 +33,14 @@ def _grid(bh=3, bw=4, low=0, high=0):
 
 
 def test_plane_mode_ladder():
-    assert jpeg_decode.plane_mode(_grid()) == "lo8"
+    assert jpeg_decode.plane_mode(_grid()) == "zero"  # DC-only plane
     assert jpeg_decode.plane_mode(_grid(low=120)) == "lo8"
     assert jpeg_decode.plane_mode(_grid(low=120, high=7)) == "i4h"
     assert jpeg_decode.plane_mode(_grid(low=120, high=-8)) == "i4h"
     assert jpeg_decode.plane_mode(_grid(low=1, high=8)) == "i8"
     assert jpeg_decode.widest_mode("lo8", "i4h") == "i4h"
     assert jpeg_decode.widest_mode("i8", "lo8") == "i8"
+    assert jpeg_decode.widest_mode("zero", "lo8") == "lo8"
 
 
 @pytest.mark.parametrize("mode,low,high", [
