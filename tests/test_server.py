@@ -1,10 +1,14 @@
 """End-to-end gateway tests over all three origins, mirroring the
 reference's integration table (reference src/main.rs:302-472):
-real S3 protocol (local fake S3 speaking GetObject), a live static
-HTTP origin, and the local filesystem."""
+real S3 protocol, a live static HTTP origin, and the local
+filesystem. The S3 origin is an in-process fake speaking GetObject by
+default; under FANLIN_MINIO=1 (CI's s3-minio job, `make s3test`) the
+SAME table runs against real MinIO — the reference runs its whole
+suite that way (reference .github/workflows/test.yaml:29-63)."""
 
 import asyncio
 import io
+import time
 
 import pytest
 from aiohttp import web
@@ -53,7 +57,7 @@ async def _start(app) -> TestClient:
     return client
 
 
-def _config(fixtures_dir, s3_port, web_port) -> Config:
+def _config(fixtures_dir, s3_endpoint, s3_bucket, web_port) -> Config:
     return Config.from_str(
         """
 {
@@ -64,14 +68,14 @@ def _config(fixtures_dir, s3_port, web_port) -> Config:
   "client": {
     "s3": {
       "aws_region": "test-region-1",
-      "aws_endpoint_url": "http://127.0.0.1:%d",
+      "aws_endpoint_url": "%s",
       "aws_access_key_id": "AAAAAAAAAAAAAAAAAAAA",
       "aws_secret_access_key": "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
     },
     "web": {"user_agent": "fanlin-tpu-test/0", "timeout": 2}
   },
   "providers": [
-    {"path": "foo", "src": "s3://local-test/images"},
+    {"path": "foo", "src": "s3://%s/images"},
     {"path": "bar", "src": "http://127.0.0.1:%d/static"},
     {"path": "baz", "src": "file://localhost%s"},
     {"path": "qux", "src": "file://localhost%s", "success_even_no_content": true},
@@ -80,30 +84,54 @@ def _config(fixtures_dir, s3_port, web_port) -> Config:
   ]
 }
 """
-        % (s3_port, web_port, fixtures_dir, fixtures_dir, fixtures_dir)
+        % (s3_endpoint, s3_bucket, web_port, fixtures_dir, fixtures_dir,
+           fixtures_dir)
     )
 
 
 @pytest.fixture(scope="module")
 def e2e(fixtures_dir):
-    """(client, cleanup) running gateway + fake S3 + static origin."""
+    """(client, cleanup) running gateway + S3 + static origin. The S3
+    origin is the in-process fake, or real MinIO under FANLIN_MINIO=1
+    (the full table runs against the real wire protocol in CI)."""
+    from test_s3_minio import _minio_up
+
+    use_minio = _minio_up()
     loop = asyncio.new_event_loop()
 
     async def setup():
-        s3_client = await _start(_fake_s3_app(fixtures_dir))
         web_client = await _start(_static_app(fixtures_dir))
-        cfg = _config(fixtures_dir, s3_client.port, web_client.port)
-        state = await build_state(cfg)
-        gw = await _start(create_app(cfg, state))
-        return s3_client, web_client, gw
+        mgr = None
+        if use_minio:
+            from test_s3_minio import ENDPOINT, BucketManager
 
-    s3_client, web_client, gw = loop.run_until_complete(setup())
+            bucket = f"fanlin-e2e-{int(time.time())}"
+            cfg = _config(fixtures_dir, ENDPOINT, bucket, web_client.port)
+            state = await build_state(cfg)
+            mgr = BucketManager(state.client.s3, bucket)
+            await mgr.create()
+            await mgr.put(
+                "images/lenna.jpg", (fixtures_dir / "lenna.jpg").read_bytes()
+            )
+            s3_client = None
+        else:
+            s3_client = await _start(_fake_s3_app(fixtures_dir))
+            cfg = _config(fixtures_dir, f"http://127.0.0.1:{s3_client.port}",
+                          "local-test", web_client.port)
+            state = await build_state(cfg)
+        gw = await _start(create_app(cfg, state))
+        return s3_client, web_client, gw, mgr
+
+    s3_client, web_client, gw, mgr = loop.run_until_complete(setup())
     yield loop, gw
 
     async def teardown():
+        if mgr is not None:
+            await mgr.delete(["images/lenna.jpg"])
         await gw.close()
         await web_client.close()
-        await s3_client.close()
+        if s3_client is not None:
+            await s3_client.close()
 
     loop.run_until_complete(teardown())
     loop.close()
