@@ -176,6 +176,11 @@ class TpuConfig:
     # GET /profile?seconds=N captures a device trace there — the way
     # to see MXU-vs-transfer time on real hardware
     profile_dir: str = ""
+    # byte budget (MB) for caching full 200 responses keyed on
+    # (raw path, query, accept-negotiation bits) — additive over the
+    # reference (which recomputes every request); origins are treated
+    # as immutable, CDN-style. 0 = off (the parity default).
+    response_cache_mb: int = 0
 
     @classmethod
     def from_obj(cls, obj: dict) -> "TpuConfig":
@@ -214,6 +219,10 @@ class TpuConfig:
             cfg.max_queue = _as_uint(obj["max_queue"], "max_queue")
         if "profile_dir" in obj:
             cfg.profile_dir = _as_str(obj["profile_dir"], "profile_dir")
+        if "response_cache_mb" in obj:
+            cfg.response_cache_mb = _as_uint(
+                obj["response_cache_mb"], "response_cache_mb"
+            )
         if "warmup_shapes" in obj:
             raw = obj["warmup_shapes"]
             if not isinstance(raw, list) or not all(

@@ -97,6 +97,20 @@ async def generic_handler(request: web.Request) -> web.Response:
     # request.path is already decoded once — using it would
     # double-decode keys like "name%2520file.jpg".
     path = request.rel_url.raw_path
+    # optional full-response cache (tpu.response_cache_mb): keyed on
+    # raw path + query + the Accept bits that change the negotiated
+    # output format (the Vary dimension) — additive, off by default
+    cache = getattr(state, "response_cache", None)
+    cache_key = None
+    if cache is not None:
+        cache_key = (path, request.query_string,
+                     accepted.webp_accepted(), accepted.avif_accepted())
+        hit = cache.get(cache_key)
+        if hit is not None:
+            mime, processed = hit
+            headers = _create_headers(mime, params)
+            headers["X-Cache"] = "hit"
+            return web.Response(status=200, headers=headers, body=processed)
     try:
         original = await state.get_image(path)
     except Exception as err:
@@ -131,6 +145,8 @@ async def generic_handler(request: web.Request) -> web.Response:
     for name, dur in marks:
         timer.add_duration(name, dur)
     timer.add("f_process")
+    if cache is not None and cache_key is not None:
+        cache.put(cache_key, (mime, processed), len(processed) + 256)
     return web.Response(
         status=200, headers=_create_headers(mime, params, timer), body=processed
     )
@@ -158,6 +174,11 @@ async def stats_handler(request: web.Request) -> web.Response:
         "engine": dict(getattr(state.engine, "stats", {})),
         "batcher": dict(batcher.stats) if batcher is not None else None,
         "caches": {
+            "responses": (
+                state.response_cache.stats()
+                if getattr(state, "response_cache", None) is not None
+                else None
+            ),
             "plans": fused._PLAN_CACHE.stats(),
             "uniform_matrices": fused._UNIFORM_CACHE.stats(),
             "device_matrices": fused._DEVICE_MATRIX_CACHE.stats(),
@@ -343,6 +364,10 @@ async def build_state(cfg: config_mod.Config) -> State:
         )
     state = State(cfg.providers, client, engine,
                   singleflight=cfg.tpu.singleflight)
+    if cfg.tpu.response_cache_mb:
+        from ..utils.bytelru import ByteLRU
+
+        state.response_cache = ByteLRU(cfg.tpu.response_cache_mb * 1024 * 1024)
     try:
         await state.with_fallback(cfg.fallback_path, cfg.providers)
     except Exception as err:

@@ -51,3 +51,47 @@ def test_data_parallel_gateway(fixtures_dir):
             assert im.size == (100, 80)
     # identical inputs through the mesh must give identical outputs
     assert len({bytes(b) for b in bodies}) == 1
+
+
+def test_response_cache(fixtures_dir):
+    """tpu.response_cache_mb: a repeated identical request (same raw
+    path + query + Accept negotiation bits) is served from the cache
+    with identical bytes; different queries miss (additive feature,
+    off by default)."""
+    cfg = Config.from_str(
+        """
+{
+  "port": 0, "bind_addr": "127.0.0.1", "max_clients": 4,
+  "client": {"s3": {"aws_region": "x"},
+             "web": {"user_agent": "t", "timeout": 2}},
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "tpu": {"warmup": false, "response_cache_mb": 8}
+}
+""" % fixtures_dir
+    )
+
+    async def go():
+        state = await build_state(cfg)
+        client = TestClient(TestServer(create_app(cfg, state)))
+        await client.start_server()
+        try:
+            r1 = await client.get("/baz/lenna.jpg?w=100&h=80")
+            b1 = await r1.read()
+            r2 = await client.get("/baz/lenna.jpg?w=100&h=80")
+            b2 = await r2.read()
+            r3 = await client.get("/baz/lenna.jpg?w=64&h=48")
+            b3 = await r3.read()
+            return (r1, b1), (r2, b2), (r3, b3), state
+        finally:
+            await client.close()
+
+    (r1, b1), (r2, b2), (r3, b3), state = (
+        asyncio.new_event_loop().run_until_complete(go())
+    )
+    assert r1.status == r2.status == r3.status == 200
+    assert "X-Cache" not in r1.headers
+    assert r2.headers.get("X-Cache") == "hit"
+    assert b1 == b2
+    assert b3 != b1
+    s = state.response_cache.stats()
+    assert s["hits"] == 1 and s["entries"] == 2
