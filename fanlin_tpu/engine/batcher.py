@@ -60,8 +60,12 @@ class BatcherOverload(RuntimeError):
     """A group's pending queue exceeded max_queue — shed at admission."""
 
 
-class _Shed(Exception):
-    """Internal: entry dropped because its request deadline passed."""
+class RequestExpired(Exception):
+    """Entry dropped because its request deadline passed before device
+    dispatch. The gateway maps this back to 408 (its timeout
+    middleware usually wins the race and has already sent one; when
+    the batcher sheds first, the client must still see a 408, not a
+    logged 500 + fallback reprocessing)."""
 
 
 def _group_key(plan: fused.ImagePlan, kind: str) -> Tuple:
@@ -181,16 +185,19 @@ class MicroBatcher:
         with self._lock:
             if self._closed:
                 raise RuntimeError("batcher closed")
+            if self.max_queue and self._backlog.get(key, 0) >= self.max_queue:
+                # reject BEFORE creating/registering a group so an
+                # over-capacity first submit can't leave a phantom
+                # empty group for the scheduler to flush
+                self.stats["rejected_overload"] += 1
+                raise BatcherOverload(
+                    f"group backlog over {self.max_queue} pending entries"
+                )
             entry = self._groups.get(key)
             if entry is None:
                 entry = (time.monotonic() + self.window_s, [])
                 self._groups[key] = entry
                 self._wake.notify()  # new deadline for the scheduler
-            if self.max_queue and self._backlog.get(key, 0) >= self.max_queue:
-                self.stats["rejected_overload"] += 1
-                raise BatcherOverload(
-                    f"group backlog over {self.max_queue} pending entries"
-                )
             self._backlog[key] = self._backlog.get(key, 0) + 1
             entry[1].append((plan, image, fut, kind, req_deadline))
             if len(entry[1]) >= self.max_batch:
@@ -241,7 +248,9 @@ class MicroBatcher:
                 self.stats["shed_expired"] += 1
                 if not fut.cancelled():
                     fut.set_exception(
-                        _Shed("request deadline passed before device dispatch")
+                        RequestExpired(
+                            "request deadline passed before device dispatch"
+                        )
                     )
                 continue
             live.append(entry)
@@ -349,15 +358,20 @@ class MicroBatcher:
     def close(self) -> None:
         with self._lock:
             self._closed = True
+            self._wake.notify()
+        # join the scheduler BEFORE shutting executors down: it may
+        # have popped due groups and be about to submit them — a
+        # submit against a shut-down executor would kill it and leave
+        # those groups' futures unresolved forever
+        self._scheduler.join(timeout=5)
+        with self._lock:
             pending = [entry[1] for entry in self._groups.values()]
             self._groups.clear()
-            self._wake.notify()
         for group in pending:
             self._device.submit(self._run_batch, group)
         self._device.shutdown(wait=True)
         self._collector.shutdown(wait=True)
         self._host.shutdown(wait=True)
-        self._scheduler.join(timeout=5)
         # join outstanding background warm runs: an XLA execution
         # in flight at interpreter teardown aborts the process
         for t in self._warm_threads:

@@ -71,7 +71,11 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
         plan = fused.plan_image(src_w, src_h, params, opaque=True)
         img = np.zeros((src_h, src_w, 3), dtype=np.uint8)
         variants = [("pix", False)]
-        if native_codecs.available() and params.blur() == 0:
+        if native_codecs.available():
+            # every device-JPEG / coefficient-source variant supports
+            # blur (the programs take has_blur) — warm them for blurred
+            # shapes too, or a configured "...&blur=N" warmup shape
+            # would leave the production hot path cold
             variants.append(("pix", True))  # device-JPEG-front-end program
             # the coefficient-source (device decode) programs — the
             # production hot path for plain JPEG traffic

@@ -511,10 +511,17 @@ def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
 
     av, ah, _, _ = _uniform_padded(plan, sh, sw)
     mats = jpeg_decode.folded_matrices(av, ah, true_h, true_w, subsamp)
-    lows = (jpeg_decode.low_cols(mats[0]), jpeg_decode.low_cols(mats[1]),
-            jpeg_decode.low_cols(mats[2]), jpeg_decode.low_cols(mats[3]))
+    # 444 reuses the luma matrices as chroma matrices (same object):
+    # reuse their low restrictions too instead of duplicating bytes
+    l0 = jpeg_decode.low_cols(mats[0])
+    l1 = jpeg_decode.low_cols(mats[1])
+    lows = (l0, l1,
+            l0 if mats[2] is mats[0] else jpeg_decode.low_cols(mats[2]),
+            l1 if mats[3] is mats[1] else jpeg_decode.low_cols(mats[3]))
     value = (mats, lows)
-    nbytes = sum(m.nbytes for m in mats) + sum(m.nbytes for m in lows)
+    nbytes = sum(m.nbytes for m in mats) + sum(
+        m.nbytes for m in {id(m): m for m in lows}.values()
+    )
     _FOLDED_CACHE.put(key, (plan, value), nbytes)
     return value
 
@@ -636,7 +643,7 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
     decode = {444: jpeg_decode.decode444_rgb,
               422: jpeg_decode.decode422_rgb,
               420: jpeg_decode.decode420_rgb}[subsamp]
-    cdiv = {420: (2, 2), 422: (1, 2), 444: (1, 1)}[subsamp]
+    cdiv = jpeg_decode.chroma_divisors(subsamp)
     ymode, cmode = pack
     n_y, n_c = _n_arrays(ymode), _n_arrays(cmode)
 
@@ -1106,7 +1113,7 @@ class CoefBatchAssembly(BatchAssembly):
         )
 
         # chroma scale per axis: 420 halves both, 422 halves width only
-        csv, csh = {420: (2, 2), 422: (1, 2), 444: (1, 1)}[self.subsamp]
+        csv, csh = jpeg_decode.chroma_divisors(self.subsamp)
         ybh, ybw = self.sh // 8, self.sw // 8
         cbh, cbw = self.sh // (8 * csv), self.sw // (8 * csh)
         # Per-plane upload pack modes, the widest any image in the

@@ -250,10 +250,10 @@ def _np_decode420(asm):
     the packing is lossless, so the mirror's math is unchanged."""
     from .jpeg_decode import _idct_blockdiag, planar_from_arrays_np
 
+    from .jpeg_decode import chroma_divisors
+
     ymode, cmode = asm.pack_modes
-    csv, csh = {420: (2, 2), 422: (1, 2), 444: (1, 1)}[
-        getattr(asm, "subsamp", 420)
-    ]
+    csv, csh = chroma_divisors(getattr(asm, "subsamp", 420))
     cshape = (asm.b, asm.sh // csv, asm.sw // csh)
     yac = planar_from_arrays_np(ymode, asm.y_arrays, (asm.b, asm.sh, asm.sw))
     cbac = planar_from_arrays_np(cmode, asm.cb_arrays, cshape)

@@ -450,6 +450,13 @@ def folded_decode_resample(ydc, yac, cbdc, cbac, crdc, crac, lq, cq, mats,
 # RECTANGULAR matrices (idct_low_matrix: blockdiag(D^T) restricted to
 # the u < 4 columns), i.e. extra MXU matmuls instead of scatters.
 
+def chroma_divisors(subsamp: int):
+    """(vertical, horizontal) chroma downsampling divisors for a
+    subsampling layout — THE single definition (the host mirror, the
+    assemblies and the programs must never disagree on plane dims)."""
+    return {400: (1, 1), 420: (2, 2), 422: (1, 2), 444: (1, 1)}[subsamp]
+
+
 # natural-order index -> (u, v); high = outside the 4x4 low corner
 _NAT_U = np.arange(64) // 8
 _NAT_V = np.arange(64) % 8

@@ -130,7 +130,7 @@ async def generic_handler(request: web.Request) -> web.Response:
             original, params, accepted, marks
         )
     except Exception as err:
-        from ..engine.batcher import BatcherOverload
+        from ..engine.batcher import BatcherOverload, RequestExpired
 
         if isinstance(err, BatcherOverload) or isinstance(
             err.__cause__, BatcherOverload
@@ -138,6 +138,14 @@ async def generic_handler(request: web.Request) -> web.Response:
             # admission control (tpu.max_queue): shed instead of
             # queueing unboundedly — additive, off by default
             return web.Response(status=503, text="server overloaded")
+        if isinstance(err, RequestExpired) or isinstance(
+            err.__cause__, RequestExpired
+        ):
+            # the batcher shed this entry because its deadline passed;
+            # usually the timeout middleware has already answered 408
+            # and cancelled us — when it hasn't yet (timer skew under
+            # load), answer 408 ourselves instead of a logged 500
+            return web.Response(status=408)
         log.error("failed to process an image; %s %r", path, err)
         return await _fallback_or_message(
             state, path, params, accepted, 500, "server error on processing an image"
@@ -196,7 +204,10 @@ def make_profile_handler(profile_dir: str):
     MXU-vs-transfer time on real hardware; view with TensorBoard or
     xprof). One capture at a time; additive debug route, enabled only
     when tpu.profile_dir is configured."""
-    lock = asyncio.Lock()
+    # single-flight flag flipped synchronously on the event loop (no
+    # await between test and set), so concurrent requests get 409
+    # instead of queueing up back-to-back captures
+    busy = {"v": False}
 
     async def profile_handler(request: web.Request) -> web.Response:
         import json
@@ -205,9 +216,10 @@ def make_profile_handler(profile_dir: str):
             seconds = min(max(float(request.query.get("seconds", 3)), 0.1), 60.0)
         except ValueError:
             return web.Response(status=400, text="bad seconds")
-        if lock.locked():
+        if busy["v"]:
             return web.Response(status=409, text="profile already running")
-        async with lock:
+        busy["v"] = True
+        try:
             import jax
 
             def capture():
@@ -218,6 +230,8 @@ def make_profile_handler(profile_dir: str):
                     jax.profiler.stop_trace()
 
             await asyncio.to_thread(capture)
+        finally:
+            busy["v"] = False
         return web.Response(
             text=json.dumps({"trace_dir": profile_dir, "seconds": seconds}),
             content_type="application/json",
