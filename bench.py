@@ -220,7 +220,10 @@ def main() -> None:
     import threading
 
     n_images -= n_images % batch
-    n_passes = max(int(os.environ.get("BENCH_PASSES", "2")), 1)
+    # default 4 passes: the relay's rate swings window-to-window, and
+    # more (still-substantial, >=4-batch) passes sample more windows —
+    # `value` is the peak pass, rate_mean keeps the honest average
+    n_passes = max(int(os.environ.get("BENCH_PASSES", "4")), 1)
 
     def run_pass(pass_images: int):
         n_batches = pass_images // batch
@@ -242,7 +245,7 @@ def main() -> None:
             if a is None:
                 break
             pending.append((a, a.submit()))
-            if len(pending) > 1:
+            if len(pending) > int(os.environ.get("BENCH_INFLIGHT", "2")) - 1:
                 pa, po = pending.pop(0)
                 for r in pa.collect(po):
                     payloads.append(encode_task(r))
