@@ -155,6 +155,13 @@ class TpuConfig:
     # coefficient space, ~3.3x fewer device FLOPs; ±2 LSB vs the
     # staged decode). Applies to uniform no-gray/invert JPEG batches.
     fast_decode: bool = False
+    # lossy spectral upload thinning for the folded path: when > 0,
+    # a folded batch may zero/int4-clip high-frequency coefficients
+    # before upload (4x fewer AC bytes) whenever the per-image error
+    # estimate keeps its output PSNR above this floor (dB) plus a
+    # 3 dB safety margin. Needs fast_decode; 0 = off (the parity
+    # default — thinning never applies to the staged exact path).
+    spectral_db: float = 0.0
     # coalesce concurrent identical origin fetches into one request
     singleflight: bool = True
     # serve cold (not-yet-compiled) shape buckets from the host numpy
@@ -207,6 +214,15 @@ class TpuConfig:
             cfg.device_decode = _as_bool(obj["device_decode"], "device_decode")
         if "fast_decode" in obj:
             cfg.fast_decode = _as_bool(obj["fast_decode"], "fast_decode")
+        if "spectral_db" in obj:
+            v = obj["spectral_db"]
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ConfigError(
+                    "invalid type for `spectral_db`: expected number"
+                )
+            if not 0 <= float(v) <= 120:
+                raise ConfigError("`spectral_db` out of range (0..120)")
+            cfg.spectral_db = float(v)
         if "singleflight" in obj:
             cfg.singleflight = _as_bool(obj["singleflight"], "singleflight")
         if "host_fallback" in obj:

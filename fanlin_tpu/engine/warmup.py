@@ -93,6 +93,16 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
             meta = _synthetic_meta(plan.src_w, plan.src_h)
             # compiles the folded program instead when fast_decode is on
             fused.CoefBatchAssembly([plan] * b, [meta] * b, jpeg420).run()
+            if fused._SPECTRAL["db"] > 0:
+                # spectral thinning splits coefficient traffic into
+                # guard-accepted (lo8-mode) and guard-rejected
+                # (lossless-mode) program variants — warm the rejected
+                # one too with content the guard must refuse
+                noisy = _synthetic_meta(plan.src_w, plan.src_h)
+                noisy["y"][:, :, 5] = 99  # loud highs: i8, fails guard
+                fused.CoefBatchAssembly(
+                    [plan] * b, [noisy] * b, jpeg420
+                ).run()
         else:
             fused.BatchAssembly([plan] * b, [img] * b, jpeg420).run()
 

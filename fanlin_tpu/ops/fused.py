@@ -199,6 +199,24 @@ def set_fold(enabled: bool) -> None:
     _FOLD["enabled"] = bool(enabled)
 
 
+# Spectral upload thinning (lossy, FOLDED path only): when db > 0,
+# CoefBatchAssembly may zero or int4-clip a plane's high-frequency
+# coefficients before packing — shipping the 4x cheaper "lo8" /
+# "i4h" wire modes — whenever the random-phase error estimate
+# (jpeg_decode.spectral_errors) keeps the batch's output above
+# db + _SPECTRAL_MARGIN_DB. Opt-in via tpu.spectral_db; 0 = off.
+_SPECTRAL = {"db": 0.0}
+
+# Covers the estimator's measured worst-case underestimate (0.91x on
+# photo luma, i.e. ~0.8 dB) with room to spare; see the model notes in
+# ops/jpeg_decode.py.
+_SPECTRAL_MARGIN_DB = 3.0
+
+
+def set_spectral(db: float) -> None:
+    _SPECTRAL["db"] = float(db)
+
+
 # Hand-written Pallas kernel for the uniform opaque pixel path
 # (ops.pallas_kernels): both weight matrix sets pinned in VMEM across
 # the batch grid. Opt-in (FANLIN_PALLAS=1 / set_pallas) — on this
@@ -499,10 +517,12 @@ _FOLDED_CACHE = ByteLRU(max_bytes=128 * 1024 * 1024)
 
 def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
                    true_w: int, subsamp: int = 420):
-    """(mats, lows): the 8 folded matrices plus their low-corner
+    """(mats, lows, norms2): the 8 folded matrices, their low-corner
     column restrictions (ay_low, ahy_low, acv_low, ach_low) for the
-    sub-int8 upload modes — cached together so device-side copies stay
-    keyed on stable host-array identities."""
+    sub-int8 upload modes, and the AC matrices' squared column norms
+    (ny_v, ny_h, nc_v, nc_h) for the spectral-truncation estimator —
+    cached together so device-side copies stay keyed on stable
+    host-array identities."""
     key = (id(plan), sh, sw, subsamp)
     hit = _FOLDED_CACHE.get(key)
     if hit is not None and hit[0] is plan:
@@ -518,10 +538,15 @@ def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
     lows = (l0, l1,
             l0 if mats[2] is mats[0] else jpeg_decode.low_cols(mats[2]),
             l1 if mats[3] is mats[1] else jpeg_decode.low_cols(mats[3]))
-    value = (mats, lows)
+    n0 = jpeg_decode.colnorms2(mats[0])
+    n1 = jpeg_decode.colnorms2(mats[1])
+    norms2 = (n0, n1,
+              n0 if mats[2] is mats[0] else jpeg_decode.colnorms2(mats[2]),
+              n1 if mats[3] is mats[1] else jpeg_decode.colnorms2(mats[3]))
+    value = (mats, lows, norms2)
     nbytes = sum(m.nbytes for m in mats) + sum(
         m.nbytes for m in {id(m): m for m in lows}.values()
-    )
+    ) + sum(n.nbytes for n in {id(n): n for n in norms2}.values())
     _FOLDED_CACHE.put(key, (plan, value), nbytes)
     return value
 
@@ -1112,6 +1137,14 @@ class CoefBatchAssembly(BatchAssembly):
             and not p0.invert
         )
 
+        # lossy spectral upload thinning (folded batches only): may
+        # replace metas with high-frequency-thinned copies when the
+        # estimated output error stays above the configured PSNR floor
+        self.spectral = ()
+        spectral_modes = None
+        if self.fold and _SPECTRAL["db"] > 0:
+            metas, spectral_modes = self._spectral_truncate(metas, p0)
+
         # chroma scale per axis: 420 halves both, 422 halves width only
         csv, csh = jpeg_decode.chroma_divisors(self.subsamp)
         ybh, ybw = self.sh // 8, self.sw // 8
@@ -1120,11 +1153,16 @@ class CoefBatchAssembly(BatchAssembly):
         # batch needs (lo8 < i4h < i8, all lossless): typically
         # ("i4h", "lo8") at production qualities — ~1 B/px on the wire
         # instead of the int8 planar ~1.5 B/px (VERDICT r2 item 1).
-        ymode, cmode = "zero", "zero"
-        for m in metas:
-            ym, cm = jpeg_decode.meta_modes(m)
-            ymode = jpeg_decode.widest_mode(ymode, ym)
-            cmode = jpeg_decode.widest_mode(cmode, cm)
+        if spectral_modes is not None:
+            # _spectral_truncate already scanned every plane once and
+            # derived the post-thinning batch modes — don't rescan
+            ymode, cmode = spectral_modes
+        else:
+            ymode, cmode = "zero", "zero"
+            for m in metas:
+                ym, cm = jpeg_decode.meta_modes(m)
+                ymode = jpeg_decode.widest_mode(ymode, ym)
+                cmode = jpeg_decode.widest_mode(cmode, cm)
         self.pack_modes = (ymode, cmode)
 
         def alloc(mode, ph, pw):
@@ -1175,6 +1213,104 @@ class CoefBatchAssembly(BatchAssembly):
             for a in self.y_arrays + self.cb_arrays + self.cr_arrays
         )
 
+    def _spectral_truncate(self, metas, p0):
+        """Apply the tpu.spectral_db policy to a folded batch: per
+        plane, thin every image's high-frequency coefficients
+        ("zero" -> the 4x cheaper lo8 wire mode, or "clip" to int4 ->
+        i4h) when the random-phase error estimate
+        (jpeg_decode.spectral_errors) keeps EVERY image's output above
+        floor = spectral_db + margin. One action per plane per batch
+        (wire modes are batch-wide, so a partial thinning would save
+        nothing); metas are never mutated — thinned planes are copies
+        (metas may be shared across requests). Records the chosen
+        (y, cb, cr) actions in self.spectral for observability.
+
+        Returns (metas', (ymode, cmode)) — the batch pack modes are
+        derived here from the pre-thinning modes (zero caps a plane at
+        lo8, clip at i4h) so the caller never rescans the grids."""
+        from . import jpeg_decode
+
+        norms2 = _folded_padded(p0, self.sh, self.sw, self.true_h,
+                                self.true_w, self.subsamp)[2]
+        floor = _SPECTRAL["db"] + _SPECTRAL_MARGIN_DB
+        npix = p0.out_h * p0.out_w
+        # per-plane Frobenius budget at the floor: the total RGB
+        # budget rms*sqrt(3*npix) split equally in quadrature across
+        # the three planes
+        budget = 255.0 * 10.0 ** (-floor / 20.0) * float(np.sqrt(float(npix)))
+        planes = (
+            ("y", "lq", norms2[0], norms2[1], jpeg_decode.SPECTRAL_W_Y),
+            ("cb", "cq", norms2[2], norms2[3], jpeg_decode.SPECTRAL_W_CB),
+            ("cr", "cq", norms2[2], norms2[3], jpeg_decode.SPECTRAL_W_CR),
+        )
+        # one plane_mode scan per (image, plane), reused everywhere
+        pre = [
+            [jpeg_decode.plane_mode(m[key]) for key, *_ in planes]
+            for m in metas
+        ]
+        actions = []
+        for pi, (key, qkey, na2, nb2, w) in enumerate(planes):
+            zero_ok = clip_ok = True
+            any_thick = any_i8 = False  # is there anything to thin?
+            for m, modes in zip(metas, pre):
+                mode = modes[pi]
+                if mode in ("zero", "lo8"):
+                    continue  # already at/below the thinned wire cost
+                any_thick = True
+                any_i8 = any_i8 or mode == "i8"
+                z, c = jpeg_decode.spectral_errors(
+                    m[key], m[qkey], na2, nb2, need_clip=(mode == "i8")
+                )
+                if w * z > budget:
+                    zero_ok = False
+                if mode == "i8" and (c is None or w * c > budget):
+                    clip_ok = False
+                if not zero_ok and not clip_ok:
+                    break
+            if zero_ok and any_thick:
+                actions.append("zero")
+            elif clip_ok and any_i8:
+                actions.append("clip")
+            else:
+                actions.append("none")
+        self.spectral = tuple(actions)
+
+        def post_mode(mode, act):
+            if act == "zero":
+                # zeroed highs cap the plane at lo8 (an all-zero low
+                # corner still ships fine in lo8 form)
+                return "zero" if mode == "zero" else "lo8"
+            if act == "clip" and mode == "i8":
+                return "i4h"
+            return mode
+
+        ymode, cmode = "zero", "zero"
+        for modes in pre:
+            ymode = jpeg_decode.widest_mode(
+                ymode, post_mode(modes[0], actions[0])
+            )
+            cmode = jpeg_decode.widest_mode(
+                cmode, post_mode(modes[1], actions[1])
+            )
+            cmode = jpeg_decode.widest_mode(
+                cmode, post_mode(modes[2], actions[2])
+            )
+        if all(a == "none" for a in actions):
+            return metas, (ymode, cmode)
+        out = []
+        for m, modes in zip(metas, pre):
+            new = None
+            for pi, (key, *_) in enumerate(planes):
+                act, mode = actions[pi], modes[pi]
+                if act == "zero" and mode not in ("zero", "lo8"):
+                    new = dict(m) if new is None else new
+                    new[key] = jpeg_decode.zero_high(m[key])
+                elif act == "clip" and mode == "i8":
+                    new = dict(m) if new is None else new
+                    new[key] = jpeg_decode.clip_high_int4(m[key])
+            out.append(new if new is not None else m)
+        return out, (ymode, cmode)
+
     def _device_args(self):
         p0 = self.plans[0]
         # uniform batches crop to true output dims ON DEVICE (like the
@@ -1201,8 +1337,8 @@ class CoefBatchAssembly(BatchAssembly):
                                     self.jpegdct, _FAST["enabled"],
                                     getattr(self, "dct_full", False),
                                     self.pack_modes)
-            mats, lows = _folded_padded(p0, self.sh, self.sw, self.true_h,
-                                        self.true_w, self.subsamp)
+            mats, lows, _ = _folded_padded(p0, self.sh, self.sw, self.true_h,
+                                           self.true_w, self.subsamp)
             # row-matrices replicated; the AC column-matrices contract
             # the sp-sharded width so they shard on their second axis
             # (DC planes are tiny and ride unsharded)

@@ -602,6 +602,94 @@ def unpack_plane_args(mode: str, arrays, pad_h: int, pad_w: int,
     return unpack_nibbles(arrays[0]), (arrays[1], mv_low, mh_low)
 
 
+# ----------------------------------------------------------------------------
+# spectral truncation (lossy upload thinning for the FOLDED path)
+# ----------------------------------------------------------------------------
+#
+# The folded path's resample matrices attenuate high spatial
+# frequencies (that is what downscaling does), so for downscale-heavy
+# traffic most of the high-frequency upload bytes buy nothing visible.
+# When tpu.spectral_db is set, the assembly may LOSSILY thin a plane's
+# high coefficients before packing — zeroing them (the plane then
+# ships in the 4x cheaper "lo8" wire mode) or clipping them to int4
+# ("i4h") — but only when the estimated output-space error keeps the
+# batch above the configured PSNR floor.
+#
+# The estimator is the random-phase (diagonal) model: for
+# E = A C_d B^T with C_d the dropped planar coefficients,
+#     E[|E|_F^2] = sum_{IJ} c_IJ^2 * |a_col_I|^2 * |b_col_J|^2
+# exactly, when coefficient phases are independent (cross terms
+# vanish). Measured on photo/synthetic/noise content it is within
+# 0.91-1.00x of the true error, and it OVERestimates (2.6x) on
+# phase-aligned structure like checkerboards, where the per-block
+# errors do align with the matrices' singular vectors. The 0.91x
+# worst-case underestimate is covered by the 3 dB margin the policy
+# adds on top of the configured floor (fused._SPECTRAL_MARGIN_DB).
+
+
+def colnorms2(m: np.ndarray) -> np.ndarray:
+    """(n,) squared column norms of a folded planar matrix — the
+    per-(block, frequency) gains the random-phase estimator needs."""
+    return np.ascontiguousarray((m.astype(np.float64) ** 2).sum(axis=0))
+
+
+def spectral_errors(grid: np.ndarray, q: np.ndarray, na2: np.ndarray,
+                    nb2: np.ndarray, need_clip: bool = False):
+    """(zero_fro, clip_fro): random-phase estimates of the output-space
+    Frobenius error of (a) zeroing and (b) int4-clipping the
+    high-frequency coefficients of one (bh, bw, 64) plane, propagated
+    through folded matrices with column squared norms na2 (vertical,
+    (ph,)) / nb2 (horizontal, (pw,)). clip_fro is None unless
+    need_clip (it only matters for planes whose lossless mode is i8).
+
+    This runs per image per plane on the single host core, so it is
+    written for speed: int16*int16 squares in int32, one float32
+    weighted reduction (f32 keeps ~7 significant digits — the policy
+    threshold only needs ~2)."""
+    gh, gw = grid.shape[:2]
+    q2h = (q.astype(np.float32) ** 2) * _HIGH_MASK  # (64,)
+    # per-(block, freq) gains spread to the 64 natural positions
+    nau = na2.reshape(-1, 8)[:gh].astype(np.float32)[:, _NAT_U]  # (gh, 64)
+    nbv = nb2.reshape(-1, 8)[:gw].astype(np.float32)[:, _NAT_V]  # (gw, 64)
+    g32 = grid.astype(np.int32)
+    t = (g32 * g32).astype(np.float32) * q2h[None, None, :]
+    a = (t * nau[:, None, :]).sum(axis=0)  # (gw, 64)
+    zero = float(np.sqrt((a * nbv).sum()))
+    if not need_clip:
+        return zero, None
+    r = g32 - np.clip(g32, -8, 7)
+    t = (r * r).astype(np.float32) * q2h[None, None, :]
+    a = (t * nau[:, None, :]).sum(axis=0)
+    clip = float(np.sqrt((a * nbv).sum()))
+    return zero, clip
+
+
+def zero_high(grid: np.ndarray) -> np.ndarray:
+    """Copy of a coefficient grid with the high-frequency positions
+    zeroed (the "zero" spectral action; the original is never
+    mutated — metas may be shared across requests)."""
+    g = grid.copy()
+    g[:, :, _HIGH_MASK] = 0
+    return g
+
+
+def clip_high_int4(grid: np.ndarray) -> np.ndarray:
+    """Copy of a coefficient grid with the high-frequency positions
+    clipped to int4 range (the "clip" spectral action — the plane then
+    packs losslessly as i4h)."""
+    g = grid.copy()
+    hi = g[:, :, _HIGH_MASK]
+    g[:, :, _HIGH_MASK] = np.clip(hi, -8, 7)
+    return g
+
+
+# RGB Frobenius weights of a unit per-plane error: luma lands in all
+# three channels; cb in g and b; cr in r and g (libjpeg's ratios).
+SPECTRAL_W_Y = float(np.sqrt(3.0))
+SPECTRAL_W_CB = float(np.sqrt(_CB_G ** 2 + _CB_B ** 2))
+SPECTRAL_W_CR = float(np.sqrt(_CR_R ** 2 + _CR_G ** 2))
+
+
 def ac_fits_int8(meta: dict) -> bool:
     """True when every AC coefficient magnitude fits int8 — the cheap
     host check gating the packed upload (DC always ships int16)."""

@@ -337,6 +337,16 @@ async def build_state(cfg: config_mod.Config) -> State:
         from ..ops.fused import set_fold
 
         set_fold(True)
+    if cfg.tpu.spectral_db > 0:
+        from ..ops.fused import set_spectral
+
+        set_spectral(cfg.tpu.spectral_db)
+        if not cfg.tpu.fast_decode:
+            logging.getLogger("fanlin").warning(
+                "tpu.spectral_db set without tpu.fast_decode: spectral "
+                "thinning only applies to folded batches and will not "
+                "activate"
+            )
     mesh = None
     if cfg.tpu.data_parallel:
         import jax

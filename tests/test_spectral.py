@@ -1,0 +1,260 @@
+"""Spectral upload thinning (lossy, folded path, tpu.spectral_db).
+
+The folded path's resample matrices attenuate high spatial
+frequencies, so for downscale traffic most high-frequency upload
+bytes buy nothing visible. When enabled, a folded batch may zero (or
+int4-clip) a plane's high coefficients before packing — shipping the
+4x cheaper lo8 / i4h wire modes — but ONLY when the random-phase
+error estimate (jpeg_decode.spectral_errors) keeps every image above
+the configured PSNR floor plus a 3 dB margin.
+
+This is an additive opt-in over the reference (which has no device
+upload at all); the staged exact path and all defaults are untouched.
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import native_codecs
+from fanlin_tpu.ops import fused, hostexec, jpeg_decode
+from fanlin_tpu.spec.query import parse_query
+
+from conftest import make_test_image
+
+pytestmark = pytest.mark.skipif(
+    not native_codecs.available(), reason="native codec core not built"
+)
+
+
+def _meta(img: np.ndarray, quality: int = 85) -> dict:
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=quality)
+    return native_codecs.read_jpeg_coeffs(buf.getvalue())
+
+
+def _sources():
+    rng = np.random.default_rng(3)
+    checker = (((np.arange(256)[:, None] + np.arange(256)[None, :]) % 2)
+               * 255).astype(np.uint8)
+    return {
+        "photo": (make_test_image(256, 256), 85),
+        "noise": (rng.integers(0, 256, (256, 256, 3)).astype(np.uint8), 92),
+        "checker": (np.stack([checker] * 3, -1), 95),
+        "gradient": (
+            np.broadcast_to(
+                np.linspace(0, 255, 256).astype(np.uint8)[None, :, None],
+                (256, 256, 3),
+            ).copy(),
+            92,
+        ),
+    }
+
+
+@pytest.fixture()
+def spectral_folded():
+    """Enable fold + spectral for a test, restoring defaults after."""
+    fused.set_fold(True)
+    fused.set_spectral(45.0)
+    yield
+    fused.set_spectral(0.0)
+    fused.set_fold(False)
+
+
+def _plan_and_norms(meta, query="w=150&h=100"):
+    plan = fused.plan_image(meta["w"], meta["h"], parse_query(query),
+                            opaque=True)
+    sh = fused.bucket_h16(meta["h"])
+    sw = fused.bucket_w(meta["w"])
+    mats, _, norms2 = fused._folded_padded(plan, sh, sw, meta["h"],
+                                           meta["w"], meta.get("subsamp", 420))
+    return plan, sh, sw, mats, norms2
+
+
+def _actual_zero_error(grid, q, ph, pw, mv, mh):
+    """Exact output-space Frobenius error of zeroing the high
+    coefficients, via the folded matrices in numpy."""
+    gh, gw = grid.shape[:2]
+    g = grid.astype(np.float32) * q[None, None, :]
+    g[:, :, 0] = 0
+    planar = np.zeros((ph, pw), np.float32)
+    planar[: gh * 8, : gw * 8] = (
+        g.reshape(gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+    )
+    mask = np.tile(jpeg_decode._HIGH_MASK.reshape(8, 8),
+                   (ph // 8, pw // 8))
+    return float(np.linalg.norm(mv @ (planar * mask) @ mh.T))
+
+
+def test_estimator_tracks_actual_error_across_content():
+    """The random-phase estimate stays within [0.85, 4.5]x of the true
+    error on photo/noise content, overestimates (conservative) on
+    phase-aligned structure, and is exactly zero when nothing is
+    dropped — the properties the 3 dB policy margin relies on."""
+    for name, (img, q) in _sources().items():
+        meta = _meta(img, q)
+        _, sh, sw, mats, norms2 = _plan_and_norms(meta)
+        for key, qk, mv, mh, na2, nb2, ph, pw in [
+            ("y", "lq", mats[0], mats[1], norms2[0], norms2[1], sh, sw),
+            ("cb", "cq", mats[2], mats[3], norms2[2], norms2[3],
+             sh // 2, sw // 2),
+        ]:
+            actual = _actual_zero_error(meta[key], meta[qk], ph, pw, mv, mh)
+            est, _ = jpeg_decode.spectral_errors(meta[key], meta[qk],
+                                                 na2, nb2)
+            if actual < 1e-6:
+                assert est < 1e-6, (name, key)
+            else:
+                ratio = est / actual
+                assert 0.85 <= ratio <= 4.5, (name, key, ratio)
+
+
+def test_clip_estimate_below_zero_estimate():
+    """int4-clipping drops strictly less energy than zeroing."""
+    meta = _meta(make_test_image(256, 256), 95)
+    _, sh, sw, mats, norms2 = _plan_and_norms(meta)
+    z, c = jpeg_decode.spectral_errors(meta["y"], meta["lq"], norms2[0],
+                                       norms2[1], need_clip=True)
+    assert 0 <= c <= z
+
+
+def test_thin_helpers_copy_and_shape():
+    g = np.zeros((2, 2, 64), np.int16)
+    g[:, :, 0] = 50
+    g[:, :, 9] = 120   # low corner
+    g[:, :, 7] = 99    # high frequency (u=0, v=7)
+    z = jpeg_decode.zero_high(g)
+    assert z is not g and g[0, 0, 7] == 99  # original untouched
+    assert z[0, 0, 7] == 0 and z[0, 0, 9] == 120 and z[0, 0, 0] == 50
+    c = jpeg_decode.clip_high_int4(g)
+    assert c[0, 0, 7] == 7 and c[0, 0, 9] == 120 and g[0, 0, 7] == 99
+
+
+def test_spectral_thins_photo_and_holds_psnr(spectral_folded):
+    """Photo content at the 45 dB floor: the batch ships thinned
+    (cheaper wire bytes) and the device output stays >= 45 dB vs the
+    untruncated folded output."""
+    meta = _meta(make_test_image(512, 512), 85)
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan] * 2, [meta, meta])
+    assert asm.fold
+    assert asm.spectral[0] in ("zero", "clip")
+    fused.set_spectral(0.0)
+    try:
+        ref_asm = fused.CoefBatchAssembly([plan] * 2, [meta, meta])
+    finally:
+        fused.set_spectral(45.0)
+    assert asm.upload_ac_bytes < ref_asm.upload_ac_bytes
+    got = asm.run()[0].astype(np.float64)
+    ref = ref_asm.run()[0].astype(np.float64)
+    mse = ((got - ref) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / mse) if mse else 99.0
+    assert psnr >= 45.0, psnr
+
+
+def test_spectral_rejects_noise_luma(spectral_folded):
+    """Noise content: zeroing luma highs would land ~39 dB, below the
+    floor — the guard must refuse it (chroma int4-clipping may still
+    pass legitimately; its residual energy is tiny). And the output
+    must still clear the floor vs the untruncated folded result."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (512, 512, 3)).astype(np.uint8)
+    meta = _meta(img, 92)
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [meta])
+    assert asm.fold
+    assert asm.spectral[0] == "none"  # luma ships lossless
+    fused.set_spectral(0.0)
+    try:
+        ref_asm = fused.CoefBatchAssembly([plan], [meta])
+    finally:
+        fused.set_spectral(45.0)
+    got = asm.run()[0].astype(np.float64)
+    ref = ref_asm.run()[0].astype(np.float64)
+    mse = ((got - ref) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / mse) if mse else 99.0
+    assert psnr >= 45.0, psnr
+
+
+def test_spectral_high_floor_rejects_everything(spectral_folded):
+    """At an unreachable floor every plane ships lossless and the
+    batch is byte-identical to spectral-off."""
+    fused.set_spectral(90.0)
+    meta = _meta(make_test_image(512, 512), 85)
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [meta])
+    assert asm.spectral == ("none", "none", "none")
+    fused.set_spectral(0.0)
+    ref_asm = fused.CoefBatchAssembly([plan], [meta])
+    assert asm.pack_modes == ref_asm.pack_modes
+    assert asm.upload_ac_bytes == ref_asm.upload_ac_bytes
+    np.testing.assert_array_equal(asm.run()[0], ref_asm.run()[0])
+
+
+def test_spectral_never_mutates_shared_metas(spectral_folded):
+    """Metas may be shared across requests: thinning must copy."""
+    meta = _meta(make_test_image(512, 512), 85)
+    before = {k: meta[k].copy() for k in ("y", "cb", "cr")}
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [meta])
+    assert asm.spectral[0] != "none"
+    for k in ("y", "cb", "cr"):
+        np.testing.assert_array_equal(meta[k], before[k])
+
+
+def test_spectral_inactive_on_staged_path():
+    """With fold off (the strict-parity default), spectral_db never
+    thins anything — the staged path stays exact."""
+    fused.set_spectral(45.0)
+    try:
+        meta = _meta(make_test_image(512, 512), 85)
+        plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                                opaque=True)
+        asm = fused.CoefBatchAssembly([plan], [meta])
+        assert not asm.fold
+        assert asm.spectral == ()
+        assert asm.pack_modes == jpeg_decode.meta_modes(meta)
+    finally:
+        fused.set_spectral(0.0)
+
+
+def test_spectral_mirror_matches_device(spectral_folded):
+    """The host numpy mirror reconstructs from the SAME thinned packed
+    arrays, so cold-bucket fallbacks agree with the device to the
+    documented fold-vs-staged tolerance (the mirror runs the staged
+    math; the device folds the decode into the resample — ±2 LSB
+    before thinning, a touch wider where truncation moves values onto
+    different rounding edges)."""
+    meta = _meta(make_test_image(512, 512), 85)
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [meta])
+    assert asm.spectral[0] != "none"
+    dev = asm.run()[0].astype(np.float64)
+    host = hostexec.run_host(asm)[0].astype(np.float64)
+    assert np.abs(dev - host).max() <= 6
+    mse = ((dev - host) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / mse) if mse else 99.0
+    assert psnr >= 55.0, psnr
+
+
+def test_config_spectral_db_parsing():
+    from fanlin_tpu.config import ConfigError, TpuConfig
+
+    assert TpuConfig.from_obj({}).spectral_db == 0.0
+    assert TpuConfig.from_obj({"spectral_db": 45}).spectral_db == 45.0
+    assert TpuConfig.from_obj({"spectral_db": 48.5}).spectral_db == 48.5
+    with pytest.raises(ConfigError):
+        TpuConfig.from_obj({"spectral_db": "45"})
+    with pytest.raises(ConfigError):
+        TpuConfig.from_obj({"spectral_db": True})
+    with pytest.raises(ConfigError):
+        TpuConfig.from_obj({"spectral_db": -1})
+    with pytest.raises(ConfigError):
+        TpuConfig.from_obj({"spectral_db": 200})
