@@ -92,6 +92,13 @@ def main() -> None:
         and native_codecs.available()
         and os.environ.get("BENCH_JPEG420", "1") == "1"
     )
+    # BENCH_SINK=dct: device DCT + quantization tail with the int4
+    # nibble-packed download (~74 KB/img vs the u8 planes' 90) and
+    # entropy-only host encode (no host DCT). Off by default pending
+    # the on-TPU A/B (ROADMAP item 3).
+    dct_sink = (
+        jpeg420 is True and os.environ.get("BENCH_SINK", "") == "dct"
+    )
     if (
         not jpeg420
         and webp_mode
@@ -143,12 +150,20 @@ def main() -> None:
             return native_codecs.encode_jpeg_raw420(arr[1], arr[2], arr[3], out_q)
         if isinstance(arr, tuple) and arr[0] == "webpyuv":
             return native_codecs.encode_webp_yuv420(arr[1], arr[2], arr[3], out_q)
+        if isinstance(arr, tuple) and arr[0] == "coeffs":
+            return native_codecs.encode_jpeg_coeffs(*arr[1:7])
         return codecs.encode(arr, out_fmt, out_q, "RGBA")
 
     def make_assembly(payloads):
         plans = [plan] * len(payloads)
         if coef_src:
+            if dct_sink:
+                return fused.CoefBatchAssembly(plans, payloads, jpegdct=True,
+                                               quality=out_q)
             return fused.CoefBatchAssembly(plans, payloads, jpeg420)
+        if dct_sink:
+            return fused.BatchAssembly(plans, payloads, jpegdct=True,
+                                       quality=out_q)
         return fused.BatchAssembly(plans, payloads, jpeg420)
 
     def _collect_all(out):
@@ -360,6 +375,11 @@ def main() -> None:
         "spectral_db": spectral_db,
         "device": str(jax.devices()[0]),
         "source_path": "coefficients" if coef_src else "pixels",
+        # device encode tail: ycbcr420 u8 planes, dct (int4-packed
+        # coefficients, BENCH_SINK=dct), or webp YUV
+        "sink": ("dct" if dct_sink else
+                 ("webp420" if jpeg420 == "webp" else
+                  ("jpeg420" if jpeg420 else "host"))),
         "batch": batch,  # autotuned unless BENCH_BATCH is set
         # pure device-compute throughput with data resident (no host
         # link in the loop): the chip's capability; the e2e `value` on

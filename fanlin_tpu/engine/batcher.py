@@ -172,7 +172,10 @@ class MicroBatcher:
         self.stats = {"batches": 0, "images": 0, "full_flushes": 0,
                       "timer_flushes": 0, "host_fallbacks": 0,
                       "shed_expired": 0, "rejected_overload": 0,
-                      "pipeline_depth": self.pipeline_depth}
+                      "pipeline_depth": self.pipeline_depth,
+                      # tpu.spectral_db plane actions, counted per batch
+                      "spectral_zero": 0, "spectral_clip": 0,
+                      "spectral_none": 0}
 
     # -- submission --------------------------------------------------------
 
@@ -280,6 +283,8 @@ class MicroBatcher:
         kinds = [g[3] for g in group]
         try:
             asm = fused.make_assembly(plans, images, kinds, mesh=self._mesh)
+            for act in getattr(asm, "spectral", ()):
+                self.stats["spectral_" + act] += 1
             key = asm.program_key()
             if self._host_fallback and not fused.is_warm(key):
                 # serve THIS batch from the numpy mirror (on the host

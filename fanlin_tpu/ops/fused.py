@@ -398,13 +398,15 @@ def _ycbcr420_tail(out_u8):
 
 
 def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool,
-               dct_full: bool = False):
+               dct_pack: int = 0):
     """The shared program tail: device-side crop to true dims, alpha
     pruning, and the optional JPEG encode front-end / full DCT back
     half. enc_lq/enc_cq are the ENCODER's quant tables (runtime inputs
-    so one program serves every quality). jpegdct outputs ship
-    int8-packed (DC int16 + AC int8 + overflow sentinel) unless
-    dct_full — the fallback program for the rare saturating batch."""
+    so one program serves every quality). jpegdct outputs ship at the
+    `dct_pack` level: 0 = int4 nibbles + low-corner int8 residual
+    (~0.77x the int8 bytes), 1 = int8-packed, 2 = full int16. Levels
+    0/1 carry a per-image overflow sentinel; a saturating batch
+    re-runs one level wider (BatchAssembly.collect)."""
 
     def tail(out, enc_lq=None, enc_cq=None):
         if out_crop is not None:
@@ -414,7 +416,11 @@ def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool,
 
             y, cb, cr = _ycbcr420_tail(out)
             coefs = dct.ycbcr420_to_coefficients(y, cb, cr, enc_lq, enc_cq)
-            return coefs if dct_full else dct.pack_coefficients(coefs)
+            if dct_pack >= 2:
+                return coefs
+            if dct_pack == 1:
+                return dct.pack_coefficients(coefs)
+            return dct.pack_coefficients_i4(coefs)
         if jpeg420 == "webp":
             return _webp420_tail(out)
         if jpeg420:
@@ -469,7 +475,7 @@ def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
                 has_blur: bool, uniform: bool = False, out_crop=None,
                 out_channels: int = 4, jpeg420: bool = False,
                 fast: bool = False, jpegdct: bool = False,
-                dct_full: bool = False):
+                dct_pack: int = 0):
     """Compile (once) and return the fused program for a shape bucket.
 
     The shape arguments are only the cache key — jit re-traces per
@@ -484,7 +490,7 @@ def get_program(batch: int, src_h: int, src_w: int, out_h: int, out_w: int,
     front-end (YCbCr + 4:2:0), halving the download again.
     """
     kernel = _transform_kernel_uniform if uniform else _transform_kernel
-    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_full)
+    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_pack)
 
     if jpegdct:
         if has_blur:
@@ -575,7 +581,7 @@ def get_folded_program(batch: int, true_h: int, true_w: int, out_h: int,
                        out_w: int, has_blur: bool, out_crop=None,
                        out_channels: int = 4, jpeg420: bool = False,
                        jpegdct: bool = False, fast: bool = False,
-                       dct_full: bool = False, pack=("i8", "i8")):
+                       dct_pack: int = 0, pack=("i8", "i8")):
     """Folded decode-resize program (uniform batches, no gray/invert):
     the resample happens IN COEFFICIENT SPACE — iDCT, triangle chroma
     upsample and color conversion are composed into the resample
@@ -587,7 +593,7 @@ def get_folded_program(batch: int, true_h: int, true_w: int, out_h: int,
     plane_mode): the argument structure and the unpack prologue are
     compiled in; "lo8" planes additionally skip their full-resolution
     matmul pair (the content rides the quarter-size low matrices)."""
-    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_full)
+    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_pack)
     from . import jpeg_decode
 
     mmd = jnp.bfloat16 if fast else jnp.float32
@@ -645,7 +651,7 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
                      out_w: int, has_blur: bool, uniform: bool = False,
                      out_crop=None, out_channels: int = 4,
                      jpeg420: bool = False, fast: bool = False,
-                     jpegdct: bool = False, dct_full: bool = False,
+                     jpegdct: bool = False, dct_pack: int = 0,
                      subsamp: int = 420, pack=("i8", "i8")):
     """Fused program whose SOURCE is entropy-decoded JPEG coefficients:
     the decode back half (dequant + iDCT + 4:2:0 fancy upsample +
@@ -662,7 +668,7 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
     """
     pad_h = bucket_h16(true_h)
     pad_w = bucket_w(true_w)
-    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_full)
+    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_pack)
     from . import jpeg_decode
 
     decode = {444: jpeg_decode.decode444_rgb,
@@ -985,7 +991,7 @@ class BatchAssembly:
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
                              self.has_blur, True, (p0.out_h, p0.out_w),
                              self.c_out, self.jpeg420, _FAST["enabled"],
-                             self.jpegdct, getattr(self, "dct_full", False))
+                             self.jpegdct, getattr(self, "dct_pack", 0))
             av, ah, bv, bh = _uniform_padded(p0)
             args = [self._put(self.x, "dp", None, None, "sp"),
                     self._cput(av), self._cput(ah, None, "sp"),
@@ -1001,7 +1007,7 @@ class BatchAssembly:
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
                              self.has_blur, False, out_crop, self.c_out,
                              self.jpeg420, _FAST["enabled"], self.jpegdct,
-                             getattr(self, "dct_full", False))
+                             getattr(self, "dct_pack", 0))
             args = [self._put(self.x, "dp", None, None, "sp"),
                     self._put(self.av, "dp"),
                     self._put(self.ah, "dp", None, "sp"),
@@ -1032,18 +1038,32 @@ class BatchAssembly:
     def _collect(self, out):
         if self.jpegdct:
             p0 = self.plans[0]
-            if len(out) == 7:
-                # int8-packed download (DC i16 + AC i8 + overflow count)
-                overflow = np.asarray(out[6])
+            if len(out) in (7, 10):
+                # packed download (10 = int4 nibbles + low-corner
+                # residual, 7 = int8 planes), overflow sentinel last
+                overflow = np.asarray(out[-1])
                 if int(overflow.sum()) > 0:
-                    # an AC magnitude saturated int8 (only near q100):
-                    # re-run this batch through the full-int16 program
-                    self.dct_full = True
+                    # a coefficient saturated this pack level (int4 on
+                    # sharp high-contrast content, int8 only near
+                    # q100): re-run the batch one level wider
+                    prev = getattr(self, "dct_pack", 0)
+                    self.dct_pack = 1 if len(out) == 10 else 2
                     fn, args = self._device_args()
-                    self.dct_full = False
+                    self.dct_pack = prev
                     return self.collect(fn(*args))
                 from . import dct as dct_mod
 
+                if len(out) == 10:
+                    a = [np.asarray(o) for o in out[:9]]
+                    unpack = dct_mod.unpack_coefficients_i4
+                    return [
+                        ("coeffs",
+                         unpack(a[0][i], a[1][i], a[2][i]),
+                         unpack(a[3][i], a[4][i], a[5][i]),
+                         unpack(a[6][i], a[7][i], a[8][i]),
+                         p0.out_w, p0.out_h, self.quality)
+                        for i in range(len(self.plans))
+                    ]
                 ydc, yac = np.asarray(out[0]), np.asarray(out[1])
                 cbdc, cbac = np.asarray(out[2]), np.asarray(out[3])
                 crdc, crac = np.asarray(out[4]), np.asarray(out[5])
@@ -1335,7 +1355,7 @@ class CoefBatchAssembly(BatchAssembly):
                                     self.oh, self.ow, self.has_blur,
                                     out_crop, self.c_out, self.jpeg420,
                                     self.jpegdct, _FAST["enabled"],
-                                    getattr(self, "dct_full", False),
+                                    getattr(self, "dct_pack", 0),
                                     self.pack_modes)
             mats, lows, _ = _folded_padded(p0, self.sh, self.sw, self.true_h,
                                            self.true_w, self.subsamp)
@@ -1367,7 +1387,7 @@ class CoefBatchAssembly(BatchAssembly):
         fn = get_coef_program(self.b, self.true_h, self.true_w, self.oh,
                               self.ow, self.has_blur, self.uniform, out_crop,
                               self.c_out, self.jpeg420, _FAST["enabled"],
-                              self.jpegdct, getattr(self, "dct_full", False),
+                              self.jpegdct, getattr(self, "dct_pack", 0),
                               self.subsamp, self.pack_modes)
         if self.uniform:
             av, ah, bv, bh = _uniform_padded(p0, self.sh, self.sw)

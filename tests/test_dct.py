@@ -130,9 +130,9 @@ def test_packed_dct_download_matches_full():
     packed = a_packed.run()
     a_full = fused.BatchAssembly([plan] * 2, [img] * 2, jpegdct=True,
                                  quality=75)
-    a_full.dct_full = True
+    a_full.dct_pack = 2
     fn, args = a_full._device_args()
-    a_full.dct_full = False
+    a_full.dct_pack = 0
     full = a_full.collect(fn(*args))
     for p, f in zip(packed, full):
         assert p[0] == f[0] == "coeffs"
@@ -158,10 +158,72 @@ def test_packed_dct_overflow_falls_back_to_full():
     assert got[0] == "coeffs"
     # ground truth from the explicit full program
     a2 = fused.BatchAssembly([plan], [img], jpegdct=True, quality=98)
-    a2.dct_full = True
+    a2.dct_pack = 2
     fn, args = a2._device_args()
     full = a2.collect(fn(*args))[0]
     # the packed path must have detected saturation (some |AC| > 127)
     assert max(int(np.abs(c[..., 1:]).max()) for c in full[1:4]) > 127
+    for cg, cf in zip(got[1:4], full[1:4]):
+        np.testing.assert_array_equal(cg, cf)
+
+
+def test_i4_packed_dct_download_matches_full():
+    """The default jpegdct download is int4 nibbles + low-corner int8
+    residual (~0.77x the int8-packed bytes); when nothing saturates it
+    must reproduce the full int16 coefficients exactly."""
+    import numpy as np
+
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+    from tests.conftest import make_test_image
+
+    img = make_test_image(96, 96)
+    plan = fused.plan_image(96, 96, parse_query("w=64&h=48"), opaque=True)
+    a = fused.BatchAssembly([plan] * 2, [img] * 2, jpegdct=True, quality=75)
+    fn, args = a._device_args()
+    out = fn(*args)
+    assert len(out) == 10  # i4 wire format dispatched
+    assert int(np.asarray(out[-1]).sum()) == 0  # nothing saturated
+    got = a.collect(out)
+    a_full = fused.BatchAssembly([plan] * 2, [img] * 2, jpegdct=True,
+                                 quality=75)
+    a_full.dct_pack = 2
+    fn, args = a_full._device_args()
+    a_full.dct_pack = 0
+    full = a_full.collect(fn(*args))
+    for p, f in zip(got, full):
+        assert p[0] == f[0] == "coeffs"
+        for cp, cf in zip(p[1:4], f[1:4]):
+            np.testing.assert_array_equal(cp, cf)
+
+
+def test_i4_overflow_falls_back_one_level():
+    """Sharp high-contrast content whose high-frequency coefficients
+    exceed int4 (but fit int8) must transparently re-run the
+    int8-packed program and still produce exact coefficients."""
+    import numpy as np
+
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    rng = np.random.default_rng(2)
+    img = np.full((64, 64, 3), 160, np.uint8)
+    for _ in range(30):
+        x, y = rng.integers(0, 56, 2)
+        img[y : y + 8, x : x + 8] = rng.integers(60, 160, 3)
+    plan = fused.plan_image(64, 64, parse_query(""), opaque=True)
+    a = fused.BatchAssembly([plan], [img], jpegdct=True, quality=90)
+    fn, args = a._device_args()
+    out = fn(*args)
+    assert len(out) == 10
+    assert int(np.asarray(out[-1]).sum()) > 0  # int4 saturated
+    got = a.collect(out)[0]
+    a2 = fused.BatchAssembly([plan], [img], jpegdct=True, quality=90)
+    a2.dct_pack = 2
+    fn, args = a2._device_args()
+    full = a2.collect(fn(*args))[0]
+    # past int4 but within int8 -> one fallback level was enough
+    mx = max(int(np.abs(c[..., 1:]).max()) for c in full[1:4])
+    assert 7 < mx <= 127
     for cg, cf in zip(got[1:4], full[1:4]):
         np.testing.assert_array_equal(cg, cf)

@@ -114,7 +114,7 @@ def test_upsample_triangle_matches_integer_filter():
 def test_folded_jpegdct_overflow_falls_back_to_full():
     """A folded batch whose device-DCT output saturates int8 AC must
     re-run through the FULL-int16 folded program exactly once —
-    get_folded_program must forward dct_full to its tail, otherwise
+    get_folded_program must forward dct_pack to its tail, otherwise
     collect() re-runs the same packed program forever (ADVICE r2)."""
     yy, xx = np.mgrid[0:64, 0:64]
     checker = ((xx + yy) % 2 * 255).astype(np.uint8)

@@ -258,3 +258,24 @@ def test_config_spectral_db_parsing():
         TpuConfig.from_obj({"spectral_db": -1})
     with pytest.raises(ConfigError):
         TpuConfig.from_obj({"spectral_db": 200})
+
+
+def test_batcher_counts_spectral_actions(spectral_folded):
+    """/stats observability: the batcher tallies each coef batch's
+    per-plane spectral actions."""
+    from fanlin_tpu.engine.batcher import BatchingRunner, MicroBatcher
+
+    meta = _meta(make_test_image(512, 512), 85)
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    b = MicroBatcher(max_batch=2, window_ms=1.0)
+    runner = BatchingRunner(b)
+    try:
+        out = runner.run([plan], [meta], kinds=["coef"])[0]
+        assert out.shape == (200, 300, 3)
+        acted = (b.stats["spectral_zero"] + b.stats["spectral_clip"]
+                 + b.stats["spectral_none"])
+        assert acted == 3  # one batch, three planes
+        assert b.stats["spectral_zero"] >= 1  # photo luma thins
+    finally:
+        b.close()
