@@ -92,12 +92,15 @@ def main() -> None:
         and native_codecs.available()
         and os.environ.get("BENCH_JPEG420", "1") == "1"
     )
-    # BENCH_SINK=dct: device DCT + quantization tail with the int4
-    # nibble-packed download (~74 KB/img vs the u8 planes' 90) and
-    # entropy-only host encode (no host DCT). Off by default pending
-    # the on-TPU A/B (ROADMAP item 3).
+    # Device DCT + quantization tail with the int4 nibble-packed
+    # download (~74 KB/img vs the u8 planes' 90) and entropy-only host
+    # encode (no host DCT). Default sink since the on-TPU A/B
+    # (BENCH_NOTES.md round 3): mean-pass 73.6 vs 65.4 img/s against
+    # the plane sink in a comparable slow window, and strictly fewer
+    # link bytes for fast ones. BENCH_SINK=jpeg420 restores the plane
+    # sink (bit-closer encode parity to libjpeg's own DCT).
     dct_sink = (
-        jpeg420 is True and os.environ.get("BENCH_SINK", "") == "dct"
+        jpeg420 is True and os.environ.get("BENCH_SINK", "dct") == "dct"
     )
     if (
         not jpeg420

@@ -1158,12 +1158,14 @@ class CoefBatchAssembly(BatchAssembly):
         )
 
         # lossy spectral upload thinning (folded batches only): may
-        # replace metas with high-frequency-thinned copies when the
-        # estimated output error stays above the configured PSNR floor
+        # force narrower batch pack modes than the content is lossless
+        # in, when the estimated output error stays above the
+        # configured PSNR floor (pack_plane's mode machinery then
+        # drops/clips the high bytes — metas are never touched)
         self.spectral = ()
         spectral_modes = None
         if self.fold and _SPECTRAL["db"] > 0:
-            metas, spectral_modes = self._spectral_truncate(metas, p0)
+            spectral_modes = self._spectral_modes(metas, p0)
 
         # chroma scale per axis: 420 halves both, 422 halves width only
         csv, csh = jpeg_decode.chroma_divisors(self.subsamp)
@@ -1233,7 +1235,7 @@ class CoefBatchAssembly(BatchAssembly):
             for a in self.y_arrays + self.cb_arrays + self.cr_arrays
         )
 
-    def _spectral_truncate(self, metas, p0):
+    def _spectral_modes(self, metas, p0):
         """Apply the tpu.spectral_db policy to a folded batch: per
         plane, thin every image's high-frequency coefficients
         ("zero" -> the 4x cheaper lo8 wire mode, or "clip" to int4 ->
@@ -1241,13 +1243,15 @@ class CoefBatchAssembly(BatchAssembly):
         (jpeg_decode.spectral_errors) keeps EVERY image's output above
         floor = spectral_db + margin. One action per plane per batch
         (wire modes are batch-wide, so a partial thinning would save
-        nothing); metas are never mutated — thinned planes are copies
-        (metas may be shared across requests). Records the chosen
-        (y, cb, cr) actions in self.spectral for observability.
+        nothing). Records the chosen (y, cb, cr) actions in
+        self.spectral for observability.
 
-        Returns (metas', (ymode, cmode)) — the batch pack modes are
-        derived here from the pre-thinning modes (zero caps a plane at
-        lo8, clip at i4h) so the caller never rescans the grids."""
+        Returns the forced batch pack modes (ymode, cmode), derived
+        from the pre-thinning modes (zero caps a plane at lo8, clip at
+        i4h). Metas are NEVER modified: pack_plane's mode machinery is
+        already lossy-by-construction for a too-narrow mode — "lo8"
+        reads only the low corner and "i4h" clips nibble values — so
+        forcing the mode IS the thinning."""
         from . import jpeg_decode
 
         norms2 = _folded_padded(p0, self.sh, self.sw, self.true_h,
@@ -1315,21 +1319,7 @@ class CoefBatchAssembly(BatchAssembly):
             cmode = jpeg_decode.widest_mode(
                 cmode, post_mode(modes[2], actions[2])
             )
-        if all(a == "none" for a in actions):
-            return metas, (ymode, cmode)
-        out = []
-        for m, modes in zip(metas, pre):
-            new = None
-            for pi, (key, *_) in enumerate(planes):
-                act, mode = actions[pi], modes[pi]
-                if act == "zero" and mode not in ("zero", "lo8"):
-                    new = dict(m) if new is None else new
-                    new[key] = jpeg_decode.zero_high(m[key])
-                elif act == "clip" and mode == "i8":
-                    new = dict(m) if new is None else new
-                    new[key] = jpeg_decode.clip_high_int4(m[key])
-            out.append(new if new is not None else m)
-        return out, (ymode, cmode)
+        return ymode, cmode
 
     def _device_args(self):
         p0 = self.plans[0]

@@ -664,23 +664,10 @@ def spectral_errors(grid: np.ndarray, q: np.ndarray, na2: np.ndarray,
     return zero, clip
 
 
-def zero_high(grid: np.ndarray) -> np.ndarray:
-    """Copy of a coefficient grid with the high-frequency positions
-    zeroed (the "zero" spectral action; the original is never
-    mutated — metas may be shared across requests)."""
-    g = grid.copy()
-    g[:, :, _HIGH_MASK] = 0
-    return g
-
-
-def clip_high_int4(grid: np.ndarray) -> np.ndarray:
-    """Copy of a coefficient grid with the high-frequency positions
-    clipped to int4 range (the "clip" spectral action — the plane then
-    packs losslessly as i4h)."""
-    g = grid.copy()
-    hi = g[:, :, _HIGH_MASK]
-    g[:, :, _HIGH_MASK] = np.clip(hi, -8, 7)
-    return g
+# The thinning itself needs no helper: pack_plane is already
+# lossy-by-construction for a too-narrow mode ("lo8" reads only the
+# low corner, "i4h" clips the nibble plane), so the assembly simply
+# FORCES the batch pack modes the guard approved.
 
 
 # RGB Frobenius weights of a unit per-plane error: luma lands in all

@@ -120,16 +120,27 @@ def test_clip_estimate_below_zero_estimate():
     assert 0 <= c <= z
 
 
-def test_thin_helpers_copy_and_shape():
+def test_forced_lo8_mode_drops_highs():
+    """The thinning mechanism: pack_plane in a too-narrow mode is
+    lossy-by-construction — "lo8" ships only the low corner, "i4h"
+    clips the nibble plane — so forcing the batch mode IS the
+    spectral action, with the source grid untouched."""
     g = np.zeros((2, 2, 64), np.int16)
     g[:, :, 0] = 50
-    g[:, :, 9] = 120   # low corner
+    g[:, :, 9] = 120   # low corner (u=1, v=1)
     g[:, :, 7] = 99    # high frequency (u=0, v=7)
-    z = jpeg_decode.zero_high(g)
-    assert z is not g and g[0, 0, 7] == 99  # original untouched
-    assert z[0, 0, 7] == 0 and z[0, 0, 9] == 120 and z[0, 0, 0] == 50
-    c = jpeg_decode.clip_high_int4(g)
-    assert c[0, 0, 7] == 7 and c[0, 0, 9] == 120 and g[0, 0, 7] == 99
+    dc, arrays = jpeg_decode.pack_plane(g, 16, 128, "lo8")
+    planar = jpeg_decode.planar_from_arrays_np("lo8", [arrays[0][None]])[0]
+    assert planar[1, 1] == 120   # low corner survives
+    assert planar[0, 7] == 0     # high dropped
+    assert g[0, 0, 7] == 99      # grid untouched
+    dc, arrays = jpeg_decode.pack_plane(g, 16, 128, "i4h")
+    planar = jpeg_decode.planar_from_arrays_np(
+        "i4h", [a[None] for a in arrays]
+    )[0]
+    assert planar[1, 1] == 120   # low corner exact (residual)
+    assert planar[0, 7] == 7     # high clipped to int4
+    assert g[0, 0, 7] == 99
 
 
 def test_spectral_thins_photo_and_holds_psnr(spectral_folded):
