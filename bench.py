@@ -196,7 +196,10 @@ def main() -> None:
     # windows: exec scales with B, sync is fixed) and large ones (fast
     # windows: sync amortization wins). Probe and pick.
     if not batch_env:
-        candidates = (16, 32, 64)
+        # 128 joined the grid in round 3: the spectral-thinned upload
+        # (~110 KB/img wire vs round-2's 400+) moves the fast-window
+        # optimum toward bigger sync amortization
+        candidates = (16, 32, 64, 128)
         best, best_rate = batch, 0.0
         for cand in candidates:
             asm = make_assembly([warm] * cand)

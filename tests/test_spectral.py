@@ -290,3 +290,34 @@ def test_batcher_counts_spectral_actions(spectral_folded):
         assert b.stats["spectral_zero"] >= 1  # photo luma thins
     finally:
         b.close()
+
+
+@pytest.mark.parametrize("subsampling", ["4:2:2", "4:4:4"])
+def test_spectral_on_non420_subsampling(spectral_folded, subsampling):
+    """The guard's per-plane norms come from the subsampling-specific
+    folded matrices (422: full-height half-width chroma; 444: chroma
+    aliases the luma matrices) — thinning must hold the floor there
+    too."""
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(512, 512)).save(
+        buf, format="JPEG", quality=85, subsampling=subsampling
+    )
+    meta = native_codecs.read_jpeg_coeffs(buf.getvalue())
+    assert meta is not None
+    assert meta["subsamp"] == {"4:2:2": 422, "4:4:4": 444}[subsampling]
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [meta])
+    assert asm.fold
+    assert asm.spectral[0] in ("zero", "clip")
+    fused.set_spectral(0.0)
+    try:
+        ref_asm = fused.CoefBatchAssembly([plan], [meta])
+    finally:
+        fused.set_spectral(45.0)
+    assert asm.upload_ac_bytes < ref_asm.upload_ac_bytes
+    got = asm.run()[0].astype(np.float64)
+    ref = ref_asm.run()[0].astype(np.float64)
+    mse = ((got - ref) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / mse) if mse else 99.0
+    assert psnr >= 45.0, psnr
