@@ -198,7 +198,10 @@ def main() -> None:
     if not batch_env:
         # 128 joined the grid in round 3: the spectral-thinned upload
         # (~110 KB/img wire vs round-2's 400+) moves the fast-window
-        # optimum toward bigger sync amortization
+        # optimum toward bigger sync amortization. The probe samples
+        # ONE moment but the passes run minutes under shifting relay
+        # weather, and a big batch's slow-window downside is larger —
+        # so a larger candidate must beat the incumbent by 25% to win.
         candidates = (16, 32, 64, 128)
         best, best_rate = batch, 0.0
         for cand in candidates:
@@ -214,7 +217,8 @@ def main() -> None:
                 a = make_assembly([warm] * cand)
                 _collect_all(a.submit())
                 rate = max(rate, cand / (time.perf_counter() - t0))
-            if rate > best_rate:
+            margin = 1.25 if best_rate and cand > best else 1.0
+            if rate > best_rate * margin:
                 best, best_rate = cand, rate
         batch = best
 

@@ -62,7 +62,9 @@ async def serve(cfg: config_mod.Config) -> None:
         # host, so production configs should warm their real shapes
         shapes = warmup_mod.DEFAULT_SHAPES + tuple(cfg.tpu.warmup_shapes)
         threading.Thread(
-            target=lambda: warmup_mod.warm(shapes),
+            target=lambda: warmup_mod.warm(
+                shapes, device_dct=cfg.tpu.device_dct
+            ),
             name="fanlin-warmup", daemon=True,
         ).start()
     app = create_app(cfg, state)

@@ -57,8 +57,10 @@ def _synthetic_meta(src_w: int, src_h: int) -> dict:
 
 
 def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
-         batch: int = 8) -> int:
+         batch: int = 8, device_dct: bool = False) -> int:
     """Compile fused programs for each (src_w, src_h, query) shape.
+    device_dct=True additionally warms the jpegdct (device DCT +
+    int4-packed download) tail variants the engine will route to.
     Returns the number of programs compiled."""
     from concurrent.futures import ThreadPoolExecutor
 
@@ -83,16 +85,27 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
             variants.append(("coef", True))
             if hasattr(native_codecs._load(), "fc_encode_webp_yuv420"):
                 variants.append(("coef", "webp"))  # WebP YUV front-end
+            if device_dct:
+                # device DCT + int4-packed download tail (quality is a
+                # runtime input — one program serves every quality)
+                variants.append(("pix", "dct"))
+                variants.append(("coef", "dct"))
         for b in (1, batch):
-            for src, jpeg420 in variants:
-                jobs.append((plan, img, b, src, jpeg420))
+            for src, kind in variants:
+                jobs.append((plan, img, b, src, kind))
+
+    def _build(plan, payload, b, src, kind):
+        cls = fused.CoefBatchAssembly if src == "coef" else fused.BatchAssembly
+        if kind == "dct":
+            return cls([plan] * b, [payload] * b, jpegdct=True, quality=75)
+        return cls([plan] * b, [payload] * b, kind)
 
     def run_one(job):
-        plan, img, b, src, jpeg420 = job
+        plan, img, b, src, kind = job
         if src == "coef":
             meta = _synthetic_meta(plan.src_w, plan.src_h)
             # compiles the folded program instead when fast_decode is on
-            fused.CoefBatchAssembly([plan] * b, [meta] * b, jpeg420).run()
+            _build(plan, meta, b, src, kind).run()
             if fused._SPECTRAL["db"] > 0:
                 # spectral thinning splits coefficient traffic into
                 # guard-accepted (lo8-mode) and guard-rejected
@@ -100,11 +113,9 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
                 # one too with content the guard must refuse
                 noisy = _synthetic_meta(plan.src_w, plan.src_h)
                 noisy["y"][:, :, 5] = 99  # loud highs: i8, fails guard
-                fused.CoefBatchAssembly(
-                    [plan] * b, [noisy] * b, jpeg420
-                ).run()
+                _build(plan, noisy, b, src, kind).run()
         else:
-            fused.BatchAssembly([plan] * b, [img] * b, jpeg420).run()
+            _build(plan, img, b, src, kind).run()
 
     # compile in parallel — remote/XLA compile services overlap requests
     with ThreadPoolExecutor(min(len(jobs), 8)) as pool:

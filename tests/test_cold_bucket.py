@@ -289,3 +289,16 @@ def test_warmup_shape_config_parsing():
         Config.from_str(base % '["nonsense"]')
     with _pytest.raises(ConfigError):
         Config.from_str(base % "[42]")
+
+
+def test_warmup_covers_device_dct_variants():
+    """A device_dct deployment's hot programs (jpegdct tail, int4
+    download) must be warm after startup warmup."""
+    from fanlin_tpu.engine import warmup
+
+    shapes = ((160, 120, "w=53&h=31"),)
+    warmup.warm(shapes, batch=2, device_dct=True)
+    plan = fused.plan_image(160, 120, parse_query("w=53&h=31"), opaque=True)
+    asm = fused.BatchAssembly([plan], [make_test_image(160, 120)],
+                              jpegdct=True, quality=75)
+    assert fused.is_warm(asm.program_key())
