@@ -6,18 +6,20 @@ transform and the YCbCr/4:2:0 front-end, the 8x8 forward DCT and
 quantization also run on the MXU/VPU, and the host performs entropy
 coding ONLY (native fc_encode_jpeg_coeffs).
 
-The 8x8 DCT is two tiny matmuls with the orthonormal DCT-II matrix
-(identical to the JPEG Annex A definition: the orthonormal scaling
-s(u) = alpha(u)/2 makes D f D^T equal the standard F(u,v)), applied
-blockwise via reshape + einsum — exactly the shape the MXU wants.
+The 8x8 DCT uses the orthonormal DCT-II matrix (identical to the JPEG
+Annex A definition: the orthonormal scaling s(u) = alpha(u)/2 makes
+D f D^T equal the standard F(u,v)). The production tail computes it
+PLANAR via two block-diagonal MXU matmuls and packs int4 nibbles +
+low-corner residual for the link (planar_dct_quant/pack_planar_parts,
+~0.77x the int8 bytes and cheaper than the u8 plane download); the
+blockwise-einsum variant (_block_dct_quant) is kept as the readable
+reference implementation the tests pin against.
 
 Quant tables use the IJG quality scaling (jpeg_set_quality's formula),
 so the host encoder declares the same tables the device divided by.
 
-Trade-off note: coefficients are int16, so this DOUBLES the bytes
-crossing the host link vs the u8 subsampled planes — a win only on
-locally-attached TPUs (it removes the DCT/quant from the host encode
-entirely). Off by default; enable with Engine(device_dct=True) or
+Off by default (the plane sink keeps encode parity bit-closer to
+libjpeg's own DCT); enable with Engine(device_dct=True) or
 tpu.device_dct.
 """
 
@@ -120,97 +122,128 @@ def ycbcr420_to_coefficients(y, cb, cr, luma_q, chroma_q):
     )
 
 
-def pack_coefficients(coefs):
-    """int8-pack quantized coefficient blocks for the host link
-    (VERDICT r1 item 9: int16 downloads were ~2x the u8-plane bytes).
-
-    coefs: 3 int16 arrays (B, rows, cols, 64). Returns
-    (y_dc i16, y_ac i8, cb_dc i16, cb_ac i8, cr_dc i16, cr_ac i8,
-    overflow i32 (B,)): DC always rides int16 (range ±2048); AC is
-    saturated to int8 with a per-image overflow count — zero in
-    practice below ~q95, and the caller re-runs the full-int16
-    program for the rare batch where it isn't."""
-    out = []
-    overflow = None
-    for c in coefs:
-        dc = c[..., 0]
-        ac = c[..., 1:]
-        clipped = jnp.clip(ac, -128, 127)
-        ov = (clipped != ac).astype(jnp.int32).sum(axis=(1, 2, 3))
-        overflow = ov if overflow is None else overflow + ov
-        out += [dc, clipped.astype(jnp.int8)]
-    return tuple(out) + (overflow,)
+# ----------------------------------------------------------------------------
+# planar device DCT + planar packing — the PRODUCTION encode tail
+# ----------------------------------------------------------------------------
+#
+# The blockwise einsum above (_block_dct_quant) is the readable
+# reference implementation; the production tail computes the same
+# coefficients in PLANAR layout via two block-diagonal MXU matmuls —
+# bit-identical, measured 1.38x faster per batch on v5e. It is the
+# encode-side twin of the decode lesson documented at
+# jpeg_decode._idct_blockdiag: tiny 8-wide contractions lower badly
+# on TPU, dense block-diagonal matmuls do not. Packing stays planar
+# on device (slices and bitwise ops only — never a block<->planar
+# transpose); the host reshuffles to the (rows, cols, 64) block grids
+# the entropy encoder wants with one cheap numpy transpose.
 
 
-def unpack_coefficients(dc: np.ndarray, ac8: np.ndarray) -> np.ndarray:
-    """Host-side inverse of pack_coefficients for one image's plane:
-    (rows, cols) i16 DC + (rows, cols, 63) i8 AC -> (rows, cols, 64) i16."""
-    return np.concatenate(
-        [dc[..., None].astype(np.int16), ac8.astype(np.int16)], axis=-1
+def planar_dct_quant(plane_f32, qtable_f32):
+    """(B, H, W) f32 (level-shifted, 8-aligned) -> (B, H, W) int16
+    quantized coefficients in PLANAR layout: position (8i+u, 8j+v)
+    holds F(u, v) of block (i, j)."""
+    from . import jpeg_decode  # late import: jpeg_decode imports us
+
+    b, h, w = plane_f32.shape
+    f32 = jnp.float32
+    dv = jnp.asarray(jpeg_decode._idct_blockdiag(h).T)  # blockdiag(D)
+    dh = jnp.asarray(jpeg_decode._idct_blockdiag(w).T)
+    t = jnp.einsum("ds,bsw->bdw", dv, plane_f32, preferred_element_type=f32)
+    coef = jnp.einsum("ew,bdw->bde", dh, t, preferred_element_type=f32)
+    qt = jnp.broadcast_to(
+        jnp.asarray(qtable_f32, f32).reshape(8, 8)[None, :, None, :],
+        (h // 8, 8, w // 8, 8),
+    ).reshape(h, w)
+    r = coef / qt
+    # round half away from zero (libjpeg's DESCALE rounding)
+    r = jnp.sign(r) * jnp.floor(jnp.abs(r) + 0.5)
+    return r.astype(jnp.int16)
+
+
+def ycbcr420_to_planar(y, cb, cr, luma_q, chroma_q):
+    """Device JPEG back half, planar: (B, H, W) u8 planes -> three
+    (B, padded H, padded W) int16 planar coefficient planes."""
+    f32 = jnp.float32
+    yp = _pad_edge(y.astype(f32), 16) - 128.0
+    cbp = _pad_edge(cb.astype(f32), 8) - 128.0
+    crp = _pad_edge(cr.astype(f32), 8) - 128.0
+    return (
+        planar_dct_quant(yp, luma_q),
+        planar_dct_quant(cbp, chroma_q),
+        planar_dct_quant(crp, chroma_q),
     )
 
 
-# natural-order frequency coordinates; "low" = the 4x4 corner where
-# the big post-quantization magnitudes live (mirrors the UPLOAD pack
-# ladder in ops.jpeg_decode — kept local to avoid a circular import)
-_NAT_U = np.arange(64) // 8
-_NAT_V = np.arange(64) % 8
-_LOW_IDX = np.where((_NAT_U < 4) & (_NAT_V < 4))[0]  # 16 positions
-
-
-def pack_coefficients_i4(coefs):
-    """Nibble-pack quantized coefficient blocks for the host link —
-    the download-side mirror of the upload's "i4h" mode, ~0.77x the
-    int8-packed bytes (50 vs 65 B/block incl. DC).
-
-    Per plane: every coefficient (DC zeroed) is clipped to int4 and
-    nibble-packed pairwise along the coefficient axis (B,r,c,32) u8;
-    the 4x4 low-frequency corner — where post-quantization magnitudes
-    exceed int4 — additionally ships an int8 RESIDUAL (value -
-    clipped, (B,r,c,16)). High positions have no residual, so a high
-    coefficient outside [-8, 7] (or a low residual outside int8)
-    counts into the per-image overflow sentinel and the caller falls
-    back to the int8-packed program. At production qualities the
-    measured overflow rate is zero on photographic content.
-
-    Returns (y_dc, y_nib, y_res, cb_dc, cb_nib, cb_res,
-    cr_dc, cr_nib, cr_res, overflow i32 (B,))."""
-    low = jnp.asarray(_LOW_IDX)
-    out = []
-    overflow = None
-    for c in coefs:
-        dc = c[..., 0]
-        full = c.at[..., 0].set(0).astype(jnp.int32)
-        clipped = jnp.clip(full, -8, 7)
-        res = full - clipped  # nonzero only where |value| > 7
-        res_low = jnp.take(res, low, axis=-1)
-        # residual must reconstruct losslessly everywhere: high
-        # positions carry none (res must be 0), low positions must
-        # fit the int8 residual plane
-        is_low = jnp.zeros((64,), bool).at[low].set(True)
-        representable = jnp.where(
-            is_low, (res >= -128) & (res <= 127), res == 0
+def pack_planar_parts(coef, level: int):
+    """One plane's wire parts from (B, H, W) int16 planar quantized
+    coefficients, at pack level
+      0: (dc i16 (B,H/8,W/8), nib u8 (B,H,W/2),
+          res_low i8 (B,H/8,4,W/8,4))      ~0.77x the int8 bytes
+      1: (dc i16, ac i8 (B,H,W))
+      2: (coef i16 planar, DC in place)
+    plus a (B,) int32 overflow count (always 0 at level 2). Levels
+    0/1 are lossless exactly when the count is 0; the caller re-runs
+    one level wider otherwise (BatchAssembly.collect)."""
+    b, h, w = coef.shape
+    if level >= 2:
+        return (coef,), jnp.zeros((b,), jnp.int32)
+    c5 = coef.reshape(b, h // 8, 8, w // 8, 8)
+    dc = c5[:, :, 0, :, 0]
+    pz = c5.at[:, :, 0, :, 0].set(0).reshape(b, h, w).astype(jnp.int32)
+    if level == 1:
+        clipped = jnp.clip(pz, -128, 127)
+        ov = (clipped != pz).astype(jnp.int32).sum(axis=(1, 2))
+        return (dc, clipped.astype(jnp.int8)), ov
+    clipped = jnp.clip(pz, -8, 7)
+    res = pz - clipped  # nonzero only where |value| > 7
+    r5 = res.reshape(b, h // 8, 8, w // 8, 8)
+    res_low = r5[:, :, :4, :, :4]
+    # representable: high positions carry no residual; low residuals
+    # must fit the int8 residual array
+    ov = (
+        (res != 0).astype(jnp.int32).sum(axis=(1, 2))
+        - (res_low != 0).astype(jnp.int32).sum(axis=(1, 2, 3, 4))
+        + ((res_low > 127) | (res_low < -128)).astype(jnp.int32).sum(
+            axis=(1, 2, 3, 4)
         )
-        ov = (~representable).astype(jnp.int32).sum(axis=(1, 2, 3))
-        overflow = ov if overflow is None else overflow + ov
-        u4 = (clipped & 15).astype(jnp.uint8)
-        nib = u4[..., :32] | (u4[..., 32:] << 4)
-        out += [dc, nib, jnp.clip(res_low, -128, 127).astype(jnp.int8)]
-    return tuple(out) + (overflow,)
+    )
+    u4 = (clipped & 15).astype(jnp.uint8)
+    nib = u4[:, :, : w // 2] | (u4[:, :, w // 2 :] << 4)
+    return (dc, nib, jnp.clip(res_low, -128, 127).astype(jnp.int8)), ov
 
 
-def unpack_coefficients_i4(dc: np.ndarray, nib: np.ndarray,
-                           res: np.ndarray) -> np.ndarray:
-    """Host-side inverse of pack_coefficients_i4 for one image's
-    plane: (r, c) i16 DC + (r, c, 32) u8 nibbles + (r, c, 16) i8
-    low-corner residual -> (r, c, 64) int16."""
+def blocks_from_planar(planar: np.ndarray) -> np.ndarray:
+    """Host: (..., H, W) int16 planar -> (..., H/8, W/8, 64) block
+    grids (the entropy encoder's layout) — one cheap numpy shuffle."""
+    *lead, h, w = planar.shape
+    return np.ascontiguousarray(
+        planar.reshape(*lead, h // 8, 8, w // 8, 8)
+        .swapaxes(-3, -2)
+        .reshape(*lead, h // 8, w // 8, 64)
+    )
+
+
+def unpack_planar_i4(dc: np.ndarray, nib: np.ndarray,
+                     res_low: np.ndarray) -> np.ndarray:
+    """Host inverse of pack_planar_parts level 0 for one image:
+    (r, c) i16 + (H, W/2) u8 + (r, 4, c, 4) i8 -> (r, c, 64) i16."""
     p = nib.astype(np.int16)
     lo = ((p & 15) ^ 8) - 8
     hi = ((p >> 4) ^ 8) - 8
-    full = np.concatenate([lo, hi], axis=-1)
-    full[..., _LOW_IDX] += res.astype(np.int16)
-    full[..., 0] = dc
-    return full
+    planar = np.concatenate([lo, hi], axis=1)
+    h, w = planar.shape
+    p5 = planar.reshape(h // 8, 8, w // 8, 8)
+    p5[:, :4, :, :4] += res_low.astype(np.int16)
+    p5[:, 0, :, 0] = dc
+    return blocks_from_planar(planar)
+
+
+def unpack_planar_i8(dc: np.ndarray, ac8: np.ndarray) -> np.ndarray:
+    """Host inverse of pack_planar_parts level 1 for one image."""
+    planar = ac8.astype(np.int16)
+    h, w = planar.shape
+    planar.reshape(h // 8, 8, w // 8, 8)[:, 0, :, 0] = dc
+    return blocks_from_planar(planar)
 
 
 @functools.lru_cache(maxsize=32)

@@ -415,12 +415,15 @@ def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool,
             from . import dct
 
             y, cb, cr = _ycbcr420_tail(out)
-            coefs = dct.ycbcr420_to_coefficients(y, cb, cr, enc_lq, enc_cq)
+            planes = dct.ycbcr420_to_planar(y, cb, cr, enc_lq, enc_cq)
+            parts, overflow = [], None
+            for p in planes:
+                ps, ov = dct.pack_planar_parts(p, dct_pack)
+                parts += list(ps)
+                overflow = ov if overflow is None else overflow + ov
             if dct_pack >= 2:
-                return coefs
-            if dct_pack == 1:
-                return dct.pack_coefficients(coefs)
-            return dct.pack_coefficients_i4(coefs)
+                return tuple(parts)
+            return tuple(parts) + (overflow,)
         if jpeg420 == "webp":
             return _webp420_tail(out)
         if jpeg420:
@@ -1055,7 +1058,7 @@ class BatchAssembly:
 
                 if len(out) == 10:
                     a = [np.asarray(o) for o in out[:9]]
-                    unpack = dct_mod.unpack_coefficients_i4
+                    unpack = dct_mod.unpack_planar_i4
                     return [
                         ("coeffs",
                          unpack(a[0][i], a[1][i], a[2][i]),
@@ -1064,20 +1067,22 @@ class BatchAssembly:
                          p0.out_w, p0.out_h, self.quality)
                         for i in range(len(self.plans))
                     ]
-                ydc, yac = np.asarray(out[0]), np.asarray(out[1])
-                cbdc, cbac = np.asarray(out[2]), np.asarray(out[3])
-                crdc, crac = np.asarray(out[4]), np.asarray(out[5])
+                a = [np.asarray(o) for o in out[:6]]
+                unpack = dct_mod.unpack_planar_i8
                 return [
                     ("coeffs",
-                     dct_mod.unpack_coefficients(ydc[i], yac[i]),
-                     dct_mod.unpack_coefficients(cbdc[i], cbac[i]),
-                     dct_mod.unpack_coefficients(crdc[i], crac[i]),
+                     unpack(a[0][i], a[1][i]),
+                     unpack(a[2][i], a[3][i]),
+                     unpack(a[4][i], a[5][i]),
                      p0.out_w, p0.out_h, self.quality)
                     for i in range(len(self.plans))
                 ]
-            yc = np.asarray(out[0])
-            cbc = np.asarray(out[1])
-            crc = np.asarray(out[2])
+            # full int16: planar planes with DC in place
+            from . import dct as dct_mod
+
+            yc = dct_mod.blocks_from_planar(np.asarray(out[0]))
+            cbc = dct_mod.blocks_from_planar(np.asarray(out[1]))
+            crc = dct_mod.blocks_from_planar(np.asarray(out[2]))
             return [
                 ("coeffs", yc[i], cbc[i], crc[i], p0.out_w, p0.out_h,
                  self.quality)

@@ -227,3 +227,19 @@ def test_i4_overflow_falls_back_one_level():
     assert 7 < mx <= 127
     for cg, cf in zip(got[1:4], full[1:4]):
         np.testing.assert_array_equal(cg, cf)
+
+
+def test_planar_dct_matches_blockwise_reference():
+    """The production planar DCT (two block-diagonal MXU matmuls) must
+    be bit-identical to the readable blockwise-einsum reference."""
+    import numpy as np
+
+    from fanlin_tpu.ops import dct
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(-128, 127, (3, 48, 64)).astype(np.float32)
+    lq, _ = dct.ijg_quant_tables(75)
+    ref = np.asarray(dct._block_dct_quant(x, lq.astype(np.float32)))
+    planar = np.asarray(dct.planar_dct_quant(x, lq.astype(np.float32)))
+    got = dct.blocks_from_planar(planar)
+    np.testing.assert_array_equal(got, ref)
