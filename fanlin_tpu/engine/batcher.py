@@ -175,7 +175,7 @@ class MicroBatcher:
                       "pipeline_depth": self.pipeline_depth,
                       # tpu.spectral_db plane actions, counted per batch
                       "spectral_zero": 0, "spectral_clip": 0,
-                      "spectral_none": 0}
+                      "spectral_none": 0, "spectral_mixed": 0}
 
     # -- submission --------------------------------------------------------
 

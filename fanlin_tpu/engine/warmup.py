@@ -90,9 +90,19 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
                 # runtime input — one program serves every quality)
                 variants.append(("pix", "dct"))
                 variants.append(("coef", "dct"))
+        # spectral thinning splits coefficient traffic into program
+        # variants by upload pack modes — warm the ones real content
+        # reaches: guard-accepted (lo8 luma), guard-rejected at the
+        # common photographic lossless modes (i4h luma), and
+        # guard-rejected loud content (i8 luma). One job per flavor so
+        # the compile count and pool parallelism stay honest.
+        flavors = ("base",)
+        if fused._SPECTRAL["db"] > 0:
+            flavors = ("base", "reject-i4", "reject-i8")
         for b in (1, batch):
             for src, kind in variants:
-                jobs.append((plan, img, b, src, kind))
+                for fl in flavors if src == "coef" else ("base",):
+                    jobs.append((plan, img, b, src, kind, fl))
 
     def _build(plan, payload, b, src, kind):
         cls = fused.CoefBatchAssembly if src == "coef" else fused.BatchAssembly
@@ -101,19 +111,22 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
         return cls([plan] * b, [payload] * b, kind)
 
     def run_one(job):
-        plan, img, b, src, kind = job
+        plan, img, b, src, kind, flavor = job
         if src == "coef":
             meta = _synthetic_meta(plan.src_w, plan.src_h)
+            if flavor == "reject-i4":
+                # zero-rejected content at photographic lossless modes
+                # (i4h luma): every high position at int4 max — the
+                # guard refuses wherever content this loud would
+                # actually ship i4h (at extreme downscales even this
+                # thins, exactly like real traffic would)
+                from fanlin_tpu.ops.jpeg_decode import _HIGH_MASK
+
+                meta["y"][:, :, _HIGH_MASK] = 7
+            elif flavor == "reject-i8":
+                meta["y"][:, :, 5] = 99  # loud highs: i8, fails guard
             # compiles the folded program instead when fast_decode is on
             _build(plan, meta, b, src, kind).run()
-            if fused._SPECTRAL["db"] > 0:
-                # spectral thinning splits coefficient traffic into
-                # guard-accepted (lo8-mode) and guard-rejected
-                # (lossless-mode) program variants — warm the rejected
-                # one too with content the guard must refuse
-                noisy = _synthetic_meta(plan.src_w, plan.src_h)
-                noisy["y"][:, :, 5] = 99  # loud highs: i8, fails guard
-                _build(plan, noisy, b, src, kind).run()
         else:
             _build(plan, img, b, src, kind).run()
 

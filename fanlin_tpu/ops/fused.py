@@ -1165,12 +1165,13 @@ class CoefBatchAssembly(BatchAssembly):
         # lossy spectral upload thinning (folded batches only): may
         # force narrower batch pack modes than the content is lossless
         # in, when the estimated output error stays above the
-        # configured PSNR floor (pack_plane's mode machinery then
-        # drops/clips the high bytes — metas are never touched)
+        # configured PSNR floor. Decisions are PER IMAGE (an image's
+        # bytes never depend on its batchmates); mixed batches thin
+        # approved images' grid copies explicitly.
         self.spectral = ()
         spectral_modes = None
         if self.fold and _SPECTRAL["db"] > 0:
-            spectral_modes = self._spectral_modes(metas, p0)
+            metas, spectral_modes = self._spectral_thin(metas, p0)
 
         # chroma scale per axis: 420 halves both, 422 halves width only
         csv, csh = jpeg_decode.chroma_divisors(self.subsamp)
@@ -1181,7 +1182,7 @@ class CoefBatchAssembly(BatchAssembly):
         # ("i4h", "lo8") at production qualities — ~1 B/px on the wire
         # instead of the int8 planar ~1.5 B/px (VERDICT r2 item 1).
         if spectral_modes is not None:
-            # _spectral_truncate already scanned every plane once and
+            # _spectral_thin already scanned every plane once and
             # derived the post-thinning batch modes — don't rescan
             ymode, cmode = spectral_modes
         else:
@@ -1240,23 +1241,28 @@ class CoefBatchAssembly(BatchAssembly):
             for a in self.y_arrays + self.cb_arrays + self.cr_arrays
         )
 
-    def _spectral_modes(self, metas, p0):
-        """Apply the tpu.spectral_db policy to a folded batch: per
-        plane, thin every image's high-frequency coefficients
-        ("zero" -> the 4x cheaper lo8 wire mode, or "clip" to int4 ->
-        i4h) when the random-phase error estimate
-        (jpeg_decode.spectral_errors) keeps EVERY image's output above
-        floor = spectral_db + margin. One action per plane per batch
-        (wire modes are batch-wide, so a partial thinning would save
-        nothing). Records the chosen (y, cb, cr) actions in
-        self.spectral for observability.
+    def _spectral_thin(self, metas, p0):
+        """Apply the tpu.spectral_db policy to a folded batch: thin an
+        image's high-frequency coefficients ("zero" -> the 4x cheaper
+        lo8 wire mode, or "clip" to int4 -> i4h) when the random-phase
+        error estimate (jpeg_decode.spectral_errors) keeps ITS output
+        above floor = spectral_db + margin.
 
-        Returns the forced batch pack modes (ymode, cmode), derived
-        from the pre-thinning modes (zero caps a plane at lo8, clip at
-        i4h). Metas are NEVER modified: pack_plane's mode machinery is
-        already lossy-by-construction for a too-narrow mode — "lo8"
-        reads only the low corner and "i4h" clips nibble values — so
-        forcing the mode IS the thinning."""
+        Decisions are PER IMAGE, from its own content and the shared
+        plan only — so identical requests produce identical bytes
+        regardless of batch composition (the response cache and any
+        downstream CDN see ONE representation per URL). cb and cr are
+        decided JOINTLY (they share one wire mode; thinning only one
+        would record savings that never materialize on the wire).
+
+        Returns (metas', (ymode, cmode)): the batch pack modes are the
+        widest post-thinning modes. When every image agrees, no grid
+        is touched — pack_plane at the narrow mode IS the thinning
+        ("lo8" reads only the low corner, "i4h" clips nibbles). In a
+        MIXED batch the wire mode stays wide, so approved images get
+        explicitly thinned grid COPIES (originals never mutated).
+        Records ("zero"|"clip"|"none"|"mixed") per (y, cb, cr) in
+        self.spectral for observability."""
         from . import jpeg_decode
 
         norms2 = _folded_padded(p0, self.sh, self.sw, self.true_h,
@@ -1272,37 +1278,6 @@ class CoefBatchAssembly(BatchAssembly):
             ("cb", "cq", norms2[2], norms2[3], jpeg_decode.SPECTRAL_W_CB),
             ("cr", "cq", norms2[2], norms2[3], jpeg_decode.SPECTRAL_W_CR),
         )
-        # one plane_mode scan per (image, plane), reused everywhere
-        pre = [
-            [jpeg_decode.plane_mode(m[key]) for key, *_ in planes]
-            for m in metas
-        ]
-        actions = []
-        for pi, (key, qkey, na2, nb2, w) in enumerate(planes):
-            zero_ok = clip_ok = True
-            any_thick = any_i8 = False  # is there anything to thin?
-            for m, modes in zip(metas, pre):
-                mode = modes[pi]
-                if mode in ("zero", "lo8"):
-                    continue  # already at/below the thinned wire cost
-                any_thick = True
-                any_i8 = any_i8 or mode == "i8"
-                z, c = jpeg_decode.spectral_errors(
-                    m[key], m[qkey], na2, nb2, need_clip=(mode == "i8")
-                )
-                if w * z > budget:
-                    zero_ok = False
-                if mode == "i8" and (c is None or w * c > budget):
-                    clip_ok = False
-                if not zero_ok and not clip_ok:
-                    break
-            if zero_ok and any_thick:
-                actions.append("zero")
-            elif clip_ok and any_i8:
-                actions.append("clip")
-            else:
-                actions.append("none")
-        self.spectral = tuple(actions)
 
         def post_mode(mode, act):
             if act == "zero":
@@ -1313,18 +1288,84 @@ class CoefBatchAssembly(BatchAssembly):
                 return "i4h"
             return mode
 
+        def decide(group):
+            """Joint action for a set of planes sharing one wire mode:
+            (mode, zero_ok, clip_ok) per plane. "zero" needs every
+            plane zero-safe; "clip" needs every i8 plane clip-safe
+            (clip error <= zero error, so zero-safe implies
+            clip-safe); either needs something to actually thin."""
+            if all(f[1] for f in group) and any(
+                f[0] not in ("zero", "lo8") for f in group
+            ):
+                return "zero"
+            if all(f[1] or f[2] for f in group) and any(
+                f[0] == "i8" for f in group
+            ):
+                return "clip"
+            return "none"
+
+        per_image = []  # (modes[3], acts[3]) per image
         ymode, cmode = "zero", "zero"
-        for modes in pre:
-            ymode = jpeg_decode.widest_mode(
-                ymode, post_mode(modes[0], actions[0])
+        for m in metas:
+            modes, fits = [], []
+            for key, qkey, na2, nb2, w in planes:
+                mode = jpeg_decode.plane_mode(m[key])
+                modes.append(mode)
+                if mode in ("zero", "lo8"):
+                    # nothing to thin: trivially compatible with any
+                    # joint action
+                    fits.append(("zero", True, True))
+                    continue
+                z, c = jpeg_decode.spectral_errors(
+                    m[key], m[qkey], na2, nb2, need_clip=(mode == "i8")
+                )
+                zero_ok = w * z <= budget
+                clip_ok = mode != "i8" or (c is not None and w * c <= budget)
+                fits.append((mode, zero_ok, clip_ok))
+            y_act = decide(fits[:1])
+            c_act = decide(fits[1:])
+            acts = (y_act, c_act, c_act)
+            per_image.append((modes, acts))
+            ymode = jpeg_decode.widest_mode(ymode, post_mode(modes[0], y_act))
+            cmode = jpeg_decode.widest_mode(cmode, post_mode(modes[1], c_act))
+            cmode = jpeg_decode.widest_mode(cmode, post_mode(modes[2], c_act))
+
+        # observability summary per plane: the unanimous action over
+        # images that had something to thin, else "mixed"
+        summary = []
+        for pi in range(3):
+            seen = {
+                acts[pi]
+                for modes, acts in per_image
+                if modes[pi] not in ("zero", "lo8")
+            }
+            summary.append(
+                next(iter(seen)) if len(seen) == 1 else
+                ("none" if not seen else "mixed")
             )
-            cmode = jpeg_decode.widest_mode(
-                cmode, post_mode(modes[1], actions[1])
-            )
-            cmode = jpeg_decode.widest_mode(
-                cmode, post_mode(modes[2], actions[2])
-            )
-        return ymode, cmode
+        self.spectral = tuple(summary)
+
+        # mixed batches: the wire mode stays wide for everyone, so an
+        # approved image's thinning must be applied to a grid copy or
+        # its bytes would depend on its batchmates
+        cost = jpeg_decode._MODE_COST
+        batch_modes = (ymode, cmode, cmode)
+        out = []
+        for m, (modes, acts) in zip(metas, per_image):
+            new = None
+            for pi, (key, *_rest) in enumerate(planes):
+                mode, act = modes[pi], acts[pi]
+                wide = cost[batch_modes[pi]]
+                if (act == "zero" and mode not in ("zero", "lo8")
+                        and wide > cost["lo8"]):
+                    new = dict(m) if new is None else new
+                    new[key] = jpeg_decode.zero_high(m[key])
+                elif (act == "clip" and mode == "i8"
+                        and wide > cost["i4h"]):
+                    new = dict(m) if new is None else new
+                    new[key] = jpeg_decode.clip_high_int4(m[key])
+            out.append(new if new is not None else m)
+        return out, (ymode, cmode)
 
     def _device_args(self):
         p0 = self.plans[0]

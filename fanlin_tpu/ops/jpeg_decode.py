@@ -664,10 +664,30 @@ def spectral_errors(grid: np.ndarray, q: np.ndarray, na2: np.ndarray,
     return zero, clip
 
 
-# The thinning itself needs no helper: pack_plane is already
-# lossy-by-construction for a too-narrow mode ("lo8" reads only the
-# low corner, "i4h" clips the nibble plane), so the assembly simply
-# FORCES the batch pack modes the guard approved.
+# In the common case the thinning needs no grid work: pack_plane is
+# already lossy-by-construction for a too-narrow mode ("lo8" reads
+# only the low corner, "i4h" clips the nibble plane), so the assembly
+# simply FORCES the batch pack modes the guard approved. The copy
+# helpers below are only needed for MIXED batches — when another
+# image forces a wider wire mode, an approved image's plane is
+# thinned explicitly so its bytes stay independent of its batchmates
+# (deterministic responses; the originals are never mutated).
+
+
+def zero_high(grid: np.ndarray) -> np.ndarray:
+    """Copy of a coefficient grid with the high-frequency positions
+    zeroed (the "zero" spectral action)."""
+    g = grid.copy()
+    g[:, :, _HIGH_MASK] = 0
+    return g
+
+
+def clip_high_int4(grid: np.ndarray) -> np.ndarray:
+    """Copy of a coefficient grid with the high-frequency positions
+    clipped to int4 (the "clip" spectral action)."""
+    g = grid.copy()
+    g[:, :, _HIGH_MASK] = np.clip(g[:, :, _HIGH_MASK], -8, 7)
+    return g
 
 
 # RGB Frobenius weights of a unit per-plane error: luma lands in all

@@ -302,3 +302,36 @@ def test_warmup_covers_device_dct_variants():
     asm = fused.BatchAssembly([plan], [make_test_image(160, 120)],
                               jpegdct=True, quality=75)
     assert fused.is_warm(asm.program_key())
+
+
+def test_warmup_covers_spectral_mode_variants():
+    """With spectral on, warmup must compile the program variants the
+    guard routes real content to: accepted (lo8 luma), rejected at
+    photographic lossless modes (i4h), and rejected loud (i8)."""
+    from fanlin_tpu.engine import warmup
+
+    fused.set_fold(True)
+    fused.set_spectral(45.0)
+    try:
+        warmup.warm(((160, 120, "w=61&h=41"),), batch=2)
+        plan = fused.plan_image(160, 120, parse_query("w=61&h=41"),
+                                opaque=True)
+        meta = warmup._synthetic_meta(160, 120)
+        for content, want in (
+            (None, None),
+            (("all7",), None),
+            (("pos99",), None),
+        ):
+            m = warmup._synthetic_meta(160, 120)
+            if content == ("all7",):
+                from fanlin_tpu.ops.jpeg_decode import _HIGH_MASK
+
+                m["y"][:, :, _HIGH_MASK] = 7
+            elif content == ("pos99",):
+                m["y"][:, :, 5] = 99
+            asm = fused.CoefBatchAssembly([plan] * 2, [m] * 2)
+            assert fused.is_warm(asm.program_key()), (content,
+                                                      asm.pack_modes)
+    finally:
+        fused.set_spectral(0.0)
+        fused.set_fold(False)

@@ -321,3 +321,57 @@ def test_spectral_on_non420_subsampling(spectral_folded, subsampling):
     mse = ((got - ref) ** 2).mean()
     psnr = 10 * np.log10(255.0**2 / mse) if mse else 99.0
     assert psnr >= 45.0, psnr
+
+
+def test_mixed_batch_keeps_per_image_determinism(spectral_folded):
+    """An image's bytes must not depend on its batchmates: a
+    guard-approved photo batched with guard-rejected noise produces
+    exactly the bytes it produces alone (the batch ships a wide wire
+    mode, so the approved image's grid is thinned explicitly)."""
+    photo = _meta(make_test_image(512, 512), 85)
+    rng = np.random.default_rng(11)
+    noise = _meta(rng.integers(0, 256, (512, 512, 3)).astype(np.uint8), 92)
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    alone = fused.CoefBatchAssembly([plan], [photo])
+    assert alone.spectral[0] == "zero"
+    ref = alone.run()[0]
+    mixed = fused.CoefBatchAssembly([plan] * 2, [photo, noise])
+    assert mixed.spectral[0] == "mixed"
+    # the wide batch mode would otherwise ship photo's highs lossless
+    assert mixed.pack_modes[0] == "i8"
+    got = mixed.run()[0]
+    np.testing.assert_array_equal(got, ref)
+    # and the noise image is untouched by its neighbor's thinning
+    noise_alone = fused.CoefBatchAssembly([plan], [noise]).run()[0]
+    np.testing.assert_array_equal(mixed.run()[1], noise_alone)
+
+
+def test_chroma_decision_is_joint(spectral_folded):
+    """cb and cr share one wire mode: thinning only one of them saves
+    nothing, so a loud cr must veto cb's thinning — no phantom
+    "zero" in the stats, no quality spent for zero savings."""
+    from fanlin_tpu.ops import dct as dct_mod
+
+    lq, cq = dct_mod.ijg_quant_tables(92)
+    y = np.zeros((64, 64, 64), np.int16)
+    y[:, :, 9] = 20  # low corner only: trivially thin
+    cb = np.zeros((32, 32, 64), np.int16)  # 4:2:0 chroma block grids
+    cb[:, :, 5] = 2   # tiny highs: zero-approvable alone
+    cr = np.zeros((32, 32, 64), np.int16)
+    cr[:, :, 4] = 99  # loud highs: i8, guard-rejected
+    meta = {"y": y, "cb": cb, "cr": cr,
+            "lq": lq.reshape(64).astype(np.uint16),
+            "cq": cq.reshape(64).astype(np.uint16),
+            "w": 512, "h": 512, "subsamp": 420}
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [meta])
+    assert asm.fold
+    assert asm.spectral[1] == "none" and asm.spectral[2] == "none"
+    # both chroma planes ship LOSSLESS at the shared wide mode
+    assert asm.pack_modes[1] == "i8"
+    fused.set_spectral(0.0)
+    ref = fused.CoefBatchAssembly([plan], [meta])
+    fused.set_spectral(45.0)
+    np.testing.assert_array_equal(asm.run()[0], ref.run()[0])
