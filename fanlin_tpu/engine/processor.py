@@ -112,22 +112,26 @@ class Engine:
         if fmt == codecs.JPEG:
             converted = self._convert_jpeg_color_if_needed(data)
 
-        # Device decode back half: plain YCbCr 4:2:0 JPEGs with no
-        # EXIF rotation and no ICC conversion upload entropy-decoded
-        # coefficients (int8 AC + int16 DC, ~1.5 B/px) instead of
-        # decoded pixels; the TPU runs dequant/iDCT/upsample/YCbCr->RGB
-        # as a prologue to the transform program.
+        # Device decode back half: plain YCbCr JPEGs with no ICC
+        # conversion upload entropy-decoded coefficients (int8 AC +
+        # int16 DC, ~1.5 B/px or less) instead of decoded pixels; the
+        # TPU runs dequant/iDCT/upsample/YCbCr->RGB as a prologue to
+        # the transform program. EXIF-rotated sources rotate ON THE
+        # COEFFICIENT GRIDS first (jpegtran's transform math,
+        # jpeg_decode.orient_meta); only geometries where that isn't
+        # grid-exact fall back to the pixel path.
         meta = None
         if (
             self.device_decode
             and fmt == codecs.JPEG
             and converted is None
-            and orientation == 1
         ):
             from . import native_codecs
             from ..ops import jpeg_decode
 
             meta = native_codecs.read_jpeg_coeffs(data)
+            if meta is not None and orientation != 1:
+                meta = jpeg_decode.orient_meta(meta, orientation)
             if meta is not None and not jpeg_decode.ac_fits_int8(meta):
                 meta = None  # rare oversized AC: take the pixel path
 

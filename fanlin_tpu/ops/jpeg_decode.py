@@ -603,6 +603,101 @@ def unpack_plane_args(mode: str, arrays, pad_h: int, pad_w: int,
 
 
 # ----------------------------------------------------------------------------
+# EXIF orientation IN THE COEFFICIENT DOMAIN (jpegtran's transform math)
+# ----------------------------------------------------------------------------
+#
+# The reference rotates decoded pixels (image::apply_orientation,
+# handler.rs:221-222). Most camera JPEGs carry orientation 6 (rot90),
+# and the pixel rotation used to force those onto the 3 B/px pixel
+# upload path. But flips and transposes are exact linear maps of the
+# DCT basis, so the HOST can rotate the quantized coefficient grids
+# instead — the classic jpegtran lossless transforms — and rotated
+# sources keep the cheap coefficient upload:
+#   flip-H: reverse block columns, negate odd-v coefficients
+#   flip-V: reverse block rows,    negate odd-u coefficients
+#   transpose: transpose the block grid AND each block's (u, v)
+# Flips are exact only when the flipped axis has no partial MCU
+# (camera sensor dims are MCU-aligned in practice); transposes are
+# always grid-exact but swap the subsampling axes (so 4:2:2 can't
+# transpose) and swap the chroma upsample's row/column rounding
+# constants (jdsample's +8/+7), costing <=1 LSB on chroma — far
+# inside the device decode's documented iDCT tolerance.
+
+_TRANSPOSE_PERM = (np.arange(64) % 8) * 8 + np.arange(64) // 8  # (u,v)->(v,u)
+_SIGN_V = np.where(_NAT_V % 2 == 1, -1, 1).astype(np.int16)  # flip-H signs
+_SIGN_U = np.where(_NAT_U % 2 == 1, -1, 1).astype(np.int16)  # flip-V signs
+
+
+def _grid_flip_h(g: np.ndarray) -> np.ndarray:
+    return g[:, ::-1] * _SIGN_V
+
+
+def _grid_flip_v(g: np.ndarray) -> np.ndarray:
+    return g[::-1] * _SIGN_U
+
+
+def _grid_transpose(g: np.ndarray) -> np.ndarray:
+    return g.transpose(1, 0, 2)[:, :, _TRANSPOSE_PERM]
+
+
+# ops per EXIF orientation, composed to match
+# engine.codecs.apply_orientation exactly (t = transpose, h/v = flips
+# applied AFTER the transpose, in grid space):
+_ORIENT_OPS = {
+    2: "h", 3: "hv", 4: "v",
+    5: "t", 6: "th", 7: "tvh", 8: "tv",
+}
+
+
+def orient_meta(meta: dict, orientation: int):
+    """Rotate a read_jpeg_coeffs dict in the coefficient domain to
+    match codecs.apply_orientation(pixels, orientation). Returns a new
+    meta (inputs never mutated — metas may be shared), or None when
+    the transform isn't grid-exact for this geometry:
+      * flips need the flipped image axis MCU-aligned (no partial
+        edge block in any plane);
+      * transposes need symmetric subsampling (420/444/grayscale —
+        4:2:2 would become 2x1-vertical, which nothing decodes).
+    """
+    ops = _ORIENT_OPS.get(orientation)
+    if ops is None:
+        return None  # orientation 1 (or invalid): nothing to do
+    subsamp = meta.get("subsamp", 420)
+    csv, csh = chroma_divisors(subsamp)
+    w, h = meta["w"], meta["h"]
+    if "t" in ops:
+        if csv != csh:
+            return None  # 4:2:2: transpose would swap the subsampling
+        w, h = h, w
+    mcu_w, mcu_h = 8 * csh, 8 * csv
+    # flips operate on the POST-transpose geometry (w, h above)
+    if "h" in ops and w % mcu_w:
+        return None
+    if "v" in ops and h % mcu_h:
+        return None
+
+    def xform(g):
+        if "t" in ops:
+            g = _grid_transpose(g)
+        if "v" in ops:
+            g = _grid_flip_v(g)
+        if "h" in ops:
+            g = _grid_flip_h(g)
+        return np.ascontiguousarray(g)
+
+    out = dict(meta)
+    out["y"] = xform(meta["y"])
+    out["cb"] = xform(meta["cb"])
+    out["cr"] = xform(meta["cr"])
+    out["w"], out["h"] = w, h
+    if "t" in ops:
+        # quant tables follow the (u, v) swap
+        out["lq"] = np.ascontiguousarray(meta["lq"][_TRANSPOSE_PERM])
+        out["cq"] = np.ascontiguousarray(meta["cq"][_TRANSPOSE_PERM])
+    return out
+
+
+# ----------------------------------------------------------------------------
 # spectral truncation (lossy upload thinning for the FOLDED path)
 # ----------------------------------------------------------------------------
 #

@@ -152,13 +152,16 @@ def test_engine_coef_path_with_ops():
 
 def test_unsupported_layouts_fall_back():
     e = Engine(device_decode=True)
-    # EXIF-rotated source -> pixel path (orientation must apply)
+    # EXIF-rotated source whose rotation is NOT grid-exact (the
+    # flipped axis has a partial MCU: 52 % 16 != 0) -> pixel path.
+    # MCU-aligned rotations ride the coefficient path instead
+    # (jpeg_decode.orient_meta; tests/test_orientation.py).
     buf2 = io.BytesIO()
-    im = Image.fromarray(make_test_image(64, 64))
+    im = Image.fromarray(make_test_image(60, 52))
     exif = im.getexif()
-    exif[0x0112] = 6
+    exif[0x0112] = 6  # rot90: flip-H on the transposed grid, needs h%16
     im.save(buf2, format="JPEG", exif=exif)
-    e.process_image(buf2.getvalue(), parse_query("w=32&h=32"), Format())
+    e.process_image(buf2.getvalue(), parse_query("w=26&h=30"), Format())
     assert e.stats["pixel_src"] == 1 and e.stats["coef_src"] == 0
 
 

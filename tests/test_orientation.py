@@ -50,3 +50,100 @@ def test_engine_applies_exif_rotation():
     )
     with Image.open(io.BytesIO(out)) as im:
         assert im.size == (32, 64)
+
+
+def _exif_jpeg(img, orientation, quality=90, subsampling=None):
+    pil = Image.fromarray(img)
+    exif = pil.getexif()
+    exif[0x0112] = orientation
+    buf = io.BytesIO()
+    kw = {"subsampling": subsampling} if subsampling else {}
+    pil.save(buf, format="JPEG", exif=exif, quality=quality, **kw)
+    return buf.getvalue()
+
+
+def _psnr(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = ((a - b) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+
+
+@pytest.mark.parametrize("orientation", [2, 3, 4, 5, 6, 7, 8])
+def test_rotated_jpegs_take_the_coefficient_path(orientation):
+    """EXIF-rotated MCU-aligned JPEGs rotate in the COEFFICIENT domain
+    (jpegtran's transform math, jpeg_decode.orient_meta) and keep the
+    device decode path; output matches the pixel path within the
+    device decode's documented tolerance."""
+    from tests.conftest import make_test_image
+
+    data = _exif_jpeg(make_test_image(128, 96), orientation)
+    q = parse_query("w=40&h=30")
+    dev = Engine(device_decode=True, device_jpeg=False)
+    pix = Engine(device_decode=False, device_jpeg=False)
+    mime_d, out_d = dev.process_image(data, q, Format())
+    mime_p, out_p = pix.process_image(data, q, Format())
+    assert dev.stats["coef_src"] == 1, "coefficient path not taken"
+    assert pix.stats["pixel_src"] == 1
+    a = Image.open(io.BytesIO(out_d)).convert("RGB")
+    b = Image.open(io.BytesIO(out_p)).convert("RGB")
+    assert a.size == b.size
+    assert _psnr(a, b) >= 45.0
+
+
+def test_unaligned_flip_falls_back_to_pixels():
+    """A flip whose axis has a partial edge MCU is not grid-exact:
+    the engine must take the pixel path (132 % 16 != 0)."""
+    from tests.conftest import make_test_image
+
+    data = _exif_jpeg(make_test_image(132, 96), 2)  # flip-H, w=132
+    dev = Engine(device_decode=True, device_jpeg=False)
+    dev.process_image(data, parse_query("w=40&h=30"), Format())
+    assert dev.stats["pixel_src"] == 1
+
+
+def test_422_transpose_falls_back_flips_ride():
+    """4:2:2 can't transpose (subsampling axes would swap) but flips
+    keep the layout and ride the coefficient path."""
+    from tests.conftest import make_test_image
+
+    img = make_test_image(128, 96)
+    dev = Engine(device_decode=True, device_jpeg=False)
+    dev.process_image(
+        _exif_jpeg(img, 6, subsampling="4:2:2"),
+        parse_query("w=30&h=40"), Format(),
+    )
+    assert dev.stats["pixel_src"] == 1  # transpose family: fall back
+    dev2 = Engine(device_decode=True, device_jpeg=False)
+    mime, out = dev2.process_image(
+        _exif_jpeg(img, 3, subsampling="4:2:2"),
+        parse_query("w=40&h=30"), Format(),
+    )
+    assert dev2.stats["coef_src"] == 1  # rot180 = flips only
+    pix = Engine(device_decode=False, device_jpeg=False)
+    _, out_p = pix.process_image(
+        _exif_jpeg(img, 3, subsampling="4:2:2"),
+        parse_query("w=40&h=30"), Format(),
+    )
+    a = Image.open(io.BytesIO(out)).convert("RGB")
+    b = Image.open(io.BytesIO(out_p)).convert("RGB")
+    assert _psnr(a, b) >= 45.0
+
+
+def test_flip_rotation_is_decode_exact():
+    """Flips (orientation 3) are exact coefficient transforms: at
+    identity geometry the two paths differ only by the device decode's
+    iDCT tolerance (max ±4 vs libjpeg, PARITY.md) plus the output
+    re-encode — compare decoded planes, not just PSNR."""
+    from tests.conftest import make_test_image
+
+    data = _exif_jpeg(make_test_image(128, 96), 3, quality=88)
+    q = parse_query("w=128&h=96&quality=95")
+    dev = Engine(device_decode=True, device_jpeg=False)
+    pix = Engine(device_decode=False, device_jpeg=False)
+    _, out_d = dev.process_image(data, q, Format())
+    _, out_p = pix.process_image(data, q, Format())
+    assert dev.stats["coef_src"] == 1
+    a = np.asarray(Image.open(io.BytesIO(out_d)).convert("RGB"), np.int16)
+    b = np.asarray(Image.open(io.BytesIO(out_p)).convert("RGB"), np.int16)
+    assert np.abs(a - b).max() <= 8  # decode ±4, resample ±1, re-encode
