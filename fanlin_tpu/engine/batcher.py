@@ -175,7 +175,11 @@ class MicroBatcher:
                       "pipeline_depth": self.pipeline_depth,
                       # tpu.spectral_db plane actions, counted per batch
                       "spectral_zero": 0, "spectral_clip": 0,
-                      "spectral_none": 0, "spectral_mixed": 0}
+                      "spectral_none": 0, "spectral_mixed": 0,
+                      # cumulative host->device AC bytes of coefficient
+                      # batches: the link-bound regime's limiting
+                      # quantity (SCALING.md §2)
+                      "upload_ac_bytes": 0}
 
     # -- submission --------------------------------------------------------
 
@@ -285,6 +289,8 @@ class MicroBatcher:
             asm = fused.make_assembly(plans, images, kinds, mesh=self._mesh)
             for act in getattr(asm, "spectral", ()):
                 self.stats["spectral_" + act] += 1
+            if hasattr(asm, "upload_ac_bytes"):
+                self.stats["upload_ac_bytes"] += asm.upload_ac_bytes
             key = asm.program_key()
             if self._host_fallback and not fused.is_warm(key):
                 # serve THIS batch from the numpy mirror (on the host

@@ -110,6 +110,16 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
             return cls([plan] * b, [payload] * b, jpegdct=True, quality=75)
         return cls([plan] * b, [payload] * b, kind)
 
+    def _warm_dct_fallback(plan, payload, b, src):
+        """The overflow ladder's int8 rung is its own program: warm it
+        so a device_dct deployment's first saturating batch re-runs on
+        DEVICE instead of the host mirror (fused collect's cold-rung
+        rule)."""
+        asm = _build(plan, payload, b, src, "dct")
+        asm.dct_pack = 1
+        asm.collect(asm.submit())
+        fused.mark_warm(asm.program_key() + (("dct_pack", 1),))
+
     def run_one(job):
         plan, img, b, src, kind, flavor = job
         if src == "coef":
@@ -127,8 +137,12 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
                 meta["y"][:, :, 5] = 99  # loud highs: i8, fails guard
             # compiles the folded program instead when fast_decode is on
             _build(plan, meta, b, src, kind).run()
+            if kind == "dct" and flavor == "base":
+                _warm_dct_fallback(plan, meta, b, src)
         else:
             _build(plan, img, b, src, kind).run()
+            if kind == "dct":
+                _warm_dct_fallback(plan, img, b, src)
 
     # compile in parallel — remote/XLA compile services overlap requests
     with ThreadPoolExecutor(min(len(jobs), 8)) as pool:

@@ -1048,12 +1048,41 @@ class BatchAssembly:
                 if int(overflow.sum()) > 0:
                     # a coefficient saturated this pack level (int4 on
                     # sharp high-contrast content, int8 only near
-                    # q100): re-run the batch one level wider
+                    # q100): re-run the batch one level wider. The
+                    # wider program is its own compile — if it has
+                    # never run, serve THIS batch from the host mirror
+                    # instead of blocking the collector for a remote
+                    # compile (the cold-bucket rule: a cold program
+                    # never blocks a request) and pay the compile in
+                    # the background.
+                    level = 1 if len(out) == 10 else 2
+                    wider_key = self.program_key() + (("dct_pack", level),)
                     prev = getattr(self, "dct_pack", 0)
-                    self.dct_pack = 1 if len(out) == 10 else 2
+                    self.dct_pack = level
                     fn, args = self._device_args()
                     self.dct_pack = prev
-                    return self.collect(fn(*args))
+                    if is_warm(wider_key):
+                        results = self.collect(fn(*args))
+                        mark_warm(wider_key)
+                        return results
+                    import threading
+
+                    from . import hostexec
+
+                    def _compile(fn=fn, args=args, key=wider_key):
+                        try:
+                            o = fn(*args)
+                            for x in (o if isinstance(o, tuple) else (o,)):
+                                np.asarray(x)
+                            mark_warm(key)
+                        except Exception:
+                            pass
+
+                    threading.Thread(
+                        target=_compile, name="fanlin-warm-dct",
+                        daemon=True,
+                    ).start()
+                    return hostexec.run_host(self)
                 from . import dct as dct_mod
 
                 if len(out) == 10:

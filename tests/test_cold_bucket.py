@@ -335,3 +335,18 @@ def test_warmup_covers_spectral_mode_variants():
     finally:
         fused.set_spectral(0.0)
         fused.set_fold(False)
+
+
+def test_warmup_covers_dct_fallback_rung():
+    """device_dct warmup also compiles the overflow ladder's int8
+    rung, so a saturating first batch re-runs on device."""
+    from fanlin_tpu.engine import warmup
+
+    shapes = ((160, 120, "w=47&h=29"),)
+    warmup.warm(shapes, batch=2, device_dct=True)
+    plan = fused.plan_image(160, 120, parse_query("w=47&h=29"), opaque=True)
+    asm = fused.BatchAssembly([plan] * 2,
+                              [make_test_image(160, 120)] * 2,
+                              jpegdct=True, quality=75)
+    assert fused.is_warm(asm.program_key())
+    assert fused.is_warm(asm.program_key() + (("dct_pack", 1),))

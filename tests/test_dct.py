@@ -213,6 +213,9 @@ def test_i4_overflow_falls_back_one_level():
         img[y : y + 8, x : x + 8] = rng.integers(60, 160, 3)
     plan = fused.plan_image(64, 64, parse_query(""), opaque=True)
     a = fused.BatchAssembly([plan], [img], jpegdct=True, quality=90)
+    # pre-warm the wider rung so this exercises the DEVICE ladder
+    # (the cold-rung host-mirror path has its own test below)
+    fused.mark_warm(a.program_key() + (("dct_pack", 1),))
     fn, args = a._device_args()
     out = fn(*args)
     assert len(out) == 10
@@ -243,3 +246,60 @@ def test_planar_dct_matches_blockwise_reference():
     planar = np.asarray(dct.planar_dct_quant(x, lq.astype(np.float32)))
     got = dct.blocks_from_planar(planar)
     np.testing.assert_array_equal(got, ref)
+
+
+def test_cold_wider_pack_program_served_from_host(monkeypatch):
+    """The overflow ladder's wider program is its own compile: when it
+    has never run, the batch must be served from the host mirror
+    immediately (the cold-bucket rule) while the wider program
+    compiles in the background — never a blocking remote compile on
+    the collector thread."""
+    import time
+
+    import numpy as np
+
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    rng = np.random.default_rng(2)
+    img = np.full((72, 64, 3), 160, np.uint8)  # distinct geometry:
+    for _ in range(30):                        # fresh (unwarmed) keys
+        x, y = rng.integers(0, 56, 2)
+        img[y : y + 8, x : x + 8] = rng.integers(60, 160, 3)
+    plan = fused.plan_image(64, 72, parse_query(""), opaque=True)
+
+    real = fused.get_program
+
+    def slow(*a, **kw):
+        fn = real(*a, **kw)
+        dp = kw.get("dct_pack", a[12] if len(a) > 12 else 0)
+        if dp:
+            def wrapped(*args, _fn=fn):
+                time.sleep(2.0)
+                return _fn(*args)
+
+            return wrapped
+        return fn
+
+    monkeypatch.setattr(fused, "get_program", slow)
+    a = fused.BatchAssembly([plan], [img], jpegdct=True, quality=90)
+    wider_key = a.program_key() + (("dct_pack", 1),)
+    assert not fused.is_warm(wider_key)
+    out = a.submit()  # level-0 program (may pay its own first compile)
+    t0 = time.perf_counter()
+    got = a.collect(out)[0]
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 1.5, f"collector blocked {elapsed:.1f}s on a cold compile"
+    assert got[0] == "coeffs"
+    # mirror results match the device full program within its tolerance
+    a2 = fused.BatchAssembly([plan], [img], jpegdct=True, quality=90)
+    a2.dct_pack = 2
+    fn, args = a2._device_args()
+    full = a2.collect(fn(*args))[0]
+    for cg, cf in zip(got[1:4], full[1:4]):
+        assert np.abs(cg.astype(int) - cf.astype(int)).max() <= 1
+    # the background thread pays the compile and marks the rung warm
+    deadline = time.time() + 10
+    while time.time() < deadline and not fused.is_warm(wider_key):
+        time.sleep(0.2)
+    assert fused.is_warm(wider_key)
