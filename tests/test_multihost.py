@@ -1,0 +1,63 @@
+"""Multi-host replica consistency (SCALING.md §3).
+
+The DCN scaling story is N independent gateway processes behind a
+load balancer — no cross-replica state, so correctness reduces to:
+two replicas built from the same config serve BYTE-IDENTICAL
+responses for the same request. That held trivially for the exact
+paths; the round-3 spectral thinning made it a real property (its
+per-image decisions depend only on content + plan, never on batch
+composition or replica-local history — tests/test_spectral.py pins
+the batch-independence half, this pins the replica half)."""
+
+import asyncio
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from fanlin_tpu.config import Config
+from fanlin_tpu.server.app import build_state, create_app
+
+
+def _config(fixtures_dir) -> Config:
+    import json
+
+    return Config.from_obj(json.loads("""
+{"port": 0, "bind_addr": "127.0.0.1", "max_clients": 8,
+ "client": {"s3": {"aws_region": "x"},
+            "web": {"user_agent": "t", "timeout": 2}},
+ "providers": [{"path": "baz", "src": "file://localhost/%s"}],
+ "tpu": {"fast_decode": true, "spectral_db": 45, "warmup": false}}
+""" % fixtures_dir))
+
+
+@pytest.mark.parametrize("path", [
+    "/baz/lenna.jpg?w=300&h=200",
+    "/baz/lenna.jpg?w=100&h=80&grayscale=true",
+    "/baz/lenna.jpg?w=120&h=90&blur=2&rgb=5,6,7",
+    "/baz/lenna.png?w=200&h=150&crop=true",
+])
+def test_replicas_serve_identical_bytes(fixtures_dir, path):
+    loop = asyncio.new_event_loop()
+
+    async def run():
+        cfg = _config(fixtures_dir)
+        replicas = []
+        for _ in range(2):
+            state = await build_state(cfg)
+            client = TestClient(TestServer(create_app(cfg, state)))
+            await client.start_server()
+            replicas.append((client, state))
+        bodies = []
+        for client, _ in replicas:
+            resp = await client.get(path)
+            assert resp.status == 200
+            bodies.append(await resp.read())
+        for client, _ in replicas:
+            await client.close()  # app cleanup closes state + batcher
+        return bodies
+
+    try:
+        a, b = loop.run_until_complete(run())
+    finally:
+        loop.close()
+    assert a == b, f"replicas diverged on {path}"

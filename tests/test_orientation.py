@@ -147,3 +147,43 @@ def test_flip_rotation_is_decode_exact():
     a = np.asarray(Image.open(io.BytesIO(out_d)).convert("RGB"), np.int16)
     b = np.asarray(Image.open(io.BytesIO(out_p)).convert("RGB"), np.int16)
     assert np.abs(a - b).max() <= 8  # decode ±4, resample ±1, re-encode
+
+
+def test_orient_meta_fuzz_against_pixel_path():
+    """Randomized geometries × orientations × subsamplings: whenever
+    orient_meta accepts, the engine's coefficient path must agree with
+    the pixel path (same resample math) to PSNR >= 45; whenever it
+    declines, the pixel path must have been taken."""
+    from tests.conftest import make_test_image
+
+    rng = np.random.default_rng(20)
+    cases = 0
+    for _ in range(24):
+        w = int(rng.integers(3, 17)) * 8
+        h = int(rng.integers(3, 17)) * 8
+        orientation = int(rng.integers(2, 9))
+        sub = rng.choice(["4:2:0", "4:2:2", "4:4:4"])
+        img = make_test_image(w, h, seed=int(rng.integers(0, 99)))
+        data = _exif_jpeg(img, orientation, quality=88, subsampling=sub)
+        ow, oh = (24, 32) if orientation >= 5 and w != h else (32, 24)
+        # output quality 95: at q75 the re-encode amplifies the two
+        # paths' ±1 pre-encode difference into quant-decision flips
+        # (block-level ±q/2) that dominate tiny-output PSNR; the
+        # transform-level agreement is pinned at ±1 elsewhere
+        q = parse_query(f"w={ow}&h={oh}&quality=95")
+        dev = Engine(device_decode=True, device_jpeg=False)
+        pix = Engine(device_decode=False, device_jpeg=False)
+        _, out_d = dev.process_image(data, q, Format())
+        _, out_p = pix.process_image(data, q, Format())
+        a = Image.open(io.BytesIO(out_d)).convert("RGB")
+        b = Image.open(io.BytesIO(out_p)).convert("RGB")
+        assert a.size == b.size, (w, h, orientation, sub)
+        if dev.stats["coef_src"]:
+            cases += 1
+            p = _psnr(a, b)
+            assert p >= 45.0, (w, h, orientation, sub, p)
+        else:
+            assert dev.stats["pixel_src"] == 1
+            # outputs from two pixel paths must be identical
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert cases >= 6  # the fuzz actually exercised the coef path
