@@ -174,7 +174,8 @@ class MicroBatcher:
                       "shed_expired": 0, "rejected_overload": 0,
                       "pipeline_depth": self.pipeline_depth,
                       # tpu.spectral_db plane actions, counted per batch
-                      "spectral_zero": 0, "spectral_clip": 0,
+                      "spectral_zero": 0, "spectral_zero2": 0,
+                      "spectral_clip": 0,
                       "spectral_none": 0, "spectral_mixed": 0,
                       # cumulative host->device AC bytes of coefficient
                       # batches: the link-bound regime's limiting

@@ -526,9 +526,10 @@ _FOLDED_CACHE = ByteLRU(max_bytes=128 * 1024 * 1024)
 
 def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
                    true_w: int, subsamp: int = 420):
-    """(mats, lows, norms2): the 8 folded matrices, their low-corner
-    column restrictions (ay_low, ahy_low, acv_low, ach_low) for the
-    sub-int8 upload modes, and the AC matrices' squared column norms
+    """(mats, lows, norms2, lows2): the 8 folded matrices, their
+    low-corner column restrictions (ay_low, ahy_low, acv_low,
+    ach_low) for the sub-int8 upload modes (lows = k=4, lows2 = the
+    k=2 lo2 corner), and the AC matrices' squared column norms
     (ny_v, ny_h, nc_v, nc_h) for the spectral-truncation estimator —
     cached together so device-side copies stay keyed on stable
     host-array identities."""
@@ -552,16 +553,22 @@ def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
     norms2 = (n0, n1,
               n0 if mats[2] is mats[0] else jpeg_decode.colnorms2(mats[2]),
               n1 if mats[3] is mats[1] else jpeg_decode.colnorms2(mats[3]))
-    value = (mats, lows, norms2)
+    l20 = jpeg_decode.low_cols(mats[0], 2)
+    l21 = jpeg_decode.low_cols(mats[1], 2)
+    lows2 = (l20, l21,
+             l20 if mats[2] is mats[0] else jpeg_decode.low_cols(mats[2], 2),
+             l21 if mats[3] is mats[1] else jpeg_decode.low_cols(mats[3], 2))
+    value = (mats, lows, norms2, lows2)
     nbytes = sum(m.nbytes for m in mats) + sum(
-        m.nbytes for m in {id(m): m for m in lows}.values()
+        m.nbytes
+        for m in {id(m): m for m in lows + lows2}.values()
     ) + sum(n.nbytes for n in {id(n): n for n in norms2}.values())
     _FOLDED_CACHE.put(key, (plan, value), nbytes)
     return value
 
 
 def _n_arrays(mode: str) -> int:
-    return {"zero": 0, "lo8": 1, "i8": 1, "i4h": 2}[mode]
+    return {"zero": 0, "lo2": 1, "lo8": 1, "i8": 1, "i4h": 2}[mode]
 
 
 def _plane_from_arrays(mode: str, arrays):
@@ -574,7 +581,7 @@ def _plane_from_arrays(mode: str, arrays):
         return None, None
     if mode == "i8":
         return arrays[0], None
-    if mode == "lo8":
+    if mode in ("lo8", "lo2"):
         return None, arrays[0]
     return jpeg_decode.unpack_nibbles(arrays[0]), arrays[1]
 
@@ -602,8 +609,8 @@ def get_folded_program(batch: int, true_h: int, true_w: int, out_h: int,
     mmd = jnp.bfloat16 if fast else jnp.float32
     ymode, cmode = pack
     n_y, n_c = _n_arrays(ymode), _n_arrays(cmode)
-    y_has_low = ymode in ("lo8", "i4h")
-    c_has_low = cmode in ("lo8", "i4h")
+    y_has_low = ymode in ("lo2", "lo8", "i4h")
+    c_has_low = cmode in ("lo2", "lo8", "i4h")
     n_low = (2 if y_has_low else 0) + (2 if c_has_low else 0)
 
     def core(*a):
@@ -1227,6 +1234,8 @@ class CoefBatchAssembly(BatchAssembly):
                 return []
             if mode == "lo8":
                 return [np.zeros((self.b, ph // 2, pw // 2), np.int8)]
+            if mode == "lo2":
+                return [np.zeros((self.b, ph // 4, pw // 4), np.int8)]
             if mode == "i4h":
                 return [np.zeros((self.b, ph, pw // 2), np.uint8),
                         np.zeros((self.b, ph // 2, pw // 2), np.int8)]
@@ -1309,6 +1318,9 @@ class CoefBatchAssembly(BatchAssembly):
         )
 
         def post_mode(mode, act):
+            if act == "zero2":
+                # the quarter-resolution 2x2 corner (heavy downscales)
+                return "zero" if mode == "zero" else "lo2"
             if act == "zero":
                 # zeroed highs cap the plane at lo8 (an all-zero low
                 # corner still ships fine in lo8 form)
@@ -1319,38 +1331,79 @@ class CoefBatchAssembly(BatchAssembly):
 
         def decide(group):
             """Joint action for a set of planes sharing one wire mode:
-            (mode, zero_ok, clip_ok) per plane. "zero" needs every
-            plane zero-safe; "clip" needs every i8 plane clip-safe
-            (clip error <= zero error, so zero-safe implies
-            clip-safe); either needs something to actually thin."""
+            (mode, zero2_ok, zero_ok, clip_ok) per plane. Each rung
+            needs every plane safe at it and something to actually
+            thin ("clip" only matters for i8 planes; clip error <=
+            zero error, so zero-safe implies clip-safe)."""
             if all(f[1] for f in group) and any(
+                f[0] != "zero" for f in group
+            ):
+                return "zero2"
+            if all(f[2] for f in group) and any(
                 f[0] not in ("zero", "lo8") for f in group
             ):
                 return "zero"
-            if all(f[1] or f[2] for f in group) and any(
+            if all(f[2] or f[3] for f in group) and any(
                 f[0] == "i8" for f in group
             ):
                 return "clip"
             return "none"
 
+        # the lo2 rung only makes sense when the resample genuinely
+        # attenuates frequencies 2-3 (scale <~ 0.3 per axis) — gate
+        # on the folded matrices' column gains so typical traffic
+        # never pays the extra estimator pass (the estimator itself
+        # still decides inside the gate)
+        mask2 = jpeg_decode.high_mask(2)
+
+        def _gate2(na2, nb2):
+            nv = na2.reshape(-1, 8)
+            nh = nb2.reshape(-1, 8)
+            return (
+                float(nv[:, 2:4].max())
+                <= 0.15 * max(float(nv[:, :2].max()), 1e-12)
+                and float(nh[:, 2:4].max())
+                <= 0.15 * max(float(nh[:, :2].max()), 1e-12)
+            )
+
+        gate_y = _gate2(norms2[0], norms2[1])
+        gate_c = _gate2(norms2[2], norms2[3])
+        gates = (gate_y, gate_c, gate_c)
+
         per_image = []  # (modes[3], acts[3]) per image
         ymode, cmode = "zero", "zero"
         for m in metas:
             modes, fits = [], []
-            for key, qkey, na2, nb2, w in planes:
+            for (key, qkey, na2, nb2, w), gate2 in zip(planes, gates):
                 mode = jpeg_decode.plane_mode(m[key])
                 modes.append(mode)
-                if mode in ("zero", "lo8"):
-                    # nothing to thin: trivially compatible with any
-                    # joint action
-                    fits.append(("zero", True, True))
+                if mode == "zero":
+                    # nothing at all to thin
+                    fits.append((mode, True, True, True))
+                    continue
+                if mode == "lo8":
+                    # already at the k=4 corner; only the lo2 rung
+                    # could thin further
+                    z2_ok = False
+                    if gate2:
+                        z2, _ = jpeg_decode.spectral_errors(
+                            m[key], m[qkey], na2, nb2, mask=mask2
+                        )
+                        z2_ok = w * z2 <= budget
+                    fits.append((mode, z2_ok, True, True))
                     continue
                 z, c = jpeg_decode.spectral_errors(
                     m[key], m[qkey], na2, nb2, need_clip=(mode == "i8")
                 )
                 zero_ok = w * z <= budget
                 clip_ok = mode != "i8" or (c is not None and w * c <= budget)
-                fits.append((mode, zero_ok, clip_ok))
+                z2_ok = False
+                if zero_ok and gate2:
+                    z2, _ = jpeg_decode.spectral_errors(
+                        m[key], m[qkey], na2, nb2, mask=mask2
+                    )
+                    z2_ok = w * z2 <= budget
+                fits.append((mode, z2_ok, zero_ok, clip_ok))
             y_act = decide(fits[:1])
             c_act = decide(fits[1:])
             acts = (y_act, c_act, c_act)
@@ -1385,7 +1438,11 @@ class CoefBatchAssembly(BatchAssembly):
             for pi, (key, *_rest) in enumerate(planes):
                 mode, act = modes[pi], acts[pi]
                 wide = cost[batch_modes[pi]]
-                if (act == "zero" and mode not in ("zero", "lo8")
+                if (act == "zero2" and mode != "zero"
+                        and wide > cost["lo2"]):
+                    new = dict(m) if new is None else new
+                    new[key] = jpeg_decode.zero_high(m[key], 2)
+                elif (act == "zero" and mode not in ("zero", "lo8")
                         and wide > cost["lo8"]):
                     new = dict(m) if new is None else new
                     new[key] = jpeg_decode.zero_high(m[key])
@@ -1422,8 +1479,9 @@ class CoefBatchAssembly(BatchAssembly):
                                     self.jpegdct, _FAST["enabled"],
                                     getattr(self, "dct_pack", 0),
                                     self.pack_modes)
-            mats, lows, _ = _folded_padded(p0, self.sh, self.sw, self.true_h,
-                                           self.true_w, self.subsamp)
+            mats, lows, _, lows2 = _folded_padded(
+                p0, self.sh, self.sw, self.true_h, self.true_w,
+                self.subsamp)
             # row-matrices replicated; the AC column-matrices contract
             # the sp-sharded width so they shard on their second axis
             # (DC planes are tiny and ride unsharded)
@@ -1431,12 +1489,15 @@ class CoefBatchAssembly(BatchAssembly):
                 spec = (None, "sp") if i in (1, 3) else ()
                 args.append(self._cput(m, *spec))
             ymode, cmode = self.pack_modes
-            if ymode in ("lo8", "i4h"):
-                args += [self._cput(lows[0]),
-                         self._cput(lows[1], None, "sp")]
-            if cmode in ("lo8", "i4h"):
-                args += [self._cput(lows[2]),
-                         self._cput(lows[3], None, "sp")]
+            # lo2 planes ride the k=2 column restrictions (lows2)
+            if ymode in ("lo2", "lo8", "i4h"):
+                src = lows2 if ymode == "lo2" else lows
+                args += [self._cput(src[0]),
+                         self._cput(src[1], None, "sp")]
+            if cmode in ("lo2", "lo8", "i4h"):
+                src = lows2 if cmode == "lo2" else lows
+                args += [self._cput(src[2]),
+                         self._cput(src[3], None, "sp")]
             args += [self._put(self.flags, "dp"), self._put(self.fill, "dp"),
                      self._put(self.box, "dp")]
             if self.has_blur:

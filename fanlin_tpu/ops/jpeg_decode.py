@@ -341,15 +341,15 @@ _CB_G = 22554.0 / 65536.0
 _CR_G = 46802.0 / 65536.0
 
 
-def low_cols(m: np.ndarray) -> np.ndarray:
-    """Restrict a matrix operating on a PLANAR axis to the u < 4
-    low-corner columns of each 8-block: (O, N) -> (O, N/2). For a
+def low_cols(m: np.ndarray, k: int = 4) -> np.ndarray:
+    """Restrict a matrix operating on a PLANAR axis to the u < k
+    low-corner columns of each 8-block: (O, N) -> (O, N*k/8). For a
     folded matrix A (= resample ∘ iDCT), A_low @ low_plane adds the
-    half-resolution low-corner contribution directly in resampled
+    reduced-resolution low-corner contribution directly in resampled
     space — the folded-path analogue of idct_low_matrix."""
     o, n = m.shape
     return np.ascontiguousarray(
-        m.reshape(o, n // 8, 8)[:, :, :4].reshape(o, n // 2)
+        m.reshape(o, n // 8, 8)[:, :, :k].reshape(o, n * k // 8)
     )
 
 
@@ -392,7 +392,12 @@ def folded_decode_resample(ydc, yac, cbdc, cbac, crdc, crac, lq, cq, mats,
         if ac is not None:
             out = mm_pair(ac.astype(f32) * tile(q, hh, ww), mv, mh)
         if low is not None:
-            lc = low.astype(f32) * _tile_qlow(q, hh // 2, ww // 2)
+            # corner size implied by the restriction matrices
+            # (hh*k/8 columns): k=4 for lo8/i4h, k=2 for lo2
+            k = 8 * mv_low.shape[1] // hh
+            lc = low.astype(f32) * _tile_qlow(
+                q, hh * k // 8, ww * k // 8, k
+            )
             lr = mm_pair(lc, mv_low, mh_low)
             out = lr if out is None else out + lr
         if out is None:
@@ -463,7 +468,24 @@ _NAT_V = np.arange(64) % 8
 _HIGH_MASK = (_NAT_U >= 4) | (_NAT_V >= 4)  # (64,) bool
 _LOW_IDX = np.where(~_HIGH_MASK)[0]  # 16 low positions, natural order
 
-_MODE_COST = {"zero": 0, "lo8": 1, "i4h": 2, "i8": 3}
+
+def high_mask(k: int) -> np.ndarray:
+    """(64,) bool: positions outside the k x k low-frequency corner
+    (k=4 is the classic lo8/i4h corner; k=2 the lo2 corner the
+    spectral guard may force for heavy downscales)."""
+    return (_NAT_U >= k) | (_NAT_V >= k)
+
+
+def low_idx(k: int) -> np.ndarray:
+    return np.where(~high_mask(k))[0]
+
+
+# wire modes, cheapest first. "lo2" is spectral-only (never selected
+# losslessly): the quarter-resolution 2x2 corner for heavy downscales.
+_MODE_COST = {"zero": 0, "lo2": 1, "lo8": 2, "i4h": 3, "i8": 4}
+
+# low-corner size per mode (where one applies)
+_MODE_K = {"lo2": 2, "lo8": 4, "i4h": 4}
 
 
 def plane_mode(grid: np.ndarray) -> str:
@@ -501,19 +523,19 @@ def meta_modes(meta: dict) -> tuple:
 
 
 def pack_low(grid: np.ndarray, ph: int, pw: int,
-             residual: bool) -> np.ndarray:
-    """(bh, bw, 64) int16 -> (ph/2, pw/2) int8 low-corner plane at
-    [4i+u, 4j+v] (DC slot zeroed — it rides the int16 DC grid).
+             residual: bool, k: int = 4) -> np.ndarray:
+    """(bh, bw, 64) int16 -> (ph*k/8, pw*k/8) int8 low-corner plane at
+    [ki+u, kj+v] (DC slot zeroed — it rides the int16 DC grid).
     residual=True stores value - clip(value, -8, 7) (the i4h
-    correction); False stores the full value (the lo8 payload)."""
+    correction); False stores the full value (lo8/lo2 payloads)."""
     gh, gw = grid.shape[:2]
-    low = grid[:, :, _LOW_IDX].reshape(gh, gw, 4, 4).astype(np.int16)
+    low = grid[:, :, low_idx(k)].reshape(gh, gw, k, k).astype(np.int16)
     low[:, :, 0, 0] = 0  # DC rides separately
     if residual:
         low = low - np.clip(low, -8, 7)
-    out = np.zeros((ph // 2, pw // 2), dtype=np.int8)
-    out[: gh * 4, : gw * 4] = (
-        low.transpose(0, 2, 1, 3).reshape(gh * 4, gw * 4)
+    out = np.zeros((ph * k // 8, pw * k // 8), dtype=np.int8)
+    out[: gh * k, : gw * k] = (
+        low.transpose(0, 2, 1, 3).reshape(gh * k, gw * k)
     )
     return out
 
@@ -544,35 +566,38 @@ def unpack_nibbles(packed_u8):
 
 
 @functools.lru_cache(maxsize=64)
-def idct_low_matrix(n: int) -> np.ndarray:
-    """(n, n/2) rectangular iDCT for half-resolution low-corner
-    planes: column 4i+u maps through D^T's u-th column into rows
+def idct_low_matrix(n: int, k: int = 4) -> np.ndarray:
+    """(n, n*k/8) rectangular iDCT for reduced-resolution low-corner
+    planes: column ki+u maps through D^T's u-th column into rows
     8i..8i+7 — multiplying low planes by it on both sides adds the
     low corner's pixel contribution with plain MXU matmuls (no
     block<->planar scatter on device)."""
     d = _dct_matrix()  # (u, x)
-    m = np.zeros((n, n // 2), dtype=np.float32)
+    m = np.zeros((n, n * k // 8), dtype=np.float32)
     for i in range(n // 8):
-        m[8 * i : 8 * i + 8, 4 * i : 4 * i + 4] = d.T[:, :4]
+        m[8 * i : 8 * i + 8, k * i : k * i + k] = d.T[:, :k]
     return m
 
 
-def _tile_qlow(q_f32, hh: int, ww: int):
+def _tile_qlow(q_f32, hh: int, ww: int, k: int = 4):
     """Per-position quant for a low-corner plane: (B, 64) natural ->
-    (B, hh, ww) tiling the 4x4 low corner (hh, ww are H/2, W/2)."""
+    (B, hh, ww) tiling the k x k low corner (hh, ww are H*k/8,
+    W*k/8)."""
     b = q_f32.shape[0]
-    qblk = q_f32.reshape(b, 8, 8)[:, :4, :4]
+    qblk = q_f32.reshape(b, 8, 8)[:, :k, :k]
     return jnp.broadcast_to(
-        qblk[:, None, :, None, :], (b, hh // 4, 4, ww // 4, 4)
+        qblk[:, None, :, None, :], (b, hh // k, k, ww // k, k)
     ).reshape(b, hh, ww)
 
 
 def low_pixels(low_i8, q_f32, mv_low, mh_low):
     """Pixel-domain contribution of a low-corner plane:
-    mv_low @ (low * qlow) @ mh_low^T — two MXU matmuls."""
+    mv_low @ (low * qlow) @ mh_low^T — two MXU matmuls. The corner
+    size is implied by the matrix shapes (n, n*k/8)."""
     f32 = jnp.float32
     b, hh, ww = low_i8.shape
-    c = low_i8.astype(f32) * _tile_qlow(q_f32, hh, ww)
+    k = 8 * mv_low.shape[1] // mv_low.shape[0]
+    c = low_i8.astype(f32) * _tile_qlow(q_f32, hh, ww, k)
     t = jnp.einsum("ds,bsw->bdw", mv_low, c, preferred_element_type=f32)
     return jnp.einsum("ew,bdw->bde", mh_low, t, preferred_element_type=f32)
 
@@ -594,9 +619,10 @@ def unpack_plane_args(mode: str, arrays, pad_h: int, pad_w: int,
         return None, None  # DC-only plane
     if mode == "i8":
         return arrays[0], None
-    mv_low = jnp.asarray(idct_low_matrix(h))
-    mh_low = jnp.asarray(idct_low_matrix(w))
-    if mode == "lo8":
+    k = _MODE_K[mode]
+    mv_low = jnp.asarray(idct_low_matrix(h, k))
+    mh_low = jnp.asarray(idct_low_matrix(w, k))
+    if mode in ("lo8", "lo2"):
         return None, (arrays[0], mv_low, mh_low)
     # i4h: nibble plane + residual low corner
     return unpack_nibbles(arrays[0]), (arrays[1], mv_low, mh_low)
@@ -729,20 +755,25 @@ def colnorms2(m: np.ndarray) -> np.ndarray:
 
 
 def spectral_errors(grid: np.ndarray, q: np.ndarray, na2: np.ndarray,
-                    nb2: np.ndarray, need_clip: bool = False):
+                    nb2: np.ndarray, need_clip: bool = False,
+                    mask: np.ndarray = None):
     """(zero_fro, clip_fro): random-phase estimates of the output-space
     Frobenius error of (a) zeroing and (b) int4-clipping the
-    high-frequency coefficients of one (bh, bw, 64) plane, propagated
-    through folded matrices with column squared norms na2 (vertical,
-    (ph,)) / nb2 (horizontal, (pw,)). clip_fro is None unless
-    need_clip (it only matters for planes whose lossless mode is i8).
+    coefficients selected by `mask` (default: outside the 4x4 low
+    corner; pass high_mask(2) to evaluate the lo2 corner) of one
+    (bh, bw, 64) plane, propagated through folded matrices with
+    column squared norms na2 (vertical, (ph,)) / nb2 (horizontal,
+    (pw,)). clip_fro is None unless need_clip (it only matters for
+    planes whose lossless mode is i8).
 
     This runs per image per plane on the single host core, so it is
     written for speed: int16*int16 squares in int32, one float32
     weighted reduction (f32 keeps ~7 significant digits — the policy
     threshold only needs ~2)."""
     gh, gw = grid.shape[:2]
-    q2h = (q.astype(np.float32) ** 2) * _HIGH_MASK  # (64,)
+    if mask is None:
+        mask = _HIGH_MASK
+    q2h = (q.astype(np.float32) ** 2) * mask  # (64,)
     # per-(block, freq) gains spread to the 64 natural positions
     nau = na2.reshape(-1, 8)[:gh].astype(np.float32)[:, _NAT_U]  # (gh, 64)
     nbv = nb2.reshape(-1, 8)[:gw].astype(np.float32)[:, _NAT_V]  # (gw, 64)
@@ -769,11 +800,11 @@ def spectral_errors(grid: np.ndarray, q: np.ndarray, na2: np.ndarray,
 # (deterministic responses; the originals are never mutated).
 
 
-def zero_high(grid: np.ndarray) -> np.ndarray:
-    """Copy of a coefficient grid with the high-frequency positions
-    zeroed (the "zero" spectral action)."""
+def zero_high(grid: np.ndarray, k: int = 4) -> np.ndarray:
+    """Copy of a coefficient grid with everything outside the k x k
+    low corner zeroed (the "zero"/"zero2" spectral actions)."""
     g = grid.copy()
-    g[:, :, _HIGH_MASK] = 0
+    g[:, :, high_mask(k)] = 0
     return g
 
 
@@ -807,16 +838,20 @@ def pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str):
     arrays tuple) where arrays is
       "i8":  (planar int8 (ph, pw),)
       "lo8": (low-corner int8 (ph/2, pw/2),)
+      "lo2": (low-corner int8 (ph/4, pw/4),)   [spectral-forced only]
       "i4h": (nibble-packed uint8 (ph, pw/2),
               low-corner residual int8 (ph/2, pw/2))
-    All modes are lossless given plane_mode()'s fit checks."""
+    All modes are lossless given plane_mode()'s fit checks; a FORCED
+    narrower mode is the spectral thinning (lo8/lo2 read only their
+    corner, i4h clips)."""
     gh, gw = grid.shape[:2]
     dc = np.zeros((ph // 8, pw // 8), dtype=np.int16)
     dc[:gh, :gw] = grid[:, :, 0]
     if mode == "zero":
         return dc, ()
-    if mode == "lo8":
-        return dc, (pack_low(grid, ph, pw, residual=False),)
+    if mode in ("lo8", "lo2"):
+        return dc, (pack_low(grid, ph, pw, residual=False,
+                             k=_MODE_K[mode]),)
     g = grid.copy()
     g[:, :, 0] = 0  # DC rides in the int16 grid
     planar16 = (
@@ -842,12 +877,13 @@ def planar_from_arrays_np(mode: str, arrays, shape=None) -> np.ndarray:
         return np.zeros(shape, np.int16)
     if mode == "i8":
         return arrays[0].astype(np.int16)
-    if mode == "lo8":
-        low = arrays[0]  # (B, H/2, W/2) full low-corner values
+    if mode in ("lo8", "lo2"):
+        k = _MODE_K[mode]
+        low = arrays[0]  # (B, H*k/8, W*k/8) full low-corner values
         b, hh, ww = low.shape
-        planar = np.zeros((b, hh * 2, ww * 2), dtype=np.int16)
-        pv = planar.reshape(b, hh // 4, 8, ww // 4, 8)
-        pv[:, :, :4, :, :4] = low.reshape(b, hh // 4, 4, ww // 4, 4)
+        planar = np.zeros((b, hh * 8 // k, ww * 8 // k), dtype=np.int16)
+        pv = planar.reshape(b, hh // k, 8, ww // k, 8)
+        pv[:, :, :k, :, :k] = low.reshape(b, hh // k, k, ww // k, k)
         return planar
     packed, res = arrays  # i4h
     p = packed.astype(np.int16)

@@ -82,3 +82,18 @@ def fixtures_dir(tmp_path_factory):
     (d / "lenna.txt").write_text("this is not an image\n")
     (d / "no_img.jpg").write_bytes((d / "lenna.jpg").read_bytes())
     return d
+
+
+@pytest.fixture(autouse=True)
+def _restore_fused_globals():
+    """Engine knobs (fold / spectral / fast / pallas) are process
+    globals — a server built inside one test (e.g. test_multihost's
+    build_state) must not leak its configuration into every test that
+    runs after it."""
+    from fanlin_tpu.ops import fused
+
+    saved = (fused._FOLD["enabled"], fused._SPECTRAL["db"],
+             fused._FAST["enabled"], fused._PALLAS["enabled"])
+    yield
+    (fused._FOLD["enabled"], fused._SPECTRAL["db"],
+     fused._FAST["enabled"], fused._PALLAS["enabled"]) = saved

@@ -68,8 +68,9 @@ def _plan_and_norms(meta, query="w=150&h=100"):
                             opaque=True)
     sh = fused.bucket_h16(meta["h"])
     sw = fused.bucket_w(meta["w"])
-    mats, _, norms2 = fused._folded_padded(plan, sh, sw, meta["h"],
-                                           meta["w"], meta.get("subsamp", 420))
+    fp = fused._folded_padded(plan, sh, sw, meta["h"], meta["w"],
+                              meta.get("subsamp", 420))
+    mats, norms2 = fp[0], fp[2]
     return plan, sh, sw, mats, norms2
 
 
@@ -375,3 +376,55 @@ def test_chroma_decision_is_joint(spectral_folded):
     ref = fused.CoefBatchAssembly([plan], [meta])
     fused.set_spectral(45.0)
     np.testing.assert_array_equal(asm.run()[0], ref.run()[0])
+
+
+def test_lo2_pack_roundtrip_exact():
+    """The lo2 wire mode (quarter-resolution 2x2 corner) reconstructs
+    exactly for content living in that corner."""
+    g = np.zeros((2, 4, 64), np.int16)
+    g[:, :, 0] = 50   # DC
+    g[:, :, 1] = -9   # (u=0, v=1): inside the 2x2 corner
+    g[:, :, 8] = 13   # (u=1, v=0)
+    dc, arrays = jpeg_decode.pack_plane(g, 16, 128, "lo2")
+    assert arrays[0].shape == (4, 32)  # (ph/4, pw/4)
+    planar = jpeg_decode.planar_from_arrays_np("lo2", [arrays[0][None]])[0]
+    assert planar.shape == (16, 128)
+    assert planar[0, 1] == -9 and planar[1, 0] == 13
+    assert planar[0, 0] == 0  # DC rides the int16 grid
+    np.testing.assert_array_equal(dc[:2, :4], g[:, :, 0])
+
+
+def test_thumbnail_downscale_selects_lo2(spectral_folded):
+    """Heavy downscales (thumbnail regime): the guard approves the
+    2x2 corner — luma upload drops ~4x below lo8 — and the output
+    holds the floor vs the untruncated fold; the host mirror agrees
+    with the device on the same thinned arrays."""
+    meta = _meta(make_test_image(512, 512), 85)
+    plan = fused.plan_image(512, 512, parse_query("w=100&h=64"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan] * 2, [meta] * 2)
+    assert asm.fold
+    assert asm.spectral[0] == "zero2"
+    assert asm.pack_modes[0] == "lo2"
+    fused.set_spectral(0.0)
+    ref_asm = fused.CoefBatchAssembly([plan] * 2, [meta] * 2)
+    fused.set_spectral(45.0)
+    assert asm.upload_ac_bytes <= 0.55 * ref_asm.upload_ac_bytes
+    got = asm.run()[0].astype(np.float64)
+    ref = ref_asm.run()[0].astype(np.float64)
+    mse = ((got - ref) ** 2).mean()
+    psnr = 10 * np.log10(255.0**2 / mse) if mse else 99.0
+    assert psnr >= 45.0, psnr
+    host = hostexec.run_host(asm)[0].astype(np.float64)
+    assert np.abs(got - host).max() <= 6
+
+
+def test_moderate_downscale_stays_lo8(spectral_folded):
+    """At ~0.5 scale the frequencies 2-3 carry passband content: the
+    estimator must keep the k=4 corner (existing headline behavior)."""
+    meta = _meta(make_test_image(512, 512), 85)
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [meta])
+    assert asm.spectral[0] == "zero"
+    assert asm.pack_modes[0] == "lo8"
