@@ -79,7 +79,17 @@ def main() -> None:
         ("row4_webp_q85", jpg, "w=300&h=200&webp=true&quality=85", accept_all),
         ("row4_avif_q20", jpg, "w=300&h=200&avif=true&quality=20", accept_all),
         ("row5_gif_resize", gif, "w=100&h=100", accept_all),
+        # thumbnail regime (additive): with tpu.fast_decode +
+        # spectral_db this is where the lo2 quarter-corner upload
+        # engages (ops/jpeg_decode.py) — run with FANLIN_SCEN_FAST=1
+        # to measure that configuration
+        ("thumb_jpeg_100x64", jpg, "w=100&h=64", accept_all),
     ]
+    if os.environ.get("FANLIN_SCEN_FAST") == "1":
+        from fanlin_tpu.ops import fused
+
+        fused.set_fold(True)
+        fused.set_spectral(45.0)
     for name, data, qs, accepted in scenarios:
         params = parse_query(qs)
         engine.process_image(data, params, accepted)  # warm/compile
