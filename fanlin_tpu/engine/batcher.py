@@ -290,8 +290,6 @@ class MicroBatcher:
             asm = fused.make_assembly(plans, images, kinds, mesh=self._mesh)
             for act in getattr(asm, "spectral", ()):
                 self.stats["spectral_" + act] += 1
-            if hasattr(asm, "upload_ac_bytes"):
-                self.stats["upload_ac_bytes"] += asm.upload_ac_bytes
             key = asm.program_key()
             if self._host_fallback and not fused.is_warm(key):
                 # serve THIS batch from the numpy mirror (on the host
@@ -325,6 +323,10 @@ class MicroBatcher:
                 self.stats["host_fallbacks"] += 1
                 self._host.submit(self._run_host, asm, futures)
                 return
+            # counted here — after the host-fallback branch — so the
+            # stat reflects bytes that actually cross the link
+            if hasattr(asm, "upload_ac_bytes"):
+                self.stats["upload_ac_bytes"] += asm.upload_ac_bytes
             self._inflight.acquire()  # bound upload-ahead to the depth
             try:
                 out = asm.submit()

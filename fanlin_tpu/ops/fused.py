@@ -217,6 +217,41 @@ def set_spectral(db: float) -> None:
     _SPECTRAL["db"] = float(db)
 
 
+# Mirrors tpu.host_fallback (server/app.build_state): whether a COLD
+# program may be served from the host numpy mirror instead of
+# blocking on its compile. The batcher gates its own fallback on the
+# config directly; this module-level mirror gates the overflow
+# ladder's cold-rung fallback inside BatchAssembly.collect (the
+# assembly has no config access).
+_HOST_FALLBACK = {"enabled": True}
+
+
+def set_host_fallback(enabled: bool) -> None:
+    _HOST_FALLBACK["enabled"] = bool(enabled)
+
+
+# wider-rung background compiles in flight (dedup: concurrent
+# saturating batches of one bucket must not each pay the compile)
+import threading as _threading
+
+_RUNG_LOCK = _threading.Lock()
+_COMPILING_RUNGS: set = set()
+
+
+def _lo2_gate(na2, nb2) -> bool:
+    """True when the folded matrices attenuate frequencies 2-3 enough
+    (scale <~ 0.3 per axis) that the lo2 corner could plausibly pass
+    the spectral guard — gates both the extra estimator mask and the
+    k=2 restriction-matrix build."""
+    nv = na2.reshape(-1, 8)
+    nh = nb2.reshape(-1, 8)
+    return (
+        float(nv[:, 2:4].max()) <= 0.15 * max(float(nv[:, :2].max()), 1e-12)
+        and float(nh[:, 2:4].max())
+        <= 0.15 * max(float(nh[:, :2].max()), 1e-12)
+    )
+
+
 # Hand-written Pallas kernel for the uniform opaque pixel path
 # (ops.pallas_kernels): both weight matrix sets pinned in VMEM across
 # the batch grid. Opt-in (FANLIN_PALLAS=1 / set_pallas) — on this
@@ -553,15 +588,23 @@ def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
     norms2 = (n0, n1,
               n0 if mats[2] is mats[0] else jpeg_decode.colnorms2(mats[2]),
               n1 if mats[3] is mats[1] else jpeg_decode.colnorms2(mats[3]))
-    l20 = jpeg_decode.low_cols(mats[0], 2)
-    l21 = jpeg_decode.low_cols(mats[1], 2)
-    lows2 = (l20, l21,
-             l20 if mats[2] is mats[0] else jpeg_decode.low_cols(mats[2], 2),
-             l21 if mats[3] is mats[1] else jpeg_decode.low_cols(mats[3], 2))
+    # the k=2 restrictions only exist where the lo2 rung could engage
+    # (heavy downscales) — typical traffic skips the build and the
+    # cache bytes
+    if _lo2_gate(norms2[0], norms2[1]) or _lo2_gate(norms2[2], norms2[3]):
+        l20 = jpeg_decode.low_cols(mats[0], 2)
+        l21 = jpeg_decode.low_cols(mats[1], 2)
+        lows2 = (
+            l20, l21,
+            l20 if mats[2] is mats[0] else jpeg_decode.low_cols(mats[2], 2),
+            l21 if mats[3] is mats[1] else jpeg_decode.low_cols(mats[3], 2),
+        )
+    else:
+        lows2 = None
     value = (mats, lows, norms2, lows2)
     nbytes = sum(m.nbytes for m in mats) + sum(
         m.nbytes
-        for m in {id(m): m for m in lows + lows2}.values()
+        for m in {id(m): m for m in lows + (lows2 or ())}.values()
     ) + sum(n.nbytes for n in {id(n): n for n in norms2}.values())
     _FOLDED_CACHE.put(key, (plan, value), nbytes)
     return value
@@ -1057,38 +1100,56 @@ class BatchAssembly:
                     # sharp high-contrast content, int8 only near
                     # q100): re-run the batch one level wider. The
                     # wider program is its own compile — if it has
-                    # never run, serve THIS batch from the host mirror
+                    # never run (and the deployment allows host
+                    # fallback), serve THIS batch from the host mirror
                     # instead of blocking the collector for a remote
                     # compile (the cold-bucket rule: a cold program
-                    # never blocks a request) and pay the compile in
-                    # the background.
+                    # never blocks a request) and pay the compile once
+                    # in the background.
                     level = 1 if len(out) == 10 else 2
                     wider_key = self.program_key() + (("dct_pack", level),)
                     prev = getattr(self, "dct_pack", 0)
-                    self.dct_pack = level
-                    fn, args = self._device_args()
-                    self.dct_pack = prev
-                    if is_warm(wider_key):
+                    if is_warm(wider_key) or not _HOST_FALLBACK["enabled"]:
+                        self.dct_pack = level
+                        fn, args = self._device_args()
+                        self.dct_pack = prev
                         results = self.collect(fn(*args))
                         mark_warm(wider_key)
                         return results
-                    import threading
-
                     from . import hostexec
 
-                    def _compile(fn=fn, args=args, key=wider_key):
-                        try:
-                            o = fn(*args)
-                            for x in (o if isinstance(o, tuple) else (o,)):
-                                np.asarray(x)
-                            mark_warm(key)
-                        except Exception:
-                            pass
+                    with _RUNG_LOCK:
+                        spawn = wider_key not in _COMPILING_RUNGS
+                        if spawn:
+                            _COMPILING_RUNGS.add(wider_key)
+                    if spawn:
+                        def _compile(asm=self, key=wider_key,
+                                     level=level, prev=prev):
+                            # stages + uploads inside this thread so
+                            # the collector never pays a duplicate
+                            # upload; by the time it runs, collect has
+                            # handed the batch to the mirror and
+                            # nothing else mutates the assembly
+                            try:
+                                asm.dct_pack = level
+                                fn, args = asm._device_args()
+                                asm.dct_pack = prev
+                                o = fn(*args)
+                                for x in (
+                                    o if isinstance(o, tuple) else (o,)
+                                ):
+                                    np.asarray(x)
+                                mark_warm(key)
+                            except Exception:
+                                pass
+                            finally:
+                                with _RUNG_LOCK:
+                                    _COMPILING_RUNGS.discard(key)
 
-                    threading.Thread(
-                        target=_compile, name="fanlin-warm-dct",
-                        daemon=True,
-                    ).start()
+                        _threading.Thread(
+                            target=_compile, name="fanlin-warm-dct",
+                            daemon=True,
+                        ).start()
                     return hostexec.run_host(self)
                 from . import dct as dct_mod
 
@@ -1352,22 +1413,12 @@ class CoefBatchAssembly(BatchAssembly):
         # the lo2 rung only makes sense when the resample genuinely
         # attenuates frequencies 2-3 (scale <~ 0.3 per axis) — gate
         # on the folded matrices' column gains so typical traffic
-        # never pays the extra estimator pass (the estimator itself
-        # still decides inside the gate)
+        # never pays the extra mask (the estimator itself still
+        # decides inside the gate)
         mask2 = jpeg_decode.high_mask(2)
-
-        def _gate2(na2, nb2):
-            nv = na2.reshape(-1, 8)
-            nh = nb2.reshape(-1, 8)
-            return (
-                float(nv[:, 2:4].max())
-                <= 0.15 * max(float(nv[:, :2].max()), 1e-12)
-                and float(nh[:, 2:4].max())
-                <= 0.15 * max(float(nh[:, :2].max()), 1e-12)
-            )
-
-        gate_y = _gate2(norms2[0], norms2[1])
-        gate_c = _gate2(norms2[2], norms2[3])
+        mask4 = jpeg_decode._HIGH_MASK
+        gate_y = _lo2_gate(norms2[0], norms2[1])
+        gate_c = _lo2_gate(norms2[2], norms2[3])
         gates = (gate_y, gate_c, gate_c)
 
         per_image = []  # (modes[3], acts[3]) per image
@@ -1381,28 +1432,30 @@ class CoefBatchAssembly(BatchAssembly):
                     # nothing at all to thin
                     fits.append((mode, True, True, True))
                     continue
+                # ONE energy pass serves both corner masks
+                e64 = jpeg_decode.spectral_energy64(
+                    m[key], m[qkey], na2, nb2
+                )
                 if mode == "lo8":
                     # already at the k=4 corner; only the lo2 rung
                     # could thin further
-                    z2_ok = False
-                    if gate2:
-                        z2, _ = jpeg_decode.spectral_errors(
-                            m[key], m[qkey], na2, nb2, mask=mask2
-                        )
-                        z2_ok = w * z2 <= budget
+                    z2_ok = gate2 and (
+                        w * float(np.sqrt((e64 * mask2).sum())) <= budget
+                    )
                     fits.append((mode, z2_ok, True, True))
                     continue
-                z, c = jpeg_decode.spectral_errors(
-                    m[key], m[qkey], na2, nb2, need_clip=(mode == "i8")
-                )
-                zero_ok = w * z <= budget
-                clip_ok = mode != "i8" or (c is not None and w * c <= budget)
-                z2_ok = False
-                if zero_ok and gate2:
-                    z2, _ = jpeg_decode.spectral_errors(
-                        m[key], m[qkey], na2, nb2, mask=mask2
+                zero_ok = w * float(np.sqrt((e64 * mask4).sum())) <= budget
+                clip_ok = mode != "i8"
+                if mode == "i8":
+                    er = jpeg_decode.spectral_energy64(
+                        m[key], m[qkey], na2, nb2, residual_int4=True
                     )
-                    z2_ok = w * z2 <= budget
+                    clip_ok = (
+                        w * float(np.sqrt((er * mask4).sum())) <= budget
+                    )
+                z2_ok = zero_ok and gate2 and (
+                    w * float(np.sqrt((e64 * mask2).sum())) <= budget
+                )
                 fits.append((mode, z2_ok, zero_ok, clip_ok))
             y_act = decide(fits[:1])
             c_act = decide(fits[1:])
@@ -1413,13 +1466,14 @@ class CoefBatchAssembly(BatchAssembly):
             cmode = jpeg_decode.widest_mode(cmode, post_mode(modes[2], c_act))
 
         # observability summary per plane: the unanimous action over
-        # images that had something to thin, else "mixed"
+        # images that had something to thin (every non-DC-only plane
+        # can at least thin to lo2), else "mixed"
         summary = []
         for pi in range(3):
             seen = {
                 acts[pi]
                 for modes, acts in per_image
-                if modes[pi] not in ("zero", "lo8")
+                if modes[pi] != "zero"
             }
             summary.append(
                 next(iter(seen)) if len(seen) == 1 else

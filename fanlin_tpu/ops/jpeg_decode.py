@@ -754,39 +754,51 @@ def colnorms2(m: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray((m.astype(np.float64) ** 2).sum(axis=0))
 
 
-def spectral_errors(grid: np.ndarray, q: np.ndarray, na2: np.ndarray,
-                    nb2: np.ndarray, need_clip: bool = False,
-                    mask: np.ndarray = None):
-    """(zero_fro, clip_fro): random-phase estimates of the output-space
-    Frobenius error of (a) zeroing and (b) int4-clipping the
-    coefficients selected by `mask` (default: outside the 4x4 low
-    corner; pass high_mask(2) to evaluate the lo2 corner) of one
-    (bh, bw, 64) plane, propagated through folded matrices with
+def spectral_energy64(grid: np.ndarray, q: np.ndarray, na2: np.ndarray,
+                      nb2: np.ndarray, residual_int4: bool = False):
+    """(64,) float: per-frequency-position random-phase output-space
+    error ENERGY (squared Frobenius) of dropping one (bh, bw, 64)
+    plane's coefficients, propagated through folded matrices with
     column squared norms na2 (vertical, (ph,)) / nb2 (horizontal,
-    (pw,)). clip_fro is None unless need_clip (it only matters for
-    planes whose lossless mode is i8).
+    (pw,)). Dotting with any frequency mask gives that mask's
+    estimate — one pass serves the lo8 AND lo2 rungs.
+    residual_int4=True evaluates the int4-clip residuals instead
+    (the "clip" action's error).
 
     This runs per image per plane on the single host core, so it is
     written for speed: int16*int16 squares in int32, one float32
     weighted reduction (f32 keeps ~7 significant digits — the policy
     threshold only needs ~2)."""
     gh, gw = grid.shape[:2]
-    if mask is None:
-        mask = _HIGH_MASK
-    q2h = (q.astype(np.float32) ** 2) * mask  # (64,)
+    q2 = q.astype(np.float32) ** 2  # (64,)
     # per-(block, freq) gains spread to the 64 natural positions
     nau = na2.reshape(-1, 8)[:gh].astype(np.float32)[:, _NAT_U]  # (gh, 64)
     nbv = nb2.reshape(-1, 8)[:gw].astype(np.float32)[:, _NAT_V]  # (gw, 64)
     g32 = grid.astype(np.int32)
-    t = (g32 * g32).astype(np.float32) * q2h[None, None, :]
+    if residual_int4:
+        g32 = g32 - np.clip(g32, -8, 7)
+    t = (g32 * g32).astype(np.float32) * q2[None, None, :]
     a = (t * nau[:, None, :]).sum(axis=0)  # (gw, 64)
-    zero = float(np.sqrt((a * nbv).sum()))
+    return (a * nbv).sum(axis=0)  # (64,)
+
+
+def spectral_errors(grid: np.ndarray, q: np.ndarray, na2: np.ndarray,
+                    nb2: np.ndarray, need_clip: bool = False,
+                    mask: np.ndarray = None):
+    """(zero_fro, clip_fro): random-phase estimates of the output-space
+    Frobenius error of (a) zeroing and (b) int4-clipping the
+    coefficients selected by `mask` (default: outside the 4x4 low
+    corner; pass high_mask(2) to evaluate the lo2 corner). clip_fro
+    is None unless need_clip. See spectral_energy64 for the model;
+    callers needing several masks should use it directly."""
+    if mask is None:
+        mask = _HIGH_MASK
+    e = spectral_energy64(grid, q, na2, nb2)
+    zero = float(np.sqrt((e * mask).sum()))
     if not need_clip:
         return zero, None
-    r = g32 - np.clip(g32, -8, 7)
-    t = (r * r).astype(np.float32) * q2h[None, None, :]
-    a = (t * nau[:, None, :]).sum(axis=0)
-    clip = float(np.sqrt((a * nbv).sum()))
+    er = spectral_energy64(grid, q, na2, nb2, residual_int4=True)
+    clip = float(np.sqrt((er * mask).sum()))
     return zero, clip
 
 

@@ -337,6 +337,11 @@ async def build_state(cfg: config_mod.Config) -> State:
         from ..ops.fused import set_fold
 
         set_fold(True)
+    # the overflow ladder's cold-rung fallback (inside the assembly,
+    # no config access) honors the same knob as the batcher's fallback
+    from ..ops.fused import set_host_fallback
+
+    set_host_fallback(cfg.tpu.host_fallback)
     if cfg.tpu.spectral_db > 0:
         from ..ops.fused import set_spectral
 

@@ -303,3 +303,105 @@ def test_cold_wider_pack_program_served_from_host(monkeypatch):
     while time.time() < deadline and not fused.is_warm(wider_key):
         time.sleep(0.2)
     assert fused.is_warm(wider_key)
+
+
+def test_cold_rung_respects_host_fallback_off(monkeypatch):
+    """tpu.host_fallback=false means device-exact bytes even at the
+    cost of blocking on the wider rung's compile — the cold-rung
+    mirror shortcut must not fire."""
+    import time
+
+    import numpy as np
+
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    rng = np.random.default_rng(3)
+    img = np.full((80, 64, 3), 160, np.uint8)
+    for _ in range(30):
+        x, y = rng.integers(0, 50, 2)
+        img[y : y + 8, x : x + 8] = rng.integers(60, 160, 3)
+    plan = fused.plan_image(64, 80, parse_query(""), opaque=True)
+
+    real = fused.get_program
+    hits = {"wider": 0}
+
+    def slow(*a, **kw):
+        fn = real(*a, **kw)
+        dp = kw.get("dct_pack", a[12] if len(a) > 12 else 0)
+        if dp:
+            def wrapped(*args, _fn=fn):
+                hits["wider"] += 1
+                time.sleep(0.5)
+                return _fn(*args)
+
+            return wrapped
+        return fn
+
+    monkeypatch.setattr(fused, "get_program", slow)
+    fused.set_host_fallback(False)
+    try:
+        a = fused.BatchAssembly([plan], [img], jpegdct=True, quality=90)
+        out = a.submit()
+        t0 = time.perf_counter()
+        got = a.collect(out)[0]
+        elapsed = time.perf_counter() - t0
+    finally:
+        fused.set_host_fallback(True)
+    assert hits["wider"] == 1          # the wider rung RAN inline
+    assert elapsed >= 0.5              # and the collector waited for it
+    assert got[0] == "coeffs"
+    # device ladder output == explicit full program (exact)
+    a2 = fused.BatchAssembly([plan], [img], jpegdct=True, quality=90)
+    a2.dct_pack = 2
+    fn, args = a2._device_args()
+    full = a2.collect(fn(*args))[0]
+    for cg, cf in zip(got[1:4], full[1:4]):
+        np.testing.assert_array_equal(cg, cf)
+
+
+def test_cold_rung_background_compile_dedups(monkeypatch):
+    """Concurrent saturating batches of one bucket must not each pay
+    the wider rung's compile — one background thread per rung key."""
+    import time
+
+    import numpy as np
+
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    rng = np.random.default_rng(4)
+    img = np.full((88, 64, 3), 160, np.uint8)
+    for _ in range(30):
+        x, y = rng.integers(0, 56, 2)
+        img[y : y + 8, x : x + 8] = rng.integers(60, 160, 3)
+    plan = fused.plan_image(64, 88, parse_query(""), opaque=True)
+
+    real = fused.get_program
+    hits = {"wider": 0}
+
+    def slow(*a, **kw):
+        fn = real(*a, **kw)
+        dp = kw.get("dct_pack", a[12] if len(a) > 12 else 0)
+        if dp:
+            def wrapped(*args, _fn=fn):
+                hits["wider"] += 1
+                time.sleep(1.0)
+                return _fn(*args)
+
+            return wrapped
+        return fn
+
+    monkeypatch.setattr(fused, "get_program", slow)
+    asms = [fused.BatchAssembly([plan], [img], jpegdct=True, quality=90)
+            for _ in range(3)]
+    outs = [a.submit() for a in asms]
+    for a, o in zip(asms, outs):
+        r = a.collect(o)[0]     # all three served from the mirror
+        assert r[0] == "coeffs"
+    deadline = time.time() + 10
+    wider_key = asms[0].program_key() + (("dct_pack", 1),)
+    while time.time() < deadline and not fused.is_warm(wider_key):
+        time.sleep(0.2)
+    assert fused.is_warm(wider_key)
+    assert hits["wider"] == 1, hits  # ONE background compile, not three

@@ -428,3 +428,26 @@ def test_moderate_downscale_stays_lo8(spectral_folded):
     asm = fused.CoefBatchAssembly([plan], [meta])
     assert asm.spectral[0] == "zero"
     assert asm.pack_modes[0] == "lo8"
+
+
+def test_lo8_content_thins_to_lo2_with_honest_summary(spectral_folded):
+    """Content already at lossless lo8 can still thin to the lo2
+    corner at thumbnail scales — and the summary must say "zero2",
+    not "none" (the /stats counters feed from it)."""
+    from fanlin_tpu.ops import dct as dct_mod
+
+    lq, cq = dct_mod.ijg_quant_tables(92)
+    y = np.zeros((64, 64, 64), np.int16)
+    y[:, :, 9] = 40   # (1,1): inside lo8's corner, outside lo2's
+    y[:, :, 1] = 25   # (0,1): inside lo2's corner
+    c = np.zeros((32, 32, 64), np.int16)
+    meta = {"y": y, "cb": c, "cr": c.copy(),
+            "lq": lq.reshape(64).astype(np.uint16),
+            "cq": cq.reshape(64).astype(np.uint16),
+            "w": 512, "h": 512, "subsamp": 420}
+    assert jpeg_decode.plane_mode(y) == "lo8"
+    plan = fused.plan_image(512, 512, parse_query("w=64&h=40"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [meta])
+    assert asm.spectral[0] == "zero2", asm.spectral
+    assert asm.pack_modes[0] == "lo2"
