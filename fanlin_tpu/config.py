@@ -165,7 +165,8 @@ class TpuConfig:
     # coalesce concurrent identical origin fetches into one request
     singleflight: bool = True
     # serve cold (not-yet-compiled) shape buckets from the host numpy
-    # mirror while the device program compiles in the background
+    # mirror while the device program compiles in the background;
+    # also gates the device-DCT overflow ladder's cold-rung fallback
     host_fallback: bool = True
     # device batches allowed between dispatch and collect (2 = double
     # buffering: batch N+1's host->device upload overlaps batch N's
