@@ -187,3 +187,28 @@ def test_orient_meta_fuzz_against_pixel_path():
             # outputs from two pixel paths must be identical
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert cases >= 6  # the fuzz actually exercised the coef path
+
+
+def test_grayscale_rotated_rides_coefficient_path():
+    """Grayscale (1-component) JPEGs with EXIF rotation: the Y-only
+    device decode and the coefficient-domain rotation compose (the
+    synthesized zero chroma grids rotate trivially)."""
+    from tests.conftest import make_test_image
+
+    gray = make_test_image(128, 96).mean(axis=2).astype(np.uint8)
+    pil = Image.fromarray(gray, mode="L")
+    exif = pil.getexif()
+    exif[0x0112] = 6
+    buf = io.BytesIO()
+    pil.save(buf, format="JPEG", exif=exif, quality=88)
+    data = buf.getvalue()
+    q = parse_query("w=30&h=40&quality=95")
+    dev = Engine(device_decode=True, device_jpeg=False)
+    pix = Engine(device_decode=False, device_jpeg=False)
+    _, out_d = dev.process_image(data, q, Format())
+    _, out_p = pix.process_image(data, q, Format())
+    assert dev.stats["coef_src"] == 1
+    a = Image.open(io.BytesIO(out_d)).convert("RGB")
+    b = Image.open(io.BytesIO(out_p)).convert("RGB")
+    assert a.size == b.size
+    assert _psnr(a, b) >= 45.0
