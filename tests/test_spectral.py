@@ -451,3 +451,50 @@ def test_lo8_content_thins_to_lo2_with_honest_summary(spectral_folded):
     asm = fused.CoefBatchAssembly([plan], [meta])
     assert asm.spectral[0] == "zero2", asm.spectral
     assert asm.pack_modes[0] == "lo2"
+
+
+def test_spectral_guard_property_fuzz(spectral_folded):
+    """Property: whenever ANY thinning action fires, the device output
+    must stay >= the configured floor vs the spectral-off folded
+    output — across randomized content classes and geometries."""
+    rng = np.random.default_rng(31)
+    fired = 0
+    for i in range(14):
+        kind = rng.choice(["photo", "noise", "flat", "edges"])
+        w = int(rng.integers(12, 33)) * 16
+        h = int(rng.integers(12, 33)) * 16
+        if kind == "photo":
+            img = make_test_image(w, h, seed=int(rng.integers(0, 99)))
+        elif kind == "noise":
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        elif kind == "flat":
+            img = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+        else:
+            img = np.full((h, w, 3), 200, np.uint8)
+            for _ in range(25):
+                x, y = rng.integers(0, w - 9), rng.integers(0, h - 9)
+                img[y : y + 8, x : x + 8] = rng.integers(0, 256, 3)
+        meta = _meta(img, int(rng.integers(70, 96)))
+        if meta is None or not jpeg_decode.ac_fits_int8(meta):
+            continue
+        ow = int(rng.integers(20, max(w // 2, 24)))
+        oh = int(rng.integers(20, max(min(h // 2, 1000), 24)))
+        plan = fused.plan_image(w, h, parse_query(f"w={ow}&h={oh}"),
+                                opaque=True)
+        asm = fused.CoefBatchAssembly([plan], [meta])
+        if not asm.fold:
+            continue
+        fused.set_spectral(0.0)
+        ref_asm = fused.CoefBatchAssembly([plan], [meta])
+        fused.set_spectral(45.0)
+        got = asm.run()[0].astype(np.float64)
+        ref = ref_asm.run()[0].astype(np.float64)
+        mse = ((got - ref) ** 2).mean()
+        psnr = 99.0 if mse == 0 else 10 * np.log10(255.0**2 / mse)
+        acted = any(a in ("zero", "zero2", "clip") for a in asm.spectral)
+        if acted:
+            fired += 1
+            assert psnr >= 45.0, (kind, w, h, ow, oh, asm.spectral, psnr)
+        else:
+            assert psnr >= 70.0, (kind, w, h, ow, oh, psnr)  # ~lossless
+    assert fired >= 4  # the fuzz actually exercised the guard
