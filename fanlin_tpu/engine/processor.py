@@ -199,7 +199,7 @@ class Engine:
                                 "fc_encode_webp_yuv420")):
                 sink = "webp420"
         if meta is not None:
-            base = {420: "coef", 422: "coef422",
+            base = {420: "coef", 422: "coef422", 440: "coef440",
                     444: "coef444"}[meta.get("subsamp", 420)]
             kind = base if sink == "rgb" else f"{base}+{sink}"
             payload = meta

@@ -726,6 +726,7 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
 
     decode = {444: jpeg_decode.decode444_rgb,
               422: jpeg_decode.decode422_rgb,
+              440: jpeg_decode.decode440_rgb,
               420: jpeg_decode.decode420_rgb}[subsamp]
     cdiv = jpeg_decode.chroma_divisors(subsamp)
     ymode, cmode = pack

@@ -301,6 +301,18 @@ def _np_decode420(asm):
         cw = (tw + 1) // 2
         cb = ups_h(idct(asm.cbdc, cbac, asm.cq)[:, :th, :cw])[:, :, :tw]
         cr = ups_h(idct(asm.crdc, crac, asm.cq)[:, :th, :cw])[:, :, :tw]
+    elif subsamp == 440:
+        def ups_v(c):
+            up = np.concatenate([c[:, :1], c[:, :-1]], axis=1)
+            dn = np.concatenate([c[:, 1:], c[:, -1:]], axis=1)
+            even = (3 * c + up + 1) >> 2
+            odd = (3 * c + dn + 2) >> 2
+            return np.stack([even, odd], axis=2).reshape(
+                c.shape[0], 2 * c.shape[1], c.shape[2]
+            )
+        ch = (th + 1) // 2
+        cb = ups_v(idct(asm.cbdc, cbac, asm.cq)[:, :ch, :tw])[:, :th]
+        cr = ups_v(idct(asm.crdc, crac, asm.cq)[:, :ch, :tw])[:, :th]
     else:
         ch, cw = (th + 1) // 2, (tw + 1) // 2
         cb = upsample(idct(asm.cbdc, cbac, asm.cq)[:, :ch, :cw])[:, :th, :tw]

@@ -220,6 +220,42 @@ def decode422_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
     return pad(r), pad(g), pad(b)
 
 
+def fancy_upsample_v2h1(c_i32):
+    """libjpeg's fancy upsample along the VERTICAL axis only (the
+    transpose of h2v1_fancy_upsample): out[2r] = (3*in[r] + in[r-1]
+    + 1) >> 2, out[2r+1] = (3*in[r] + in[r+1] + 2) >> 2, neighbors
+    clamped. Serves 4:4:0 chroma (the transpose of 4:2:2)."""
+    b, ch, w = c_i32.shape
+    up = jnp.concatenate([c_i32[:, :1], c_i32[:, :-1]], axis=1)
+    dn = jnp.concatenate([c_i32[:, 1:], c_i32[:, -1:]], axis=1)
+    even = (3 * c_i32 + up + 1) >> 2
+    odd = (3 * c_i32 + dn + 2) >> 2
+    return jnp.stack([even, odd], axis=2).reshape(b, 2 * ch, w)
+
+
+def decode440_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
+                  true_h: int, true_w: int, pad_h: int, pad_w: int,
+                  y_low=None, cb_low=None, cr_low=None):
+    """4:4:0 decode back half: chroma at half height, full width —
+    vertical fancy upsample only."""
+    yplane = dequant_idct(ydc, yac, lq, y_low,
+                          (pad_h, pad_w))[:, :true_h, :true_w]
+    ch = (true_h + 1) // 2
+    cshape = (pad_h // 2, pad_w)
+    cb = fancy_upsample_v2h1(
+        dequant_idct(cbdc, cbac, cq, cb_low, cshape)[:, :ch, :true_w]
+    )[:, :true_h]
+    cr = fancy_upsample_v2h1(
+        dequant_idct(crdc, crac, cq, cr_low, cshape)[:, :ch, :true_w]
+    )[:, :true_h]
+    r, g, b = ycbcr_to_rgb_libjpeg(yplane, cb, cr)
+
+    def pad(p):
+        return jnp.pad(p, ((0, 0), (0, pad_h - true_h), (0, pad_w - true_w)))
+
+    return pad(r), pad(g), pad(b)
+
+
 def decode444_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
                   true_h: int, true_w: int, pad_h: int, pad_w: int,
                   y_low=None, cb_low=None, cr_low=None):
@@ -318,6 +354,15 @@ def folded_matrices(av_pad: np.ndarray, ah_pad: np.ndarray,
         ach = _fold_blockdiag(uh_pad)
         dch = uh_pad @ _repeat8(sw // 2)
         return (ay, ahy, ay, ach, dyv, dyh, dyv, dch)
+    if subsamp == 440:
+        # chroma half height, full width: vertical fold only
+        ch = (true_h + 1) // 2
+        uv = av_pad[:, :true_h] @ _upsample_triangle(true_h, ch)
+        uv_pad = np.zeros((uv.shape[0], sh // 2), dtype=np.float32)
+        uv_pad[:, :ch] = uv
+        acv = _fold_blockdiag(uv_pad)
+        dcv = uv_pad @ _repeat8(sh // 2)
+        return (ay, ahy, acv, ahy, dyv, dyh, dcv, dyh)
     ch, cw = (true_h + 1) // 2, (true_w + 1) // 2
     uv = av_pad[:, :true_h] @ _upsample_triangle(true_h, ch)  # (OH, ch)
     uh = ah_pad[:, :true_w] @ _upsample_triangle(true_w, cw)
@@ -458,8 +503,11 @@ def folded_decode_resample(ydc, yac, cbdc, cbac, crdc, crac, lq, cq, mats,
 def chroma_divisors(subsamp: int):
     """(vertical, horizontal) chroma downsampling divisors for a
     subsampling layout — THE single definition (the host mirror, the
-    assemblies and the programs must never disagree on plane dims)."""
-    return {400: (1, 1), 420: (2, 2), 422: (1, 2), 444: (1, 1)}[subsamp]
+    assemblies and the programs must never disagree on plane dims).
+    440 (vertical-only subsampling) exists mainly as the TRANSPOSE of
+    4:2:2 under coefficient-domain EXIF rotation (orient_meta)."""
+    return {400: (1, 1), 420: (2, 2), 422: (1, 2), 440: (2, 1),
+            444: (1, 1)}[subsamp]
 
 
 # natural-order index -> (u, v); high = outside the 4x4 low corner
@@ -691,10 +739,14 @@ def orient_meta(meta: dict, orientation: int):
     subsamp = meta.get("subsamp", 420)
     csv, csh = chroma_divisors(subsamp)
     w, h = meta["w"], meta["h"]
+    new_subsamp = subsamp
     if "t" in ops:
         if csv != csh:
-            return None  # 4:2:2: transpose would swap the subsampling
+            # asymmetric subsampling transposes into its mirror
+            # layout — 4:2:2 <-> 4:4:0, both decodable here
+            new_subsamp = {422: 440, 440: 422}[subsamp]
         w, h = h, w
+        csv, csh = csh, csv
     mcu_w, mcu_h = 8 * csh, 8 * csv
     # flips operate on the POST-transpose geometry (w, h above)
     if "h" in ops and w % mcu_w:
@@ -716,6 +768,7 @@ def orient_meta(meta: dict, orientation: int):
     out["cb"] = xform(meta["cb"])
     out["cr"] = xform(meta["cr"])
     out["w"], out["h"] = w, h
+    out["subsamp"] = new_subsamp
     if "t" in ops:
         # quant tables follow the (u, v) swap
         out["lq"] = np.ascontiguousarray(meta["lq"][_TRANSPOSE_PERM])

@@ -102,32 +102,28 @@ def test_unaligned_flip_falls_back_to_pixels():
     assert dev.stats["pixel_src"] == 1
 
 
-def test_422_transpose_falls_back_flips_ride():
-    """4:2:2 can't transpose (subsampling axes would swap) but flips
-    keep the layout and ride the coefficient path."""
+def test_422_rotations_ride_via_440():
+    """4:2:2 flips keep the layout; transposes become 4:4:0 (the
+    mirror layout, decoded by decode440_rgb) — both ride the
+    coefficient path and match the pixel path."""
     from tests.conftest import make_test_image
 
     img = make_test_image(128, 96)
-    dev = Engine(device_decode=True, device_jpeg=False)
-    dev.process_image(
-        _exif_jpeg(img, 6, subsampling="4:2:2"),
-        parse_query("w=30&h=40"), Format(),
-    )
-    assert dev.stats["pixel_src"] == 1  # transpose family: fall back
-    dev2 = Engine(device_decode=True, device_jpeg=False)
-    mime, out = dev2.process_image(
-        _exif_jpeg(img, 3, subsampling="4:2:2"),
-        parse_query("w=40&h=30"), Format(),
-    )
-    assert dev2.stats["coef_src"] == 1  # rot180 = flips only
-    pix = Engine(device_decode=False, device_jpeg=False)
-    _, out_p = pix.process_image(
-        _exif_jpeg(img, 3, subsampling="4:2:2"),
-        parse_query("w=40&h=30"), Format(),
-    )
-    a = Image.open(io.BytesIO(out)).convert("RGB")
-    b = Image.open(io.BytesIO(out_p)).convert("RGB")
-    assert _psnr(a, b) >= 45.0
+    for orientation, qs in ((6, "w=30&h=40"), (3, "w=40&h=30")):
+        data = _exif_jpeg(img, orientation, subsampling="4:2:2")
+        dev = Engine(device_decode=True, device_jpeg=False)
+        _, out = dev.process_image(
+            data, parse_query(qs + "&quality=95"), Format()
+        )
+        assert dev.stats["coef_src"] == 1, orientation
+        pix = Engine(device_decode=False, device_jpeg=False)
+        _, out_p = pix.process_image(
+            data, parse_query(qs + "&quality=95"), Format()
+        )
+        a = Image.open(io.BytesIO(out)).convert("RGB")
+        b = Image.open(io.BytesIO(out_p)).convert("RGB")
+        assert a.size == b.size
+        assert _psnr(a, b) >= 45.0, orientation
 
 
 def test_flip_rotation_is_decode_exact():
