@@ -140,7 +140,7 @@ def read_jpeg_coeffs(data: bytes) -> Optional[dict]:
 
     Returns {y, cb, cr: (bh, bw, 64) int16 natural-order blocks;
     lq, cq: (64,) uint16 natural-order quant tables; w, h: true dims;
-    subsamp: 420, 422 or 444}.
+    subsamp: 420, 422, 440 or 444}.
     """
     lib = _load()
     if lib is None or not hasattr(lib, "fc_read_jpeg_coeffs"):

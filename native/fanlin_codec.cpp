@@ -432,15 +432,16 @@ int fc_read_jpeg_coeffs(const uint8_t* data, size_t len, int16_t** out,
   } else {
     const int is420 = comp[0].h_samp_factor == 2 && comp[0].v_samp_factor == 2;
     const int is422 = comp[0].h_samp_factor == 2 && comp[0].v_samp_factor == 1;
+    const int is440 = comp[0].h_samp_factor == 1 && comp[0].v_samp_factor == 2;
     const int is444 = comp[0].h_samp_factor == 1 && comp[0].v_samp_factor == 1;
-    if (!(is420 || is422 || is444) ||
+    if (!(is420 || is422 || is440 || is444) ||
         comp[1].h_samp_factor != 1 || comp[1].v_samp_factor != 1 ||
         comp[2].h_samp_factor != 1 || comp[2].v_samp_factor != 1 ||
         comp[1].quant_tbl_no != comp[2].quant_tbl_no) {
       jpeg_destroy_decompress(&cinfo);
       return 2;
     }
-    *subsamp = is420 ? 420 : (is422 ? 422 : 444);
+    *subsamp = is420 ? 420 : (is422 ? 422 : (is440 ? 440 : 444));
   }
   jvirt_barray_ptr* coef_arrays = jpeg_read_coefficients(&cinfo);
   if (coef_arrays == nullptr) {
