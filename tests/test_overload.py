@@ -35,7 +35,7 @@ def test_overload_sheds_with_503(fixtures_dir, monkeypatch):
   "providers": [{"path": "baz", "src": "file://localhost%s"}],
   "tpu": {"warmup": false, "max_batch": 1, "batch_window_ms": 1.0,
           "max_queue": 2, "host_fallback": false,
-          "device_decode": false}
+          "device_decode": false, "pipeline_depth": 1}
 }
 """
         % fixtures_dir
