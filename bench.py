@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Headline benchmark: images/sec/chip on the reference README workload
-(512x512 lenna-like JPEG -> w=300&h=200 -> JPEG q75), full engine path
-(host decode -> fused TPU transform -> host encode), pipelined:
-decode/encode on a host thread pool, device batches double-buffered.
+(the REAL lenna.jpg, 512x512 4:4:4 q~92 -> w=300&h=200 -> JPEG q75),
+full engine path (host decode -> fused TPU transform -> host encode),
+pipelined: decode/encode on a host thread pool, device batches
+double-buffered.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "images/sec", "vs_baseline": N}
@@ -10,9 +11,20 @@ Prints ONE JSON line:
 vs_baseline is against the reference's sustained CPU throughput of
 500 req/s (BASELINE.md row 5, i7-13700HX).
 
-Env knobs: BENCH_N (images, default 768), BENCH_BATCH (default 8),
-BENCH_SECONDS (alternative time-boxed mode), BENCH_WEBP=1 (bench the
-webp=true&quality=20 variant, BASELINE.md row 4).
+Source: tests/golden/lenna_src.jpg — byte-identical to the reference's
+images/lenna.jpg (VERDICT r3 item 1), so mean_bytes_out is directly
+comparable to the reference's vegeta capture (16,021 B,
+/root/reference/README.md:111-120). BENCH_SRC=synth restores the
+round-1..3 synthetic source for round-over-round continuity.
+
+Env knobs: BENCH_N (images, default 1024), BENCH_BATCH (unset ->
+autotune), BENCH_WEBP=1 (the webp=true&quality=20 variant, BASELINE.md
+row 4), BENCH_BUDGET (seconds: window-aware mode — keep sampling
+passes until a fast relay window is caught or the budget expires,
+VERDICT r3 item 3), BENCH_SPECTRAL_DB (0 disables upload thinning),
+BENCH_LOSSLESS=0 (skip the spectral-off side record). The
+lossless-equivalent single run of earlier rounds is
+BENCH_SPECTRAL_DB=0 BENCH_SINK=jpeg420 python bench.py.
 """
 
 from __future__ import annotations
@@ -47,6 +59,23 @@ def make_source_jpeg() -> bytes:
     return buf.getvalue()
 
 
+def load_source() -> tuple:
+    """(jpeg_bytes, src_tag). Default is the REAL reference bench image
+    (tests/golden/lenna_src.jpg, byte-identical to
+    /root/reference/images/lenna.jpg — 512x512 4:4:4 q~92, wide AC);
+    BENCH_SRC=synth selects the smoother synthetic the earlier rounds
+    measured (disclosed in the JSON as src=synth)."""
+    src = os.environ.get("BENCH_SRC", "lenna")
+    if src == "synth":
+        return make_source_jpeg(), "synth"
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "tests", "golden", "lenna_src.jpg",
+    )
+    with open(path, "rb") as f:
+        return f.read(), "lenna"
+
+
 def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
     import jax
@@ -71,7 +100,7 @@ def main() -> None:
     depth = int(os.environ.get("BENCH_DEPTH", "3"))
     threads = int(os.environ.get("BENCH_THREADS", str(max(os.cpu_count() or 1, 2))))
 
-    data = make_source_jpeg()
+    data, src_tag = load_source()
     if webp_mode:
         params = parse_query("w=300&h=200&webp=true&quality=20")
         out_fmt, out_q = codecs.WEBP, 20
@@ -80,6 +109,8 @@ def main() -> None:
         params = parse_query("w=300&h=200")
         out_fmt, out_q = codecs.JPEG, 75
         metric = "images_per_sec_chip_lenna512_300x200_jpeg_q75"
+    if src_tag != "lenna":
+        metric += "_synthsrc"
 
     plan = fused.plan_image(512, 512, params)
     pool = ThreadPoolExecutor(threads)
@@ -113,13 +144,16 @@ def main() -> None:
         # YUV-import path, download is 1.5 B/px instead of 3
         jpeg420 = "webp"
     # Coefficient-source pipeline (device decode back half): host does
-    # entropy decode only and uploads int8-packed coefficients
-    # (~1.5 B/px) instead of decoded RGB (3 B/px).
-    coef_src = (
-        native_codecs.available()
+    # entropy decode only and uploads packed coefficients instead of
+    # decoded RGB (3 B/px). The real lenna (4:4:4 q~92, |AC| up to
+    # 634) rides the wide rungs (lo8w/i8v, jpeg_decode).
+    _m0 = (
+        native_codecs.read_jpeg_coeffs(data)
+        if native_codecs.available()
         and os.environ.get("BENCH_COEF", "1") == "1"
-        and native_codecs.read_jpeg_coeffs(data) is not None
+        else None
     )
+    coef_src = _m0 is not None and jpeg_decode.upload_viable(_m0)
     # Folded decode-resize: resample in coefficient space (~3.3x fewer
     # device FLOPs, measured ~4.7x faster batches; 56 dB vs the exact
     # pixel path, tests/test_folded_decode.py). bf16 matmuls on top are
@@ -143,7 +177,7 @@ def main() -> None:
     def decode_task(_i):
         if coef_src:
             m = native_codecs.read_jpeg_coeffs(data)
-            if m is not None and jpeg_decode.ac_fits_int8(m):
+            if m is not None and jpeg_decode.upload_viable(m):
                 return m
         img, _, _ = codecs.decode(data)
         return img
@@ -311,20 +345,80 @@ def main() -> None:
     # window, so the peak pass is the least-contended sustained sample
     # (each pass is still a full pipelined run over >= BENCH_N/passes
     # images); pass_rates makes the variance visible in the JSON.
+    #
+    # Window-aware mode (VERDICT r3 item 3): BENCH_BUDGET=<seconds>
+    # keeps sampling passes beyond the minimum until either a pass ran
+    # in a fast relay window (pre-pass calibration <= BENCH_FAST_MS)
+    # or the budget expires — the round-3 record showed a single
+    # 4-pass shot sampling whatever window the driver landed in while
+    # manual all-day re-runs never saw a fast one. Every pass's
+    # (calib_ms, rate) pair lands in the JSON as `windows`.
     per_pass = max(n_images // n_passes, batch)
     per_pass -= per_pass % batch
-    pass_rates = []
-    payloads = []
-    calib_before = calib_ms()
-    for _ in range(n_passes):
-        p, w = run_pass(per_pass)
-        payloads.extend(p)
-        pass_rates.append(round(len(p) / w, 1))
-    calib_after = calib_ms()
-    pool.shutdown(wait=False)
+    budget_s = float(os.environ.get("BENCH_BUDGET", "0"))
+    fast_thresh_ms = float(os.environ.get("BENCH_FAST_MS", "150"))
+
+    def measure(min_passes: int, budget: float):
+        """Run passes (window-aware when budget > 0); returns
+        (pass_rates, windows, payloads, calib_before, calib_after)."""
+        rates, windows, outs = [], [], []
+        t_start = time.perf_counter()
+        cb = calib_ms()
+        c = cb
+        while True:
+            p, w = run_pass(per_pass)
+            outs.extend(p)
+            r = round(len(p) / w, 1)
+            rates.append(r)
+            windows.append({"calib_ms": c, "rate": r})
+            done_min = len(rates) >= min_passes
+            if budget <= 0:
+                if done_min:
+                    break
+                c = calib_ms()
+                continue
+            c = calib_ms()  # post-pass probe doubles as next pre-pass
+            windows[-1]["calib_ms_after"] = c
+            elapsed = time.perf_counter() - t_start
+            if done_min and (c <= fast_thresh_ms or elapsed >= budget):
+                break
+        ca = calib_ms()
+        return rates, windows, outs, cb, ca
+
+    pass_rates, windows, payloads, calib_before, calib_after = measure(
+        n_passes, budget_s
+    )
     n_images = len(payloads)
     rate = max(pass_rates)
     mean_bytes = int(np.mean([len(p) for p in payloads]))
+
+    # -- spectral-off (lossless) side record (VERDICT r3 item 1): when
+    # the headline ran with upload thinning, also capture the lossless
+    # configuration so BENCH_r*.json carries both numbers.
+    lossless = None
+    if spectral_db > 0 and os.environ.get("BENCH_LOSSLESS", "1") == "1":
+        fused.set_spectral(0.0)
+        try:
+            a = make_assembly([warm] * batch)  # compile the lossless modes
+            encode_task(a.run()[0])
+            ll_passes = int(os.environ.get("BENCH_LOSSLESS_PASSES", "2"))
+            ll_rates, ll_windows, ll_out, ll_cb, ll_ca = measure(
+                ll_passes, 0.0
+            )
+            lossless = {
+                "value": max(ll_rates),
+                "pass_rates": ll_rates,
+                "windows": ll_windows,
+                "calib_ms": [ll_cb, ll_ca],
+                "mean_bytes_out": int(np.mean([len(p) for p in ll_out])),
+                "upload_kb_per_image": (
+                    round(make_assembly([warm]).upload_ac_bytes / 1024.0, 1)
+                    if coef_src else None
+                ),
+            }
+        finally:
+            fused.set_spectral(spectral_db)
+    pool.shutdown(wait=False)
 
     # -- single-request latency through the production engine path --------
     from fanlin_tpu.engine import Engine
@@ -363,6 +457,10 @@ def main() -> None:
         "value": round(rate, 1),
         "unit": "images/sec",
         "vs_baseline": round(rate / BASELINE_RPS, 2),
+        # record-format marker (ADVICE r3): r4 = real-lenna default
+        # source + window-aware passes + lossless side record
+        "schema": "r4",
+        "src": src_tag,
         "images": n_images,
         # rate of each full pipelined pass; `value` is the peak pass —
         # the shared relay's window-to-window variance is documented in
@@ -373,6 +471,13 @@ def main() -> None:
         # the in-band relay-weather probe (137-GFLOP matmul, ms):
         # ~30 ms = fast window, >1000 ms = slow/contended window
         "calib_ms": [calib_before, calib_after],
+        # per-pass (window probe, rate) pairs — the window distribution
+        # the run sampled (BENCH_BUDGET>0 keeps sampling until a fast
+        # window or the budget runs out)
+        "windows": windows,
+        # spectral-off capture of the same pipeline, when the headline
+        # ran with thinning (null = headline already lossless)
+        "lossless": lossless,
         # host->device AC bytes per image (the link-bound regime's
         # limiting quantity; sub-int8 pack modes cut it ~1.7x)
         "upload_kb_per_image": (

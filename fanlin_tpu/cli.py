@@ -56,11 +56,15 @@ async def serve(cfg: config_mod.Config) -> None:
 
         from .engine import warmup as warmup_mod
 
-        # default lattice + any configured provider geometries
-        # (tpu.warmup_shapes: "WxH:query" strings) — a cold bucket is
-        # survivable via the host mirror but not cheap on a 1-core
-        # host, so production configs should warm their real shapes
-        shapes = warmup_mod.DEFAULT_SHAPES + tuple(cfg.tpu.warmup_shapes)
+        # explicit tpu.warmup_shapes ("WxH:query" strings) win; when
+        # unset, the lattice derives source geometries from the
+        # preloaded fallback images (VERDICT r3 item 9) — a cold
+        # bucket is survivable via the host mirror but not cheap on a
+        # 1-core host, so deployments get their real shapes warmed
+        # without remembering the knob
+        shapes = warmup_mod.shapes_from_state(
+            state, tuple(cfg.tpu.warmup_shapes)
+        )
         threading.Thread(
             target=lambda: warmup_mod.warm(
                 shapes, device_dct=cfg.tpu.device_dct

@@ -55,6 +55,17 @@ REQUEST_DEADLINE: contextvars.ContextVar = contextvars.ContextVar(
     "fanlin_request_deadline", default=None
 )
 
+# threading.Event set by the gateway when it stops waiting for the
+# request (the 408 middleware timed out / the client vanished): queued
+# batch entries carrying a set event are CANCELLED at dispatch — their
+# futures flip to cancelled and the entry never reaches staging
+# (VERDICT r3 item 7: shedding by deadline alone left a window where
+# an abandoned request still rode a batch because its deadline was
+# miscalibrated vs the middleware's timer).
+REQUEST_CANCEL: contextvars.ContextVar = contextvars.ContextVar(
+    "fanlin_request_cancel", default=None
+)
+
 
 class BatcherOverload(RuntimeError):
     """A group's pending queue exceeded max_queue — shed at admission."""
@@ -151,7 +162,8 @@ class MicroBatcher:
         self._warm_threads: list = []
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
-        # key -> (deadline, [(plan, image, future, kind, req_deadline)])
+        # key -> (deadline,
+        #         [(plan, image, future, kind, req_deadline, cancel_ev)])
         self._groups: Dict[Tuple, Tuple[float, list]] = {}
         # key -> entries admitted but not yet picked up by the device
         # thread (the backlog max_queue bounds)
@@ -171,7 +183,8 @@ class MicroBatcher:
         # observability counters (read by the gateway's /stats)
         self.stats = {"batches": 0, "images": 0, "full_flushes": 0,
                       "timer_flushes": 0, "host_fallbacks": 0,
-                      "shed_expired": 0, "rejected_overload": 0,
+                      "shed_expired": 0, "shed_cancelled": 0,
+                      "rejected_overload": 0,
                       "pipeline_depth": self.pipeline_depth,
                       # tpu.spectral_db plane actions, counted per batch
                       "spectral_zero": 0, "spectral_zero2": 0,
@@ -189,6 +202,7 @@ class MicroBatcher:
         key = _group_key(plan, kind)
         fut: Future = Future()
         req_deadline = REQUEST_DEADLINE.get()
+        cancel_ev = REQUEST_CANCEL.get()
         flush_now = None
         with self._lock:
             if self._closed:
@@ -207,7 +221,8 @@ class MicroBatcher:
                 self._groups[key] = entry
                 self._wake.notify()  # new deadline for the scheduler
             self._backlog[key] = self._backlog.get(key, 0) + 1
-            entry[1].append((plan, image, fut, kind, req_deadline))
+            entry[1].append((plan, image, fut, kind, req_deadline,
+                             cancel_ev))
             if len(entry[1]) >= self.max_batch:
                 flush_now = self._groups.pop(key)[1]
         if flush_now is not None:
@@ -244,22 +259,28 @@ class MicroBatcher:
     # -- device execution --------------------------------------------------
 
     def _live_entries(self, group) -> list:
-        """Drop (and fail) entries whose request deadline has already
-        passed — their 408 was sent; don't pay device time for them."""
+        """Drop entries whose request is dead: CANCEL their future
+        when the gateway's cancel event fired (the 408 middleware gave
+        up — flip the waiting worker to CancelledError and never stage
+        the image), and fail ones whose deadline passed. Don't pay
+        device time for either."""
         now = time.monotonic()
         live = []
         for entry in group:
-            fut, req_deadline = entry[2], entry[4]
+            fut, req_deadline, cancel_ev = entry[2], entry[4], entry[5]
             if fut.cancelled():
+                continue
+            if cancel_ev is not None and cancel_ev.is_set():
+                self.stats["shed_cancelled"] += 1
+                fut.cancel()
                 continue
             if req_deadline is not None and req_deadline <= now:
                 self.stats["shed_expired"] += 1
-                if not fut.cancelled():
-                    fut.set_exception(
-                        RequestExpired(
-                            "request deadline passed before device dispatch"
-                        )
+                fut.set_exception(
+                    RequestExpired(
+                        "request deadline passed before device dispatch"
                     )
+                )
                 continue
             live.append(entry)
         return live
@@ -277,16 +298,17 @@ class MicroBatcher:
                     self._backlog[key0] = left
                 else:
                     self._backlog.pop(key0, None)
-        group = self._live_entries(group)
-        if not group:
-            return
-        self.stats["batches"] += 1
-        self.stats["images"] += len(group)
-        plans = [g[0] for g in group]
-        images = [g[1] for g in group]
         futures = [g[2] for g in group]
-        kinds = [g[3] for g in group]
         try:
+            group = self._live_entries(group)
+            if not group:
+                return
+            self.stats["batches"] += 1
+            self.stats["images"] += len(group)
+            plans = [g[0] for g in group]
+            images = [g[1] for g in group]
+            futures = [g[2] for g in group]
+            kinds = [g[3] for g in group]
             asm = fused.make_assembly(plans, images, kinds, mesh=self._mesh)
             for act in getattr(asm, "spectral", ()):
                 self.stats["spectral_" + act] += 1

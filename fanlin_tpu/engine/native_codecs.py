@@ -94,6 +94,15 @@ def _load():
             lib.fc_encode_webp_yuv420.restype = ctypes.c_int
         except AttributeError:
             pass  # older .so without the YUV WebP encoder
+        try:
+            lib.fc_encode_jpeg_subsamp.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
+            ]
+            lib.fc_encode_jpeg_subsamp.restype = ctypes.c_int
+        except AttributeError:
+            pass  # older .so without the subsampling encoder
         lib.fc_free.argtypes = [u8p]
         _LIB = lib
         break
@@ -235,6 +244,33 @@ def encode_jpeg_raw420(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
     rc = lib.fc_encode_jpeg_raw420(
         y.ctypes.data_as(u8p), cb.ctypes.data_as(u8p), cr.ctypes.data_as(u8p),
         w, h, int(quality), ctypes.byref(out), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fc_free(out)
+
+
+def encode_jpeg_subsamp(rgb: np.ndarray, quality: int, h_samp: int,
+                        v_samp: int) -> Optional[bytes]:
+    """Encode (H, W, 3) RGB with EXPLICIT luma sampling factors:
+    (2,2)=4:2:0, (2,1)=4:2:2, (1,2)=4:4:0, (1,1)=4:4:4. Test-support
+    surface — PIL cannot emit h1v2 (4:4:0) streams, and the 4:4:0
+    decode branches need real native fixtures (ADVICE r3). None ->
+    unbuilt/old lib."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_encode_jpeg_subsamp"):
+        return None
+    h, w = rgb.shape[:2]
+    rgb = np.ascontiguousarray(rgb[:, :, :3], dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    out_len = ctypes.c_size_t()
+    rc = lib.fc_encode_jpeg_subsamp(
+        rgb.ctypes.data_as(u8p), w, h, 3, int(quality), int(h_samp),
+        int(v_samp), ctypes.byref(out), ctypes.byref(out_len),
     )
     if rc != 0:
         return None

@@ -132,8 +132,10 @@ class Engine:
             meta = native_codecs.read_jpeg_coeffs(data)
             if meta is not None and orientation != 1:
                 meta = jpeg_decode.orient_meta(meta, orientation)
-            if meta is not None and not jpeg_decode.ac_fits_int8(meta):
-                meta = None  # rare oversized AC: take the pixel path
+            if meta is not None and not jpeg_decode.upload_viable(meta):
+                # pathological overflow density (beyond the i8v
+                # sparse-correction cap): take the pixel path
+                meta = None
 
         if meta is not None:
             img = None

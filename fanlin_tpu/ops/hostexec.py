@@ -245,12 +245,12 @@ def _np_dct_tail(y, cb, cr, quality):
 
 def _np_decode420(asm):
     """numpy mirror of jpeg_decode.decode*_rgb on a CoefBatchAssembly:
-    the mode-packed uploads (i8 planar / lo8 low-corner / i4h nibble +
-    residual) are first reconstructed into dense int16 planar planes —
-    the packing is lossless, so the mirror's math is unchanged."""
-    from .jpeg_decode import _idct_blockdiag, planar_from_arrays_np
-
-    from .jpeg_decode import chroma_divisors
+    the mode-packed uploads are first reconstructed into dense int16
+    planar planes (lossless packing), then decoded through the numpy
+    twin of the SAME bit-exact islow butterfly the device runs — the
+    mirror's bytes track the staged device path exactly."""
+    from .jpeg_decode import (chroma_divisors, islow_decode_plane,
+                              planar_from_arrays_np)
 
     ymode, cmode = asm.pack_modes
     csv, csh = chroma_divisors(getattr(asm, "subsamp", 420))
@@ -260,17 +260,9 @@ def _np_decode420(asm):
     crac = planar_from_arrays_np(cmode, asm.cr_arrays, cshape)
 
     def idct(dc, ac_planar, q):
-        b, h, w = ac_planar.shape
-        bh, bw = h // 8, w // 8
-        qtile = np.tile(q.reshape(b, 8, 8), (1, bh, bw))
-        coef = ac_planar.astype(np.float32) * qtile
-        mv = _idct_blockdiag(h)  # 8-tap rows: the windowed apply
-        mh = _idct_blockdiag(w)  # turns O(n^3) into O(8 n^2)
-        t = np.moveaxis(_windowed_apply(mv, coef, 1), 0, 1)
-        pix = np.moveaxis(_windowed_apply(mh, t, 2), 0, 2)
-        dcv = dc.astype(np.float32) * (q[:, 0] / 8.0)[:, None, None]
-        dc_pix = np.repeat(np.repeat(dcv, 8, axis=1), 8, axis=2)
-        return np.clip(np.floor(pix + dc_pix + 128.5), 0, 255).astype(np.int64)
+        return islow_decode_plane(
+            dc, ac_planar.astype(np.int32), q, xp=np
+        ).astype(np.int64)
 
     def upsample(c):
         b, ch, cw = c.shape

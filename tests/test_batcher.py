@@ -195,3 +195,63 @@ def test_max_queue_rejects_at_admission():
         b.close()
     assert f1.result(timeout=30).shape == (16, 16, 4)
     assert f2.result(timeout=30).shape == (16, 16, 4)
+
+
+def test_cancelled_entry_never_stages(monkeypatch):
+    """The gateway's cancel event (408 middleware gave up on the
+    request) must CANCEL a queued entry at dispatch: its future flips
+    to cancelled, the waiting worker unwinds with CancelledError, and
+    the entry never reaches staging (VERDICT r3 item 7)."""
+    from concurrent.futures import CancelledError
+
+    from fanlin_tpu.engine import batcher as batcher_mod
+
+    calls = []
+    monkeypatch.setattr(
+        fused, "make_assembly",
+        lambda *a, **k: calls.append(1) or (_ for _ in ()).throw(
+            AssertionError("device work for a cancelled entry")
+        ),
+    )
+    b = MicroBatcher(max_batch=4, window_ms=5.0)
+    try:
+        img = _rgba(make_test_image(32, 32))
+        plan = fused.plan_image(32, 32, parse_query("w=16&h=16"))
+        ev = threading.Event()
+        token = batcher_mod.REQUEST_CANCEL.set(ev)
+        try:
+            fut = b.submit(plan, img)
+        finally:
+            batcher_mod.REQUEST_CANCEL.reset(token)
+        ev.set()  # the middleware timed out while the entry is queued
+        import pytest
+
+        with pytest.raises(CancelledError):
+            fut.result(timeout=10)
+        assert fut.cancelled()
+        assert b.stats["shed_cancelled"] == 1
+        assert not calls
+    finally:
+        b.close()
+
+
+def test_unset_cancel_event_rides_through():
+    """A live (never-fired) cancel event must not affect the batch."""
+    from fanlin_tpu.engine import batcher as batcher_mod
+
+    b = MicroBatcher(max_batch=4, window_ms=1.0)
+    try:
+        img = _rgba(make_test_image(32, 32))
+        q = parse_query("w=16&h=16")
+        plan = fused.plan_image(32, 32, q)
+        ev = threading.Event()
+        token = batcher_mod.REQUEST_CANCEL.set(ev)
+        try:
+            fut = b.submit(plan, img)
+        finally:
+            batcher_mod.REQUEST_CANCEL.reset(token)
+        out = fut.result(timeout=30)
+        np.testing.assert_array_equal(out, fused.transform_single(img, q))
+        assert b.stats["shed_cancelled"] == 0
+    finally:
+        b.close()

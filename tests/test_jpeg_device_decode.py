@@ -192,16 +192,37 @@ def test_444_source_device_decode(dims):
     assert psnr(folded, host) >= 45.0
 
 
-def test_ac_overflow_falls_back(monkeypatch):
+def test_ac_overflow_rides_wide_rung(monkeypatch):
+    """Oversized AC no longer forces the pixel path: the i8v sparse
+    overflow rung carries it on the coefficient upload (round 4 — the
+    reference's own lenna.jpg needs this)."""
     data = _jpeg_bytes()
     real = native_codecs.read_jpeg_coeffs
 
     def oversized(d):
         m = real(d)
-        m["y"][0, 0, 1] = 300  # force an AC that can't pack to int8
+        m["y"][0, 0, 1] = 300  # an AC outside int8
         return m
 
     monkeypatch.setattr(native_codecs, "read_jpeg_coeffs", oversized)
+    e = Engine(device_decode=True)
+    mime, out = e.process_image(data, parse_query("w=64&h=64"), Format())
+    assert e.stats["coef_src"] == 1 and e.stats["pixel_src"] == 0
+    assert mime == "image/jpeg"
+
+
+def test_pathological_overflow_density_falls_back(monkeypatch):
+    """Beyond the largest sparse cap (>~2% of coefficients outside
+    int8) the upload is not viable — the pixel path takes over."""
+    data = _jpeg_bytes()
+    real = native_codecs.read_jpeg_coeffs
+
+    def pathological(d):
+        m = real(d)
+        m["y"][:, :, 1:] = 500  # every AC slot overflows
+        return m
+
+    monkeypatch.setattr(native_codecs, "read_jpeg_coeffs", pathological)
     e = Engine(device_decode=True)
     mime, out = e.process_image(data, parse_query("w=64&h=64"), Format())
     assert e.stats["pixel_src"] == 1 and e.stats["coef_src"] == 0
@@ -344,3 +365,48 @@ def test_engine_grayscale_jpeg_coef_path_matches_pixel_path():
         b = np.asarray(im2.convert("RGB"))
     d = psnr(a, b)
     assert d >= 48.0, d
+
+
+@pytest.mark.parametrize("h_samp,v_samp,subsamp", [
+    (1, 2, 440), (2, 1, 422), (1, 1, 444), (2, 2, 420),
+])
+def test_native_subsamp_streams_decode_bit_identical(h_samp, v_samp,
+                                                     subsamp):
+    """TRUE native streams for every subsampling layout — including
+    h1v2 (4:4:0), which PIL cannot emit, so the C reader's is440
+    branch and decode440 previously only saw transposed-4:2:2 inputs
+    (ADVICE r3). The device decode must be BIT-IDENTICAL to the
+    libjpeg pixel path (islow butterfly + exact upsample/color)."""
+    img = make_test_image(504, 360)
+    data = native_codecs.encode_jpeg_subsamp(img, 85, h_samp, v_samp)
+    if data is None:
+        pytest.skip("native codec core without fc_encode_jpeg_subsamp")
+    m = native_codecs.read_jpeg_coeffs(data)
+    assert m is not None and m["subsamp"] == subsamp
+    pix, _, _ = codecs.decode(data)
+    plan = fused.plan_image(m["w"], m["h"], parse_query("w=300&h=200"),
+                            opaque=True)
+    coef_out = fused.CoefBatchAssembly([plan], [m]).run()[0]
+    pix_out = fused.BatchAssembly([plan], [pix]).run()[0]
+    np.testing.assert_array_equal(coef_out, pix_out)
+
+
+def test_staged_decode_bit_exact_vs_libjpeg_real_lenna():
+    """The flagship parity claim: the staged device decode of the
+    reference's own lenna.jpg (4:4:4 q~92, wide AC riding the i8v
+    sparse-overflow upload) reproduces libjpeg's pixel decode
+    BIT-FOR-BIT — dequant, islow iDCT, upsample and color conversion
+    are all exact."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "lenna_src.jpg")
+    with open(path, "rb") as f:
+        data = f.read()
+    m = native_codecs.read_jpeg_coeffs(data)
+    pix, _, _ = codecs.decode(data)
+    plan = fused.plan_image(m["w"], m["h"], parse_query("w=300&h=200"),
+                            opaque=True)
+    coef_out = fused.CoefBatchAssembly([plan] * 2, [m, m]).run()[0]
+    pix_out = fused.BatchAssembly([plan], [pix]).run()[0]
+    np.testing.assert_array_equal(coef_out, pix_out)

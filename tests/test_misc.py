@@ -47,6 +47,84 @@ def test_warmup_compiles():
     assert n >= 2
 
 
+def test_warmup_shapes_derive_from_fallback_images():
+    """Without explicit tpu.warmup_shapes, the lattice derives source
+    geometries from the preloaded fallback images (VERDICT r3 item 9),
+    deduped and capped; explicit shapes win outright."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from fanlin_tpu.engine import warmup
+
+    def jpg(w, h):
+        buf = io.BytesIO()
+        Image.fromarray(np.zeros((h, w, 3), np.uint8)).save(
+            buf, format="JPEG"
+        )
+        return buf.getvalue()
+
+    class FakeState:
+        fallback_images = {
+            "a.jpg": jpg(256, 192),
+            "b.jpg": jpg(256, 192),     # duplicate geometry: deduped
+            "c.jpg": jpg(512, 512),     # default geometry: deduped
+            "bad.jpg": b"not an image",  # unreadable: skipped
+            "d.jpg": jpg(100, 80),
+            "e.jpg": jpg(128, 128),
+            "f.jpg": jpg(200, 100),
+            "g.jpg": jpg(320, 240),     # 5th distinct: over the cap
+        }
+
+    shapes = warmup.shapes_from_state(FakeState())
+    geoms = [(w, h) for w, h, _ in shapes]
+    assert geoms[: len(warmup.DEFAULT_SHAPES)] == [
+        (w, h) for w, h, _ in warmup.DEFAULT_SHAPES
+    ]
+    derived = geoms[len(warmup.DEFAULT_SHAPES):]
+    assert (256, 192) in derived
+    assert derived.count((256, 192)) == 1
+    assert (512, 512) not in derived
+    assert len(derived) == warmup.MAX_DERIVED_GEOMETRIES
+
+    # explicit shapes win outright (no derivation)
+    explicit = ((640, 480, "w=10&h=10"),)
+    assert warmup.shapes_from_state(FakeState(), explicit) == (
+        warmup.DEFAULT_SHAPES + explicit
+    )
+
+
+def test_warmup_derived_geometry_is_warm_after_startup():
+    """End check for VERDICT r3 item 9: a NON-default geometry implied
+    by a fallback image is actually warm after the warmup pass."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from fanlin_tpu.engine import warmup
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    buf = io.BytesIO()
+    Image.fromarray(np.zeros((48, 96, 3), np.uint8)).save(
+        buf, format="JPEG"
+    )
+
+    class FakeState:
+        fallback_images = {"f.jpg": buf.getvalue()}
+
+    shapes = warmup.shapes_from_state(FakeState())
+    assert (96, 48, "w=300&h=200") in shapes
+    warmup.warm(shapes=((96, 48, "w=300&h=200"),), batch=2)
+    plan = fused.plan_image(96, 48, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.BatchAssembly([plan] * 2,
+                              [np.zeros((48, 96, 3), np.uint8)] * 2)
+    assert fused.is_warm(asm.program_key())
+
+
 def test_stats_endpoint(fixtures_dir):
     from aiohttp.test_utils import TestClient, TestServer
 
