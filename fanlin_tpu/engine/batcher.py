@@ -80,11 +80,12 @@ class RequestExpired(Exception):
 
 
 def _group_key(plan: fused.ImagePlan, kind: str) -> Tuple:
-    if kind.startswith("coef"):
-        # coefficient-source programs are keyed on the EXACT source
-        # geometry (the chroma upsample's edge handling is positional);
-        # pixel-out batches group by output bucket, device-JPEG-out
-        # batches by exact output dims (the device crops on device)
+    if kind.startswith(("coef", "cmyk")):
+        # coefficient-source programs (incl. 4-component CMYK/YCCK)
+        # are keyed on the EXACT source geometry (the chroma upsample's
+        # edge handling is positional); pixel-out batches group by
+        # output bucket, device-JPEG-out batches by exact output dims
+        # (the device crops on device)
         sink = kind.split("+", 1)[1] if "+" in kind else "rgb"
         if sink == "rgb":
             out_key = (fused.bucket_h(plan.out_h), fused.bucket_w(plan.out_w))

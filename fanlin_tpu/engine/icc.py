@@ -67,6 +67,18 @@ class CMYK2RGB:
         return np.asarray(rgb, dtype=np.uint8)
 
 
+def jpeg_embedded_profile(data: bytes) -> bool:
+    """True when the JPEG carries an embedded ICC profile (header-only
+    PIL open — no pixel decode). Gates the device CMYK coefficient
+    path: embedded profiles keep host lcms2 (the sampled LUT is the
+    DEFAULT profile's)."""
+    try:
+        with Image.open(io.BytesIO(data)) as im:
+            return bool(im.info.get("icc_profile"))
+    except Exception:
+        return False
+
+
 def jpeg_num_components(data: bytes) -> Optional[int]:
     """Component count from the SOF marker, header-only scan
     (the reference's zune-jpeg decode_headers probe, handler.rs:403-407)."""

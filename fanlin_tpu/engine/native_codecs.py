@@ -103,6 +103,22 @@ def _load():
             lib.fc_encode_jpeg_subsamp.restype = ctypes.c_int
         except AttributeError:
             pass  # older .so without the subsampling encoder
+        try:
+            intp = ctypes.POINTER(ctypes.c_int)
+            u16p = ctypes.POINTER(ctypes.c_uint16)
+            lib.fc_read_jpeg_coeffs4.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t, ctypes.POINTER(i16p),
+                intp, intp, intp, intp, intp, intp, u16p, intp, intp,
+            ]
+            lib.fc_read_jpeg_coeffs4.restype = ctypes.c_int
+            lib.fc_encode_jpeg_cmyk.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
+            ]
+            lib.fc_encode_jpeg_cmyk.restype = ctypes.c_int
+        except AttributeError:
+            pass  # older .so without the CMYK coefficient surface
         lib.fc_free.argtypes = [u8p]
         _LIB = lib
         break
@@ -271,6 +287,82 @@ def encode_jpeg_subsamp(rgb: np.ndarray, quality: int, h_samp: int,
     rc = lib.fc_encode_jpeg_subsamp(
         rgb.ctypes.data_as(u8p), w, h, 3, int(quality), int(h_samp),
         int(v_samp), ctypes.byref(out), ctypes.byref(out_len),
+    )
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fc_free(out)
+
+
+def read_jpeg_coeffs4(data: bytes) -> Optional[dict]:
+    """4-component (CMYK/YCCK) twin of read_jpeg_coeffs for the device
+    CMYK decode path (reference handler.rs:398-466 decodes CMYK fully
+    on host; here only entropy decode does). Returns {y, cb, cr:
+    (bh, bw, 64) int16 blocks; k: (ybh, ybw, 64) int16 at comp0's
+    rate; lq, cq; w, h; subsamp: 444 | 420; ycck: bool; cmyk: True},
+    or None to fall back (unbuilt/old lib, unsupported layout)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_read_jpeg_coeffs4"):
+        return None
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    out = i16p()
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ybw = ctypes.c_int()
+    ybh = ctypes.c_int()
+    cbw = ctypes.c_int()
+    cbh = ctypes.c_int()
+    qt = (ctypes.c_uint16 * 128)()
+    subsamp = ctypes.c_int()
+    ycck = ctypes.c_int()
+    rc = lib.fc_read_jpeg_coeffs4(
+        data, len(data), ctypes.byref(out), ctypes.byref(w),
+        ctypes.byref(h), ctypes.byref(ybw), ctypes.byref(ybh),
+        ctypes.byref(cbw), ctypes.byref(cbh), qt, ctypes.byref(subsamp),
+        ctypes.byref(ycck),
+    )
+    if rc != 0:
+        return None
+    try:
+        ny = ybh.value * ybw.value * 64
+        nc = cbh.value * cbw.value * 64
+        flat = np.ctypeslib.as_array(out, shape=(2 * ny + 2 * nc,))
+        c0 = flat[:ny].reshape(ybh.value, ybw.value, 64).copy()
+        c1 = flat[ny : ny + nc].reshape(cbh.value, cbw.value, 64).copy()
+        c2 = flat[ny + nc : ny + 2 * nc].reshape(
+            cbh.value, cbw.value, 64
+        ).copy()
+        c3 = flat[ny + 2 * nc :].reshape(ybh.value, ybw.value, 64).copy()
+    finally:
+        lib.fc_free(ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8)))
+    tables = np.ctypeslib.as_array(qt)
+    return {
+        "y": c0, "cb": c1, "cr": c2, "k": c3,
+        "lq": tables[:64].copy(), "cq": tables[64:].copy(),
+        "w": w.value, "h": h.value, "subsamp": subsamp.value,
+        "ycck": bool(ycck.value), "cmyk": True,
+    }
+
+
+def encode_jpeg_cmyk(raw4: np.ndarray, quality: int,
+                     ycck: bool) -> Optional[bytes]:
+    """Encode raw 4-channel samples (FILE convention — Adobe-inverted;
+    invert PIL-convention CMYK first) as a CMYK or YCCK JPEG.
+    Test-support surface: PIL only writes plain 4:4:4 CMYK and the
+    YCCK decode branches need real fixtures."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_encode_jpeg_cmyk"):
+        return None
+    h, w = raw4.shape[:2]
+    raw4 = np.ascontiguousarray(raw4, dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    out_len = ctypes.c_size_t()
+    rc = lib.fc_encode_jpeg_cmyk(
+        raw4.ctypes.data_as(u8p), w, h, int(quality), int(bool(ycck)),
+        ctypes.byref(out), ctypes.byref(out_len),
     )
     if rc != 0:
         return None

@@ -77,12 +77,39 @@ class Engine:
     def enable_device_icc(self, n: int = 17) -> None:
         """Sample the default lcms2 transform into a device LUT
         (SURVEY.md §7 step 8 lowering; host lcms2 stays the fallback
-        and the ground truth for embedded profiles)."""
+        and the ground truth for embedded profiles). Also installs the
+        LUT for the CMYK coefficient path (fused.set_cmyk_lut), so
+        4-component JPEGs take the device decode instead of the 4 B/px
+        host-decode pixel path."""
         if self.cmyk2rgb is None:
             return
-        from ..ops.cmyk_lut import DeviceCmykTransform
+        from ..ops import cmyk_lut, fused as fused_mod
 
-        self.device_cmyk = DeviceCmykTransform.from_converter(self.cmyk2rgb, n)
+        lut = cmyk_lut.sample_lut(self.cmyk2rgb.convert, n)
+        self.device_cmyk = cmyk_lut.DeviceCmykTransform(lut)
+        fused_mod.set_cmyk_lut(lut)
+
+    def _try_cmyk_coef(self, data: bytes, orientation: int):
+        """Coefficient meta for a 4-component (CMYK/YCCK) JPEG bound
+        for the device decode + LUT path, else None (host pixel path).
+        Applies only when the DEFAULT profile would be used — the LUT
+        was sampled from it; embedded-profile sources keep host lcms2
+        (reference handler.rs:398-466 precedence). EXIF-rotated CMYK
+        stays on pixels (coefficient rotation is 3-component only)."""
+        if (not self.device_decode or self.device_cmyk is None
+                or orientation != 1):
+            return None
+        from ..ops import jpeg_decode
+        from . import icc, native_codecs
+
+        if icc.jpeg_num_components(data) != 4:
+            return None
+        if self.use_embedded_profile and icc.jpeg_embedded_profile(data):
+            return None
+        meta = native_codecs.read_jpeg_coeffs4(data)
+        if meta is not None and not jpeg_decode.upload_viable(meta):
+            return None
+        return meta
 
     # -- the forward pass --------------------------------------------------
 
@@ -109,8 +136,15 @@ class Engine:
         t0 = _time.perf_counter()
         orientation = codecs.read_orientation(data)
         converted = None
+        # 4-component (CMYK/YCCK) JPEGs bound for the DEFAULT profile
+        # take the device decode + sampled-LUT path when tpu.device_icc
+        # is on (VERDICT r3 item 4); embedded-profile sources keep the
+        # host lcms2 pixel path (reference handler.rs:398-466).
+        meta = None
         if fmt == codecs.JPEG:
-            converted = self._convert_jpeg_color_if_needed(data)
+            meta = self._try_cmyk_coef(data, orientation)
+            if meta is None:
+                converted = self._convert_jpeg_color_if_needed(data)
 
         # Device decode back half: plain YCbCr JPEGs with no ICC
         # conversion upload entropy-decoded coefficients (int8 AC +
@@ -120,9 +154,9 @@ class Engine:
         # COEFFICIENT GRIDS first (jpegtran's transform math,
         # jpeg_decode.orient_meta); only geometries where that isn't
         # grid-exact fall back to the pixel path.
-        meta = None
         if (
-            self.device_decode
+            meta is None
+            and self.device_decode
             and fmt == codecs.JPEG
             and converted is None
         ):
@@ -201,8 +235,14 @@ class Engine:
                                 "fc_encode_webp_yuv420")):
                 sink = "webp420"
         if meta is not None:
-            base = {420: "coef", 422: "coef422", 440: "coef440",
-                    444: "coef444"}[meta.get("subsamp", 420)]
+            if meta.get("cmyk"):
+                # ycck vs plain CMYK never share a batch (different
+                # device math) — the kind string keys the group
+                base = "cmyk%d%s" % (meta.get("subsamp", 444),
+                                     "y" if meta.get("ycck") else "")
+            else:
+                base = {420: "coef", 422: "coef422", 440: "coef440",
+                        444: "coef444"}[meta.get("subsamp", 420)]
             kind = base if sink == "rgb" else f"{base}+{sink}"
             payload = meta
         else:

@@ -59,6 +59,36 @@ def _lut_program(n: int, h: int, w: int):
     return jax.jit(fn)
 
 
+def lut_planes(c, m, y, k, lut_flat, n: int, xp=jnp):
+    """Quadrilinear LUT evaluation on PLANES, traceable inside a fused
+    program (the device CMYK decode prologue): c/m/y/k (B, H, W) int
+    samples in [0, 255], lut_flat (n^4, 3) f32 -> (r, g, b) f32 planes
+    in [0, 255]. Same math as _lut_program, batch-shaped; xp=np is the
+    host mirror's twin (hostexec must track device bytes)."""
+    scale = (n - 1) / 255.0
+    comps = [v.astype(xp.float32) * scale for v in (c, m, y, k)]
+    lo = [xp.clip(xp.floor(v).astype(xp.int32), 0, n - 2) for v in comps]
+    frac = [v - lv.astype(xp.float32) for v, lv in zip(comps, lo)]
+    acc = [0.0, 0.0, 0.0]
+    for corner in range(16):
+        bits = [(corner >> i) & 1 for i in range(4)]
+        weight = 1.0
+        flat_idx = 0
+        for i in range(4):
+            idx_i = lo[i] + bits[i]
+            flat_idx = flat_idx * n + idx_i
+            weight = weight * (frac[i] if bits[i] else 1.0 - frac[i])
+        if xp is jnp:
+            sample = jnp.take(lut_flat, flat_idx, axis=0)
+        else:
+            sample = lut_flat[flat_idx]
+        for ch in range(3):
+            acc[ch] = acc[ch] + weight * sample[..., ch]
+    out = [xp.clip(xp.floor(a + 0.5), 0, 255).astype(xp.float32)
+           for a in acc]
+    return out[0], out[1], out[2]
+
+
 class DeviceCmykTransform:
     """Evaluate a sampled ICC LUT on device."""
 

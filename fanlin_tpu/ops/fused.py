@@ -772,6 +772,89 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
     return jax.jit(lambda *a: tail(core(*a)))
 
 
+# Sampled CMYK->RGB ICC LUT for the device CMYK decode path (set by
+# engine.enable_device_icc from the configured default profile; the
+# assemblies read it at arg-staging time). {"flat": (n^4, 3) f32,
+# "n": grid side}; flat=None disables the CMYK coefficient path.
+_CMYK_LUT = {"flat": None, "n": 17}
+
+
+def set_cmyk_lut(lut: np.ndarray) -> None:
+    """Install the (n, n, n, n, 3) sampled LUT (ops.cmyk_lut) used by
+    CMYK coefficient batches. None disables the path."""
+    if lut is None:
+        _CMYK_LUT["flat"] = None
+        return
+    _CMYK_LUT["n"] = lut.shape[0]
+    _CMYK_LUT["flat"] = np.ascontiguousarray(
+        lut.reshape(-1, 3).astype(np.float32)
+    )
+
+
+@functools.lru_cache(maxsize=64)
+def get_cmyk_coef_program(batch: int, true_h: int, true_w: int,
+                          out_h: int, out_w: int, has_blur: bool,
+                          uniform: bool = False, out_crop=None,
+                          out_channels: int = 4, jpeg420=False,
+                          jpegdct: bool = False, dct_pack: int = 0,
+                          subsamp: int = 444, ycck: bool = False,
+                          lut_n: int = 17,
+                          pack=("i8", "i8", "i8")):
+    """Fused program whose SOURCE is a 4-component (CMYK/YCCK) JPEG's
+    entropy-decoded coefficients: the device runs four bit-exact islow
+    plane decodes + the Adobe/PIL CMYK convention math
+    (jpeg_decode.decode_cmyk) + the sampled ICC LUT
+    (cmyk_lut.lut_planes) as the prologue to the transform chain.
+    VERDICT r3 item 4 — CMYK was the last source class stuck on the
+    4 B/px host-decode pixel path (reference handler.rs:398-466).
+    pack = (comp0_mode, chroma_mode, k_mode)."""
+    pad_h = bucket_h16(true_h)
+    pad_w = bucket_w(true_w)
+    tail = _make_tail(out_crop, out_channels, jpeg420, jpegdct, dct_pack)
+    from . import cmyk_lut, jpeg_decode
+
+    ymode, cmode, kmode = pack
+    n_y, n_c, n_k = (_n_arrays(ymode), _n_arrays(cmode),
+                     _n_arrays(kmode))
+    cdiv = jpeg_decode.chroma_divisors(subsamp)
+
+    def core(*a):
+        i = 0
+        lut_flat = a[i]
+        i += 1
+        ydc, y_arr = a[i], a[i + 1 : i + 1 + n_y]
+        i += 1 + n_y
+        cbdc, cb_arr = a[i], a[i + 1 : i + 1 + n_c]
+        i += 1 + n_c
+        crdc, cr_arr = a[i], a[i + 1 : i + 1 + n_c]
+        i += 1 + n_c
+        kdc, k_arr = a[i], a[i + 1 : i + 1 + n_k]
+        i += 1 + n_k
+        lq, cq = a[i], a[i + 1]
+        i += 2
+        rest = a[i:]
+        av, ah, flags, fill, box = rest[:5]
+        bv, bh = (rest[5], rest[6]) if len(rest) > 5 else (None, None)
+        yac = jpeg_decode.unpack_plane_args(ymode, y_arr, pad_h, pad_w)
+        cbac = jpeg_decode.unpack_plane_args(cmode, cb_arr, pad_h,
+                                             pad_w, cdiv)
+        crac = jpeg_decode.unpack_plane_args(cmode, cr_arr, pad_h,
+                                             pad_w, cdiv)
+        kac = jpeg_decode.unpack_plane_args(kmode, k_arr, pad_h, pad_w)
+        c_p, m_p, y_p, k_p = jpeg_decode.decode_cmyk(
+            ydc, yac, cbdc, cbac, crdc, crac, kdc, kac, lq, cq,
+            true_h, true_w, pad_h, pad_w, subsamp, ycck,
+        )
+        r, g, b = cmyk_lut.lut_planes(c_p, m_p, y_p, k_p, lut_flat,
+                                      lut_n)
+        return _chain(r, g, b, None, av, ah, flags, fill, box, bv, bh,
+                      uniform=uniform)
+
+    if jpegdct:
+        return jax.jit(lambda enc_lq, enc_cq, *a: tail(core(*a), enc_lq, enc_cq))
+    return jax.jit(lambda *a: tail(core(*a)))
+
+
 def _f32_table(table: np.ndarray) -> np.ndarray:
     """Stable f32 copy of a quant table (cached by content) so the
     device-side cache can key on object identity."""
@@ -1228,6 +1311,41 @@ class BatchAssembly:
         return self.collect(self.submit())
 
 
+def _alloc_plane(b: int, mode: str, ph: int, pw: int, cap: int = 0):
+    """Per-batch host staging arrays for one plane at one upload mode
+    (pack_plane's shapes, batch-stacked)."""
+    sparse = [np.zeros((b, cap), np.int32),
+              np.zeros((b, cap), np.int16)]
+    if mode == "zero":
+        return []
+    if mode in ("lo8", "lo8v"):
+        base = [np.zeros((b, ph // 2, pw // 2), np.int8)]
+        return base + sparse if mode == "lo8v" else base
+    if mode in ("lo2", "lo2v"):
+        base = [np.zeros((b, ph // 4, pw // 4), np.int8)]
+        return base + sparse if mode == "lo2v" else base
+    if mode == "i4h":
+        return [np.zeros((b, ph, pw // 2), np.uint8),
+                np.zeros((b, ph // 2, pw // 2), np.int8)]
+    if mode == "i8v":
+        return [np.zeros((b, ph, pw), np.int8)] + sparse
+    return [np.zeros((b, ph, pw), np.int8)]
+
+
+def _group_cap(mode: str, metas, keys) -> int:
+    """Sparse-overflow capacity bucket for a plane group at a wide (v)
+    mode — the batch's widest per-image count on the mode's sparse
+    domain (loKv: its corner), rounded up the capacity ladder."""
+    from . import jpeg_decode
+
+    if not mode.endswith("v"):
+        return 0
+    k = jpeg_decode._MODE_K.get(mode, 0)
+    return jpeg_decode.i8v_cap(max(
+        max(jpeg_decode.overflow_count(m[key], k) for key in keys)
+        for m in metas))
+
+
 class CoefBatchAssembly(BatchAssembly):
     """BatchAssembly whose sources are entropy-decoded JPEG coefficient
     grids (from native fc_read_jpeg_coeffs) instead of pixels: the
@@ -1311,22 +1429,7 @@ class CoefBatchAssembly(BatchAssembly):
         self.pack_modes = (ymode, cmode)
 
         def alloc(mode, ph, pw, cap=0):
-            sparse = [np.zeros((self.b, cap), np.int32),
-                      np.zeros((self.b, cap), np.int16)]
-            if mode == "zero":
-                return []
-            if mode in ("lo8", "lo8v"):
-                base = [np.zeros((self.b, ph // 2, pw // 2), np.int8)]
-                return base + sparse if mode == "lo8v" else base
-            if mode in ("lo2", "lo2v"):
-                base = [np.zeros((self.b, ph // 4, pw // 4), np.int8)]
-                return base + sparse if mode == "lo2v" else base
-            if mode == "i4h":
-                return [np.zeros((self.b, ph, pw // 2), np.uint8),
-                        np.zeros((self.b, ph // 2, pw // 2), np.int8)]
-            if mode == "i8v":
-                return [np.zeros((self.b, ph, pw), np.int8)] + sparse
-            return [np.zeros((self.b, ph, pw), np.int8)]
+            return _alloc_plane(self.b, mode, ph, pw, cap)
 
         ch, cw = self.sh // csv, self.sw // csh
         # sparse-overflow caps for the wide (v) rungs: one bucket per
@@ -1334,16 +1437,8 @@ class CoefBatchAssembly(BatchAssembly):
         # overflow count, rounded up to the capacity ladder so few
         # shapes (hence few compiles) exist. loKv counts only its
         # corner (the sparse domain it ships).
-        def cap_for(mode, keys):
-            if not mode.endswith("v"):
-                return 0
-            k = jpeg_decode._MODE_K.get(mode, 0)
-            return jpeg_decode.i8v_cap(max(
-                max(jpeg_decode.overflow_count(m[key], k) for key in keys)
-                for m in metas))
-
-        ycap = cap_for(ymode, ("y",))
-        ccap = cap_for(cmode, ("cb", "cr"))
+        ycap = _group_cap(ymode, metas, ("y",))
+        ccap = _group_cap(cmode, metas, ("cb", "cr"))
         self.i8v_caps = (ycap, ccap)
         self.ydc = np.zeros((self.b, ybh, ybw), dtype=np.int16)
         self.y_arrays = alloc(ymode, self.sh, self.sw, ycap)
@@ -1653,6 +1748,190 @@ class CoefBatchAssembly(BatchAssembly):
         return fn, args
 
 
+class CmykCoefBatchAssembly(CoefBatchAssembly):
+    """CoefBatchAssembly for 4-component (CMYK/YCCK) JPEG sources
+    (native_codecs.read_jpeg_coeffs4): four mode-packed coefficient
+    plane sets ride the upload, the device decodes to PIL-convention
+    CMYK (bit-exact islow + Adobe math, jpeg_decode.decode_cmyk) and
+    applies the sampled ICC LUT (set_cmyk_lut / tpu.device_icc) before
+    the shared transform chain. VERDICT r3 item 4.
+
+    No folded variant (the LUT is non-linear — the resample matrices
+    can't absorb it) and no spectral thinning (the guard's error model
+    is YCbCr-specific); embedded-profile sources stay on the host
+    lcms2 pixel path (engine.icc)."""
+
+    def __init__(self, plans, metas, jpeg420: bool = False,
+                 jpegdct: bool = False, quality: int = 75, mesh=None):
+        from . import jpeg_decode
+
+        assert len(plans) == len(metas)
+        assert _CMYK_LUT["flat"] is not None, \
+            "CMYK coefficient batches need set_cmyk_lut (tpu.device_icc)"
+        self.plans = plans
+        self.quality = quality
+        self.mesh = mesh
+        self.subsamp = metas[0].get("subsamp", 444)
+        self.ycck = bool(metas[0].get("ycck"))
+        self.b = _bucket_b_mesh(len(plans), mesh)
+        p0 = plans[0]
+        self.true_h = metas[0]["h"]
+        self.true_w = metas[0]["w"]
+        self.sh = bucket_h16(self.true_h)
+        self.sw = bucket_w(self.true_w)
+        self.oh = bucket_h(max(p.out_h for p in plans))
+        self.ow = bucket_w(max(p.out_w for p in plans))
+        self.has_blur = any(p.blur_sigma > 0 for p in plans)
+        self.uniform = all(p is p0 for p in plans)
+        geometry_uniform = all(
+            p.out_h == p0.out_h and p.out_w == p0.out_w for p in plans
+        )
+        self.jpegdct = jpegdct and geometry_uniform
+        self.jpeg420 = (
+            jpeg420 if (geometry_uniform and not self.jpegdct) else False
+        )
+        self.c_out = 4 if any(p.want_alpha for p in plans) else 3
+        self.fold = False  # the LUT is non-linear; no folded variant
+        self.spectral = ()
+
+        csv, csh = jpeg_decode.chroma_divisors(self.subsamp)
+        ybh, ybw = self.sh // 8, self.sw // 8
+        cbh, cbw = self.sh // (8 * csv), self.sw // (8 * csh)
+        ymode = cmode = kmode = "zero"
+        for m in metas:
+            ymode = jpeg_decode.widest_mode(
+                ymode, jpeg_decode.plane_mode(m["y"]))
+            cmode = jpeg_decode.widest_mode(
+                cmode, jpeg_decode.widest_mode(
+                    jpeg_decode.plane_mode(m["cb"]),
+                    jpeg_decode.plane_mode(m["cr"])))
+            kmode = jpeg_decode.widest_mode(
+                kmode, jpeg_decode.plane_mode(m["k"]))
+        self.pack_modes3 = (ymode, cmode, kmode)
+        self.pack_modes = (ymode, cmode)  # parent-shape compat
+        ycap = _group_cap(ymode, metas, ("y",))
+        ccap = _group_cap(cmode, metas, ("cb", "cr"))
+        kcap = _group_cap(kmode, metas, ("k",))
+        self.i8v_caps = (ycap, ccap, kcap)
+
+        ch, cw = self.sh // csv, self.sw // csh
+        self.ydc = np.zeros((self.b, ybh, ybw), dtype=np.int16)
+        self.y_arrays = _alloc_plane(self.b, ymode, self.sh, self.sw,
+                                     ycap)
+        self.cbdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
+        self.cb_arrays = _alloc_plane(self.b, cmode, ch, cw, ccap)
+        self.crdc = np.zeros((self.b, cbh, cbw), dtype=np.int16)
+        self.cr_arrays = _alloc_plane(self.b, cmode, ch, cw, ccap)
+        self.kdc = np.zeros((self.b, ybh, ybw), dtype=np.int16)
+        self.k_arrays = _alloc_plane(self.b, kmode, self.sh, self.sw,
+                                     kcap)
+        self.lq = np.zeros((self.b, 64), dtype=np.float32)
+        self.cq = np.zeros((self.b, 64), dtype=np.float32)
+        (self.flags, self.fill, self.box,
+         self.av, self.ah, self.bv, self.bh) = _pack_params(
+            plans, self.b, self.sh, self.sw, self.oh, self.ow,
+            self.uniform, self.has_blur,
+        )
+        for i, m in enumerate(metas):
+            assert m["h"] == self.true_h and m["w"] == self.true_w
+            assert m.get("subsamp", 444) == self.subsamp
+            assert bool(m.get("ycck")) == self.ycck
+            self.ydc[i], ya = jpeg_decode.pack_plane(
+                m["y"], self.sh, self.sw, ymode, ycap)
+            self.cbdc[i], cba = jpeg_decode.pack_plane(m["cb"], ch, cw,
+                                                       cmode, ccap)
+            self.crdc[i], cra = jpeg_decode.pack_plane(m["cr"], ch, cw,
+                                                       cmode, ccap)
+            self.kdc[i], ka = jpeg_decode.pack_plane(
+                m["k"], self.sh, self.sw, kmode, kcap)
+            for dst, src in zip(
+                self.y_arrays + self.cb_arrays + self.cr_arrays
+                + self.k_arrays,
+                list(ya) + list(cba) + list(cra) + list(ka),
+            ):
+                dst[i] = src
+            self.lq[i] = m["lq"]
+            self.cq[i] = m["cq"]
+
+    @property
+    def upload_ac_bytes(self) -> int:
+        return sum(
+            a.nbytes
+            for a in (self.y_arrays + self.cb_arrays + self.cr_arrays
+                      + self.k_arrays)
+        )
+
+    def program_key(self):
+        p0 = self.plans[0]
+        out_crop = (
+            (p0.out_h, p0.out_w)
+            if (self.jpeg420 or self.jpegdct or self.uniform)
+            else None
+        )
+        mesh_key = (
+            None if self.mesh is None else tuple(self.mesh.shape.items())
+        )
+        return ("cmyk", self.true_h, self.true_w, self.subsamp,
+                self.ycck, self.pack_modes3, self.i8v_caps, self.b,
+                self.oh, self.ow, self.has_blur, self.uniform, out_crop,
+                self.c_out, self.jpeg420, self.jpegdct, mesh_key)
+
+    def _device_args(self, dct_pack=None):
+        if dct_pack is None:
+            dct_pack = getattr(self, "dct_pack", 0)
+        p0 = self.plans[0]
+        out_crop = (
+            (p0.out_h, p0.out_w)
+            if (self.jpeg420 or self.jpegdct or self.uniform)
+            else None
+        )
+
+        def ac_put(a):
+            if a.ndim == 3:
+                return self._put(a, "dp", None, "sp")
+            return self._put(a, "dp")
+
+        args = [self._cput(_CMYK_LUT["flat"])]
+        args += [self._put(self.ydc, "dp")]
+        args += [ac_put(a) for a in self.y_arrays]
+        args += [self._put(self.cbdc, "dp")]
+        args += [ac_put(a) for a in self.cb_arrays]
+        args += [self._put(self.crdc, "dp")]
+        args += [ac_put(a) for a in self.cr_arrays]
+        args += [self._put(self.kdc, "dp")]
+        args += [ac_put(a) for a in self.k_arrays]
+        args += [self._put(self.lq, "dp"), self._put(self.cq, "dp")]
+        fn = get_cmyk_coef_program(self.b, self.true_h, self.true_w,
+                                   self.oh, self.ow, self.has_blur,
+                                   self.uniform, out_crop, self.c_out,
+                                   self.jpeg420, self.jpegdct, dct_pack,
+                                   self.subsamp, self.ycck,
+                                   _CMYK_LUT["n"], self.pack_modes3)
+        if self.uniform:
+            av, ah, bv, bh = _uniform_padded(p0, self.sh, self.sw)
+            args += [self._cput(av), self._cput(ah, None, "sp"),
+                     self._put(self.flags, "dp"),
+                     self._put(self.fill, "dp"),
+                     self._put(self.box, "dp")]
+            if self.has_blur:
+                args += [self._cput(bv), self._cput(bh)]
+        else:
+            args += [self._put(self.av, "dp"),
+                     self._put(self.ah, "dp", None, "sp"),
+                     self._put(self.flags, "dp"),
+                     self._put(self.fill, "dp"),
+                     self._put(self.box, "dp")]
+            if self.has_blur:
+                args += [self._put(self.bv, "dp"), self._put(self.bh, "dp")]
+        if self.jpegdct:
+            from . import dct as dct_mod
+
+            enc_lq, enc_cq = dct_mod.ijg_quant_tables(self.quality)
+            args = [self._cput(_f32_table(enc_lq)),
+                    self._cput(_f32_table(enc_cq))] + args
+        return fn, args
+
+
 def make_assembly(plans, payloads, kinds, mesh=None):
     """Build the right assembly for a homogeneous batch.
 
@@ -1664,19 +1943,22 @@ def make_assembly(plans, payloads, kinds, mesh=None):
       "coef"            coefficient source (device decode), pixel out
       "coef+jpeg420"    coefficient source, JPEG front-end out
       "coef+jpegdct:Q"  coefficient source, DCT back half out
+      "cmyk444"/"cmyk420" 4-component (CMYK/YCCK) coefficient source
+                        (device decode + ICC LUT), same "+sink" grammar
     payloads are (H, W, C) uint8 arrays for pixel sources, or
-    read_jpeg_coeffs dicts for coefficient sources. mesh: optional
+    read_jpeg_coeffs(4) dicts for coefficient sources. mesh: optional
     ('dp','sp') Mesh for sharded execution (see BatchAssembly).
     """
     k0 = kinds[0] if kinds else "rgb"
-    if k0.startswith("coef"):
+    if k0.startswith(("coef", "cmyk")):
+        cls = (CmykCoefBatchAssembly if k0.startswith("cmyk")
+               else CoefBatchAssembly)
         sink = k0.split("+", 1)[1] if "+" in k0 else "rgb"
         if sink.startswith("jpegdct:"):
-            return CoefBatchAssembly(plans, payloads, jpegdct=True,
-                                     quality=int(sink.split(":", 1)[1]),
-                                     mesh=mesh)
+            return cls(plans, payloads, jpegdct=True,
+                       quality=int(sink.split(":", 1)[1]), mesh=mesh)
         yuv = "webp" if sink == "webp420" else (sink == "jpeg420")
-        return CoefBatchAssembly(plans, payloads, jpeg420=yuv, mesh=mesh)
+        return cls(plans, payloads, jpeg420=yuv, mesh=mesh)
     if k0.startswith("jpegdct:"):
         return BatchAssembly(plans, payloads, jpegdct=True,
                              quality=int(k0.split(":", 1)[1]), mesh=mesh)

@@ -323,10 +323,84 @@ def _np_decode420(asm):
     return pad(r), pad(g), pad(b_)
 
 
+def _np_decode_cmyk(asm):
+    """numpy mirror of jpeg_decode.decode_cmyk + cmyk_lut.lut_planes
+    on a CmykCoefBatchAssembly — same bit-exact islow twin plus the
+    numpy LUT evaluation, so cold-bucket fallback bytes track the
+    device path."""
+    from .cmyk_lut import lut_planes
+    from .jpeg_decode import (chroma_divisors, islow_decode_plane,
+                              planar_from_arrays_np)
+
+    ymode, cmode, kmode = asm.pack_modes3
+    csv, csh = chroma_divisors(asm.subsamp)
+    yshape = (asm.b, asm.sh, asm.sw)
+    cshape = (asm.b, asm.sh // csv, asm.sw // csh)
+    yac = planar_from_arrays_np(ymode, asm.y_arrays, yshape)
+    cbac = planar_from_arrays_np(cmode, asm.cb_arrays, cshape)
+    crac = planar_from_arrays_np(cmode, asm.cr_arrays, cshape)
+    kac = planar_from_arrays_np(kmode, asm.k_arrays, yshape)
+
+    def idct(dc, ac, q):
+        return islow_decode_plane(dc, ac.astype(np.int32), q, xp=np)
+
+    th, tw = asm.true_h, asm.true_w
+    if asm.ycck:
+        yp = idct(asm.ydc, yac, asm.lq)[:, :th, :tw]
+        cb = idct(asm.cbdc, cbac, asm.cq)
+        cr = idct(asm.crdc, crac, asm.cq)
+        if csv == 2:
+            ch, cw = (th + 1) // 2, (tw + 1) // 2
+
+            def ups(c):
+                b, chh, cww = c.shape
+                up = np.concatenate([c[:, :1], c[:, :-1]], axis=1)
+                dn = np.concatenate([c[:, 1:], c[:, -1:]], axis=1)
+                colsum = np.stack([3 * c + up, 3 * c + dn],
+                                  axis=2).reshape(b, 2 * chh, cww)
+                left = np.concatenate(
+                    [colsum[:, :, :1], colsum[:, :, :-1]], axis=2)
+                right = np.concatenate(
+                    [colsum[:, :, 1:], colsum[:, :, -1:]], axis=2)
+                even = (3 * colsum + left + 8) >> 4
+                odd = (3 * colsum + right + 7) >> 4
+                return np.stack([even, odd], axis=3).reshape(
+                    b, 2 * chh, 2 * cww)
+
+            cb = ups(cb[:, :ch, :cw])[:, :th, :tw]
+            cr = ups(cr[:, :ch, :cw])[:, :th, :tw]
+        else:
+            cb = cb[:, :th, :tw]
+            cr = cr[:, :th, :tw]
+        cbz, crz = cb - 128, cr - 128
+        c_p = np.clip(yp + ((91881 * crz + 32768) >> 16), 0, 255)
+        y_p = np.clip(yp + ((116130 * cbz + 32768) >> 16), 0, 255)
+        m_p = np.clip(
+            yp + ((-22554 * cbz + 32768 - 46802 * crz) >> 16), 0, 255)
+        k_p = 255 - idct(asm.kdc, kac, asm.lq)[:, :th, :tw]
+    else:
+        c_p = 255 - idct(asm.ydc, yac, asm.lq)[:, :th, :tw]
+        m_p = 255 - idct(asm.cbdc, cbac, asm.cq)[:, :th, :tw]
+        y_p = 255 - idct(asm.crdc, crac, asm.cq)[:, :th, :tw]
+        k_p = 255 - idct(asm.kdc, kac, asm.lq)[:, :th, :tw]
+    r, g, b = lut_planes(c_p, m_p, y_p, k_p, fused._CMYK_LUT["flat"],
+                         fused._CMYK_LUT["n"], xp=np)
+
+    def pad(p):
+        return np.pad(
+            p.astype(np.float32),
+            ((0, 0), (0, asm.sh - th), (0, asm.sw - tw)),
+        )
+
+    return pad(r), pad(g), pad(b)
+
+
 def run_host(asm) -> list:
     """Execute an assembled batch entirely on the host; returns the
     same structures as asm.run()."""
-    if isinstance(asm, fused.CoefBatchAssembly):
+    if isinstance(asm, fused.CmykCoefBatchAssembly):
+        planes = _np_decode_cmyk(asm)
+    elif isinstance(asm, fused.CoefBatchAssembly):
         planes = _np_decode420(asm)
     else:
         x = asm.x.astype(np.float32)

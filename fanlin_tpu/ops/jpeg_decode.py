@@ -340,6 +340,60 @@ def decode444_rgb(ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
     return pad(r), pad(g), pad(b)
 
 
+def decode_cmyk(ydc, yac, cbdc, cbac, crdc, crac, kdc, kac, lq, cq,
+                true_h: int, true_w: int, pad_h: int, pad_w: int,
+                subsamp: int, ycck: bool):
+    """Device decode back half for a 4-component (CMYK/YCCK) batch —
+    the last source class that used to take the 4 B/px pixel path
+    (VERDICT r3 item 4; reference chain handler.rs:398-466).
+
+    Returns (c, m, y, k) int32 planes (B, pad_h, pad_w) in PIL's CMYK
+    convention (JpegImagePlugin reads every CMYK JPEG through rawmode
+    "CMYK;I" — "assume adobe conventions"), bit-identical to a PIL/
+    libjpeg decode:
+      * plain CMYK (subsamp 444): four islow planes, each inverted
+        (255 - sample = PIL's ;I of the file's stored samples);
+      * YCCK: libjpeg's ycck_cmyk_convert computes C = 255 - R'(y,cb,
+        cr) etc. with the exact ycc_rgb table math, then PIL's ;I
+        inverts again — so PIL's C/M/Y ARE R'/G'/B', and PIL's K is
+        255 - k_sample.
+    comp3 (K) rides at comp0's rate and shares its quant table (the
+    reader enforces the Adobe layout)."""
+    shape = (pad_h, pad_w)
+    if ycck:
+        yp = islow_decode_plane(ydc, yac, lq, shape)[:, :true_h, :true_w]
+        csub = 2 if subsamp == 420 else 1
+        cshape = (pad_h // csub, pad_w // csub)
+        cb = islow_decode_plane(cbdc, cbac, cq, cshape)
+        cr = islow_decode_plane(crdc, crac, cq, cshape)
+        if csub == 2:
+            ch, cw = (true_h + 1) // 2, (true_w + 1) // 2
+            cb = fancy_upsample_h2v2(cb[:, :ch, :cw])[:, :true_h, :true_w]
+            cr = fancy_upsample_h2v2(cr[:, :ch, :cw])[:, :true_h, :true_w]
+        else:
+            cb = cb[:, :true_h, :true_w]
+            cr = cr[:, :true_h, :true_w]
+        r, g, b = ycbcr_to_rgb_libjpeg(yp, cb, cr)
+        c_p, m_p, y_p = (r.astype(jnp.int32), g.astype(jnp.int32),
+                         b.astype(jnp.int32))
+        k_p = 255 - islow_decode_plane(kdc, kac, lq,
+                                       shape)[:, :true_h, :true_w]
+    else:
+        c_p = 255 - islow_decode_plane(ydc, yac, lq,
+                                       shape)[:, :true_h, :true_w]
+        m_p = 255 - islow_decode_plane(cbdc, cbac, cq,
+                                       shape)[:, :true_h, :true_w]
+        y_p = 255 - islow_decode_plane(crdc, crac, cq,
+                                       shape)[:, :true_h, :true_w]
+        k_p = 255 - islow_decode_plane(kdc, kac, lq,
+                                       shape)[:, :true_h, :true_w]
+
+    def pad(p):
+        return jnp.pad(p, ((0, 0), (0, pad_h - true_h), (0, pad_w - true_w)))
+
+    return pad(c_p), pad(m_p), pad(y_p), pad(k_p)
+
+
 # ----------------------------------------------------------------------------
 # folded decode-resize: resample IN COEFFICIENT SPACE
 # ----------------------------------------------------------------------------
@@ -1050,9 +1104,9 @@ def upload_viable(meta: dict) -> bool:
     (>~2% of a 512x512 plane's coefficients) — those take the pixel
     path. Reference parity: the Rust handler always decodes to pixels
     (handler.rs resize path); this gate only chooses our upload form."""
+    keys = ("y", "cb", "cr", "k") if "k" in meta else ("y", "cb", "cr")
     return all(
-        overflow_count(meta[k]) <= _I8V_CAPS[-1]
-        for k in ("y", "cb", "cr")
+        overflow_count(meta[k]) <= _I8V_CAPS[-1] for k in keys
     )
 
 

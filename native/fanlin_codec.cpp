@@ -548,6 +548,153 @@ int fc_read_jpeg_coeffs(const uint8_t* data, size_t len, int16_t** out,
   return 0;
 }
 
+// 4-component (CMYK / YCCK) variant of fc_read_jpeg_coeffs for the
+// device CMYK decode path (reference chain handler.rs:398-466 decodes
+// CMYK on host; here only entropy decode stays on host). Blob layout:
+// comp0 blocks, comp1, comp2, comp3 — comp3 (K) rides at comp0's
+// sampling rate. Accepts Adobe layouts: plain CMYK (all components
+// 1x1) and YCCK (comp0/comp3 at (1,1) or (2,2), chroma 1x1).
+// qtables: comp0's table + comp1's (comp2 must share comp1's,
+// comp3 must share comp0's — the Adobe conventions). *is_ycck = 1
+// when the file's Adobe transform marked YCCK.
+int fc_read_jpeg_coeffs4(const uint8_t* data, size_t len, int16_t** out,
+                         int* width, int* height, int* y_bw, int* y_bh,
+                         int* c_bw, int* c_bh, uint16_t* qtables,
+                         int* subsamp, int* is_ycck) {
+  jpeg_decompress_struct cinfo;
+  fc_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = fc_error_exit;
+  int16_t* volatile blob = nullptr;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_decompress(&cinfo);
+    free(blob);
+    return 1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, len);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  if (cinfo.num_components != 4 ||
+      (cinfo.jpeg_color_space != JCS_CMYK &&
+       cinfo.jpeg_color_space != JCS_YCCK)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  jpeg_component_info* comp = cinfo.comp_info;
+  const int ycck = cinfo.jpeg_color_space == JCS_YCCK;
+  const int h0 = comp[0].h_samp_factor, v0 = comp[0].v_samp_factor;
+  const int full = h0 == 1 && v0 == 1;
+  const int half = h0 == 2 && v0 == 2;
+  if (!(full || (ycck && half)) ||
+      comp[1].h_samp_factor != 1 || comp[1].v_samp_factor != 1 ||
+      comp[2].h_samp_factor != 1 || comp[2].v_samp_factor != 1 ||
+      comp[3].h_samp_factor != h0 || comp[3].v_samp_factor != v0 ||
+      comp[2].quant_tbl_no != comp[1].quant_tbl_no ||
+      comp[3].quant_tbl_no != comp[0].quant_tbl_no) {
+    jpeg_destroy_decompress(&cinfo);
+    return 2;
+  }
+  *subsamp = full ? 444 : 420;
+  *is_ycck = ycck;
+  jvirt_barray_ptr* coef_arrays = jpeg_read_coefficients(&cinfo);
+  if (coef_arrays == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
+  }
+  const JDIMENSION ybw = comp[0].width_in_blocks;
+  const JDIMENSION ybh = comp[0].height_in_blocks;
+  const JDIMENSION cbw = comp[1].width_in_blocks;
+  const JDIMENSION cbh = comp[1].height_in_blocks;
+  const size_t n = (2 * static_cast<size_t>(ybw) * ybh +
+                    2 * static_cast<size_t>(cbw) * cbh) *
+                   DCTSIZE2;
+  blob = static_cast<int16_t*>(malloc(n * sizeof(int16_t)));
+  if (!blob) {
+    jpeg_destroy_decompress(&cinfo);
+    return 3;
+  }
+  int16_t* dst = blob;
+  const JDIMENSION bws[4] = {ybw, cbw, cbw, ybw};
+  const JDIMENSION bhs[4] = {ybh, cbh, cbh, ybh};
+  for (int ci = 0; ci < 4; ++ci) {
+    for (JDIMENSION row = 0; row < bhs[ci]; ++row) {
+      JBLOCKARRAY rows = (*cinfo.mem->access_virt_barray)(
+          reinterpret_cast<j_common_ptr>(&cinfo), coef_arrays[ci], row, 1,
+          FALSE);
+      memcpy(dst, rows[0],
+             static_cast<size_t>(bws[ci]) * DCTSIZE2 * sizeof(JCOEF));
+      dst += static_cast<size_t>(bws[ci]) * DCTSIZE2;
+    }
+  }
+  JQUANT_TBL* lt = cinfo.quant_tbl_ptrs[comp[0].quant_tbl_no];
+  JQUANT_TBL* ct = cinfo.quant_tbl_ptrs[comp[1].quant_tbl_no];
+  if (lt == nullptr || ct == nullptr) {
+    jpeg_destroy_decompress(&cinfo);
+    free(blob);
+    return 2;
+  }
+  for (int i = 0; i < 64; ++i) {
+    qtables[i] = lt->quantval[i];
+    qtables[64 + i] = ct->quantval[i];
+  }
+  *width = cinfo.image_width;
+  *height = cinfo.image_height;
+  *y_bw = ybw;
+  *y_bh = ybh;
+  *c_bw = cbw;
+  *c_bh = cbh;
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  *out = blob;
+  return 0;
+}
+
+// Encode raw 4-channel samples (FILE convention — i.e. already
+// Adobe-inverted; PIL-convention callers invert first) as a CMYK or
+// YCCK JPEG. Test-support surface: PIL only writes plain 4:4:4 CMYK,
+// and the YCCK decode branches need real YCCK fixtures.
+int fc_encode_jpeg_cmyk(const uint8_t* pixels, int width, int height,
+                        int quality, int ycck, uint8_t** out,
+                        size_t* out_len) {
+  jpeg_compress_struct cinfo;
+  fc_error_mgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = fc_error_exit;
+  unsigned char* volatile mem = nullptr;
+  unsigned long mem_len = 0;
+  if (setjmp(jerr.jump)) {
+    jpeg_destroy_compress(&cinfo);
+    free(mem);
+    return 1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_mem_dest(&cinfo, const_cast<unsigned char**>(&mem), &mem_len);
+  cinfo.image_width = width;
+  cinfo.image_height = height;
+  cinfo.input_components = 4;
+  cinfo.in_color_space = JCS_CMYK;
+  jpeg_set_defaults(&cinfo);
+  if (ycck) jpeg_set_colorspace(&cinfo, JCS_YCCK);
+  if (quality < 1) quality = 1;
+  if (quality > 100) quality = 100;
+  jpeg_set_quality(&cinfo, quality, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  const size_t stride = static_cast<size_t>(width) * 4;
+  while (cinfo.next_scanline < cinfo.image_height) {
+    JSAMPROW row =
+        const_cast<uint8_t*>(pixels) + stride * cinfo.next_scanline;
+    jpeg_write_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  *out = mem;
+  *out_len = mem_len;
+  return 0;
+}
+
 void fc_free(uint8_t* ptr) { free(ptr); }
 
 int fc_abi_version() { return 1; }

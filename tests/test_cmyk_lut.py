@@ -69,3 +69,118 @@ def test_lut_grid_points_are_near_exact():
     got = dev.convert(cmyk).astype(np.int16)
     # exact grid points interpolate to themselves (up to rounding)
     assert np.abs(want - got).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# Device CMYK/YCCK COEFFICIENT path (VERDICT r3 item 4): 4-component
+# JPEGs ride the coefficient upload — four bit-exact islow plane
+# decodes + Adobe/PIL convention math + the sampled LUT on device —
+# instead of the 4 B/px host-decode pixel path.
+# ---------------------------------------------------------------------------
+
+
+def _cmyk_sources():
+    import io
+
+    from fanlin_tpu.engine import native_codecs
+    from tests.conftest import make_test_image
+
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(120, 88)).convert("CMYK").save(
+        buf, format="JPEG", quality=95
+    )
+    data_cmyk = buf.getvalue()
+    out = [("cmyk444", data_cmyk)]
+    arr = np.asarray(Image.open(io.BytesIO(data_cmyk)))
+    ycck = native_codecs.encode_jpeg_cmyk(255 - arr, 92, True)
+    if ycck is not None:
+        out.append(("ycck420", ycck))
+    return out
+
+
+@pytest.mark.parametrize(
+    "label,data", _cmyk_sources(), ids=[s[0] for s in _cmyk_sources()]
+)
+def test_cmyk_coef_path_byte_identical_to_pixel_path(label, data):
+    """The device CMYK coefficient path must produce byte-identical
+    responses to the pixel path (PIL decode + the same device LUT):
+    the islow decode is bit-exact and both paths evaluate the same
+    sampled transform."""
+    import io
+
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.spec.content import Format
+    from fanlin_tpu.spec.query import parse_query
+
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    dev_e = Engine(cmyk2rgb=conv)
+    dev_e.enable_device_icc()
+    host_e = Engine(cmyk2rgb=conv)
+    host_e.enable_device_icc()
+    host_e.device_decode = False
+    q = parse_query("w=60&h=44")
+    _, out_dev = dev_e.process_image(data, q, Format())
+    _, out_host = host_e.process_image(data, q, Format())
+    assert dev_e.stats["coef_src"] == 1, label
+    assert host_e.stats["pixel_src"] == 1
+    assert out_dev == out_host
+    with Image.open(io.BytesIO(out_dev)) as im:
+        assert im.size == (60, 44)
+
+
+def test_cmyk_host_mirror_matches_device():
+    """Cold-bucket rule: hostexec's numpy mirror of the CMYK assembly
+    must reproduce the device output exactly."""
+    from fanlin_tpu.engine import native_codecs
+    from fanlin_tpu.ops import fused, hostexec
+    from fanlin_tpu.spec.query import parse_query
+
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    lut = cmyk_lut.sample_lut(conv.convert, 17)
+    fused.set_cmyk_lut(lut)
+    for _, data in _cmyk_sources():
+        meta = native_codecs.read_jpeg_coeffs4(data)
+        assert meta is not None
+        plan = fused.plan_image(meta["w"], meta["h"],
+                                parse_query("w=50&h=40"), opaque=True)
+        asm = fused.CmykCoefBatchAssembly([plan] * 2, [meta, meta])
+        dev = asm.run()
+        host = hostexec.run_host(asm)
+        for d, h in zip(dev, host):
+            np.testing.assert_array_equal(d, h)
+
+
+def test_cmyk_embedded_profile_keeps_host_lcms(tmp_path):
+    """Embedded-profile sources must stay on the host lcms2 pixel
+    path — the device LUT samples the DEFAULT profile only."""
+    import io
+
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.spec.content import Format
+    from fanlin_tpu.spec.query import parse_query
+    from tests.conftest import make_test_image
+
+    with open(REF_PROFILE, "rb") as f:
+        prof = f.read()
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(64, 64)).convert("CMYK").save(
+        buf, format="JPEG", quality=95, icc_profile=prof
+    )
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    e = Engine(cmyk2rgb=conv, use_embedded_profile=True)
+    e.enable_device_icc()
+    _, out = e.process_image(buf.getvalue(), parse_query("w=32&h=32"),
+                             Format())
+    assert e.stats["pixel_src"] == 1 and e.stats["coef_src"] == 0
+
+
+def test_cmyk_kinds_group_separately():
+    """ycck and plain CMYK sources never share a batch group (their
+    device math differs)."""
+    from fanlin_tpu.engine.batcher import _group_key
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    p = fused.plan_image(120, 88, parse_query("w=60&h=44"), opaque=True)
+    assert _group_key(p, "cmyk444") != _group_key(p, "cmyk420y")
+    assert _group_key(p, "cmyk444") != _group_key(p, "coef444")
