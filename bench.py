@@ -133,6 +133,10 @@ def main() -> None:
     dct_sink = (
         jpeg420 is True and os.environ.get("BENCH_SINK", "dct") == "dct"
     )
+    # download-ladder floor (BENCH_DCT_FLOOR=-1 starts at the
+    # corner-only lo4 rung; detailed content climbs the ladder)
+    if dct_sink and os.environ.get("BENCH_DCT_FLOOR"):
+        fused.set_dct_floor(int(os.environ["BENCH_DCT_FLOOR"]))
     if (
         not jpeg420
         and webp_mode
@@ -146,7 +150,7 @@ def main() -> None:
     # Coefficient-source pipeline (device decode back half): host does
     # entropy decode only and uploads packed coefficients instead of
     # decoded RGB (3 B/px). The real lenna (4:4:4 q~92, |AC| up to
-    # 634) rides the wide rungs (lo8w/i8v, jpeg_decode).
+    # 634) rides the wide rungs (lo8v/i8v, jpeg_decode).
     _m0 = (
         native_codecs.read_jpeg_coeffs(data)
         if native_codecs.available()

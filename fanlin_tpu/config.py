@@ -147,6 +147,10 @@ class TpuConfig:
     # full device JPEG back half: DCT + quantization on TPU,
     # entropy-only host encode (for locally-attached TPUs)
     device_dct: bool = False
+    # jpegdct download pack floor: -1 starts batches at the corner-only
+    # lo4 rung (smooth/thumbnail outputs; the overflow ladder re-runs
+    # wider when content doesn't fit), 0 = int4+residual default
+    dct_pack_floor: int = 0
     # device JPEG decode back half: host entropy-decodes only, the TPU
     # runs dequant + iDCT + chroma upsample + YCbCr->RGB; halves
     # host->device bytes via int8 coefficient upload
@@ -211,6 +215,16 @@ class TpuConfig:
             cfg.fast = _as_bool(obj["fast"], "fast")
         if "device_dct" in obj:
             cfg.device_dct = _as_bool(obj["device_dct"], "device_dct")
+        if "dct_pack_floor" in obj:
+            v = obj["dct_pack_floor"]
+            if not isinstance(v, int) or isinstance(v, bool) or not (
+                -1 <= v <= 2
+            ):
+                raise ConfigError(
+                    "invalid value for `dct_pack_floor`: expected an "
+                    "integer in [-1, 2]"
+                )
+            cfg.dct_pack_floor = v
         if "device_decode" in obj:
             cfg.device_decode = _as_bool(obj["device_decode"], "device_decode")
         if "fast_decode" in obj:

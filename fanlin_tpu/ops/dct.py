@@ -177,19 +177,35 @@ def ycbcr420_to_planar(y, cb, cr, luma_q, chroma_q):
 def pack_planar_parts(coef, level: int):
     """One plane's wire parts from (B, H, W) int16 planar quantized
     coefficients, at pack level
+     -1: (dc i16 (B,H/8,W/8), low-corner i8 (B,H/8,4,W/8,4))
+          ~0.28x the int8 bytes — the download twin of the lo8 upload
+          rung (VERDICT r3 item 5), for smooth/thumbnail outputs whose
+          quantized ACs live entirely in the 4x4 corner
       0: (dc i16 (B,H/8,W/8), nib u8 (B,H,W/2),
           res_low i8 (B,H/8,4,W/8,4))      ~0.77x the int8 bytes
       1: (dc i16, ac i8 (B,H,W))
       2: (coef i16 planar, DC in place)
     plus a (B,) int32 overflow count (always 0 at level 2). Levels
-    0/1 are lossless exactly when the count is 0; the caller re-runs
-    one level wider otherwise (BatchAssembly.collect)."""
+    -1/0/1 are lossless exactly when the count is 0; the caller
+    re-runs one level wider otherwise (BatchAssembly.collect)."""
     b, h, w = coef.shape
     if level >= 2:
         return (coef,), jnp.zeros((b,), jnp.int32)
     c5 = coef.reshape(b, h // 8, 8, w // 8, 8)
     dc = c5[:, :, 0, :, 0]
     pz = c5.at[:, :, 0, :, 0].set(0).reshape(b, h, w).astype(jnp.int32)
+    if level <= -1:
+        r5 = pz.reshape(b, h // 8, 8, w // 8, 8)
+        low = r5[:, :, :4, :, :4]
+        # representable: nothing outside the corner, corner in int8
+        ov = (
+            (pz != 0).astype(jnp.int32).sum(axis=(1, 2))
+            - (low != 0).astype(jnp.int32).sum(axis=(1, 2, 3, 4))
+            + ((low > 127) | (low < -128)).astype(jnp.int32).sum(
+                axis=(1, 2, 3, 4)
+            )
+        )
+        return (dc, jnp.clip(low, -128, 127).astype(jnp.int8)), ov
     if level == 1:
         clipped = jnp.clip(pz, -128, 127)
         ov = (clipped != pz).astype(jnp.int32).sum(axis=(1, 2))
@@ -234,6 +250,17 @@ def unpack_planar_i4(dc: np.ndarray, nib: np.ndarray,
     h, w = planar.shape
     p5 = planar.reshape(h // 8, 8, w // 8, 8)
     p5[:, :4, :, :4] += res_low.astype(np.int16)
+    p5[:, 0, :, 0] = dc
+    return blocks_from_planar(planar)
+
+
+def unpack_planar_lo4(dc: np.ndarray, low: np.ndarray) -> np.ndarray:
+    """Host inverse of pack_planar_parts level -1 for one image:
+    (r, c) i16 + (r, 4, c, 4) i8 -> (r, c, 64) i16 (highs zero)."""
+    r, _, c, _ = low.shape
+    planar = np.zeros((r * 8, c * 8), np.int16)
+    p5 = planar.reshape(r, 8, c, 8)
+    p5[:, :4, :, :4] = low.astype(np.int16)
     p5[:, 0, :, 0] = dc
     return blocks_from_planar(planar)
 

@@ -230,6 +230,20 @@ def set_host_fallback(enabled: bool) -> None:
     _HOST_FALLBACK["enabled"] = bool(enabled)
 
 
+# jpegdct download pack floor: the level assemblies START at
+# (pack_planar_parts levels; -1 = the corner-only lo4 rung for
+# smooth/thumbnail outputs, 0 = int4+residual default). Content that
+# saturates a level re-runs one level wider via the overflow ladder,
+# so a floor of -1 trades a possible double-run on detailed content
+# for a ~2.7x lighter download on content that fits the corner —
+# opt-in per deployment (tpu.dct_pack_floor / BENCH_DCT_FLOOR).
+_DCT_PACK = {"floor": 0}
+
+
+def set_dct_floor(level: int) -> None:
+    _DCT_PACK["floor"] = max(-1, min(int(level), 2))
+
+
 # wider-rung background compiles in flight (dedup: concurrent
 # saturating batches of one bucket must not each pay the compile)
 import logging as _logging
@@ -1111,7 +1125,7 @@ class BatchAssembly:
 
     def _device_args(self, dct_pack=None):
         if dct_pack is None:
-            dct_pack = getattr(self, "dct_pack", 0)
+            dct_pack = getattr(self, "dct_pack", _DCT_PACK["floor"])
         if self._pallas_eligible():
             import jax as _jax
 
@@ -1183,8 +1197,11 @@ class BatchAssembly:
         if self.jpegdct:
             p0 = self.plans[0]
             if len(out) in (7, 10):
-                # packed download (10 = int4 nibbles + low-corner
-                # residual, 7 = int8 planes), overflow sentinel last
+                # packed download, overflow sentinel last. 10 = level
+                # 0 (int4 nibbles + low-corner residual); 7 = level 1
+                # (int8 planes) OR level -1 (corner-only lo4 — its
+                # second element is the 5-D corner array)
+                lo4 = len(out) == 7 and out[1].ndim == 5
                 overflow = np.asarray(out[-1])
                 if int(overflow.sum()) > 0:
                     # a coefficient saturated this pack level (int4 on
@@ -1197,7 +1214,8 @@ class BatchAssembly:
                     # compile (the cold-bucket rule: a cold program
                     # never blocks a request) and pay the compile once
                     # in the background.
-                    level = 1 if len(out) == 10 else 2
+                    level = (0 if lo4 else
+                             (1 if len(out) == 10 else 2))
                     wider_key = self.program_key() + (("dct_pack", level),)
                     if is_warm(wider_key) or not _HOST_FALLBACK["enabled"]:
                         fn, args = self._device_args(dct_pack=level)
@@ -1255,6 +1273,17 @@ class BatchAssembly:
                     return hostexec.run_host(self)
                 from . import dct as dct_mod
 
+                if lo4:
+                    a = [np.asarray(o) for o in out[:6]]
+                    unpack = dct_mod.unpack_planar_lo4
+                    return [
+                        ("coeffs",
+                         unpack(a[0][i], a[1][i]),
+                         unpack(a[2][i], a[3][i]),
+                         unpack(a[4][i], a[5][i]),
+                         p0.out_w, p0.out_h, self.quality)
+                        for i in range(len(self.plans))
+                    ]
                 if len(out) == 10:
                     a = [np.asarray(o) for o in out[:9]]
                     unpack = dct_mod.unpack_planar_i4
@@ -1655,7 +1684,7 @@ class CoefBatchAssembly(BatchAssembly):
         from . import jpeg_decode
 
         if dct_pack is None:
-            dct_pack = getattr(self, "dct_pack", 0)
+            dct_pack = getattr(self, "dct_pack", _DCT_PACK["floor"])
         p0 = self.plans[0]
         # uniform batches crop to true output dims ON DEVICE (like the
         # pixel path) so padded buckets never cross the host link
@@ -1878,7 +1907,7 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
 
     def _device_args(self, dct_pack=None):
         if dct_pack is None:
-            dct_pack = getattr(self, "dct_pack", 0)
+            dct_pack = getattr(self, "dct_pack", _DCT_PACK["floor"])
         p0 = self.plans[0]
         out_crop = (
             (p0.out_h, p0.out_w)

@@ -352,6 +352,10 @@ async def build_state(cfg: config_mod.Config) -> State:
     from ..ops.fused import set_host_fallback
 
     set_host_fallback(cfg.tpu.host_fallback)
+    if cfg.tpu.dct_pack_floor != 0:
+        from ..ops.fused import set_dct_floor
+
+        set_dct_floor(cfg.tpu.dct_pack_floor)
     if cfg.tpu.spectral_db > 0:
         from ..ops.fused import set_spectral
 

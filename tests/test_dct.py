@@ -405,3 +405,75 @@ def test_cold_rung_background_compile_dedups(monkeypatch):
         time.sleep(0.2)
     assert fused.is_warm(wider_key)
     assert hits["wider"] == 1, hits  # ONE background compile, not three
+
+
+def test_lo4_rung_matches_full_on_smooth_content():
+    """The corner-only lo4 download rung (dct_pack_floor=-1, VERDICT
+    r3 item 5): smooth content whose quantized output ACs live in the
+    4x4 low corner ships ~0.28x the int8 bytes and must reproduce the
+    full int16 coefficients exactly."""
+    import numpy as np
+
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    # genuinely smooth content (low-order gradients; the sharp-edged
+    # test photo keeps ringing energy outside the corner even after a
+    # strong downscale)
+    yy, xx = np.mgrid[0:256, 0:256].astype(np.float32) / 256.0
+    img = np.stack([
+        128 + 80 * np.sin(xx * 2.2),
+        128 + 70 * np.cos(yy * 1.7),
+        128 + 60 * (xx + yy) / 2.0,
+    ], axis=-1).astype(np.uint8)
+    plan = fused.plan_image(256, 256, parse_query("w=48&h=48"),
+                            opaque=True)
+    fused.set_dct_floor(-1)
+    try:
+        a = fused.BatchAssembly([plan] * 2, [img] * 2, jpegdct=True,
+                                quality=75)
+        fn, args = a._device_args()
+        out = fn(*args)
+        assert len(out) == 7 and out[1].ndim == 5  # the lo4 layout
+        assert int(np.asarray(out[-1]).sum()) == 0, "content must fit"
+        got = a.collect(out)
+    finally:
+        fused.set_dct_floor(0)
+    a2 = fused.BatchAssembly([plan] * 2, [img] * 2, jpegdct=True,
+                             quality=75)
+    fn, args = a2._device_args(dct_pack=2)
+    full = a2.collect(fn(*args))
+    for g, f in zip(got, full):
+        for cg, cf in zip(g[1:4], f[1:4]):
+            np.testing.assert_array_equal(cg, cf)
+
+
+def test_lo4_overflow_climbs_the_ladder():
+    """Detailed content at the lo4 floor must transparently re-run one
+    level wider (the int4 rung) and still produce exact
+    coefficients."""
+    import numpy as np
+
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+    from tests.conftest import make_test_image
+
+    img = make_test_image(96, 96)  # full-detail, no downscale low-pass
+    plan = fused.plan_image(96, 96, parse_query(""), opaque=True)
+    fused.set_dct_floor(-1)
+    try:
+        a = fused.BatchAssembly([plan], [img], jpegdct=True, quality=75)
+        # pre-warm the wider rung so this exercises the DEVICE ladder
+        fused.mark_warm(a.program_key() + (("dct_pack", 0),))
+        fn, args = a._device_args()
+        out = fn(*args)
+        assert len(out) == 7 and out[1].ndim == 5
+        assert int(np.asarray(out[-1]).sum()) > 0  # corner overflowed
+        got = a.collect(out)[0]
+    finally:
+        fused.set_dct_floor(0)
+    a2 = fused.BatchAssembly([plan], [img], jpegdct=True, quality=75)
+    fn, args = a2._device_args(dct_pack=2)
+    full = a2.collect(fn(*args))[0]
+    for cg, cf in zip(got[1:4], full[1:4]):
+        np.testing.assert_array_equal(cg, cf)
