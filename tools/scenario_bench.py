@@ -10,6 +10,12 @@ single headline number), this sweeps the whole behavioral surface:
   4. webp/avif encode paths at q20 / q85
   5. animated GIF multi-frame resize
 
+Sources are the REAL reference images (tests/golden/lenna_src.*,
+byte-identical to the reference checkout's images/ — round 4;
+SCEN_SRC=synth restores the synthetic). Each scenario line carries
+the relay-weather calibration (calib_ms, BENCH_NOTES.md capture
+discipline) so captured numbers state their window.
+
 Usage: python tools/scenario_bench.py [N_PER_SCENARIO]
 """
 
@@ -66,7 +72,32 @@ def main() -> None:
     from fanlin_tpu.spec.query import parse_query
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 32
-    jpg, png, gif = _source_images()
+    if os.environ.get("SCEN_SRC") == "synth":
+        jpg, png, gif = _source_images()
+        src_tag = "synth"
+    else:
+        golden = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "golden")
+        with open(os.path.join(golden, "lenna_src.jpg"), "rb") as f:
+            jpg = f.read()
+        with open(os.path.join(golden, "lenna_src.png"), "rb") as f:
+            png = f.read()
+        with open(os.path.join(golden, "lenna_src.gif"), "rb") as f:
+            gif = f.read()
+        src_tag = "lenna"
+
+    # in-band relay-weather probe (BENCH_NOTES.md): ~30 ms = fast
+    # window, >1000 ms = slow — quoted per scenario so captures are
+    # self-describing
+    _ca = jax.device_put(np.random.default_rng(0).standard_normal(
+        (4096, 4096), dtype=np.float32))
+    _cf = jax.jit(lambda x: x @ x)
+    np.asarray(_cf(_ca))  # compile + settle
+
+    def calib_ms() -> float:
+        t = time.perf_counter()
+        np.asarray(_cf(_ca))
+        return round((time.perf_counter() - t) * 1000.0, 1)
     accept_all = extract_accepted_image_formats(["image/webp,image/avif"])
     engine = Engine()
 
@@ -93,6 +124,7 @@ def main() -> None:
     for name, data, qs, accepted in scenarios:
         params = parse_query(qs)
         engine.process_image(data, params, accepted)  # warm/compile
+        c0 = calib_ms()
         t0 = time.perf_counter()
         out_len = 0
         for _ in range(n):
@@ -101,9 +133,11 @@ def main() -> None:
         wall = time.perf_counter() - t0
         print(json.dumps({
             "scenario": name,
+            "src": src_tag,
             "images_per_sec": round(n / wall, 1),
             "mean_ms": round(wall / n * 1000, 2),
             "mean_bytes_out": out_len // n,
+            "calib_ms": [c0, calib_ms()],
         }))
 
 
