@@ -257,17 +257,21 @@ _COMPILING_RUNGS: set = set()
 _FAILED_RUNGS: set = set()
 
 
-def _lo2_gate(na2, nb2) -> bool:
+def _lo2_gate(na2, nb2, ratio: float = 0.15) -> bool:
     """True when the folded matrices attenuate frequencies 2-3 enough
     (scale <~ 0.3 per axis) that the lo2 corner could plausibly pass
     the spectral guard — gates both the extra estimator mask and the
-    k=2 restriction-matrix build."""
+    k=2 restriction-matrix build. ratio=0.5 is the SINK-composed
+    chroma variant: the 4:2:0 box already halves the band, so the
+    plausibility bar sits higher up — the ESTIMATOR still makes the
+    actual per-image decision against the floor+margin budget (on the
+    reference lenna it predicts the measured outcome to ~0.1 dB)."""
     nv = na2.reshape(-1, 8)
     nh = nb2.reshape(-1, 8)
     return (
-        float(nv[:, 2:4].max()) <= 0.15 * max(float(nv[:, :2].max()), 1e-12)
+        float(nv[:, 2:4].max()) <= ratio * max(float(nv[:, :2].max()), 1e-12)
         and float(nh[:, 2:4].max())
-        <= 0.15 * max(float(nh[:, :2].max()), 1e-12)
+        <= ratio * max(float(nh[:, :2].max()), 1e-12)
     )
 
 
@@ -580,11 +584,14 @@ _FOLDED_CACHE = ByteLRU(max_bytes=128 * 1024 * 1024)
 
 def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
                    true_w: int, subsamp: int = 420):
-    """(mats, lows, norms2, lows2): the 8 folded matrices, their
-    low-corner column restrictions (ay_low, ahy_low, acv_low,
-    ach_low) for the sub-int8 upload modes (lows = k=4, lows2 = the
-    k=2 lo2 corner), and the AC matrices' squared column norms
-    (ny_v, ny_h, nc_v, nc_h) for the spectral-truncation estimator —
+    """(mats, lows, norms2, lows2, norms2_sink): the 8 folded
+    matrices, their low-corner column restrictions (ay_low, ahy_low,
+    acv_low, ach_low) for the sub-int8 upload modes (lows = k=4,
+    lows2 = the k=2 lo2 corner), the AC matrices' squared column
+    norms (ny_v, ny_h, nc_v, nc_h) for the spectral-truncation
+    estimator, and the chroma norms AS SEEN THROUGH a 4:2:0 sink's
+    box subsample (nc_v_sink, nc_h_sink — jpeg420/jpegdct/webp420
+    batches judge chroma thinning against what survives the sink) —
     cached together so device-side copies stay keyed on stable
     host-array identities."""
     key = (id(plan), sh, sw, subsamp)
@@ -620,7 +627,25 @@ def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
         )
     else:
         lows2 = None
-    value = (mats, lows, norms2, lows2)
+    # sink-aware chroma gains: the 4:2:0 encode tails box-halve
+    # chroma — frequencies the box kills shouldn't cost upload bytes
+    # (conservatively x4 energy for the client-side re-upsample)
+    norms2_sink = (
+        jpeg_decode.sink_colnorms2(mats[2], plan.out_h),
+        jpeg_decode.sink_colnorms2(mats[3], plan.out_w),
+    )
+    # the k=2 restrictions must also exist when only the SINK-aware
+    # chroma gate opens
+    if lows2 is None and _lo2_gate(norms2_sink[0], norms2_sink[1],
+                                   ratio=0.5):
+        l20 = jpeg_decode.low_cols(mats[0], 2)
+        l21 = jpeg_decode.low_cols(mats[1], 2)
+        lows2 = (
+            l20, l21,
+            l20 if mats[2] is mats[0] else jpeg_decode.low_cols(mats[2], 2),
+            l21 if mats[3] is mats[1] else jpeg_decode.low_cols(mats[3], 2),
+        )
+    value = (mats, lows, norms2, lows2, norms2_sink)
     nbytes = sum(m.nbytes for m in mats) + sum(
         m.nbytes
         for m in {id(m): m for m in lows + (lows2 or ())}.values()
@@ -1532,8 +1557,16 @@ class CoefBatchAssembly(BatchAssembly):
         self.spectral for observability."""
         from . import jpeg_decode
 
-        norms2 = _folded_padded(p0, self.sh, self.sw, self.true_h,
-                                self.true_w, self.subsamp)[2]
+        folded = _folded_padded(p0, self.sh, self.sw, self.true_h,
+                                self.true_w, self.subsamp)
+        norms2 = folded[2]
+        # subsampled-chroma sinks judge chroma thinning through the
+        # sink's box filter (the client's decode re-upsamples; the
+        # composed gains are conservatively scaled for that)
+        if self.jpeg420 or self.jpegdct:
+            nc_v, nc_h = folded[4]
+        else:
+            nc_v, nc_h = norms2[2], norms2[3]
         floor = _SPECTRAL["db"] + _SPECTRAL_MARGIN_DB
         npix = p0.out_h * p0.out_w
         # per-plane Frobenius budget at the floor: the total RGB
@@ -1542,8 +1575,8 @@ class CoefBatchAssembly(BatchAssembly):
         budget = 255.0 * 10.0 ** (-floor / 20.0) * float(np.sqrt(float(npix)))
         planes = (
             ("y", "lq", norms2[0], norms2[1], jpeg_decode.SPECTRAL_W_Y),
-            ("cb", "cq", norms2[2], norms2[3], jpeg_decode.SPECTRAL_W_CB),
-            ("cr", "cq", norms2[2], norms2[3], jpeg_decode.SPECTRAL_W_CR),
+            ("cb", "cq", nc_v, nc_h, jpeg_decode.SPECTRAL_W_CB),
+            ("cr", "cq", nc_v, nc_h, jpeg_decode.SPECTRAL_W_CR),
         )
 
         def post_mode(mode, act):
@@ -1591,7 +1624,9 @@ class CoefBatchAssembly(BatchAssembly):
         mask2 = jpeg_decode.high_mask(2)
         mask4 = jpeg_decode._HIGH_MASK
         gate_y = _lo2_gate(norms2[0], norms2[1])
-        gate_c = _lo2_gate(norms2[2], norms2[3])
+        sink_chroma = bool(self.jpeg420) or self.jpegdct
+        gate_c = _lo2_gate(nc_v, nc_h,
+                           ratio=0.5 if sink_chroma else 0.15)
         gates = (gate_y, gate_c, gate_c)
 
         per_image = []  # (modes[3], acts[3]) per image
@@ -1718,7 +1753,7 @@ class CoefBatchAssembly(BatchAssembly):
                                     self.jpegdct, _FAST["enabled"],
                                     dct_pack,
                                     self.pack_modes)
-            mats, lows, _, lows2 = _folded_padded(
+            mats, lows, _, lows2, _ = _folded_padded(
                 p0, self.sh, self.sw, self.true_h, self.true_w,
                 self.subsamp)
             # row-matrices replicated; the AC column-matrices contract

@@ -1006,6 +1006,29 @@ def colnorms2(m: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray((m.astype(np.float64) ** 2).sum(axis=0))
 
 
+def box_half_matrix(n_true: int) -> np.ndarray:
+    """((n+1)//2, n) f32: one axis of the encode tails' 2x2 chroma
+    subsample (edge-pad odd dims then average) as a matrix, for
+    composing SINK-AWARE spectral gains — chroma frequencies the
+    sink's box filter kills shouldn't cost upload bytes."""
+    out = (n_true + 1) // 2
+    m = np.zeros((out, n_true), dtype=np.float32)
+    for i in range(out):
+        m[i, 2 * i] += 0.5
+        m[i, min(2 * i + 1, n_true - 1)] += 0.5
+    return m
+
+
+def sink_colnorms2(a: np.ndarray, out_true: int) -> np.ndarray:
+    """Squared column norms of one chroma fold axis AS SEEN THROUGH
+    the 4:2:0 sink's box-downsample: colnorms2(box @ a[:out_true]),
+    scaled x2 per axis (x4 energy for the pair) to stay conservative
+    about the CLIENT-side chroma upsample spreading the error back to
+    full resolution."""
+    b = box_half_matrix(out_true)
+    return 2.0 * colnorms2(b @ a[:out_true].astype(np.float64))
+
+
 def spectral_energy64(grid: np.ndarray, q: np.ndarray, na2: np.ndarray,
                       nb2: np.ndarray, residual_int4: bool = False):
     """(64,) float: per-frequency-position random-phase output-space

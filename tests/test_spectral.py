@@ -498,3 +498,62 @@ def test_spectral_guard_property_fuzz(spectral_folded):
         else:
             assert psnr >= 70.0, (kind, w, h, ow, oh, psnr)  # ~lossless
     assert fired >= 4  # the fuzz actually exercised the guard
+
+
+def test_sink_aware_chroma_thinning_on_real_lenna():
+    """Subsampled-chroma sinks (jpeg420/jpegdct/webp420) judge chroma
+    thinning through the sink's box filter (round 4): on the real
+    lenna at the headline geometry the estimator approves the lo2v
+    chroma corner for the 420 sink — roughly halving the upload —
+    while the rgb sink keeps the stricter raw-gain decision. The
+    decoded output must stay above floor + margin vs the lossless
+    fold."""
+    import os
+
+    import jax.numpy as jnp
+
+    from fanlin_tpu.engine import native_codecs
+    from fanlin_tpu.ops.jpeg_decode import (fancy_upsample_h2v2,
+                                            ycbcr_to_rgb_libjpeg)
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "lenna_src.jpg")
+    with open(path, "rb") as f:
+        m = native_codecs.read_jpeg_coeffs(f.read())
+    assert m is not None
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    fused.set_fold(True)
+    try:
+        lossless = fused.CoefBatchAssembly([plan], [m], jpeg420=True)
+        y0, cb0, cr0 = [np.asarray(x)[0] for x in lossless.submit()]
+        fused.set_spectral(45.0)
+        try:
+            thin = fused.CoefBatchAssembly([plan], [m], jpeg420=True)
+            rgb_sink = fused.CoefBatchAssembly([plan], [m])
+            y1, cb1, cr1 = [np.asarray(x)[0] for x in thin.submit()]
+        finally:
+            fused.set_spectral(0.0)
+    finally:
+        fused.set_fold(False)
+    # the sink-aware decision reaches the k=2 chroma corner; the rgb
+    # sink (no chroma subsample downstream) stays at k=4
+    assert thin.pack_modes == ("lo8v", "lo2v"), thin.pack_modes
+    assert rgb_sink.pack_modes == ("lo8v", "lo8v"), rgb_sink.pack_modes
+    assert thin.upload_ac_bytes < 0.6 * rgb_sink.upload_ac_bytes
+
+    def to_rgb(y, cb, cr):
+        cbu = np.asarray(fancy_upsample_h2v2(
+            jnp.asarray(cb[None]).astype(jnp.int32)))[0][:200, :300]
+        cru = np.asarray(fancy_upsample_h2v2(
+            jnp.asarray(cr[None]).astype(jnp.int32)))[0][:200, :300]
+        r, g, b = ycbcr_to_rgb_libjpeg(
+            jnp.asarray(y[None]).astype(jnp.int32),
+            jnp.asarray(cbu[None]), jnp.asarray(cru[None]))
+        return np.stack([np.asarray(r)[0], np.asarray(g)[0],
+                         np.asarray(b)[0]], axis=-1)
+
+    d = (to_rgb(y1, cb1, cr1).astype(np.float64)
+         - to_rgb(y0, cb0, cr0).astype(np.float64))
+    p = 10 * np.log10(255.0 ** 2 / (d ** 2).mean())
+    assert p >= 48.0, p  # floor 45 + margin 3
