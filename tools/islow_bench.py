@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Measure the staged (bit-exact islow) decode program's device cost
+vs the folded fast path and the pixel program — ROADMAP item 2: the
+round-4 islow butterfly trades two MXU matmuls for ~80 strided int32
+VPU ops per plane; this quantifies the trade on the real chip.
+
+Prints one JSON line per program with per-batch / per-image times and
+the in-band relay calibration (BENCH_NOTES.md capture discipline).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    import jax
+
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    from fanlin_tpu.engine import codecs, native_codecs
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    b = int(os.environ.get("ISLOW_BATCH", "16"))
+    reps = int(os.environ.get("ISLOW_REPS", "10"))
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "tests", "golden", "lenna_src.jpg"),
+              "rb") as f:
+        data = f.read()
+    m = native_codecs.read_jpeg_coeffs(data)
+    img, _, _ = codecs.decode(data)
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+
+    _ca = jax.device_put(
+        np.random.default_rng(0).standard_normal((4096, 4096),
+                                                 dtype=np.float32))
+    _cf = jax.jit(lambda x: x @ x)
+    np.asarray(_cf(_ca))
+
+    def calib_ms() -> float:
+        t = time.perf_counter()
+        np.asarray(_cf(_ca))
+        return round((time.perf_counter() - t) * 1000.0, 1)
+
+    def measure(name, make):
+        asm = make()
+        out = asm.submit()
+        jax.block_until_ready(out)
+        # resident re-dispatch loop with a checksum chain (relay-safe
+        # materialization, like bench.py's device section)
+        import jax.numpy as jnp
+
+        @jax.jit
+        def acc(total, y):
+            return total + y.astype(jnp.int32).sum()
+
+        first = out[0] if isinstance(out, tuple) else out
+        total = acc(jnp.int32(0), first)
+        total.block_until_ready()
+        c0 = calib_ms()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            o = asm.submit_resident()
+            y = o[0] if isinstance(o, tuple) else o
+            total = acc(total, y)
+        total.block_until_ready()
+        wall = time.perf_counter() - t0
+        print(json.dumps({
+            "program": name, "batch": b,
+            "ms_per_batch": round(wall / reps * 1000.0, 1),
+            "ms_per_image": round(wall / reps / b * 1000.0, 3),
+            "images_per_sec_device": round(reps * b / wall, 1),
+            "calib_ms": [c0, calib_ms()],
+        }))
+
+    measure("staged_islow_444",
+            lambda: fused.CoefBatchAssembly([plan] * b, [m] * b,
+                                            jpeg420=True))
+    fused.set_fold(True)
+    try:
+        measure("folded_lossless_i8v",
+                lambda: fused.CoefBatchAssembly([plan] * b, [m] * b,
+                                                jpeg420=True))
+        fused.set_spectral(45.0)
+        try:
+            measure("folded_spectral",
+                    lambda: fused.CoefBatchAssembly([plan] * b, [m] * b,
+                                                    jpeg420=True))
+        finally:
+            fused.set_spectral(0.0)
+    finally:
+        fused.set_fold(False)
+    measure("pixel_path",
+            lambda: fused.BatchAssembly([plan] * b, [img] * b,
+                                        jpeg420=True))
+
+
+if __name__ == "__main__":
+    main()
