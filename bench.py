@@ -359,7 +359,11 @@ def main() -> None:
     # (calib_ms, rate) pair lands in the JSON as `windows`.
     per_pass = max(n_images // n_passes, batch)
     per_pass -= per_pass % batch
-    budget_s = float(os.environ.get("BENCH_BUDGET", "0"))
+    # default budget 300 s: the driver's one-shot capture samples a
+    # dozen-plus relay windows instead of whichever single window it
+    # lands in (VERDICT r3 item 3); BENCH_BUDGET=0 restores the plain
+    # 4-pass run, larger values sample longer
+    budget_s = float(os.environ.get("BENCH_BUDGET", "300"))
     fast_thresh_ms = float(os.environ.get("BENCH_FAST_MS", "150"))
 
     def measure(min_passes: int, budget: float):
@@ -405,7 +409,7 @@ def main() -> None:
         try:
             a = make_assembly([warm] * batch)  # compile the lossless modes
             encode_task(a.run()[0])
-            ll_passes = int(os.environ.get("BENCH_LOSSLESS_PASSES", "2"))
+            ll_passes = int(os.environ.get("BENCH_LOSSLESS_PASSES", "1"))
             ll_rates, ll_windows, ll_out, ll_cb, ll_ca = measure(
                 ll_passes, 0.0
             )
