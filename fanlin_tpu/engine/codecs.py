@@ -182,7 +182,8 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
             if arr.shape[2] == 1:
                 arr = np.repeat(arr, 3, axis=2)
             return arr, False, is_gray
-    if data[:4] == b"qoif" or data[:8] == b"farbfeld":
+    if (data[:4] == b"qoif" or data[:8] == b"farbfeld"
+            or data[:10] == b"#?RADIANCE" or data[:6] == b"#?RGBE"):
         # formats PIL can't read; image-crate parity via extra_codecs
         from . import extra_codecs
 
@@ -190,9 +191,12 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
             if data[:4] == b"qoif":
                 arr = extra_codecs.decode_qoi(data)
                 has_alpha = len(data) > 12 and data[12] == 4
-            else:
+            elif data[:8] == b"farbfeld":
                 arr = extra_codecs.decode_farbfeld(data)
                 has_alpha = True
+            else:
+                arr = extra_codecs.decode_hdr(data)
+                has_alpha = False
         except extra_codecs.ExtraCodecError as e:
             raise CodecError(str(e)) from e
         if not has_alpha:
@@ -320,9 +324,13 @@ def encode(img: np.ndarray, fmt: str, quality: int, mode: str) -> bytes:
         from . import extra_codecs
 
         return extra_codecs.encode_farbfeld(img)
+    elif fmt == HDR:
+        from . import extra_codecs
+
+        return extra_codecs.encode_hdr(img)
     else:
-        # DDS/HDR/OpenEXR: decodable but not writable from u8 — the
-        # reference's write_to errors the same way (-> 500)
+        # DDS/OpenEXR: not writable from u8 — the reference's write_to
+        # errors the same way (-> 500)
         raise CodecError(f"no encoder for format {fmt}")
     return buf.getvalue()
 

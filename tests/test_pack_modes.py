@@ -77,13 +77,16 @@ def _photo_meta(quality=85, w=512, h=512):
 
 def test_photo_selects_sub_int8_modes():
     """Photographic content at production quality takes the packed
-    upload: i4h luma, lo8 chroma — ~1.6x fewer bytes on the wire."""
+    upload: i4h luma (or the cheaper nc rung when it prices below),
+    lo8 chroma — well under the int8 planar bytes."""
     m = _photo_meta()
     assert jpeg_decode.meta_modes(m) == ("i4h", "lo8")
     plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
                             opaque=True)
     asm = fused.CoefBatchAssembly([plan], [m])
-    assert asm.pack_modes == ("i4h", "lo8")
+    ymode, cmode = asm.pack_modes
+    assert ymode == "i4h" or ymode.startswith("nc")
+    assert cmode == "lo8"
     full = 512 * 512 + 2 * 256 * 256  # the old int8 planar bytes
     assert asm.upload_ac_bytes <= 0.65 * full
 
@@ -100,6 +103,7 @@ def test_packed_modes_match_i8_device_output(kind, monkeypatch):
     def build(**kw):
         return fused.CoefBatchAssembly([plan] * 2, [m, m], **kw)
 
+    monkeypatch.setattr(fused, "_nc_upgrade", lambda mode, *a: mode)
     kw = {}
     if kind == "jpeg420":
         kw = {"jpeg420": True}
@@ -125,6 +129,7 @@ def test_packed_modes_match_i8_folded(monkeypatch):
     m = _photo_meta()
     plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
                             opaque=True)
+    monkeypatch.setattr(fused, "_nc_upgrade", lambda mode, *a: mode)
     fused.set_fold(True)
     try:
         packed = fused.CoefBatchAssembly([plan], [m])
@@ -143,6 +148,7 @@ def test_packed_modes_match_i8_folded(monkeypatch):
 def test_mixed_mode_batch_upgrades_to_widest(monkeypatch):
     """A batch mixing a lo8-able image with an i8-needing one must
     upgrade everyone to i8 and still match per-image single runs."""
+    monkeypatch.setattr(fused, "_nc_upgrade", lambda mode, *a: mode)
     m_soft = _photo_meta(quality=70)   # strong quant -> narrow modes
     m_hard = _photo_meta(quality=98)   # weak quant -> wide values
     ym_hard = jpeg_decode.meta_modes(m_hard)[0]
@@ -223,10 +229,19 @@ def test_real_lenna_selects_wide_modes():
     assert jpeg_decode.meta_modes(m) == ("i8v", "i8v")
 
 
+def _psnr(a, b) -> float:
+    d = a.astype(np.float64) - b.astype(np.float64)
+    mse = (d ** 2).mean()
+    if mse == 0:
+        return float("inf")  # identical images: no div-by-zero warning
+    return 10 * np.log10(255.0 ** 2 / mse)
+
+
 def test_real_lenna_device_decode_matches_pixels():
-    """The staged device decode through the i8v upload matches the
-    exact libjpeg pixel path at the device-decode parity level
-    (float-vs-islow iDCT only; >=55 dB on this content)."""
+    """The staged device decode through the coefficient upload (the
+    dense content now rides the nested-corner nc rung, round 5)
+    matches the exact libjpeg pixel path at the device-decode parity
+    level (float-vs-islow iDCT only; >=55 dB on this content)."""
     from fanlin_tpu.engine import codecs
 
     m = _lenna_meta()
@@ -235,13 +250,11 @@ def test_real_lenna_device_decode_matches_pixels():
     plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
                             opaque=True)
     asm = fused.CoefBatchAssembly([plan] * 2, [m, m])
-    assert asm.pack_modes == ("i8v", "i8v")
-    assert asm.i8v_caps[0] >= 922  # the real luma overflow count
+    assert all(md.startswith("nc") for md in asm.pack_modes), asm.pack_modes
     got = asm.run()[0]
     img, _, _ = codecs.decode(data)
     ref = fused.BatchAssembly([plan], [img]).run()[0]
-    d = got[:, :, :3].astype(np.float64) - ref[:, :, :3].astype(np.float64)
-    psnr = 10 * np.log10(255.0 ** 2 / (d ** 2).mean())
+    psnr = _psnr(got[:, :, :3], ref[:, :, :3])
     assert psnr >= 55.0, psnr
 
 
@@ -257,7 +270,8 @@ def test_real_lenna_folded_and_spectral():
     fused.set_fold(True)
     try:
         lossless = fused.CoefBatchAssembly([plan] * 2, [m, m])
-        assert lossless.fold and lossless.pack_modes == ("i8v", "i8v")
+        assert lossless.fold
+        assert all(md.startswith("nc") for md in lossless.pack_modes)
         ref = lossless.run()[0]
         fused.set_spectral(45.0)
         try:
@@ -268,9 +282,10 @@ def test_real_lenna_folded_and_spectral():
             fused.set_spectral(0.0)
     finally:
         fused.set_fold(False)
-    assert thin.upload_ac_bytes < 0.35 * lossless.upload_ac_bytes
-    d = got[:, :, :3].astype(np.float64) - ref[:, :, :3].astype(np.float64)
-    psnr = 10 * np.log10(255.0 ** 2 / (d ** 2).mean())
+    # lossless shrank from 775 to ~530 KB/img in round 5 (nc rung), so
+    # the thinning's relative advantage narrowed accordingly
+    assert thin.upload_ac_bytes < 0.55 * lossless.upload_ac_bytes
+    psnr = _psnr(got[:, :, :3], ref[:, :, :3])
     assert psnr >= 48.0, psnr  # floor 45 + margin 3
 
 
@@ -288,11 +303,130 @@ def test_mixed_wide_narrow_batch():
     plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
                             opaque=True)
     both = fused.CoefBatchAssembly([plan, plan], [m_wide, m_narrow])
-    assert both.pack_modes == ("i8v", "i8v")
+    # the joined wire is the wide rung (i8v, or its cheaper nc pricing)
+    assert all(md == "i8v" or md.startswith("nc")
+               for md in both.pack_modes), both.pack_modes
     got = both.run()
     for i, m in enumerate([m_wide, m_narrow]):
         single = fused.CoefBatchAssembly([plan], [m]).run()[0]
         np.testing.assert_array_equal(got[i], single)
+
+
+# ---------------------------------------------------------------------------
+# Nested-corner ("nc") wire modes — VERDICT r4 weak #1. Dense
+# high-quality 4:4:4 content (the reference's own lenna.jpg) used to
+# ride i8v at ~775 KB/img — pixel-priced. nc(k8,k4,k2) tiers the plane
+# by frequency corner (int8 / int4 / 2-bit / zero) with one sparse
+# escape stream, LOSSLESS for any content whose escapes fit the ladder.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("triple", [
+    (2, 4, 8), (0, 4, 8), (3, 6, 8), (5, 8, 8), (0, 0, 8), (2, 2, 2),
+    (1, 5, 7),
+])
+def test_nc_pack_roundtrip_exact(triple):
+    """nc pack -> host-mirror unpack reproduces the exact planar plane
+    for arbitrary triples and content that exercises every tier and
+    the escape stream."""
+    rng = np.random.default_rng(triple[0] * 100 + triple[1] * 10 + triple[2])
+    g = rng.integers(-300, 300, (4, 16, 64), np.int16)
+    g[:, :, 0] = 77
+    ph, pw = 32, 128
+    mode = jpeg_decode.nc_mode(triple)
+    esc = jpeg_decode.nc_escape_count(g, triple)
+    cap = jpeg_decode.nc_cap(esc)
+    dc, arrays = jpeg_decode.pack_plane(g, ph, pw, mode, cap)
+    np.testing.assert_array_equal(dc[:4, :16], g[:, :, 0])
+    planar = jpeg_decode.planar_from_arrays_np(
+        mode, [a[None] for a in arrays]
+    )[0]
+    ref = np.zeros((ph, pw), np.int16)
+    gz = g.astype(np.int16).copy()
+    gz[:, :, 0] = 0
+    ref[:32, :128] = (
+        gz.reshape(4, 16, 8, 8).transpose(0, 2, 1, 3).reshape(32, 128)
+    )
+    np.testing.assert_array_equal(planar, ref)
+
+
+def test_nc_device_unpack_matches_mirror():
+    """The device reconstruction (strided corner sets + escape
+    scatter) equals the host-mirror reconstruction exactly."""
+    import jax.numpy as jnp
+
+    m = _lenna_meta()
+    best = jpeg_decode.nc_best(m["y"], 512, 512)
+    mode = jpeg_decode.nc_mode(best[0])
+    cap = jpeg_decode.nc_cap(best[2])
+    dc, arrays = jpeg_decode.pack_plane(m["y"], 512, 512, mode, cap)
+    dev = np.asarray(jpeg_decode.nc_unpack_planar(
+        mode, tuple(jnp.asarray(a[None]) for a in arrays)
+    ))[0]
+    ref = jpeg_decode.planar_from_arrays_np(
+        mode, tuple(a[None] for a in arrays)
+    )[0]
+    np.testing.assert_array_equal(dev, ref.astype(np.int32))
+
+
+def test_nc_join_laws():
+    assert jpeg_decode.nc_join("nc248", "nc448") == "nc448"
+    assert jpeg_decode.nc_join("nc048", "lo8") == "nc448"
+    assert jpeg_decode.nc_join("i8", "nc248") == "nc888"
+    assert jpeg_decode.nc_join("zero", "nc368") == "nc368"
+
+
+def test_real_lenna_upgrades_to_nc_and_cuts_upload():
+    """The lossless upload of the dense q~92 4:4:4 bench source drops
+    from ~775 KB/img (i8v) to <= 560 KB/img on the nc rung — and the
+    device output is byte-identical to the forced-legacy run (the
+    rung only changes the wire form)."""
+    m = _lenna_meta()
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan] * 2, [m, m])
+    assert all(md.startswith("nc") for md in asm.pack_modes)
+    kb = asm.upload_ac_bytes / 2 / 1024
+    assert kb <= 560, kb
+    got = asm.run()
+
+    real = fused._nc_upgrade
+    fused._nc_upgrade = lambda mode, *a: mode
+    try:
+        m2 = _lenna_meta()
+        legacy = fused.CoefBatchAssembly([plan] * 2, [m2, m2])
+        assert legacy.pack_modes == ("i8v", "i8v")
+        assert legacy.upload_ac_bytes / 2 / 1024 >= 700
+        ref = legacy.run()
+    finally:
+        fused._nc_upgrade = real
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_nc_narrow_content_keeps_cheap_legacy_modes():
+    """lo8/zero planes are NOT upgraded (they are already cheaper than
+    any nc triple and keep the folded low-matrix optimization)."""
+    m = _photo_meta(quality=70)
+    assert jpeg_decode.meta_modes(m)[1] == "lo8"
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [m])
+    assert asm.pack_modes[1] == "lo8"
+
+
+def test_nc_host_mirror_serves_cold_bucket():
+    """The numpy mirror reconstructs nc batches (cold-bucket path)."""
+    from fanlin_tpu.ops import hostexec
+
+    m = _lenna_meta()
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    asm = fused.CoefBatchAssembly([plan], [m])
+    assert asm.pack_modes[0].startswith("nc")
+    dev = asm.run()[0]
+    host = hostexec.run_host(asm)[0]
+    assert int(np.abs(dev.astype(int) - host.astype(int)).max()) <= 1
 
 
 def test_upload_viable_rejects_pathological_density():
