@@ -113,10 +113,11 @@ def _group_key(plan: fused.ImagePlan, kind: str) -> Tuple:
             plan.out_w,
             plan.blur_sigma > 0,
         )
-    if kind in ("jpeg420", "webp420"):
-        # the device YUV front-ends crop + subsample at ONE true
-        # geometry per program, so these kinds key on exact output
-        # dims (mixed grayscale/invert/fill ops still share a batch)
+    if kind in ("jpeg420", "webp420") or kind.startswith("png:"):
+        # the device encode front-ends (YUV subsample / PNG filter
+        # rows) crop at ONE true geometry per program, so these kinds
+        # key on exact output dims (mixed grayscale/invert/fill ops
+        # still share a batch)
         return (
             kind,
             fused.bucket_h(plan.src_h),

@@ -119,6 +119,14 @@ def _load():
             lib.fc_encode_jpeg_cmyk.restype = ctypes.c_int
         except AttributeError:
             pass  # older .so without the CMYK coefficient surface
+        try:
+            lib.fc_deflate_zlib.argtypes = [
+                u8p, ctypes.c_size_t, ctypes.c_int,
+                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
+            ]
+            lib.fc_deflate_zlib.restype = ctypes.c_int
+        except AttributeError:
+            pass  # older .so without libdeflate
         lib.fc_free.argtypes = [u8p]
         _LIB = lib
         break
@@ -288,6 +296,28 @@ def encode_jpeg_subsamp(rgb: np.ndarray, quality: int, h_samp: int,
         rgb.ctypes.data_as(u8p), w, h, 3, int(quality), int(h_samp),
         int(v_samp), ctypes.byref(out), ctypes.byref(out_len),
     )
+    if rc != 0:
+        return None
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.fc_free(out)
+
+
+def deflate_zlib(data: bytes, level: int) -> Optional[bytes]:
+    """zlib-format deflate via libdeflate (levels 1-12; ~3x zlib's
+    speed at comparable ratios) for the device PNG front-end's
+    filtered scanlines. None -> unbuilt/old lib (caller falls back to
+    stdlib zlib)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_deflate_zlib"):
+        return None
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    out = u8p()
+    out_len = ctypes.c_size_t()
+    buf = ctypes.cast(ctypes.c_char_p(data), u8p)
+    rc = lib.fc_deflate_zlib(buf, len(data), int(level),
+                             ctypes.byref(out), ctypes.byref(out_len))
     if rc != 0:
         return None
     try:

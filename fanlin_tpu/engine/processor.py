@@ -234,6 +234,16 @@ class Engine:
                     sink = "jpeg420"
         elif (
             self.device_jpeg
+            and out_fmt == codecs.PNG
+            and mode in ("L", "LA", "RGB", "RGBA")
+        ):
+            # device PNG front-end: adaptive filter selection on
+            # device, host does zlib + chunk framing only (VERDICT r4
+            # next #2 — the 1618x1000 PNG scenario was host-bound on
+            # PIL's filter+deflate). No native core needed.
+            sink = "png:%d" % {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}[mode]
+        elif (
+            self.device_jpeg
             and out_fmt == codecs.WEBP
             # alpha must be provably constant 255 (YUV drops it)
             and (mode == "RGB" or (mode == "RGBA" and not plan.want_alpha))
@@ -301,6 +311,11 @@ class Engine:
             if payload is None:
                 raise codecs.CodecError("yuv webp encode failed")
             return payload
+        if isinstance(out, tuple) and out[0] == "pngrows":
+            from . import png_writer
+
+            _, rows, w, h, nch = out
+            return png_writer.write_png(rows, w, h, nch, quality)
         if isinstance(out, tuple) and out[0] == "coeffs":
             from . import native_codecs
 

@@ -455,6 +455,63 @@ def _ycbcr420_tail(out_u8):
     return y_u8, sub2(cb), sub2(cr)
 
 
+def _png_tail(out_u8, nch: int):
+    """Device PNG encode front-end (VERDICT r4 next #2): per-scanline
+    adaptive filter selection — the encoder stage that dominates host
+    PNG cost next to zlib. For each row, all five PNG filters (None /
+    Sub / Up / Average / Paeth) are computed mod 256 and scored with
+    the standard minimum-sum-of-absolute-differences heuristic (the
+    image crate's FilterType::Adaptive, like libpng); the winning
+    filter byte + filtered bytes ship to the host, which runs zlib
+    ONLY (stdlib zlib releases the GIL). Pure elementwise u8/int32
+    VPU work.
+
+    out_u8: (B, C, OH, OW) uint8, already cropped to true dims.
+    nch: PNG channels (1 L / 2 LA / 3 RGB / 4 RGBA). A missing alpha
+    plane (the transport pruned a known-255 alpha) is synthesized.
+    Returns (B, OH, 1 + OW*nch) uint8 scanline rows.
+    """
+    b, have, h, w = out_u8.shape
+    if nch == 1:
+        px = out_u8[:, :1]
+    elif nch == 3:
+        px = out_u8[:, :3]
+    else:
+        rgb = out_u8[:, :1] if nch == 2 else out_u8[:, :3]
+        if have >= 4:
+            alpha = out_u8[:, 3:4]
+        else:
+            alpha = jnp.full((b, 1, h, w), 255, jnp.uint8)
+        px = jnp.concatenate([rgb, alpha], axis=1)
+    c = px.shape[1]
+    i32 = jnp.int32
+    # interleaved scanlines (B, H, W*C)
+    x = px.transpose(0, 2, 3, 1).reshape(b, h, w * c).astype(i32)
+    left = jnp.pad(x, ((0, 0), (0, 0), (c, 0)))[:, :, : w * c]
+    up = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :h]
+    ul = jnp.pad(x, ((0, 0), (1, 0), (c, 0)))[:, :h, : w * c]
+    f1 = (x - left) & 255
+    f2 = (x - up) & 255
+    f3 = (x - ((left + up) >> 1)) & 255
+    p = left + up - ul
+    pa = jnp.abs(p - left)
+    pb = jnp.abs(p - up)
+    pc = jnp.abs(p - ul)
+    paeth = jnp.where((pa <= pb) & (pa <= pc), left,
+                      jnp.where(pb <= pc, up, ul))
+    f4 = (x - paeth) & 255
+    cands = jnp.stack([x, f1, f2, f3, f4], axis=2)  # (B, H, 5, L)
+    score = jnp.minimum(cands, 256 - cands).sum(axis=3)  # (B, H, 5)
+    idx = jnp.argmin(score, axis=2)  # (B, H) — ties -> lowest index,
+    # matching the image crate's strictly-less scan order
+    sel = jnp.take_along_axis(
+        cands, idx[:, :, None, None].astype(i32), axis=2
+    )[:, :, 0]
+    return jnp.concatenate(
+        [idx[:, :, None].astype(jnp.uint8), sel.astype(jnp.uint8)], axis=2
+    )
+
+
 def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool,
                dct_pack: int = 0):
     """The shared program tail: device-side crop to true dims, alpha
@@ -482,6 +539,8 @@ def _make_tail(out_crop, out_channels: int, jpeg420: bool, jpegdct: bool,
             if dct_pack >= 2:
                 return tuple(parts)
             return tuple(parts) + (overflow,)
+        if isinstance(jpeg420, tuple) and jpeg420[0] == "png":
+            return _png_tail(out, jpeg420[1])
         if jpeg420 == "webp":
             return _webp420_tail(out)
         if jpeg420:
@@ -1350,6 +1409,13 @@ class BatchAssembly:
                  self.quality)
                 for i in range(len(self.plans))
             ]
+        if isinstance(self.jpeg420, tuple) and self.jpeg420[0] == "png":
+            p0 = self.plans[0]
+            rows = np.asarray(out)  # (B, OH, 1 + OW*nch) uint8
+            return [
+                ("pngrows", rows[i], p0.out_w, p0.out_h, self.jpeg420[1])
+                for i in range(len(self.plans))
+            ]
         if self.jpeg420:
             tag = "webpyuv" if self.jpeg420 == "webp" else "ycbcr420"
             y = np.asarray(out[0])
@@ -2110,9 +2176,12 @@ def make_assembly(plans, payloads, kinds, mesh=None):
       "jpeg420"         pixel source, device JPEG front-end output
       "webp420"         pixel source, device WebP-range YUV front-end
       "jpegdct:Q"       pixel source, device DCT back half at quality Q
+      "png:N"           pixel source, device PNG filter front-end
+                        (N = PNG channels 1/2/3/4; host runs zlib only)
       "coef"            coefficient source (device decode), pixel out
       "coef+jpeg420"    coefficient source, JPEG front-end out
       "coef+jpegdct:Q"  coefficient source, DCT back half out
+      "coef+png:N"      coefficient source, PNG filter front-end out
       "cmyk444"/"cmyk420" 4-component (CMYK/YCCK) coefficient source
                         (device decode + ICC LUT), same "+sink" grammar
     payloads are (H, W, C) uint8 arrays for pixel sources, or
@@ -2127,11 +2196,19 @@ def make_assembly(plans, payloads, kinds, mesh=None):
         if sink.startswith("jpegdct:"):
             return cls(plans, payloads, jpegdct=True,
                        quality=int(sink.split(":", 1)[1]), mesh=mesh)
+        if sink.startswith("png:"):
+            return cls(plans, payloads,
+                       jpeg420=("png", int(sink.split(":", 1)[1])),
+                       mesh=mesh)
         yuv = "webp" if sink == "webp420" else (sink == "jpeg420")
         return cls(plans, payloads, jpeg420=yuv, mesh=mesh)
     if k0.startswith("jpegdct:"):
         return BatchAssembly(plans, payloads, jpegdct=True,
                              quality=int(k0.split(":", 1)[1]), mesh=mesh)
+    if k0.startswith("png:"):
+        return BatchAssembly(plans, payloads,
+                             jpeg420=("png", int(k0.split(":", 1)[1])),
+                             mesh=mesh)
     yuv = "webp" if k0 == "webp420" else (k0 == "jpeg420")
     return BatchAssembly(plans, payloads, yuv, mesh=mesh)
 

@@ -213,6 +213,45 @@ def _np_webp420(out_u8):
             np.clip(v, 0, 255).astype(np.uint8))
 
 
+def _np_png_rows(out_u8, nch: int):
+    """numpy mirror of fused._png_tail (adaptive PNG filter rows)."""
+    b, have, h, w = out_u8.shape
+    if nch == 1:
+        px = out_u8[:, :1]
+    elif nch == 3:
+        px = out_u8[:, :3]
+    else:
+        rgb = out_u8[:, :1] if nch == 2 else out_u8[:, :3]
+        if have >= 4:
+            alpha = out_u8[:, 3:4]
+        else:
+            alpha = np.full((b, 1, h, w), 255, np.uint8)
+        px = np.concatenate([rgb, alpha], axis=1)
+    c = px.shape[1]
+    # int16 intermediates + a LUT for the abs-signed score: the naive
+    # int32 formulation cost ~9 s on the 1618x1000 scenario — far too
+    # slow for a cold-bucket mirror under the 10 s request timeout
+    x = np.ascontiguousarray(px.transpose(0, 2, 3, 1)).reshape(b, h, w * c)
+    xi = x.astype(np.int16)
+    left = np.pad(xi, ((0, 0), (0, 0), (c, 0)))[:, :, : w * c]
+    up = np.pad(xi, ((0, 0), (1, 0), (0, 0)))[:, :h]
+    ul = np.pad(xi, ((0, 0), (1, 0), (c, 0)))[:, :h, : w * c]
+    f1 = ((xi - left) & 255).astype(np.uint8)
+    f2 = ((xi - up) & 255).astype(np.uint8)
+    f3 = ((xi - ((left + up) >> 1)) & 255).astype(np.uint8)
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    paeth = np.where((pa <= pb) & (pa <= pc), left,
+                     np.where(pb <= pc, up, ul))
+    f4 = ((xi - paeth) & 255).astype(np.uint8)
+    lut = np.minimum(np.arange(256), 256 - np.arange(256)).astype(np.uint16)
+    cands = np.stack([x, f1, f2, f3, f4], axis=2)  # (B, H, 5, L) uint8
+    score = lut[cands].sum(axis=3, dtype=np.int64)
+    idx = np.argmin(score, axis=2)
+    sel = np.take_along_axis(cands, idx[:, :, None, None], axis=2)[:, :, 0]
+    return np.concatenate([idx[:, :, None].astype(np.uint8), sel], axis=2)
+
+
 def _np_dct_tail(y, cb, cr, quality):
     """numpy mirror of dct.ycbcr420_to_coefficients at `quality`."""
     from . import dct
@@ -420,6 +459,10 @@ def run_host(asm) -> list:
     p0 = asm.plans[0]
     if asm.jpeg420 or asm.jpegdct:
         out = out[:, :, : p0.out_h, : p0.out_w]
+        if isinstance(asm.jpeg420, tuple) and asm.jpeg420[0] == "png":
+            rows = _np_png_rows(out.astype(np.uint8), asm.jpeg420[1])
+            return [("pngrows", rows[i], p0.out_w, p0.out_h,
+                     asm.jpeg420[1]) for i in range(len(asm.plans))]
         if asm.jpeg420 == "webp":
             y, u, v = _np_webp420(out)
             return [("webpyuv", y[i], u[i], v[i])

@@ -21,6 +21,7 @@
 #include <cstring>
 
 #include <jpeglib.h>
+#include <libdeflate.h>
 #include <webp/encode.h>
 
 extern "C" {
@@ -696,6 +697,31 @@ int fc_encode_jpeg_cmyk(const uint8_t* pixels, int width, int height,
 }
 
 void fc_free(uint8_t* ptr) { free(ptr); }
+
+// zlib-format deflate of device-filtered PNG scanlines via libdeflate
+// (~3x zlib's speed at comparable ratios; whole-buffer API, no
+// streaming state). level 1-12. Returns the compressed size written
+// into out (malloc'd), or 0 on failure.
+int fc_deflate_zlib(const uint8_t* in, size_t in_len, int level,
+                    uint8_t** out, size_t* out_len) {
+  libdeflate_compressor* c = libdeflate_alloc_compressor(level);
+  if (!c) return 1;
+  size_t cap = libdeflate_zlib_compress_bound(c, in_len);
+  uint8_t* buf = static_cast<uint8_t*>(malloc(cap));
+  if (!buf) {
+    libdeflate_free_compressor(c);
+    return 1;
+  }
+  size_t n = libdeflate_zlib_compress(c, in, in_len, buf, cap);
+  libdeflate_free_compressor(c);
+  if (n == 0) {
+    free(buf);
+    return 1;
+  }
+  *out = buf;
+  *out_len = n;
+  return 0;
+}
 
 int fc_abi_version() { return 1; }
 
