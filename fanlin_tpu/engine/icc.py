@@ -69,14 +69,68 @@ class CMYK2RGB:
 
 def jpeg_embedded_profile(data: bytes) -> bool:
     """True when the JPEG carries an embedded ICC profile (header-only
-    PIL open — no pixel decode). Gates the device CMYK coefficient
-    path: embedded profiles keep host lcms2 (the sampled LUT is the
-    DEFAULT profile's)."""
+    PIL open — no pixel decode)."""
+    return jpeg_embedded_profile_bytes(data) is not None
+
+
+def jpeg_embedded_profile_bytes(data: bytes) -> Optional[bytes]:
+    """The embedded ICC profile bytes, or None (header-only open)."""
     try:
         with Image.open(io.BytesIO(data)) as im:
-            return bool(im.info.get("icc_profile"))
+            prof = im.info.get("icc_profile")
+            return prof if prof else None
     except Exception:
-        return False
+        return None
+
+
+# sampled per-profile device LUTs, keyed by profile-bytes hash
+# (VERDICT r4 next #4: the reference PREFERS the embedded profile,
+# handler.rs:446-459 — with only the default-profile LUT, the most
+# common real-world CMYK case paid the 4 B/px host pixel path). Each
+# 17^4 LUT is ~250 KB packed f32; a few dozen distinct profiles cover
+# real traffic.
+from ..utils.bytelru import ByteLRU  # noqa: E402
+
+_PROFILE_LUTS = ByteLRU(max_bytes=32 * 1024 * 1024)
+_BROKEN_PROFILES: set = set()
+
+import logging  # noqa: E402
+
+_log = logging.getLogger("fanlin_tpu.engine.icc")
+
+
+def embedded_device_lut(profile_bytes: bytes, n: int = 17):
+    """(lut_flat (n^4, 3) f32, n, key) for an embedded ICC profile,
+    building + caching the sampled LUT on first sight (~40 ms for the
+    lcms2 transform + the 83k-sample evaluation — amortized exactly
+    like the reference's prebuilt default transform, handler.rs:483).
+    None for profiles lcms2 rejects (callers fall back to the default
+    profile, matching handler.rs:446-459's fallback)."""
+    import hashlib
+    import time as _time
+
+    key = hashlib.sha1(profile_bytes).hexdigest()[:16]
+    hit = _PROFILE_LUTS.get((key, n))
+    if hit is not None:
+        return hit[0], n, key
+    if (key, n) in _BROKEN_PROFILES:
+        return None
+    conv = CMYK2RGB.with_icc_profile(profile_bytes)
+    if conv is None:
+        _BROKEN_PROFILES.add((key, n))
+        return None
+    from ..ops import cmyk_lut
+
+    t0 = _time.perf_counter()
+    flat = cmyk_lut.sample_lut(conv.convert, n).reshape(-1, 3).astype(
+        np.float32
+    )
+    _log.info(
+        "sampled embedded ICC profile %s into a %d^4 device LUT "
+        "(%.1f ms)", key, n, (_time.perf_counter() - t0) * 1000.0,
+    )
+    _PROFILE_LUTS.put((key, n), (flat,), flat.nbytes)
+    return flat, n, key
 
 
 def jpeg_num_components(data: bytes) -> Optional[int]:
@@ -113,9 +167,12 @@ def convert_jpeg_color_if_needed(
     Mirrors reference handler.rs:398-466.
 
     device_transform (ops.cmyk_lut.DeviceCmykTransform of the default
-    profile) evaluates the transform on TPU instead of host lcms2 —
-    used only when the *default* profile applies, since the LUT was
-    sampled from it."""
+    profile) evaluates the transform on TPU instead of host lcms2.
+    When it is set (tpu.device_icc deployments), embedded profiles
+    ALSO evaluate through their own sampled per-profile LUTs
+    (embedded_device_lut) — keeping the pixel path byte-identical to
+    the CMYK coefficient path, which carries the same LUT (round 5).
+    Without device_icc, embedded profiles run exact host lcms2."""
     if not use_embedded_profile and default is None:
         return None
     if jpeg_num_components(data) != 4:
@@ -128,6 +185,11 @@ def convert_jpeg_color_if_needed(
             embedded = im.info.get("icc_profile")
             conv: Optional[CMYK2RGB] = None
             if use_embedded_profile and embedded:
+                if device_transform is not None:
+                    lut = embedded_device_lut(embedded)
+                    if lut is not None:
+                        t = _device_transform_for(lut)
+                        return t.convert(np.asarray(im, dtype=np.uint8))
                 conv = CMYK2RGB.with_icc_profile(embedded)
             if conv is None:
                 conv = default
@@ -140,3 +202,21 @@ def convert_jpeg_color_if_needed(
             return conv.convert(im)
     except Exception:
         return None
+
+
+_PROFILE_XFORMS: dict = {}
+
+
+def _device_transform_for(lut):
+    """DeviceCmykTransform for a sampled per-profile LUT (cached by
+    profile hash; holds one small device array per distinct profile)."""
+    flat, n, key = lut
+    t = _PROFILE_XFORMS.get((key, n))
+    if t is None:
+        from ..ops.cmyk_lut import DeviceCmykTransform
+
+        t = DeviceCmykTransform(flat.reshape((n,) * 4 + (3,)))
+        if len(_PROFILE_XFORMS) > 64:
+            _PROFILE_XFORMS.clear()  # crude bound; profiles are few
+        _PROFILE_XFORMS[(key, n)] = t
+    return t

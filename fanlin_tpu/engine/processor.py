@@ -101,10 +101,17 @@ class Engine:
     def _try_cmyk_coef(self, data: bytes, orientation: int):
         """Coefficient meta for a 4-component (CMYK/YCCK) JPEG bound
         for the device decode + LUT path, else None (host pixel path).
-        Applies only when the DEFAULT profile would be used — the LUT
-        was sampled from it; embedded-profile sources keep host lcms2
-        (reference handler.rs:398-466 precedence). EXIF-rotated CMYK
-        stays on pixels (coefficient rotation is 3-component only)."""
+        EXIF-rotated CMYK stays on pixels (coefficient rotation is
+        3-component only).
+
+        Profile precedence matches the reference (handler.rs:446-459):
+        with use_embedded_profile set, the embedded profile wins —
+        since round 5 it rides a per-profile sampled LUT
+        (icc.embedded_device_lut, hash-keyed ByteLRU) attached to the
+        meta, so the common real-world CMYK case keeps the 4-component
+        coefficient path instead of paying the 4 B/px host decode.
+        Broken embedded profiles fall back to the default LUT, exactly
+        like the reference falls back to its default transform."""
         if (not self.device_decode or self.device_cmyk is None
                 or orientation != 1):
             return None
@@ -113,11 +120,18 @@ class Engine:
 
         if icc.jpeg_num_components(data) != 4:
             return None
-        if self.use_embedded_profile and icc.jpeg_embedded_profile(data):
-            return None
+        lut = None
+        if self.use_embedded_profile:
+            prof = icc.jpeg_embedded_profile_bytes(data)
+            if prof:
+                lut = icc.embedded_device_lut(prof)
+                # lut None (broken profile) -> default LUT, like the
+                # reference's with_icc_profile fallback
         meta = native_codecs.read_jpeg_coeffs4(data)
         if meta is not None and not jpeg_decode.upload_viable(meta):
             return None
+        if meta is not None and lut is not None:
+            meta["lut_flat"], meta["lut_n"], meta["lut_key"] = lut
         return meta
 
     # -- the forward pass --------------------------------------------------
@@ -259,9 +273,13 @@ class Engine:
         if meta is not None:
             if meta.get("cmyk"):
                 # ycck vs plain CMYK never share a batch (different
-                # device math) — the kind string keys the group
+                # device math) — the kind string keys the group; an
+                # embedded profile's hash rides along so one batch
+                # shares one LUT
                 base = "cmyk%d%s" % (meta.get("subsamp", 444),
                                      "y" if meta.get("ycck") else "")
+                if meta.get("lut_key"):
+                    base += "@" + meta["lut_key"]
             else:
                 base = {420: "coef", 422: "coef422", 440: "coef440",
                         444: "coef444"}[meta.get("subsamp", 420)]

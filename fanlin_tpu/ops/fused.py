@@ -132,6 +132,11 @@ def plan_image(src_w: int, src_h: int, params, filter_name: str = filters.LANCZO
     if hit is not None:
         return hit
     plan = _plan_image_uncached(src_w, src_h, params, filter_name, opaque)
+    # the plan's construction key rides along so the multi-worker
+    # gateway can ship plans BY KEY and re-intern them in the device
+    # service (identity-shared plans keep uniform batching across
+    # workers; the matrices never cross the socket)
+    plan.cache_key = key
     _PLAN_CACHE.put(key, plan, plan.av.nbytes + plan.ah.nbytes)
     return plan
 
@@ -1994,16 +1999,31 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
 
     No folded variant (the LUT is non-linear — the resample matrices
     can't absorb it) and no spectral thinning (the guard's error model
-    is YCbCr-specific); embedded-profile sources stay on the host
-    lcms2 pixel path (engine.icc)."""
+    is YCbCr-specific). Embedded-profile sources ride per-profile
+    sampled LUTs attached to the metas (engine.icc.embedded_device_lut,
+    round 5 — the reference PREFERS the embedded profile,
+    handler.rs:446-459); the batcher's kind string carries the profile
+    hash so one batch shares one LUT."""
 
     def __init__(self, plans, metas, jpeg420: bool = False,
                  jpegdct: bool = False, quality: int = 75, mesh=None):
         from . import jpeg_decode
 
         assert len(plans) == len(metas)
-        assert _CMYK_LUT["flat"] is not None, \
-            "CMYK coefficient batches need set_cmyk_lut (tpu.device_icc)"
+        # per-batch LUT: an embedded profile's sampled LUT rides the
+        # meta; otherwise the default profile's global one
+        self.lut_flat = metas[0].get("lut_flat")
+        self.lut_key = metas[0].get("lut_key", "")
+        if self.lut_flat is not None:
+            self.lut_n = int(metas[0]["lut_n"])
+            assert all(m.get("lut_key", "") == self.lut_key
+                       for m in metas), "mixed-profile CMYK batch"
+        else:
+            assert _CMYK_LUT["flat"] is not None, (
+                "CMYK coefficient batches need set_cmyk_lut "
+                "(tpu.device_icc) or a per-meta embedded LUT"
+            )
+            self.lut_n = _CMYK_LUT["n"]
         self.plans = plans
         self.quality = quality
         self.mesh = mesh
@@ -2110,7 +2130,8 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
         return ("cmyk", self.true_h, self.true_w, self.subsamp,
                 self.ycck, self.pack_modes3, self.i8v_caps, self.b,
                 self.oh, self.ow, self.has_blur, self.uniform, out_crop,
-                self.c_out, self.jpeg420, self.jpegdct, mesh_key)
+                self.c_out, self.jpeg420, self.jpegdct, mesh_key,
+                self.lut_n)
 
     def _device_args(self, dct_pack=None):
         if dct_pack is None:
@@ -2127,7 +2148,9 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
                 return self._put(a, "dp", None, "sp")
             return self._put(a, "dp")
 
-        args = [self._cput(_CMYK_LUT["flat"])]
+        flat = (self.lut_flat if self.lut_flat is not None
+                else _CMYK_LUT["flat"])
+        args = [self._cput(flat)]
         args += [self._put(self.ydc, "dp")]
         args += [ac_put(a) for a in self.y_arrays]
         args += [self._put(self.cbdc, "dp")]
@@ -2142,7 +2165,7 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
                                    self.uniform, out_crop, self.c_out,
                                    self.jpeg420, self.jpegdct, dct_pack,
                                    self.subsamp, self.ycck,
-                                   _CMYK_LUT["n"], self.pack_modes3)
+                                   self.lut_n, self.pack_modes3)
         if self.uniform:
             av, ah, bv, bh = _uniform_padded(p0, self.sh, self.sw)
             args += [self._cput(av), self._cput(ah, None, "sp"),

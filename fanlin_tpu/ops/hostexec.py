@@ -422,8 +422,9 @@ def _np_decode_cmyk(asm):
         m_p = 255 - idct(asm.cbdc, cbac, asm.cq)[:, :th, :tw]
         y_p = 255 - idct(asm.crdc, crac, asm.cq)[:, :th, :tw]
         k_p = 255 - idct(asm.kdc, kac, asm.lq)[:, :th, :tw]
-    r, g, b = lut_planes(c_p, m_p, y_p, k_p, fused._CMYK_LUT["flat"],
-                         fused._CMYK_LUT["n"], xp=np)
+    flat = asm.lut_flat if asm.lut_flat is not None else \
+        fused._CMYK_LUT["flat"]
+    r, g, b = lut_planes(c_p, m_p, y_p, k_p, flat, asm.lut_n, xp=np)
 
     def pad(p):
         return np.pad(

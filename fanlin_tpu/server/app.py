@@ -338,11 +338,18 @@ def create_app(cfg: config_mod.Config, state: State) -> web.Application:
     return app
 
 
-async def build_state(cfg: config_mod.Config) -> State:
+async def build_state(cfg: config_mod.Config, runner=None,
+                      device_decode=None) -> State:
     """Startup sequence, mirroring reference main() (main.rs:63-81):
     infra client -> state -> fallback preload (failure only warns) ->
     ICC converter -> embedded-profile flag. The engine runs behind
-    the request micro-batcher (engine.batcher)."""
+    the request micro-batcher (engine.batcher).
+
+    runner: override for multi-worker gateways (server.workers):
+    workers pass a RemoteRunner and MUST NOT touch jax (the device
+    service owns it) — with a runner given, no batcher/mesh is built
+    here and device_decode must be supplied by the caller (it is the
+    SERVICE's backend capability, not this process's)."""
     from ..engine import Engine
     from ..engine.batcher import BatchingRunner, MicroBatcher
     from ..infra import Client
@@ -375,32 +382,39 @@ async def build_state(cfg: config_mod.Config) -> State:
                 "thinning only applies to folded batches and will not "
                 "activate"
             )
-    mesh = None
-    if cfg.tpu.data_parallel:
-        import jax
+    if runner is None:
+        mesh = None
+        if cfg.tpu.data_parallel:
+            import jax
 
-        if len(jax.devices()) > 1:
-            # device batches shard dp-wise across the local mesh; the
-            # batcher owns coalescing AND the cold-bucket fallback, so
-            # the mesh rides inside its assemblies (one execution path
-            # for single-chip and sharded — VERDICT r2 item 2)
-            from ..parallel import make_mesh
+            if len(jax.devices()) > 1:
+                # device batches shard dp-wise across the local mesh;
+                # the batcher owns coalescing AND the cold-bucket
+                # fallback, so the mesh rides inside its assemblies
+                # (one execution path for single-chip and sharded —
+                # VERDICT r2 item 2)
+                from ..parallel import make_mesh
 
-            mesh = make_mesh(n_sp=cfg.tpu.mesh_sp)
-            log.info("data-parallel mesh enabled: %s", mesh)
-    batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms,
-                           mesh=mesh, host_fallback=cfg.tpu.host_fallback,
-                           pipeline_depth=cfg.tpu.pipeline_depth,
-                           max_queue=cfg.tpu.max_queue)
-    # The decode back half exists to cut host->device transfer and
-    # host decode CPU — on a CPU "device" it's pure extra FLOPs (the
-    # iDCT would run on the same core), so gate it to accelerators.
-    import jax as _jax
+                mesh = make_mesh(n_sp=cfg.tpu.mesh_sp)
+                log.info("data-parallel mesh enabled: %s", mesh)
+        batcher = MicroBatcher(cfg.tpu.max_batch, cfg.tpu.batch_window_ms,
+                               mesh=mesh,
+                               host_fallback=cfg.tpu.host_fallback,
+                               pipeline_depth=cfg.tpu.pipeline_depth,
+                               max_queue=cfg.tpu.max_queue)
+        runner = BatchingRunner(batcher)
+    if device_decode is None:
+        # The decode back half exists to cut host->device transfer and
+        # host decode CPU — on a CPU "device" it's pure extra FLOPs
+        # (the iDCT would run on the same core), so gate it to
+        # accelerators.
+        import jax as _jax
 
-    device_decode = cfg.tpu.device_decode and _jax.default_backend() != "cpu"
-    if cfg.tpu.device_decode and not device_decode:
-        log.info("device_decode disabled on the cpu backend")
-    engine = Engine(runner=BatchingRunner(batcher),
+        device_decode = (cfg.tpu.device_decode
+                         and _jax.default_backend() != "cpu")
+        if cfg.tpu.device_decode and not device_decode:
+            log.info("device_decode disabled on the cpu backend")
+    engine = Engine(runner=runner,
                     device_dct=cfg.tpu.device_dct,
                     device_decode=device_decode)
     if cfg.tpu.codec_threads:
@@ -426,7 +440,10 @@ async def build_state(cfg: config_mod.Config) -> State:
         log.warning("failed to initialize fallback images; %r", err)
     if cfg.profile_path:
         state.create_cmyk_to_rgb_converter(cfg.profile_path)
-        if cfg.tpu.device_icc:
+        if cfg.tpu.device_icc and isinstance(runner, BatchingRunner):
+            # multi-worker gateways keep the host lcms2 CMYK path
+            # (byte-identical, PARITY; the sampled-LUT device path
+            # would need jax in the worker process)
             state.engine.enable_device_icc()
     if cfg.use_embedded_profile:
         state.enable_embedded_profile_utilization()

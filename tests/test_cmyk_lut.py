@@ -150,14 +150,9 @@ def test_cmyk_host_mirror_matches_device():
             np.testing.assert_array_equal(d, h)
 
 
-def test_cmyk_embedded_profile_keeps_host_lcms(tmp_path):
-    """Embedded-profile sources must stay on the host lcms2 pixel
-    path — the device LUT samples the DEFAULT profile only."""
+def _embedded_src():
     import io
 
-    from fanlin_tpu.engine import Engine
-    from fanlin_tpu.spec.content import Format
-    from fanlin_tpu.spec.query import parse_query
     from tests.conftest import make_test_image
 
     with open(REF_PROFILE, "rb") as f:
@@ -166,12 +161,88 @@ def test_cmyk_embedded_profile_keeps_host_lcms(tmp_path):
     Image.fromarray(make_test_image(64, 64)).convert("CMYK").save(
         buf, format="JPEG", quality=95, icc_profile=prof
     )
+    return buf.getvalue(), prof
+
+
+def test_cmyk_embedded_profile_takes_coef_path():
+    """VERDICT r4 next #4: embedded-profile CMYK JPEGs (the common
+    real-world case; the reference PREFERS the embedded profile,
+    handler.rs:446-459) keep the 4-component coefficient path via a
+    per-profile sampled LUT — byte-identical to the pixel path under
+    the same config (both evaluate the same LUT)."""
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.spec.content import Format
+    from fanlin_tpu.spec.query import parse_query
+
+    data, _prof = _embedded_src()
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    q = parse_query("w=32&h=32")
+    dev_e = Engine(cmyk2rgb=conv, use_embedded_profile=True)
+    dev_e.enable_device_icc()
+    _, out_dev = dev_e.process_image(data, q, Format())
+    assert dev_e.stats["coef_src"] == 1 and dev_e.stats["pixel_src"] == 0
+    host_e = Engine(cmyk2rgb=conv, use_embedded_profile=True)
+    host_e.enable_device_icc()
+    host_e.device_decode = False
+    _, out_host = host_e.process_image(data, q, Format())
+    assert host_e.stats["pixel_src"] == 1
+    assert out_dev == out_host
+
+
+def test_cmyk_embedded_lut_cached_by_profile_hash():
+    _data, prof = _embedded_src()
+    lut1 = icc.embedded_device_lut(prof)
+    lut2 = icc.embedded_device_lut(prof)
+    assert lut1 is not None
+    assert lut1[2] == lut2[2]           # same hash key
+    assert lut1[0] is lut2[0]           # cache hit: same array object
+    # broken profile -> None (caller falls back to the default LUT)
+    assert icc.embedded_device_lut(b"not an icc profile") is None
+    assert icc.embedded_device_lut(b"not an icc profile") is None
+
+
+def test_cmyk_embedded_broken_profile_falls_back_to_default():
+    """A CMYK JPEG with an unparseable embedded profile rides the
+    default-profile LUT — like the reference's with_icc_profile
+    fallback (handler.rs:446-459)."""
+    import io
+
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.spec.content import Format
+    from fanlin_tpu.spec.query import parse_query
+    from tests.conftest import make_test_image
+
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(64, 64)).convert("CMYK").save(
+        buf, format="JPEG", quality=95, icc_profile=b"garbage profile"
+    )
     conv = icc.CMYK2RGB.from_file(REF_PROFILE)
     e = Engine(cmyk2rgb=conv, use_embedded_profile=True)
     e.enable_device_icc()
     _, out = e.process_image(buf.getvalue(), parse_query("w=32&h=32"),
                              Format())
-    assert e.stats["pixel_src"] == 1 and e.stats["coef_src"] == 0
+    assert e.stats["coef_src"] == 1  # default-LUT coefficient path
+    # identical to a no-embedded-flag run (default profile either way)
+    e2 = Engine(cmyk2rgb=conv, use_embedded_profile=False)
+    e2.enable_device_icc()
+    _, out2 = e2.process_image(buf.getvalue(), parse_query("w=32&h=32"),
+                               Format())
+    assert out == out2
+
+
+def test_cmyk_embedded_kind_carries_profile_hash():
+    """Different profiles must never share a device batch: the kind
+    string carries the profile hash."""
+    from fanlin_tpu.engine.batcher import _group_key
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    p = fused.plan_image(120, 88, parse_query("w=60&h=44"), opaque=True)
+    k1 = _group_key(p, "cmyk444@aaaa1111")
+    k2 = _group_key(p, "cmyk444@bbbb2222")
+    k3 = _group_key(p, "cmyk444")
+    assert len({k1, k2, k3}) == 3
+    assert _group_key(p, "cmyk444@aaaa1111+jpeg420") != k1
 
 
 def test_cmyk_kinds_group_separately():

@@ -1,0 +1,164 @@
+"""Multi-worker gateway (tpu.workers, VERDICT r4 missing #1).
+
+N forked HTTP workers share the port via SO_REUSEPORT; one device
+service owns jax + the micro-batcher and answers device batches over
+a unix socket. Correctness bar: responses byte-identical across
+workers AND to a single-process server; graceful drain on SIGTERM.
+"""
+
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+import urllib.request
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    not hasattr(socket, "SO_REUSEPORT"), reason="no SO_REUSEPORT"
+)
+
+_BOOT = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import sys; from fanlin_tpu.cli import main; "
+         "sys.exit(main(sys.argv[1:]))")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _cfg(port: int, workers: int) -> str:
+    return json.dumps({
+        "port": port, "bind_addr": "127.0.0.1", "max_clients": 8,
+        "client": {"s3": {"aws_region": "x"},
+                   "web": {"user_agent": "t", "timeout": 2}},
+        "providers": [
+            {"path": "baz",
+             "src": "file://localhost/./tests/golden"}
+        ],
+        "tpu": {"warmup": False, "workers": workers},
+    })
+
+
+def _spawn(port: int, workers: int) -> subprocess.Popen:
+    proc = subprocess.Popen(
+        [sys.executable, "-c", _BOOT, "-j", _cfg(port, workers)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=_REPO,
+    )
+    import selectors
+
+    want = max(workers, 1)
+    seen = 0
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    deadline = time.monotonic() + 120
+    buf = ""
+    while seen < want:
+        if time.monotonic() > deadline:
+            raise AssertionError(f"server never came up:\n{buf}")
+        if not sel.select(timeout=1.0):
+            continue
+        line = proc.stdout.readline()
+        if not line:
+            raise AssertionError(f"server died during startup:\n{buf}")
+        buf += line
+        # count occurrences, not lines: concurrent workers' banners
+        # can share a line
+        seen += line.count("listening on")
+    sel.close()
+    return proc
+
+
+def _get(port: int, path: str, timeout=30):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=timeout
+    ) as resp:
+        return resp.status, resp.read(), dict(resp.headers)
+
+
+def test_workers_serve_identical_bytes_and_drain():
+    port_m = _free_port()
+    multi = _spawn(port_m, workers=2)
+    try:
+        # warm the bucket (first responses may ride the cold mirror
+        # and are tagged no-store); poll until device-served
+        deadline = time.monotonic() + 120
+        while True:
+            status, body, hdrs = _get(port_m,
+                                      "/baz/lenna_src.jpg?w=300&h=200")
+            assert status == 200
+            if "X-Cache-Warmth" not in hdrs:
+                break
+            assert time.monotonic() < deadline, "never warmed"
+            time.sleep(0.3)
+        # many sequential requests land on both REUSEPORT workers;
+        # every warm response must be byte-identical
+        bodies = {body}
+        for _ in range(10):
+            s, b, h = _get(port_m, "/baz/lenna_src.jpg?w=300&h=200")
+            assert s == 200 and "X-Cache-Warmth" not in h
+            bodies.add(b)
+        assert len(bodies) == 1, "workers diverged"
+        # ... and identical to a single-process server's bytes
+        port_s = _free_port()
+        single = _spawn(port_s, workers=0)
+        try:
+            while True:
+                s, sb, h = _get(port_s, "/baz/lenna_src.jpg?w=300&h=200")
+                assert s == 200
+                if "X-Cache-Warmth" not in h:
+                    break
+                time.sleep(0.3)
+            assert sb == body, "multi-worker != single-process bytes"
+        finally:
+            single.send_signal(signal.SIGTERM)
+            assert single.wait(timeout=60) == 0
+        # graceful drain: SIGTERM -> parent exits 0, port closes
+        multi.send_signal(signal.SIGTERM)
+        assert multi.wait(timeout=60) == 0
+        with pytest.raises(Exception):
+            _get(port_m, "/ping", timeout=3)
+    finally:
+        if multi.poll() is None:
+            multi.kill()
+
+
+def test_workers_ping_and_stats():
+    port = _free_port()
+    proc = _spawn(port, workers=2)
+    try:
+        s, body, _ = _get(port, "/ping")
+        assert (s, body) == (200, b"pong")
+        # /stats in a worker reports no local batcher (it lives in the
+        # device service) but still answers
+        s, body, _ = _get(port, "/stats")
+        assert s == 200
+        assert json.loads(body)["batcher"] is None
+    finally:
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
+
+
+def test_workers_config_knob():
+    from fanlin_tpu.config import Config, ConfigError
+
+    base = """
+{"port": 0, "bind_addr": "x", "max_clients": 1,
+ "client": {"s3": {"aws_region": "x"},
+            "web": {"user_agent": "t", "timeout": 2}},
+ "providers": [{"path": "p", "src": "file://localhost/tmp"}],
+ "tpu": {"workers": %s}}
+"""
+    assert Config.from_str(base % "4").tpu.workers == 4
+    assert Config.from_str(base % "0").tpu.workers == 0
+    with pytest.raises(ConfigError):
+        Config.from_str(base % "-1")
+    with pytest.raises(ConfigError):
+        Config.from_str(base % "1000")
