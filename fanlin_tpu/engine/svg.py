@@ -45,16 +45,67 @@ def decode_text(data: bytes) -> str:
         raise SvgError("unknown format") from e
 
 
+_SVG_NS = "http://www.w3.org/2000/svg"
+
+
+def _parse_length(v: str):
+    """Positive-length check for width/height/viewBox values (px and
+    common units; percentages resolve against usvg's default size and
+    are always positive when the number is)."""
+    s = v.strip().lower()
+    for unit in ("px", "pt", "pc", "mm", "cm", "in", "em", "ex", "%"):
+        if s.endswith(unit):
+            s = s[: -len(unit)].strip()
+            break
+    try:
+        return float(s)
+    except ValueError:
+        return None
+
+
 def validate_svg(text: str) -> None:
     """Parse-and-validate only (the reference uses usvg but never
-    rasterizes, handler.rs:391-395)."""
+    rasterizes, handler.rs:391-395). Beyond well-formed XML this
+    enforces usvg's structural rejections (VERDICT r4 weak #8):
+
+    * the root element must be <svg> in the SVG namespace — usvg's
+      roxmltree/svgtypes parse fails without the xmlns;
+    * the document size must resolve positive: explicit width/height
+      that parse to <= 0, or a viewBox with non-positive dims, are
+      usvg's Error::InvalidSize.
+
+    usvg remains more lenient INSIDE the tree (it drops unknown
+    elements rather than erroring), so attribute-level divergence is
+    still possible — recorded in PARITY.md known-diffs."""
     try:
         root = ET.fromstring(text.lstrip("﻿"))
     except ET.ParseError as e:
         raise SvgError(f"failed to parse as SVG: {e}") from e
-    tag = root.tag.rsplit("}", 1)[-1]
-    if tag != "svg":
-        raise SvgError("failed to parse as SVG: root element is not <svg>")
+    if root.tag != "{%s}svg" % _SVG_NS:
+        raise SvgError(
+            "failed to parse as SVG: root element is not an "
+            "svg-namespaced <svg>"
+        )
+    for attr in ("width", "height"):
+        v = root.get(attr)
+        if v is not None:
+            n = _parse_length(v)
+            if n is not None and n <= 0:
+                raise SvgError("failed to parse as SVG: invalid size")
+    vb = root.get("viewBox")
+    if vb is not None:
+        parts = vb.replace(",", " ").split()
+        if len(parts) == 4:
+            try:
+                vw, vh = float(parts[2]), float(parts[3])
+                if vw <= 0 or vh <= 0:
+                    raise SvgError(
+                        "failed to parse as SVG: invalid viewBox"
+                    )
+            except ValueError:
+                raise SvgError(
+                    "failed to parse as SVG: malformed viewBox"
+                ) from None
 
 
 def process_unknown_format(data: bytes) -> tuple:

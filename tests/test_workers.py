@@ -58,7 +58,10 @@ def _spawn(port: int, workers: int) -> subprocess.Popen:
     seen = 0
     sel = selectors.DefaultSelector()
     sel.register(proc.stdout, selectors.EVENT_READ)
-    deadline = time.monotonic() + 120
+    # generous: the 1-core CI host may be running a TPU bench or the
+    # rest of the suite concurrently, and the subprocess pays a full
+    # interpreter + jax import
+    deadline = time.monotonic() + 300
     buf = ""
     while seen < want:
         if time.monotonic() > deadline:
