@@ -2063,6 +2063,12 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
                     jpeg_decode.plane_mode(m["cr"])))
             kmode = jpeg_decode.widest_mode(
                 kmode, jpeg_decode.plane_mode(m["k"]))
+        # dense CMYK scans (typically 4:4:4 q95 print assets) benefit
+        # from the nested-corner rung exactly like 3-component sources
+        ymode = _nc_upgrade(ymode, metas, ("y",), self.sh, self.sw)
+        cmode = _nc_upgrade(cmode, metas, ("cb", "cr"),
+                            self.sh // csv, self.sw // csh)
+        kmode = _nc_upgrade(kmode, metas, ("k",), self.sh, self.sw)
         self.pack_modes3 = (ymode, cmode, kmode)
         self.pack_modes = (ymode, cmode)  # parent-shape compat
         ycap = _group_cap(ymode, metas, ("y",))

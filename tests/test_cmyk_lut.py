@@ -230,6 +230,43 @@ def test_cmyk_embedded_broken_profile_falls_back_to_default():
     assert out == out2
 
 
+def test_cmyk_dense_scan_takes_nc_rung():
+    """Dense CMYK 4:4:4 q95 assets (print scans) price onto the
+    nested-corner rung like 3-component sources — measured 769 ->
+    465 KB/img on the synthetic photo — byte-identical to the legacy
+    wide rung."""
+    import io
+
+    from fanlin_tpu.engine import native_codecs
+    from fanlin_tpu.ops import cmyk_lut, fused
+    from fanlin_tpu.spec.query import parse_query
+    from tests.conftest import make_test_image
+
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    fused.set_cmyk_lut(cmyk_lut.sample_lut(conv.convert, 17))
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(256, 256)).convert("CMYK").save(
+        buf, format="JPEG", quality=95
+    )
+    meta = native_codecs.read_jpeg_coeffs4(buf.getvalue())
+    plan = fused.plan_image(256, 256, parse_query("w=128&h=96"),
+                            opaque=True)
+    asm = fused.CmykCoefBatchAssembly([plan], [meta])
+    assert asm.pack_modes3[0].startswith("nc"), asm.pack_modes3
+    got = asm.run()[0]
+    real = fused._nc_upgrade
+    fused._nc_upgrade = lambda mode, *a: mode
+    try:
+        meta2 = native_codecs.read_jpeg_coeffs4(buf.getvalue())
+        leg = fused.CmykCoefBatchAssembly([plan], [meta2])
+        assert not leg.pack_modes3[0].startswith("nc")
+        assert leg.upload_ac_bytes > asm.upload_ac_bytes
+        ref = leg.run()[0]
+    finally:
+        fused._nc_upgrade = real
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_cmyk_embedded_kind_carries_profile_hash():
     """Different profiles must never share a device batch: the kind
     string carries the profile hash."""
