@@ -183,13 +183,20 @@ async def stats_handler(request: web.Request) -> web.Response:
 
     state: State = request.app[STATE_KEY]
     batcher = getattr(state.engine.runner, "batcher", None)
+    batcher_stats = dict(batcher.stats) if batcher is not None else None
+    if batcher_stats is None:
+        # multi-worker gateway: the batcher lives in the device
+        # service — fetch its counters over the unix socket
+        fetch = getattr(state.engine.runner, "batcher_stats", None)
+        if fetch is not None:
+            batcher_stats = await asyncio.to_thread(fetch)
     body = {
         "programs_cached": fused.get_program.cache_info().currsize
         + fused.get_coef_program.cache_info().currsize
         + fused.get_folded_program.cache_info().currsize,
         "programs_warm": len(fused._WARM_KEYS),
         "engine": dict(getattr(state.engine, "stats", {})),
-        "batcher": dict(batcher.stats) if batcher is not None else None,
+        "batcher": batcher_stats,
         "caches": {
             "responses": (
                 state.response_cache.stats()

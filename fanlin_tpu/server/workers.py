@@ -100,6 +100,19 @@ class RemoteRunner:
         self._tls.host_mirror = False
         return v
 
+    def batcher_stats(self):
+        """The device service's batcher counters (for /stats); None
+        when the service is unreachable."""
+        try:
+            with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+                s.settimeout(2.0)
+                s.connect(self.path)
+                _send(s, ("stats",))
+                status, payload, _ = _recv(s)
+            return payload if status == "ok" else None
+        except OSError:
+            return None
+
 
 class _ServiceHandler(socketserver.BaseRequestHandler):
     def handle(self):
@@ -110,6 +123,9 @@ class _ServiceHandler(socketserver.BaseRequestHandler):
             return
         if msg[0] == "hello":
             _send(self.request, ("cfg", service.worker_cfg))
+            return
+        if msg[0] == "stats":
+            _send(self.request, ("ok", dict(service.batcher.stats), False))
             return
         _, keys, images, kinds, deadline = msg
         from ..engine.batcher import REQUEST_DEADLINE

@@ -139,11 +139,14 @@ def test_workers_ping_and_stats():
     try:
         s, body, _ = _get(port, "/ping")
         assert (s, body) == (200, b"pong")
-        # /stats in a worker reports no local batcher (it lives in the
-        # device service) but still answers
+        # /stats in a worker fetches the DEVICE SERVICE's batcher
+        # counters over the unix socket
+        _get(port, "/baz/lenna_src.jpg?w=200&h=150")
         s, body, _ = _get(port, "/stats")
         assert s == 200
-        assert json.loads(body)["batcher"] is None
+        b = json.loads(body)["batcher"]
+        assert b is not None and b["images"] >= 1
+        assert "compile_failures" in b
     finally:
         proc.send_signal(signal.SIGTERM)
         assert proc.wait(timeout=60) == 0
