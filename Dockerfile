@@ -1,16 +1,28 @@
-# fanlin-tpu container (parity with the reference's two-stage distroless
-# build, reference Dockerfile:1-36; here the runtime needs the Python
-# stack + libtpu, so the base stays slim-python instead of distroless).
+# fanlin-tpu container (parity with the reference's two-stage build,
+# reference Dockerfile:1-36; here the runtime needs the Python stack +
+# libtpu, so the base stays slim-python instead of distroless).
+
+FROM python:3.12-slim AS build
+RUN apt-get update && apt-get install -y --no-install-recommends \
+    g++ make libjpeg62-turbo-dev libwebp-dev libdeflate-dev \
+    && rm -rf /var/lib/apt/lists/*
+COPY native /build/native
+RUN make -C /build/native
+
 FROM python:3.12-slim AS runtime
 
 WORKDIR /app
 
-# Native codec libraries (libjpeg-turbo / libwebp / liblcms2 / libavif
-# come in via Pillow's wheels; lcms2 tooling for ICC parity)
+# shared codec libraries the native core links (the same C libraries
+# the reference's runtime image carries, reference Dockerfile:30-33)
+RUN apt-get update && apt-get install -y --no-install-recommends \
+    libjpeg62-turbo libwebp7 libdeflate0 \
+    && rm -rf /var/lib/apt/lists/*
 RUN pip install --no-cache-dir \
     "jax[tpu]" aiohttp pillow numpy
 
 COPY fanlin_tpu /app/fanlin_tpu
+COPY --from=build /build/native/libfanlincodec.so /app/native/libfanlincodec.so
 COPY fanlin-tpu.json /var/lib/fanlin/fanlin.json
 
 ENV PYTHONUNBUFFERED=1
