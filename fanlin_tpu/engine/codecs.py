@@ -182,6 +182,13 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
             if arr.shape[2] == 1:
                 arr = np.repeat(arr, 3, axis=2)
             return arr, False, is_gray
+    if data[:4] == b"\x76\x2f\x31\x01":
+        from . import exr_codec
+
+        try:
+            return exr_codec.decode_exr(data), False, False
+        except exr_codec.ExrError as e:
+            raise CodecError(str(e)) from e
     if (data[:4] == b"qoif" or data[:8] == b"farbfeld"
             or data[:10] == b"#?RADIANCE" or data[:6] == b"#?RGBE"):
         # formats PIL can't read; image-crate parity via extra_codecs
@@ -328,9 +335,13 @@ def encode(img: np.ndarray, fmt: str, quality: int, mode: str) -> bytes:
         from . import extra_codecs
 
         return extra_codecs.encode_hdr(img)
+    elif fmt == OPENEXR:
+        from . import exr_codec
+
+        return exr_codec.encode_exr(img)
     else:
-        # DDS/OpenEXR: not writable from u8 — the reference's write_to
-        # errors the same way (-> 500)
+        # DDS: the image crate has no DDS encoder either, so the
+        # reference's write_to(Dds) errors exactly the same way (-> 500)
         raise CodecError(f"no encoder for format {fmt}")
     return buf.getvalue()
 

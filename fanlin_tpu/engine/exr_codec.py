@@ -1,0 +1,243 @@
+"""Minimal OpenEXR scanline codec (pure numpy).
+
+Closes the last `image`-crate format row (reference handler.rs:306
+processes EXR sources end to end — the crate decodes to Rgb32F, the
+transform chain stays f32, and write_to(OpenExr) re-encodes; DDS by
+contrast has no encoder in the crate, so DDS transforms 500 on BOTH
+sides). Scope:
+
+* decode: single-part scanline images, compression NONE / ZIPS / ZIP
+  (the zlib family — OpenEXR's byte reorder + delta predictor is
+  implemented here), HALF or FLOAT channels, increasing or decreasing
+  line order, R/G/B(/A) or luminance-style single channel. Tiled,
+  deep, multi-part, PIZ/PXR24/B44/DWA files raise (rare for origin
+  assets; the error surfaces as the reference's decode error would).
+* encode: uncompressed (NONE) HALF scanlines — valid everywhere, like
+  the HDR writer's flat RGBE.
+
+Float -> u8 matches the image crate's Rgb32F -> Rgb8 conversion:
+round(clamp(v, 0, 1) * 255); u8 -> float is v / 255. No transfer
+curve is applied (the crate applies none either).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Optional
+
+import numpy as np
+
+MAGIC = b"\x76\x2f\x31\x01"
+
+# compression enum (ImfCompression.h)
+_NONE, _RLE, _ZIPS, _ZIP = 0, 1, 2, 3
+_ZIP_BLOCK = {_NONE: 1, _ZIPS: 1, _ZIP: 16}
+
+_HALF, _FLOAT, _UINT = 1, 2, 0
+
+
+class ExrError(ValueError):
+    pass
+
+
+# -- OpenEXR's zip predictor (ImfZip.cpp) -------------------------------------
+
+
+def _zip_unfilter(data: bytes) -> bytes:
+    """Inverse of OpenEXR's pre-zlib transform: integrate the delta
+    predictor, then de-interleave the two halves."""
+    t = np.frombuffer(data, np.uint8).astype(np.int32)
+    if t.size:
+        # t[i] += t[i-1] - 128 (cumulative)
+        t = (np.cumsum(t - 128) + 128) % 256
+    n = t.size
+    h1 = t[: (n + 1) // 2]
+    h2 = t[(n + 1) // 2 :]
+    out = np.zeros(n, np.uint8)
+    out[0::2] = h1.astype(np.uint8)
+    out[1::2] = h2.astype(np.uint8)
+    return out.tobytes()
+
+
+def _zip_filter(data: bytes) -> bytes:
+    """OpenEXR's pre-zlib transform (for the test-support compressor):
+    interleave split, then delta-encode."""
+    raw = np.frombuffer(data, np.uint8)
+    n = raw.size
+    tmp = np.concatenate([raw[0::2], raw[1::2]]).astype(np.int32)
+    if n:
+        d = np.empty(n, np.int32)
+        d[0] = tmp[0]
+        d[1:] = tmp[1:] - tmp[:-1] + 128
+        tmp = d % 256
+    return tmp.astype(np.uint8).tobytes()
+
+
+# -- header parsing ------------------------------------------------------------
+
+
+def _read_cstr(data: bytes, pos: int):
+    end = data.index(b"\0", pos)
+    return data[pos:end].decode("latin-1"), end + 1
+
+
+def _parse_chlist(raw: bytes):
+    """[(name, pixel_type, x_samp, y_samp)] in file order."""
+    chans = []
+    pos = 0
+    while pos < len(raw) and raw[pos] != 0:
+        name, pos = _read_cstr(raw, pos)
+        ptype, _plin = struct.unpack_from("<iB", raw, pos)
+        xs, ys = struct.unpack_from("<ii", raw, pos + 8)
+        pos += 16
+        chans.append((name, ptype, xs, ys))
+    return chans
+
+
+def decode_exr(data: bytes) -> np.ndarray:
+    """OpenEXR bytes -> (H, W, 3) uint8 RGB."""
+    if data[:4] != MAGIC:
+        raise ExrError("not an exr file")
+    version, = struct.unpack_from("<i", data, 4)
+    if version & 0x200:
+        raise ExrError("tiled exr not supported")
+    if version & 0x1000 or version & 0x800:
+        raise ExrError("deep/multi-part exr not supported")
+    pos = 8
+    attrs = {}
+    while True:
+        if data[pos] == 0:
+            pos += 1
+            break
+        name, pos = _read_cstr(data, pos)
+        _type, pos = _read_cstr(data, pos)
+        size, = struct.unpack_from("<i", data, pos)
+        pos += 4
+        attrs[name] = data[pos : pos + size]
+        pos += size
+    try:
+        x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"])
+        comp = attrs["compression"][0]
+        line_order = attrs["lineOrder"][0]
+        chans = _parse_chlist(attrs["channels"])
+    except (KeyError, struct.error) as e:
+        raise ExrError(f"bad exr header: {e}") from e
+    w, h = x1 - x0 + 1, y1 - y0 + 1
+    if w <= 0 or h <= 0 or w * h > 100_000_000:
+        raise ExrError("bad exr dimensions")
+    if comp not in _ZIP_BLOCK:
+        raise ExrError(f"unsupported exr compression {comp}")
+    if line_order != 0:
+        # decreasing/random order is renderer-exotic; serving silently
+        # wrong pixels would be worse than the error
+        raise ExrError("unsupported exr line order")
+    for name, ptype, xs, ys in chans:
+        if ptype not in (_HALF, _FLOAT):
+            raise ExrError(f"unsupported exr pixel type {ptype}")
+        if xs != 1 or ys != 1:
+            raise ExrError("subsampled exr channels not supported")
+    block = _ZIP_BLOCK[comp]
+    n_blocks = (h + block - 1) // block
+    # line offset table
+    offsets = struct.unpack_from(f"<{n_blocks}Q", data, pos)
+    dtypes = {_HALF: np.dtype("<f2"), _FLOAT: np.dtype("<f4")}
+    line_bytes = sum(dtypes[c[1]].itemsize * w for c in chans)
+    planes = {c[0]: np.zeros((h, w), np.float32) for c in chans}
+    for off in offsets:
+        y, size = struct.unpack_from("<ii", data, off)
+        payload = data[off + 8 : off + 8 + size]
+        rows = min(block, y1 - y + 1)
+        raw_len = line_bytes * rows
+        if comp != _NONE and size < raw_len:
+            payload = _zip_unfilter(zlib.decompress(payload))
+        # (OpenEXR stores raw when compression didn't shrink the block)
+        if len(payload) != raw_len:
+            raise ExrError("corrupt exr scanline block")
+        bpos = 0
+        for r in range(rows):
+            yy = y - y0 + r
+            for name, ptype, _xs, _ys in chans:
+                dt = dtypes[ptype]
+                nb = dt.itemsize * w
+                planes[name][yy] = np.frombuffer(
+                    payload, dt, w, bpos
+                ).astype(np.float32)
+                bpos += nb
+    names = {n.upper(): n for n in planes}
+    if all(k in names for k in ("R", "G", "B")):
+        rgb = np.stack([planes[names["R"]], planes[names["G"]],
+                        planes[names["B"]]], axis=-1)
+    elif "Y" in names:
+        rgb = np.repeat(planes[names["Y"]][:, :, None], 3, axis=2)
+    else:
+        first = next(iter(planes.values()))
+        rgb = np.repeat(first[:, :, None], 3, axis=2)
+    rgb = np.nan_to_num(rgb, nan=0.0, posinf=1.0, neginf=0.0)
+    return np.round(np.clip(rgb, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+# -- encode --------------------------------------------------------------------
+
+
+def _attr(name: bytes, typ: bytes, val: bytes) -> bytes:
+    return name + b"\0" + typ + b"\0" + struct.pack("<i", len(val)) + val
+
+
+def encode_exr(img: np.ndarray, compression: int = _NONE) -> bytes:
+    """(H, W, 3|4) uint8 -> single-part scanline EXR, HALF channels
+    B/G/R (alphabetical, as the chlist must be sorted). compression:
+    _NONE (default output) or _ZIPS/_ZIP (test-support for the decode
+    paths)."""
+    h, w = img.shape[:2]
+    rgb = img[:, :, :3].astype(np.float32) / 255.0
+    half = rgb.astype("<f2")
+    chlist = b""
+    for name in (b"B", b"G", b"R"):
+        chlist += (name + b"\0" + struct.pack("<iB3x", _HALF, 0)
+                   + struct.pack("<ii", 1, 1))
+    chlist += b"\0"
+    dw = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header = (
+        _attr(b"channels", b"chlist", chlist)
+        + _attr(b"compression", b"compression", bytes([compression]))
+        + _attr(b"dataWindow", b"box2i", dw)
+        + _attr(b"displayWindow", b"box2i", dw)
+        + _attr(b"lineOrder", b"lineOrder", b"\0")
+        + _attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+        + _attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0))
+        + _attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+        + b"\0"
+    )
+    block = _ZIP_BLOCK[compression]
+    n_blocks = (h + block - 1) // block
+    head_len = 8 + len(header) + 8 * n_blocks
+    blocks = []
+    offsets = []
+    off = head_len
+    for b0 in range(0, h, block):
+        rows = min(block, h - b0)
+        lines = []
+        for r in range(b0, b0 + rows):
+            # channels in chlist order: B, G, R
+            lines += [half[r, :, 2].tobytes(), half[r, :, 1].tobytes(),
+                      half[r, :, 0].tobytes()]
+        raw = b"".join(lines)
+        payload = raw
+        if compression != _NONE:
+            z = zlib.compress(_zip_filter(raw))
+            if len(z) < len(raw):
+                payload = z
+        chunk = struct.pack("<ii", b0, len(payload)) + payload
+        offsets.append(off)
+        off += len(chunk)
+        blocks.append(chunk)
+    return (MAGIC + struct.pack("<i", 2) + header
+            + struct.pack(f"<{n_blocks}Q", *offsets) + b"".join(blocks))
+
+
+def sniff(data: bytes) -> bool:
+    return data[:4] == MAGIC
+
+
+__all__ = ["decode_exr", "encode_exr", "ExrError", "sniff"]

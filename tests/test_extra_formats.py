@@ -192,6 +192,73 @@ def test_hdr_as_is_passthrough():
     assert out == data
 
 
+# -- OpenEXR (round 5: the last image-crate format row) ----------------------
+
+
+def test_exr_roundtrip_all_compressions():
+    from fanlin_tpu.engine import exr_codec
+
+    img = make_test_image(64, 48)
+    sizes = {}
+    for comp in (0, 2, 3):  # NONE / ZIPS / ZIP
+        data = exr_codec.encode_exr(img, compression=comp)
+        back = exr_codec.decode_exr(data)
+        # half-precision mantissa holds u8/255 exactly
+        np.testing.assert_array_equal(back, img)
+        sizes[comp] = len(data)
+    assert sizes[3] < sizes[0]  # zip actually compressed
+
+
+def test_exr_transform_returns_200():
+    """The reference processes EXR end to end (f32 DynamicImage +
+    write_to(OpenExr), handler.rs:306); transform requests must 200."""
+    from fanlin_tpu.engine import exr_codec
+
+    data = exr_codec.encode_exr(make_test_image(64, 48))
+    engine = Engine()
+    mime, out = engine.process_image(data, parse_query("w=32&h=24"),
+                                     Format())
+    assert mime == "image/x-exr"
+    assert exr_codec.decode_exr(out).shape == (24, 32, 3)
+    # as_is passthrough keeps the exact bytes
+    mime2, out2 = engine.process_image(data, parse_query(""), Format())
+    assert (mime2, out2) == ("image/x-exr", data)
+
+
+def test_exr_decodes_real_openexr_fixture():
+    """Conformance against a file written by REAL OpenEXR tooling
+    (CPython's test fixture), when present on the machine."""
+    import os
+
+    from fanlin_tpu.engine import exr_codec
+
+    candidates = [
+        p for base in (
+            "/mnt/sandboxing/model_tools_env/v1/python/install/lib",
+        )
+        for p in [os.path.join(base, "python3.11/test/imghdrdata/python.exr")]
+    ]
+    path = next((p for p in candidates if os.path.exists(p)), None)
+    if path is None:
+        pytest.skip("no real OpenEXR fixture on this machine")
+    with open(path, "rb") as f:
+        arr = exr_codec.decode_exr(f.read())
+    assert arr.shape == (16, 16, 3)
+    assert arr.std() > 0  # real content, not zeros
+
+
+def test_exr_rejects_unsupported_structures():
+    from fanlin_tpu.engine import exr_codec
+
+    data = exr_codec.encode_exr(make_test_image(16, 16))
+    with pytest.raises(exr_codec.ExrError):
+        exr_codec.decode_exr(b"\x76\x2f\x31\x01" + b"\x02\x02\x00\x00")
+    tiled = bytearray(data)
+    tiled[4:8] = (2 | 0x200).to_bytes(4, "little")
+    with pytest.raises(exr_codec.ExrError):
+        exr_codec.decode_exr(bytes(tiled))
+
+
 def test_dds_processing_errors_500():
     # DDS decode may succeed (PIL) but re-encode is unsupported, like
     # the reference's write_to(Dds) error -> 500. A garbage DDS body
