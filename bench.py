@@ -409,7 +409,10 @@ def main() -> None:
         try:
             a = make_assembly([warm] * batch)  # compile the lossless modes
             encode_task(a.run()[0])
-            ll_passes = int(os.environ.get("BENCH_LOSSLESS_PASSES", "1"))
+            # 3 windows by default: relay rate swings 15-45x between
+            # windows, so a single-window lossless record was noise
+            # (round-5 capture: one 3.9 s-calib window)
+            ll_passes = int(os.environ.get("BENCH_LOSSLESS_PASSES", "3"))
             ll_rates, ll_windows, ll_out, ll_cb, ll_ca = measure(
                 ll_passes, 0.0
             )

@@ -429,6 +429,58 @@ def test_nc_host_mirror_serves_cold_bucket():
     assert int(np.abs(dev.astype(int) - host.astype(int)).max()) <= 1
 
 
+def test_nc_fuzz_content_classes():
+    """Property fuzz: across synthetic coefficient-content classes
+    (dense photo-like, sparse-loud, corner-heavy, nearly-flat), the
+    chosen wire mode — whatever rung it lands on — reconstructs the
+    EXACT planar grid through both the host mirror and the device
+    unpack, and escape counts stay within the chosen cap."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    ph, pw = 96, 128
+    for trial in range(12):
+        kind = trial % 4
+        g = np.zeros((ph // 8, pw // 8, 64), np.int16)
+        if kind == 0:    # dense photo-like: decaying magnitudes
+            mag = (200 / (1 + np.arange(64))).astype(np.int16)
+            g[:] = (rng.integers(-1, 2, g.shape) * mag[None, None, :])
+        elif kind == 1:  # sparse loud spikes
+            n = int(rng.integers(5, 40))
+            ii = rng.integers(0, g.shape[0], n)
+            jj = rng.integers(0, g.shape[1], n)
+            pp = rng.integers(1, 64, n)
+            g[ii, jj, pp] = rng.integers(-600, 600, n).astype(np.int16)
+        elif kind == 2:  # corner-heavy
+            g[:, :, jpeg_decode.low_idx(3)] = rng.integers(
+                -120, 120, g.shape[:2] + (9,)).astype(np.int16)
+        else:            # tiny dense highs
+            g[:, :, 1:] = rng.integers(-2, 2, (g.shape[0],
+                                               g.shape[1], 63))
+        g[:, :, 0] = rng.integers(-500, 500)
+        counts = jpeg_decode.nc_grid_counts(g)
+        best = jpeg_decode.nc_best_from_counts(counts, ph * pw // 64)
+        assert best is not None
+        triple, _cost, esc = best
+        assert esc == jpeg_decode.nc_escape_count(g, triple)
+        mode = jpeg_decode.nc_mode(triple)
+        cap = jpeg_decode.nc_cap(esc)
+        dc, arrays = jpeg_decode.pack_plane(g, ph, pw, mode, cap)
+        # exact planar reconstruction, host + device
+        ref = np.zeros((ph, pw), np.int16)
+        gz = g.copy()
+        gz[:, :, 0] = 0
+        gh, gw = g.shape[:2]
+        ref[: gh * 8, : gw * 8] = gz.reshape(
+            gh, gw, 8, 8).transpose(0, 2, 1, 3).reshape(gh * 8, gw * 8)
+        host = jpeg_decode.planar_from_arrays_np(
+            mode, [a[None] for a in arrays])[0]
+        np.testing.assert_array_equal(host, ref, err_msg=f"{trial}:{mode}")
+        dev = np.asarray(jpeg_decode.nc_unpack_planar(
+            mode, tuple(jnp.asarray(a[None]) for a in arrays)))[0]
+        np.testing.assert_array_equal(dev, ref.astype(np.int32))
+
+
 def test_upload_viable_rejects_pathological_density():
     """Planes with more int8 overflows than the largest sparse cap
     (>~2% of coefficients) are not viable — they take the pixel path."""
