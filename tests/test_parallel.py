@@ -67,6 +67,22 @@ def test_sharded_matches_single_device():
         np.testing.assert_array_equal(s, m)
 
 
+def test_sharded_png_sink_matches_single_device():
+    """The device PNG filter tail (argmin + row selection over the
+    sp-sharded width) must produce bit-identical filter rows sharded
+    vs single-device (round 5)."""
+    imgs = [make_test_image(160, 96, seed=i) for i in range(4)]
+    plans = [fused.plan_image(160, 96, parse_query("w=100&h=50"),
+                              opaque=True)] * 4
+    single = fused.make_assembly(plans, imgs, ["png:3"]).run()
+    mesh = make_mesh(4, 2)
+    multi = fused.make_assembly(plans, imgs, ["png:3"], mesh=mesh).run()
+    for s, m in zip(single, multi):
+        assert s[0] == m[0] == "pngrows"
+        np.testing.assert_array_equal(s[1], m[1])
+        assert s[2:] == m[2:]
+
+
 def test_sharded_blur_matches_single_device():
     """The blur stage contracts the sp-sharded width axis — XLA must
     insert the collective; outputs stay bit-identical."""
