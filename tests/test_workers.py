@@ -91,8 +91,10 @@ def test_workers_serve_identical_bytes_and_drain():
     multi = _spawn(port_m, workers=2)
     try:
         # warm the bucket (first responses may ride the cold mirror
-        # and are tagged no-store); poll until device-served
-        deadline = time.monotonic() + 120
+        # and are tagged no-store); poll until device-served. The
+        # deadline is generous: under the full suite the 1-core host
+        # can stretch the background XLA compile well past a minute.
+        deadline = time.monotonic() + 300
         while True:
             status, body, hdrs = _get(port_m,
                                       "/baz/lenna_src.jpg?w=300&h=200")
@@ -113,11 +115,13 @@ def test_workers_serve_identical_bytes_and_drain():
         port_s = _free_port()
         single = _spawn(port_s, workers=0)
         try:
+            deadline = time.monotonic() + 300
             while True:
                 s, sb, h = _get(port_s, "/baz/lenna_src.jpg?w=300&h=200")
                 assert s == 200
                 if "X-Cache-Warmth" not in h:
                     break
+                assert time.monotonic() < deadline, "single never warmed"
                 time.sleep(0.3)
             assert sb == body, "multi-worker != single-process bytes"
         finally:
