@@ -24,6 +24,14 @@ Protocol: length-prefixed pickles over a private unix socket
 re-interned via fused.plan_image in the service, so plan identity —
 which uniform-batch detection and device matrix caches key on — is
 shared across workers and the weight matrices never cross the socket.
+
+Resilience: a crashed worker is logged and NOT respawned — the kernel
+redistributes its SO_REUSEPORT share across the survivors, so
+capacity degrades gracefully (the reference has no process
+supervision either; respawning would mean forking from a parent with
+live XLA threads, which is the one thing this design avoids). If the
+PARENT dies, workers keep serving host-only responses (as_is, SVG,
+fallback messages) and device requests 500 with the fallback image.
 """
 
 from __future__ import annotations
