@@ -30,26 +30,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     return parser.parse_args(argv)
 
 
-def _enable_compilation_cache() -> None:
-    """Persist compiled XLA executables across restarts (the TPU
-    analogue of the reference prebuilding its lcms2 transform once,
-    handler.rs:483)."""
-    import os
-
-    import jax
-
-    try:
-        cache_dir = os.environ.get(
-            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/fanlin-jax")
-        )
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
-
-
 async def serve(cfg: config_mod.Config) -> None:
-    _enable_compilation_cache()
+    from .server.app import enable_compilation_cache
+
+    enable_compilation_cache()
     state = await build_state(cfg)
     if cfg.tpu.warmup:
         import threading

@@ -417,8 +417,14 @@ class MicroBatcher:
             return
         finally:
             self._inflight.release()
+        # the jpegdct overflow ladder may have served the batch from
+        # the host mirror inside collect() (cold wider rung) — those
+        # responses must be tagged cold exactly like _run_host's
+        mirror = getattr(asm, "mirror_served", False)
         for f, r in zip(futures, results):
             if not f.cancelled():
+                if mirror:
+                    f.fanlin_host_mirror = True
                 f.set_result(r)
 
     def _run_host(self, asm, futures) -> None:

@@ -96,7 +96,20 @@ def _parse_chlist(raw: bytes):
 
 
 def decode_exr(data: bytes) -> np.ndarray:
-    """OpenEXR bytes -> (H, W, 3) uint8 RGB."""
+    """OpenEXR bytes -> (H, W, 3) uint8 RGB. Malformed input raises
+    ExrError (never raw struct/zlib/index errors — the engine maps
+    ExrError to its decode-failure path, matching the reference's
+    image-crate decode errors)."""
+    try:
+        return _decode_exr(data)
+    except ExrError:
+        raise
+    except (struct.error, zlib.error, ValueError, IndexError,
+            OverflowError, MemoryError) as e:
+        raise ExrError(f"corrupt exr: {e}") from e
+
+
+def _decode_exr(data: bytes) -> np.ndarray:
     if data[:4] != MAGIC:
         raise ExrError("not an exr file")
     version, = struct.unpack_from("<i", data, 4)
@@ -146,6 +159,8 @@ def decode_exr(data: bytes) -> np.ndarray:
     planes = {c[0]: np.zeros((h, w), np.float32) for c in chans}
     for off in offsets:
         y, size = struct.unpack_from("<ii", data, off)
+        if not (y0 <= y <= y1) or size < 0:
+            raise ExrError("exr chunk y outside the data window")
         payload = data[off + 8 : off + 8 + size]
         rows = min(block, y1 - y + 1)
         raw_len = line_bytes * rows

@@ -213,7 +213,10 @@ def decode_hdr(data: bytes) -> np.ndarray:
         # other orientations are legal but unseen in practice; the
         # image crate's hdr decoder is -Y +X only as well
         raise ExtraCodecError(f"unsupported radiance orientation {res!r}")
-    h, w = int(res[1]), int(res[3])
+    try:
+        h, w = int(res[1]), int(res[3])
+    except ValueError as e:
+        raise ExtraCodecError(f"bad radiance resolution {res!r}") from e
     if h <= 0 or w <= 0 or h * w > 100_000_000:
         raise ExtraCodecError("bad radiance dimensions")
     rgbe = np.zeros((h, w, 4), np.uint8)

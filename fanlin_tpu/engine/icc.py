@@ -92,7 +92,9 @@ def jpeg_embedded_profile_bytes(data: bytes) -> Optional[bytes]:
 from ..utils.bytelru import ByteLRU  # noqa: E402
 
 _PROFILE_LUTS = ByteLRU(max_bytes=32 * 1024 * 1024)
-_BROKEN_PROFILES: set = set()
+# broken profiles are negative-cached IN the same ByteLRU (a (None,)
+# sentinel with a nominal size) so a stream of distinct garbage
+# profiles cannot grow memory unboundedly
 
 import logging  # noqa: E402
 
@@ -112,12 +114,10 @@ def embedded_device_lut(profile_bytes: bytes, n: int = 17):
     key = hashlib.sha1(profile_bytes).hexdigest()[:16]
     hit = _PROFILE_LUTS.get((key, n))
     if hit is not None:
-        return hit[0], n, key
-    if (key, n) in _BROKEN_PROFILES:
-        return None
+        return (hit[0], n, key) if hit[0] is not None else None
     conv = CMYK2RGB.with_icc_profile(profile_bytes)
     if conv is None:
-        _BROKEN_PROFILES.add((key, n))
+        _PROFILE_LUTS.put((key, n), (None,), 256)  # bounded negative cache
         return None
     from ..ops import cmyk_lut
 

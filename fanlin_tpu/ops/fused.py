@@ -1368,6 +1368,12 @@ class BatchAssembly:
                             target=_compile, name="fanlin-warm-dct",
                             daemon=True,
                         ).start()
+                    # the overflow ladder served THIS batch from the
+                    # host mirror: flag it so the batcher tags the
+                    # responses cold (±1 LSB vs the device rung —
+                    # caches must not pin them, same rule as the
+                    # batcher-level mirror path)
+                    self.mirror_served = True
                     return hostexec.run_host(self)
                 from . import dct as dct_mod
 

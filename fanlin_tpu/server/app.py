@@ -345,6 +345,52 @@ def create_app(cfg: config_mod.Config, state: State) -> web.Application:
     return app
 
 
+def apply_tpu_flags(cfg: config_mod.Config) -> None:
+    """Config -> engine process globals (ONE definition: the
+    single-process path and the multi-worker device service must
+    never drift on these semantics)."""
+    from ..ops.fused import (set_dct_floor, set_fast_mode, set_fold,
+                             set_host_fallback, set_spectral)
+
+    if cfg.tpu.fast:
+        set_fast_mode(True)
+    if cfg.tpu.fast_decode:
+        set_fold(True)
+    # the overflow ladder's cold-rung fallback (inside the assembly,
+    # no config access) honors the same knob as the batcher's fallback
+    set_host_fallback(cfg.tpu.host_fallback)
+    if cfg.tpu.dct_pack_floor != 0:
+        set_dct_floor(cfg.tpu.dct_pack_floor)
+    if cfg.tpu.spectral_db > 0:
+        set_spectral(cfg.tpu.spectral_db)
+        if not cfg.tpu.fast_decode:
+            logging.getLogger("fanlin").warning(
+                "tpu.spectral_db set without tpu.fast_decode: spectral "
+                "thinning only applies to folded batches and will not "
+                "activate"
+            )
+
+
+def enable_compilation_cache() -> None:
+    """Persist compiled XLA executables across restarts (the TPU
+    analogue of the reference prebuilding its lcms2 transform once,
+    handler.rs:483). Shared by the single-process server and the
+    multi-worker device service."""
+    import os
+
+    import jax
+
+    try:
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/fanlin-jax"),
+        )
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
 async def build_state(cfg: config_mod.Config, runner=None,
                       device_decode=None) -> State:
     """Startup sequence, mirroring reference main() (main.rs:63-81):
@@ -362,33 +408,7 @@ async def build_state(cfg: config_mod.Config, runner=None,
     from ..infra import Client
 
     client = Client.new(cfg)
-    if cfg.tpu.fast:
-        from ..ops.fused import set_fast_mode
-
-        set_fast_mode(True)
-    if cfg.tpu.fast_decode:
-        from ..ops.fused import set_fold
-
-        set_fold(True)
-    # the overflow ladder's cold-rung fallback (inside the assembly,
-    # no config access) honors the same knob as the batcher's fallback
-    from ..ops.fused import set_host_fallback
-
-    set_host_fallback(cfg.tpu.host_fallback)
-    if cfg.tpu.dct_pack_floor != 0:
-        from ..ops.fused import set_dct_floor
-
-        set_dct_floor(cfg.tpu.dct_pack_floor)
-    if cfg.tpu.spectral_db > 0:
-        from ..ops.fused import set_spectral
-
-        set_spectral(cfg.tpu.spectral_db)
-        if not cfg.tpu.fast_decode:
-            logging.getLogger("fanlin").warning(
-                "tpu.spectral_db set without tpu.fast_decode: spectral "
-                "thinning only applies to folded batches and will not "
-                "activate"
-            )
+    apply_tpu_flags(cfg)
     if runner is None:
         mesh = None
         if cfg.tpu.data_parallel:

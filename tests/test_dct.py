@@ -477,3 +477,50 @@ def test_lo4_overflow_climbs_the_ladder():
     full = a2.collect(fn(*args))[0]
     for cg, cf in zip(got[1:4], full[1:4]):
         np.testing.assert_array_equal(cg, cf)
+
+
+def test_cold_rung_mirror_sets_mirror_served_flag():
+    """When the overflow ladder serves a batch from the host mirror
+    (wider rung cold, tpu.host_fallback on), the assembly must flag
+    it so the gateway cold-tags the responses (round-5 review: this
+    path bypassed the X-Cache-Warmth/no-store containment)."""
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    img = make_test_image(104, 88)  # unique geometry -> cold rungs
+    plan = fused.plan_image(104, 88, parse_query(""), opaque=True)
+    fused.set_dct_floor(-1)  # lo4 saturates on photo content
+    try:
+        a = fused.BatchAssembly([plan], [img], jpegdct=True, quality=75)
+        assert not fused.is_warm(a.program_key() + (("dct_pack", 0),))
+        got = a.run()[0]
+        assert getattr(a, "mirror_served", False), (
+            "mirror-served ladder batch not flagged"
+        )
+        assert got[0] == "coeffs"
+    finally:
+        fused.set_dct_floor(0)
+
+
+def test_collect_batch_propagates_mirror_flag():
+    """batcher._collect_batch must tag futures when the assembly's
+    collect() served from the mirror (the jpegdct ladder path)."""
+    from concurrent.futures import Future
+
+    from fanlin_tpu.engine.batcher import MicroBatcher
+
+    class FakeAsm:
+        mirror_served = True
+
+        def collect(self, out):
+            return ["a", "b"]
+
+    b = MicroBatcher(max_batch=2, window_ms=1.0)
+    try:
+        futs = [Future(), Future()]
+        b._inflight.acquire()
+        b._collect_batch(FakeAsm(), None, futs)
+        assert [f.result(timeout=1) for f in futs] == ["a", "b"]
+        assert all(getattr(f, "fanlin_host_mirror", False) for f in futs)
+    finally:
+        b.close()

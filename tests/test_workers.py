@@ -63,19 +63,24 @@ def _spawn(port: int, workers: int) -> subprocess.Popen:
     # interpreter + jax import
     deadline = time.monotonic() + 300
     buf = ""
-    while seen < want:
-        if time.monotonic() > deadline:
-            raise AssertionError(f"server never came up:\n{buf}")
-        if not sel.select(timeout=1.0):
-            continue
-        line = proc.stdout.readline()
-        if not line:
-            raise AssertionError(f"server died during startup:\n{buf}")
-        buf += line
-        # count occurrences, not lines: concurrent workers' banners
-        # can share a line
-        seen += line.count("listening on")
-    sel.close()
+    try:
+        while seen < want:
+            if time.monotonic() > deadline:
+                raise AssertionError(f"server never came up:\n{buf}")
+            if not sel.select(timeout=1.0):
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                raise AssertionError(f"server died during startup:\n{buf}")
+            buf += line
+            # count occurrences, not lines: concurrent workers'
+            # banners can share a line
+            seen += line.count("listening on")
+    except BaseException:
+        proc.kill()  # don't leak a half-started server into the suite
+        raise
+    finally:
+        sel.close()
     return proc
 
 
