@@ -60,8 +60,9 @@ def _spawn(port: int, workers: int) -> subprocess.Popen:
     sel.register(proc.stdout, selectors.EVENT_READ)
     # generous: the 1-core CI host may be running a TPU bench or the
     # rest of the suite concurrently, and the subprocess pays a full
-    # interpreter + jax import
-    deadline = time.monotonic() + 300
+    # interpreter + jax import (observed >300 s under 3-way core
+    # contention; passes in ~12 s on an idle machine)
+    deadline = time.monotonic() + 600
     buf = ""
     try:
         while seen < want:
