@@ -193,6 +193,13 @@ class TpuConfig:
     # reference (which recomputes every request); origins are treated
     # as immutable, CDN-style. 0 = off (the parity default).
     response_cache_mb: int = 0
+    # nested-corner (nc) lossless coefficient upload rung: trades
+    # ~8 ms/img of extra host pack CPU for ~250 KB/img of wire on
+    # dense q90+ 4:4:4 content. A clear win on narrow links (the
+    # default); turn off on local-PCIe hosts where the link is ~free
+    # and host cores are the scarce resource. Responses are
+    # byte-identical either way (both rungs are lossless).
+    nc_upload: bool = True
     # multi-worker gateway (VERDICT r4 missing #1): N forked gateway
     # processes share the listen port via SO_REUSEPORT (host codecs,
     # query parsing and HTTP scale across cores — the reference gets
@@ -263,6 +270,8 @@ class TpuConfig:
             cfg.response_cache_mb = _as_uint(
                 obj["response_cache_mb"], "response_cache_mb"
             )
+        if "nc_upload" in obj:
+            cfg.nc_upload = _as_bool(obj["nc_upload"], "nc_upload")
         if "workers" in obj:
             cfg.workers = _as_uint(obj["workers"], "workers")
             if cfg.workers > 128:

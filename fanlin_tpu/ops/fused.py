@@ -1506,6 +1506,18 @@ def _group_cap(mode: str, metas, keys) -> int:
         for m in metas))
 
 
+# nested-corner upload rung enable (tpu.nc_upload). The nc pack costs
+# ~13 ms/img of host CPU on the 1-core rig vs ~5 for the dense i8v
+# pack, buying ~250 KB/img of wire on dense q90+ content — a clear win
+# on narrow links (the relay: 12-25 ms/img of wire saved), roughly
+# neutral-to-negative on a local-PCIe host where the link is ~free.
+_NC_UPLOAD = {"enabled": True}
+
+
+def set_nc_upload(enabled: bool) -> None:
+    _NC_UPLOAD["enabled"] = bool(enabled)
+
+
 def _nc_upgrade(mode: str, metas, keys, ph: int, pw: int) -> str:
     """Swap an expensive legacy group mode for the nested-corner pack
     when the batch's content prices below it on the wire (VERDICT r4
@@ -1516,6 +1528,8 @@ def _nc_upgrade(mode: str, metas, keys, ph: int, pw: int) -> str:
     best) keeps one compiled program per batch; the pack stays
     lossless either way, so responses are byte-identical whichever
     rung carries them."""
+    if not _NC_UPLOAD["enabled"]:
+        return mode
     if mode not in ("i4h", "i8", "i8v"):
         return mode
     from . import jpeg_decode

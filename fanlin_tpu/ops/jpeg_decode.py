@@ -1313,8 +1313,9 @@ def nc_tier_rects(triple):
 def nc_grid_counts(grid: np.ndarray):
     """Per-natural-position escape-relevant counts for one
     (bh, bw, 64) plane: (out8, out4, out2, nnz), each (64,) int64,
-    with the DC slot zeroed (DC rides separately)."""
-    g = grid.astype(np.int32)
+    with the DC slot zeroed (DC rides separately). int16-native (no
+    grid copy) — this runs per plane per batch on the 1-core host."""
+    g = grid
     out8 = ((g < -128) | (g > 127)).sum(axis=(0, 1))
     out4 = ((g < -8) | (g > 7)).sum(axis=(0, 1))
     out2 = ((g < -2) | (g > 1)).sum(axis=(0, 1))
@@ -1340,6 +1341,31 @@ def _nc_tier_masks(triple):
     in4 = c(k4) & ~in8
     in2 = c(k2) & ~c(k4)
     return in8, in4, in2, ~c(k2)
+
+
+def _nc_selection_tables():
+    """Vectorized selection tables: stacked (165, 64) tier masks (f64
+    for matmul) + per-triple array bytes per block. One Python loop
+    per PROCESS instead of per plane (the 165-iteration loop measured
+    ~3 ms/plane on the 1-core host — pure interpreter overhead)."""
+    n = len(_NC_TRIPLES)
+    in8 = np.zeros((n, 64)); in4 = np.zeros((n, 64))
+    in2 = np.zeros((n, 64)); out = np.zeros((n, 64))
+    blk = np.zeros(n)
+    valid = np.zeros(n, bool)
+    for i, t in enumerate(_NC_TRIPLES):
+        k8, k4, k2 = t
+        if k2 == 0:
+            continue  # see nc_best_from_counts: no tier arrays
+        valid[i] = True
+        m8, m4, m2, mo = _nc_tier_masks(t)
+        in8[i], in4[i], in2[i], out[i] = m8, m4, m2, mo
+        blk[i] = (k8 * k8 + (k4 * k4 - k8 * k8) / 2
+                  + (k2 * k2 - k4 * k4) / 4)
+    return in8, in4, in2, out, blk, valid
+
+
+_NC_SEL = None  # built lazily (module import order)
 
 
 def nc_counts_cached(meta: dict, key: str):
@@ -1395,33 +1421,32 @@ def nc_best(grid: np.ndarray, ph: int, pw: int):
 
 def nc_best_from_counts(counts, nblk: int):
     """(triple, bytes, escapes) minimizing one plane's wire bytes over
-    the 165 monotone triples (escape caps NOT bucketed here — the
-    assembly re-prices at the joined triple's capacity bucket).
-    Triples whose escape count exceeds the capacity ladder are
-    skipped; returns None when none qualify (can't happen for planes
-    that already passed upload_viable — the (8,8,8) triple's escapes
-    are exactly the i8v overflow count)."""
+    the monotone triples (k2 >= 1: the unpack infers plane dims from
+    the first tier array, so every nc mode keeps at least the 1x1
+    2-bit corner — ~nblk/4 bytes of noise). Escapes are priced at
+    their CAPACITY BUCKET — that is what ships. Triples whose escape
+    count exceeds the ladder are skipped; returns None when none
+    qualify (can't happen for planes that already passed
+    upload_viable — the (8,8,8) triple's escapes are exactly the i8v
+    overflow count). Fully vectorized: the per-plane cost on the
+    1-core host is ~0.1 ms (the naive 165-iteration loop was ~3 ms —
+    on the submit path, that erased a third of the wire win)."""
+    global _NC_SEL
+    if _NC_SEL is None:
+        _NC_SEL = _nc_selection_tables()
+    in8, in4, in2, out, blk, valid = _NC_SEL
     out8, out4, out2, nnz = counts
-    best = None
-    for triple in _NC_TRIPLES:
-        if triple[2] == 0:
-            # (0,0,0) would be a pure-sparse plane with no tier arrays
-            # — the unpack infers the plane dims from the first tier
-            # array, so every nc mode keeps at least the 1x1 2-bit
-            # corner (~nblk/4 bytes, noise)
-            continue
-        in8, in4, in2, out = _nc_tier_masks(triple)
-        esc = int((out8 * in8).sum() + (out4 * in4).sum()
-                  + (out2 * in2).sum() + (nnz * out).sum())
-        if esc > _NC_ESC_CAPS[-1]:
-            continue
-        k8, k4, k2 = triple
-        # price escapes at their CAPACITY BUCKET — that is what ships
-        cost = nblk * (k8 * k8 + (k4 * k4 - k8 * k8) / 2
-                       + (k2 * k2 - k4 * k4) / 4) + nc_cap(esc) * _NC_ESC_BYTES
-        if best is None or cost < best[1]:
-            best = (triple, cost, esc)
-    return best
+    esc = (in8 @ out8 + in4 @ out4 + in2 @ out2 + out @ nnz)
+    caps_idx = np.searchsorted(_NC_ESC_CAPS, esc)
+    ok = valid & (caps_idx < len(_NC_ESC_CAPS))
+    if not ok.any():
+        return None
+    caps = np.asarray(_NC_ESC_CAPS)[np.minimum(caps_idx,
+                                               len(_NC_ESC_CAPS) - 1)]
+    cost = nblk * blk + caps * float(_NC_ESC_BYTES)
+    cost[~ok] = np.inf
+    i = int(np.argmin(cost))
+    return _NC_TRIPLES[i], float(cost[i]), int(esc[i])
 
 
 def pack_crumbs(planar: np.ndarray) -> np.ndarray:
@@ -1482,17 +1507,19 @@ def _nc_rect_extract(grid: np.ndarray, rect, ph: int, pw: int,
     return out
 
 
-def _nc_recon_grid(grid: np.ndarray, triple) -> np.ndarray:
-    """Tier-clipped reconstruction of a grid (what the device rebuilds
-    BEFORE the escape scatter), DC slot zero."""
-    g = grid.astype(np.int32)
-    in8, in4, in2, _out = _nc_tier_masks(tuple(triple))
-    recon = np.zeros_like(g)
+def _nc_resid_grid(grid: np.ndarray, triple) -> np.ndarray:
+    """Residual of the tier-clipped reconstruction (value - what the
+    device rebuilds BEFORE the escape scatter), DC slot zero. int16
+    throughout (|v| - clip fits int16 for any int16 input)."""
+    in8, in4, in2, out = _nc_tier_masks(tuple(triple))
+    resid = np.zeros_like(grid)
     for mask, (lo, hi) in ((in8, _NC_RANGE[8]), (in4, _NC_RANGE[4]),
                            (in2, _NC_RANGE[2])):
-        recon[:, :, mask] = np.clip(g[:, :, mask], lo, hi)
-    recon[:, :, 0] = 0
-    return recon
+        v = grid[:, :, mask]
+        resid[:, :, mask] = v - np.clip(v, lo, hi)
+    resid[:, :, out] = grid[:, :, out]  # zero tier: everything escapes
+    resid[:, :, 0] = 0
+    return resid
 
 
 def nc_pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str,
@@ -1516,8 +1543,7 @@ def nc_pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str,
             arrays.append(pack_crumbs(payload.astype(np.int8)))
     # escapes: residual of the tier-clipped reconstruction, scattered
     # at planar linear indices (same carrier as the i8v overflows)
-    resid = grid.astype(np.int32) - _nc_recon_grid(grid, triple)
-    resid[:, :, 0] = 0
+    resid = _nc_resid_grid(grid, triple)
     ii, jj, pp = np.nonzero(resid)
     n = ii.shape[0]
     assert n <= cap, f"nc escape count {n} exceeds cap {cap}"

@@ -350,10 +350,12 @@ def apply_tpu_flags(cfg: config_mod.Config) -> None:
     single-process path and the multi-worker device service must
     never drift on these semantics)."""
     from ..ops.fused import (set_dct_floor, set_fast_mode, set_fold,
-                             set_host_fallback, set_spectral)
+                             set_host_fallback, set_nc_upload,
+                             set_spectral)
 
     if cfg.tpu.fast:
         set_fast_mode(True)
+    set_nc_upload(cfg.tpu.nc_upload)
     if cfg.tpu.fast_decode:
         set_fold(True)
     # the overflow ladder's cold-rung fallback (inside the assembly,

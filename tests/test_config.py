@@ -94,3 +94,17 @@ def test_tpu_defaults():
     cfg = Config.from_str(VALID)
     assert cfg.tpu.max_batch == 8
     assert cfg.tpu.warmup is True
+    assert cfg.tpu.nc_upload is True
+    assert cfg.tpu.workers == 0
+
+
+def test_tpu_nc_upload_knob():
+    off = VALID.replace(
+        '"port": 3000', '"port": 3000, "tpu": {"nc_upload": false}'
+    )
+    assert Config.from_str(off).tpu.nc_upload is False
+    bad = VALID.replace(
+        '"port": 3000', '"port": 3000, "tpu": {"nc_upload": 1}'
+    )
+    with pytest.raises(ConfigError):
+        Config.from_str(bad)

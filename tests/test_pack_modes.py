@@ -404,6 +404,25 @@ def test_real_lenna_upgrades_to_nc_and_cuts_upload():
         np.testing.assert_array_equal(a, b)
 
 
+def test_nc_upload_knob_disables_upgrade():
+    """tpu.nc_upload=false keeps the dense legacy rung (for local-PCIe
+    hosts where the ~8 ms/img extra pack CPU outprices the wire win);
+    responses stay byte-identical because both rungs are lossless."""
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    fused.set_nc_upload(False)
+    try:
+        m = _lenna_meta()
+        asm = fused.CoefBatchAssembly([plan], [m])
+        assert not any(md.startswith("nc") for md in asm.pack_modes)
+        assert "i8v" in asm.pack_modes
+    finally:
+        fused.set_nc_upload(True)
+    m2 = _lenna_meta()
+    again = fused.CoefBatchAssembly([plan], [m2])
+    assert all(md.startswith("nc") for md in again.pack_modes)
+
+
 def test_nc_narrow_content_keeps_cheap_legacy_modes():
     """lo8/zero planes are NOT upgraded (they are already cheaper than
     any nc triple and keep the folded low-matrix optimization)."""
