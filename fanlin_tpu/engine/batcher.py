@@ -211,7 +211,17 @@ class MicroBatcher:
                       # cumulative host->device AC bytes of coefficient
                       # batches: the link-bound regime's limiting
                       # quantity (SCALING.md §2)
-                      "upload_ac_bytes": 0}
+                      "upload_ac_bytes": 0,
+                      # backpressure (ROADMAP serving item 8): current
+                      # queued entries across groups (gauge), and the
+                      # submit->dispatch wait of dispatched entries
+                      # (cumulative ms + observed peak; mean =
+                      # total/images). Rising wait with flat backlog
+                      # means the device thread is the constraint;
+                      # rising backlog means admission is.
+                      "backlog": 0,
+                      "queue_wait_ms_total": 0.0,
+                      "queue_wait_ms_peak": 0.0}
 
     # -- submission --------------------------------------------------------
 
@@ -239,8 +249,9 @@ class MicroBatcher:
                 self._groups[key] = entry
                 self._wake.notify()  # new deadline for the scheduler
             self._backlog[key] = self._backlog.get(key, 0) + 1
+            self.stats["backlog"] += 1
             entry[1].append((plan, image, fut, kind, req_deadline,
-                             cancel_ev))
+                             cancel_ev, time.monotonic()))
             if len(entry[1]) >= self.max_batch:
                 flush_now = self._groups.pop(key)[1]
         if flush_now is not None:
@@ -316,6 +327,8 @@ class MicroBatcher:
                     self._backlog[key0] = left
                 else:
                     self._backlog.pop(key0, None)
+                self.stats["backlog"] = max(
+                    self.stats["backlog"] - len(group), 0)
         futures = [g[2] for g in group]
         try:
             group = self._live_entries(group)
@@ -323,6 +336,12 @@ class MicroBatcher:
                 return
             self.stats["batches"] += 1
             self.stats["images"] += len(group)
+            now = time.monotonic()
+            for g in group:
+                wait_ms = (now - g[6]) * 1000.0
+                self.stats["queue_wait_ms_total"] += wait_ms
+                if wait_ms > self.stats["queue_wait_ms_peak"]:
+                    self.stats["queue_wait_ms_peak"] = wait_ms
             plans = [g[0] for g in group]
             images = [g[1] for g in group]
             futures = [g[2] for g in group]

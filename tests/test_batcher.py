@@ -255,3 +255,31 @@ def test_unset_cancel_event_rides_through():
         assert b.stats["shed_cancelled"] == 0
     finally:
         b.close()
+
+
+def test_backpressure_metrics_track_queue_depth_and_wait():
+    """ROADMAP serving item 8: /stats admission metrics. The backlog
+    gauge counts queued entries and returns to zero after dispatch;
+    dispatched entries record their submit->dispatch wait (total +
+    peak), which for a timer flush is at least the batch window."""
+    b = MicroBatcher(max_batch=8, window_ms=30.0)
+    try:
+        assert b.stats["backlog"] == 0
+        img = _rgba(make_test_image(32, 32))
+        q = parse_query("w=16&h=16")
+        plan = fused.plan_image(32, 32, q)
+        futs = [b.submit(plan, img) for _ in range(3)]
+        # all three queued in one group, none dispatched yet (the
+        # 30 ms window is the flush trigger)
+        assert b.stats["backlog"] == 3
+        for f in futs:
+            f.result(timeout=30)
+        assert b.stats["backlog"] == 0
+        assert b.stats["images"] == 3
+        # timer-flushed entries waited at least ~the window; the peak
+        # bounds the mean from above
+        mean = b.stats["queue_wait_ms_total"] / b.stats["images"]
+        assert mean >= 10.0
+        assert b.stats["queue_wait_ms_peak"] >= mean
+    finally:
+        b.close()

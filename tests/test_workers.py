@@ -12,6 +12,7 @@ import signal
 import socket
 import subprocess
 import sys
+import threading
 import time
 import urllib.request
 
@@ -178,3 +179,66 @@ def test_workers_config_knob():
         Config.from_str(base % "-1")
     with pytest.raises(ConfigError):
         Config.from_str(base % "1000")
+
+
+def test_warm_shapes_dedups_across_workers(monkeypatch):
+    """Device-service half of the worker warmup handoff (ROADMAP
+    serving item 7): every worker reports its fallback-derived shape
+    lattice; the service compiles each FRESH shape once and a report
+    with nothing new spawns no warm thread."""
+    import fanlin_tpu.engine.warmup as warmup_mod
+    from fanlin_tpu.server import workers as workers_mod
+
+    calls = []
+    monkeypatch.setattr(
+        warmup_mod, "warm",
+        lambda shapes, device_dct=False: calls.append(tuple(shapes)),
+    )
+    svc = workers_mod.DeviceService.__new__(workers_mod.DeviceService)
+    svc._warmup_on = True
+    svc._device_dct = False
+    svc._warmed = set()
+    svc._warm_lock = threading.Lock()
+    a, b, c = (64, 64, "w=32&h=32"), (128, 128, "w=32"), (256, 256, "h=9")
+    svc.warm_shapes((a, b))       # worker 1
+    svc.warm_shapes((a, c))       # worker 2: only c is fresh
+    svc.warm_shapes((a,))         # worker 3: nothing fresh
+    deadline = time.monotonic() + 10
+    while len(calls) < 2 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    time.sleep(0.1)  # a third spawn would land here
+    assert sorted(len(s) for s in calls) == [1, 2]
+    assert {shape for s in calls for shape in s} == {a, b, c}
+
+
+def test_service_warm_message_roundtrip(tmp_path):
+    """Protocol wiring: a ("warm", shapes) message on the unix socket
+    reaches DeviceService.warm_shapes and acks."""
+    from fanlin_tpu.server import workers as w
+
+    class Stub:
+        worker_cfg = {"device_decode": False}
+
+        def __init__(self):
+            self.seen = []
+
+        def warm_shapes(self, shapes):
+            self.seen.append(tuple(shapes))
+
+    stub = Stub()
+    path = str(tmp_path / "svc.sock")
+    srv = w._ThreadedUnixServer(path, w._ServiceHandler)
+    srv.service = stub
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        shapes = ((64, 64, "w=1&h=1"),)
+        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+            s.connect(path)
+            w._send(s, ("warm", shapes))
+            status, _, _ = w._recv(s)
+        assert status == "ok"
+        assert stub.seen == [shapes]
+    finally:
+        srv.shutdown()
+        srv.server_close()
