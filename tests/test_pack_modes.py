@@ -509,3 +509,47 @@ def test_upload_viable_rejects_pathological_density():
     ok = np.zeros((64, 64, 64), np.int16)
     ok[:, :, 1] = 300  # sparse-ish wide corner
     assert jpeg_decode.upload_viable({"y": ok, "cb": ok, "cr": ok})
+
+
+def test_nc_selection_matches_loop_reference():
+    """The vectorized nc_best_from_counts must reproduce the naive
+    165-triple loop exactly (triple choice incl. first-minimum tie
+    order, cost, escape count, and the skip rules for k2=0 and
+    over-ladder escapes)."""
+    def loop_ref(counts, nblk):
+        out8, out4, out2, nnz = counts
+        best = None
+        for triple in jpeg_decode._NC_TRIPLES:
+            if triple[2] == 0:
+                continue
+            in8, in4, in2, out = jpeg_decode._nc_tier_masks(triple)
+            esc = int((out8 * in8).sum() + (out4 * in4).sum()
+                      + (out2 * in2).sum() + (nnz * out).sum())
+            if esc > jpeg_decode._NC_ESC_CAPS[-1]:
+                continue
+            k8, k4, k2 = triple
+            cost = (nblk * (k8 * k8 + (k4 * k4 - k8 * k8) / 2
+                            + (k2 * k2 - k4 * k4) / 4)
+                    + jpeg_decode.nc_cap(esc) * jpeg_decode._NC_ESC_BYTES)
+            if best is None or cost < best[1]:
+                best = (triple, cost, esc)
+        return best
+
+    rng = np.random.default_rng(7)
+    for _ in range(300):
+        nblk = int(rng.integers(1, 5000))
+        scale = int(rng.choice([1, 10, 100, 1000, nblk]))
+        nnz = rng.integers(0, max(scale, 1), 64).astype(np.int64)
+        out2 = np.minimum(nnz, rng.integers(0, max(scale, 1), 64))
+        out4 = np.minimum(out2, rng.integers(0, max(scale, 1), 64))
+        out8 = np.minimum(out4, rng.integers(0, max(scale, 1), 64))
+        for a in (out8, out4, out2, nnz):
+            a[0] = 0
+        counts = (out8, out4, out2, nnz)
+        ref = loop_ref(counts, nblk)
+        new = jpeg_decode.nc_best_from_counts(counts, nblk)
+        assert (ref is None) == (new is None)
+        if ref is not None:
+            assert tuple(ref[0]) == tuple(new[0])
+            assert abs(ref[1] - new[1]) < 1e-6
+            assert ref[2] == new[2]
