@@ -255,7 +255,22 @@ def decode_hdr(data: bytes) -> np.ndarray:
                     x += count
             y += 1
         else:
-            # flat / old-style scanline with (1,1,1,n) repeat markers
+            # flat / old-style scanline with (1,1,1,n) repeat markers.
+            # Fast path first: a row with no marker anywhere (the
+            # common case — encode_hdr below emits only these, and
+            # its mantissa mapping cannot produce a (1,1,1,*) pixel)
+            # is one bulk copy instead of a per-pixel Python loop
+            # (4M iterations for a 2000x2000 source on the 1-core
+            # host). Marker rows fall through to the exact scalar
+            # parse; per-row prev/shift state makes the split safe.
+            if bp + 4 * w <= buf.shape[0]:
+                row = buf[bp : bp + 4 * w].reshape(w, 4)
+                if not ((row[:, 0] == 1) & (row[:, 1] == 1)
+                        & (row[:, 2] == 1)).any():
+                    rgbe[y] = row
+                    bp += 4 * w
+                    y += 1
+                    continue
             x = 0
             shift = 0
             prev = None

@@ -67,12 +67,6 @@ class CMYK2RGB:
         return np.asarray(rgb, dtype=np.uint8)
 
 
-def jpeg_embedded_profile(data: bytes) -> bool:
-    """True when the JPEG carries an embedded ICC profile (header-only
-    PIL open — no pixel decode)."""
-    return jpeg_embedded_profile_bytes(data) is not None
-
-
 def jpeg_embedded_profile_bytes(data: bytes) -> Optional[bytes]:
     """The embedded ICC profile bytes, or None (header-only open)."""
     try:
@@ -211,12 +205,15 @@ def _device_transform_for(lut):
     """DeviceCmykTransform for a sampled per-profile LUT (cached by
     profile hash; holds one small device array per distinct profile)."""
     flat, n, key = lut
-    t = _PROFILE_XFORMS.get((key, n))
+    t = _PROFILE_XFORMS.pop((key, n), None)
     if t is None:
         from ..ops.cmyk_lut import DeviceCmykTransform
 
         t = DeviceCmykTransform(flat.reshape((n,) * 4 + (3,)))
-        if len(_PROFILE_XFORMS) > 64:
-            _PROFILE_XFORMS.clear()  # crude bound; profiles are few
-        _PROFILE_XFORMS[(key, n)] = t
+        while len(_PROFILE_XFORMS) >= 64:
+            # evict least-recently-used, not the whole cache: a
+            # >64-profile stream must not periodically rebuild the
+            # hot profiles' device LUTs mid-request
+            _PROFILE_XFORMS.pop(next(iter(_PROFILE_XFORMS)))
+    _PROFILE_XFORMS[(key, n)] = t  # (re-)insert at the MRU tail
     return t

@@ -1730,10 +1730,18 @@ class CoefBatchAssembly(BatchAssembly):
         folded = _folded_padded(p0, self.sh, self.sw, self.true_h,
                                 self.true_w, self.subsamp)
         norms2 = folded[2]
-        # subsampled-chroma sinks judge chroma thinning through the
-        # sink's box filter (the client's decode re-upsamples; the
-        # composed gains are conservatively scaled for that)
-        if self.jpeg420 or self.jpegdct:
+        # subsampled-chroma sinks (jpeg420 True, webp420, jpegdct)
+        # judge chroma thinning through the sink's box filter (the
+        # client's decode re-upsamples; the composed gains are
+        # conservatively scaled for that). The PNG sink rides the
+        # same jpeg420 slot as ("png", N) but ships FULL-RES RGB, so
+        # it must use the plain chroma gains and the tight lo2 gate —
+        # treating it as subsampled understates the error and thins
+        # past the configured floor.
+        chroma_sink = (
+            self.jpeg420 in (True, "webp") or self.jpegdct
+        )
+        if chroma_sink:
             nc_v, nc_h = folded[4]
         else:
             nc_v, nc_h = norms2[2], norms2[3]
@@ -1800,9 +1808,8 @@ class CoefBatchAssembly(BatchAssembly):
         mask2 = jpeg_decode.high_mask(2)
         mask4 = jpeg_decode._HIGH_MASK
         gate_y = _lo2_gate(norms2[0], norms2[1])
-        sink_chroma = bool(self.jpeg420) or self.jpegdct
         gate_c = _lo2_gate(nc_v, nc_h,
-                           ratio=0.5 if sink_chroma else 0.15)
+                           ratio=0.5 if chroma_sink else 0.15)
         gates = (gate_y, gate_c, gate_c)
 
         # plane padded dims for byte pricing (y at source dims, chroma

@@ -35,8 +35,10 @@ redistributes its SO_REUSEPORT share across the survivors, so
 capacity degrades gracefully (the reference has no process
 supervision either; respawning would mean forking from a parent with
 live XLA threads, which is the one thing this design avoids). If the
-PARENT dies, workers keep serving host-only responses (as_is, SVG,
-fallback messages) and device requests 500 with the fallback image.
+PARENT dies, workers take SIGTERM via PR_SET_PDEATHSIG, drain their
+in-flight requests and exit (_die_with_parent) — a device-less
+orphan holding the port and serving 500s forever would be worse
+than losing the replica; the LB's health checks route around it.
 """
 
 from __future__ import annotations
@@ -57,9 +59,13 @@ import time
 log = logging.getLogger("fanlin.workers")
 
 _HDR = struct.Struct(">Q")
-# worker -> service handshake timeout: the parent's jax init can ride
-# a remote compile service (minutes on cold caches)
-_HELLO_TIMEOUT_S = 300.0
+# worker -> service handshake: the parent's jax init can ride a
+# remote compile service (minutes on cold caches; >300 s observed
+# under core contention), so there is NO hard deadline — the worker
+# waits as long as the parent is alive (PR_SET_PDEATHSIG reaps it if
+# the parent dies) and logs a warning once past this threshold so a
+# genuinely wedged service is visible
+_HELLO_WARN_S = 300.0
 
 
 def _send(sock: socket.socket, obj) -> None:
@@ -164,6 +170,14 @@ class _ServiceHandler(socketserver.BaseRequestHandler):
             mirror = service.runner.consume_host_mirror_flag()
             reply = ("ok", results, mirror)
         except BaseException as e:  # noqa: BLE001 - exact type crosses back
+            try:
+                pickle.dumps(e, protocol=pickle.HIGHEST_PROTOCOL)
+            except Exception:
+                # an unpicklable exception (native/jax state) would
+                # kill this handler thread inside _send and surface to
+                # the worker as a bare ConnectionError; ship the
+                # message, keep the real type's name
+                e = RuntimeError(f"{type(e).__name__}: {e}")
             reply = ("err", e, False)
         try:
             _send(self.request, reply)
@@ -262,9 +276,10 @@ async def _serve_worker_async(cfg, uds_path: str) -> None:
 
     from .app import build_state, create_app
 
-    deadline = time.monotonic() + _HELLO_TIMEOUT_S
+    start = time.monotonic()
+    warned = False
     worker_cfg = None
-    while time.monotonic() < deadline:
+    while True:
         try:
             with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
                 s.connect(uds_path)
@@ -272,9 +287,22 @@ async def _serve_worker_async(cfg, uds_path: str) -> None:
                 _, worker_cfg = _recv(s)
             break
         except (ConnectionError, FileNotFoundError, OSError):
+            if os.getppid() == 1:
+                # reparented to init: the service process is gone (on
+                # Linux pdeathsig normally reaps us first; this covers
+                # the race and non-Linux hosts)
+                raise RuntimeError(
+                    "device service died before handshake"
+                ) from None
+            if (not warned
+                    and time.monotonic() - start > _HELLO_WARN_S):
+                warned = True
+                log.warning(
+                    "device service still initializing after %.0f s "
+                    "(slow jax/compile-service start?); waiting",
+                    time.monotonic() - start,
+                )
             await asyncio.sleep(0.2)
-    if worker_cfg is None:
-        raise RuntimeError("device service never came up")
     runner = RemoteRunner(uds_path)
     state = await build_state(cfg, runner=runner,
                               device_decode=worker_cfg["device_decode"])

@@ -269,3 +269,25 @@ def test_dds_processing_errors_500():
     engine = Engine()
     with pytest.raises(ProcessError):
         engine.process_image(data, parse_query("w=32&h=32"), Format())
+
+
+def test_hdr_old_style_repeat_markers_and_flat_fast_path():
+    """Old-style (1,1,1,n) repeat markers decode exactly, and a
+    marker row can coexist with fully-flat rows (which take the
+    vectorized bulk-copy fast path)."""
+    w = 8
+    px_a = bytes([64, 128, 255, 130])
+    px_b = bytes([10, 20, 30, 129])
+    # row 0: literal a, marker repeating it 3x, then 4 literal b's
+    row0 = px_a + bytes([1, 1, 1, 3]) + px_b * 4
+    # row 1: fully flat (no markers) — the bulk-copy path
+    row1 = px_b * w
+    data = (b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 2 +X 8\n"
+            + row0 + row1)
+    out = extra_codecs.decode_hdr(data)
+    assert out.shape == (2, 8, 3)
+    for x in range(1, 4):  # marker-repeated pixels == the literal
+        np.testing.assert_array_equal(out[0, x], out[0, 0])
+    for x in range(4, 8):
+        np.testing.assert_array_equal(out[0, x], out[1, x])
+    assert not np.array_equal(out[0, 0], out[0, 4])

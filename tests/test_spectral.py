@@ -563,3 +563,35 @@ def test_sink_aware_chroma_thinning_on_real_lenna():
          - to_rgb(y0, cb0, cr0).astype(np.float64))
     p = 10 * np.log10(255.0 ** 2 / (d ** 2).mean())
     assert p >= 48.0, p  # floor 45 + margin 3
+
+
+def test_png_sink_uses_full_res_chroma_model():
+    """The PNG sink rides the jpeg420 slot as ("png", N) but ships
+    FULL-RESOLUTION RGB: its thinning decisions must match the rgb
+    sink (strict raw-gain chroma model + 0.15 lo2 gate), not the
+    subsampled-sink model — judging PNG chroma through the 4:2:0 box
+    filter understates the error and thins past the configured floor."""
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "lenna_src.jpg")
+    with open(path, "rb") as f:
+        m = native_codecs.read_jpeg_coeffs(f.read())
+    assert m is not None
+    plan = fused.plan_image(512, 512, parse_query("w=300&h=200"),
+                            opaque=True)
+    fused.set_fold(True)
+    fused.set_spectral(45.0)
+    try:
+        png = fused.CoefBatchAssembly([plan], [m], jpeg420=("png", 6))
+        rgb = fused.CoefBatchAssembly([plan], [m])
+        sub = fused.CoefBatchAssembly([plan], [m], jpeg420=True)
+    finally:
+        fused.set_spectral(0.0)
+        fused.set_fold(False)
+    assert png.pack_modes == rgb.pack_modes, (png.pack_modes,
+                                              rgb.pack_modes)
+    assert png.spectral == rgb.spectral
+    # sanity: the genuinely subsampled sink still gets the looser
+    # model (this is what the png sink must NOT inherit)
+    assert sub.pack_modes != png.pack_modes
