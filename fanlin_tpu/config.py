@@ -209,6 +209,13 @@ class TpuConfig:
     # requests still coalesce into shared device batches.
     # 0/1 = single process (the default).
     workers: int = 0
+    # VP8 rate-distortion effort for lossy WebP encodes (libwebp's
+    # WebPConfig.method, 0 fastest .. 6 slowest). 4 — the libwebp
+    # default and what the reference's webp crate uses
+    # (handler.rs:286-305) — keeps the byte-stable default encoder;
+    # lower values trade a few percent of file size for 2-4x host
+    # encode throughput on a VP8-saturated core (BENCH_NOTES round 5).
+    webp_method: int = 4
 
     @classmethod
     def from_obj(cls, obj: dict) -> "TpuConfig":
@@ -276,6 +283,10 @@ class TpuConfig:
             cfg.workers = _as_uint(obj["workers"], "workers")
             if cfg.workers > 128:
                 raise ConfigError("`workers` out of range (0..128)")
+        if "webp_method" in obj:
+            cfg.webp_method = _as_uint(obj["webp_method"], "webp_method")
+            if cfg.webp_method > 6:
+                raise ConfigError("`webp_method` out of range (0..6)")
         if "warmup_shapes" in obj:
             raw = obj["warmup_shapes"]
             if not isinstance(raw, list) or not all(

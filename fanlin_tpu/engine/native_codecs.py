@@ -120,6 +120,21 @@ def _load():
         except AttributeError:
             pass  # older .so without the CMYK coefficient surface
         try:
+            lib.fc_encode_webp_m.argtypes = [
+                u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
+            ]
+            lib.fc_encode_webp_m.restype = ctypes.c_int
+            lib.fc_encode_webp_yuv420_m.argtypes = [
+                u8p, u8p, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int,
+                ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
+            ]
+            lib.fc_encode_webp_yuv420_m.restype = ctypes.c_int
+        except AttributeError:
+            pass  # older .so without the webp effort knob
+        try:
             lib.fc_deflate_zlib.argtypes = [
                 u8p, ctypes.c_size_t, ctypes.c_int,
                 ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_size_t),
@@ -435,6 +450,21 @@ def encode_jpeg_coeffs(y_coef: np.ndarray, cb_coef: np.ndarray,
         lib.fc_free(out)
 
 
+# VP8 effort (WebPConfig.method 0-6; libwebp default 4). Configured
+# once at startup from `tpu.webp_method` (server/app.py) — a
+# single-core host saturated by VP8's RD search can trade a few
+# percent of file size for 2-4x encode throughput. 4 keeps the exact
+# simple-API default path (byte-stable vs the reference's webp crate,
+# reference handler.rs:286-305); other values need a current .so and
+# silently fall back to 4 on an older build.
+_WEBP_METHOD = 4
+
+
+def set_webp_method(method: int) -> None:
+    global _WEBP_METHOD
+    _WEBP_METHOD = min(6, max(0, int(method)))
+
+
 def encode_webp_yuv420(y: np.ndarray, u: np.ndarray, v: np.ndarray,
                        quality: int) -> Optional[bytes]:
     """Lossy-encode device-produced WebP-range YUV 4:2:0 planes via the
@@ -452,10 +482,18 @@ def encode_webp_yuv420(y: np.ndarray, u: np.ndarray, v: np.ndarray,
     u8p = ctypes.POINTER(ctypes.c_uint8)
     out = u8p()
     out_len = ctypes.c_size_t()
-    rc = lib.fc_encode_webp_yuv420(
-        y.ctypes.data_as(u8p), u.ctypes.data_as(u8p), v.ctypes.data_as(u8p),
-        w, h, int(quality), ctypes.byref(out), ctypes.byref(out_len),
-    )
+    if _WEBP_METHOD != 4 and hasattr(lib, "fc_encode_webp_yuv420_m"):
+        rc = lib.fc_encode_webp_yuv420_m(
+            y.ctypes.data_as(u8p), u.ctypes.data_as(u8p),
+            v.ctypes.data_as(u8p), w, h, int(quality), _WEBP_METHOD,
+            ctypes.byref(out), ctypes.byref(out_len),
+        )
+    else:
+        rc = lib.fc_encode_webp_yuv420(
+            y.ctypes.data_as(u8p), u.ctypes.data_as(u8p),
+            v.ctypes.data_as(u8p), w, h, int(quality),
+            ctypes.byref(out), ctypes.byref(out_len),
+        )
     if rc != 0:
         return None
     try:
@@ -475,11 +513,21 @@ def encode_webp(pixels: np.ndarray, quality: int) -> Optional[bytes]:
     u8p = ctypes.POINTER(ctypes.c_uint8)
     out = u8p()
     out_len = ctypes.c_size_t()
-    rc = lib.fc_encode_webp(
-        pixels.ctypes.data_as(u8p), pixels.shape[1], pixels.shape[0],
-        pixels.shape[2], int(quality), ctypes.byref(out),
-        ctypes.byref(out_len),
-    )
+    if (_WEBP_METHOD != 4 and int(quality) < 100
+            and hasattr(lib, "fc_encode_webp_m")):
+        # q>=100 (lossless) stays on the legacy path: the knob tunes
+        # VP8's lossy RD effort, not the lossless encoder
+        rc = lib.fc_encode_webp_m(
+            pixels.ctypes.data_as(u8p), pixels.shape[1], pixels.shape[0],
+            pixels.shape[2], int(quality), _WEBP_METHOD,
+            ctypes.byref(out), ctypes.byref(out_len),
+        )
+    else:
+        rc = lib.fc_encode_webp(
+            pixels.ctypes.data_as(u8p), pixels.shape[1], pixels.shape[0],
+            pixels.shape[2], int(quality), ctypes.byref(out),
+            ctypes.byref(out_len),
+        )
     if rc != 0:
         return None
     try:

@@ -349,6 +349,7 @@ def apply_tpu_flags(cfg: config_mod.Config) -> None:
     """Config -> engine process globals (ONE definition: the
     single-process path and the multi-worker device service must
     never drift on these semantics)."""
+    from ..engine.native_codecs import set_webp_method
     from ..ops.fused import (set_dct_floor, set_fast_mode, set_fold,
                              set_host_fallback, set_nc_upload,
                              set_spectral)
@@ -356,6 +357,7 @@ def apply_tpu_flags(cfg: config_mod.Config) -> None:
     if cfg.tpu.fast:
         set_fast_mode(True)
     set_nc_upload(cfg.tpu.nc_upload)
+    set_webp_method(cfg.tpu.webp_method)
     if cfg.tpu.fast_decode:
         set_fold(True)
     # the overflow ladder's cold-rung fallback (inside the assembly,

@@ -271,6 +271,101 @@ int fc_encode_webp_yuv420(const uint8_t* y, const uint8_t* u,
   return 0;
 }
 
+// Method-parameterized twins of the two lossy WebP encoders. VP8's
+// rate-distortion effort (WebPConfig.method, 0 fastest .. 6 slowest,
+// libwebp default 4) is the dominant single-core encode cost; the
+// `tpu.webp_method` knob lets an operator trade a few percent of file
+// size for 2-4x host encode throughput on a saturated core. method 4
+// keeps the exact default-config path (callers route it through the
+// legacy functions for bit-stability vs the reference's webp crate).
+static int fc_webp_encode_config(WebPConfig* config, WebPPicture* pic,
+                                 uint8_t** out, size_t* out_len) {
+  WebPMemoryWriter writer;
+  WebPMemoryWriterInit(&writer);
+  pic->writer = WebPMemoryWrite;
+  pic->custom_ptr = &writer;
+  const int ok = WebPEncode(config, pic);
+  WebPPictureFree(pic);
+  if (!ok) {
+    WebPMemoryWriterClear(&writer);
+    return 1;
+  }
+  *out = writer.mem;  // malloc'd by libwebp; fc_free releases it
+  *out_len = writer.size;
+  return 0;
+}
+
+// Lossy RGB8/RGBA8 WebP with explicit effort. Mirrors the simple-API
+// path (use_argb=0 import converts to YUV(A)420 exactly as
+// WebPEncodeRGB(A) does); quality 1-99 (q>=100 lossless stays on
+// fc_encode_webp).
+int fc_encode_webp_m(const uint8_t* pixels, int width, int height,
+                     int channels, int quality, int method,
+                     uint8_t** out, size_t* out_len) {
+  if (channels != 3 && channels != 4) return 4;
+  if (quality < 1) quality = 1;
+  if (quality > 99) quality = 99;
+  if (method < 0) method = 0;
+  if (method > 6) method = 6;
+  const int stride = width * channels;
+  WebPConfig config;
+  if (!WebPConfigPreset(&config, WEBP_PRESET_DEFAULT,
+                        static_cast<float>(quality))) {
+    return 1;
+  }
+  config.method = method;
+  WebPPicture pic;
+  if (!WebPPictureInit(&pic)) return 1;
+  pic.width = width;
+  pic.height = height;
+  pic.use_argb = 0;
+  const int imported =
+      channels == 4 ? WebPPictureImportRGBA(&pic, pixels, stride)
+                    : WebPPictureImportRGB(&pic, pixels, stride);
+  if (!imported) {
+    WebPPictureFree(&pic);
+    return 3;
+  }
+  return fc_webp_encode_config(&config, &pic, out, out_len);
+}
+
+// Device-YUV 4:2:0 WebP with explicit effort (fc_encode_webp_yuv420
+// with WebPConfig.method exposed).
+int fc_encode_webp_yuv420_m(const uint8_t* y, const uint8_t* u,
+                            const uint8_t* v, int width, int height,
+                            int quality, int method, uint8_t** out,
+                            size_t* out_len) {
+  if (quality < 1) quality = 1;
+  if (quality > 99) quality = 99;
+  if (method < 0) method = 0;
+  if (method > 6) method = 6;
+  WebPConfig config;
+  if (!WebPConfigPreset(&config, WEBP_PRESET_DEFAULT,
+                        static_cast<float>(quality))) {
+    return 1;
+  }
+  config.method = method;
+  WebPPicture pic;
+  if (!WebPPictureInit(&pic)) return 1;
+  pic.width = width;
+  pic.height = height;
+  pic.use_argb = 0;
+  pic.colorspace = WEBP_YUV420;
+  if (!WebPPictureAlloc(&pic)) return 3;
+  const int cw = (width + 1) / 2;
+  const int ch = (height + 1) / 2;
+  for (int r = 0; r < height; ++r)
+    memcpy(pic.y + static_cast<size_t>(r) * pic.y_stride,
+           y + static_cast<size_t>(r) * width, width);
+  for (int r = 0; r < ch; ++r) {
+    memcpy(pic.u + static_cast<size_t>(r) * pic.uv_stride,
+           u + static_cast<size_t>(r) * cw, cw);
+    memcpy(pic.v + static_cast<size_t>(r) * pic.uv_stride,
+           v + static_cast<size_t>(r) * cw, cw);
+  }
+  return fc_webp_encode_config(&config, &pic, out, out_len);
+}
+
 // Entropy-encode pre-computed YCbCr 4:2:0 planes (the TPU's JPEG
 // front-end output: color conversion + subsampling already done on
 // device) into a baseline JPEG. Skips libjpeg's color conversion and

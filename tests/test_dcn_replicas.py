@@ -1,0 +1,142 @@
+"""Many-host (DCN) replica story, cross-PROCESS half (SCALING.md §3).
+
+The multi-host deployment is shared-nothing: one gateway process per
+host behind an HTTP load balancer, no cross-replica state. The
+correctness contract is therefore:
+
+  1. two replicas booted from the same config serve BYTE-IDENTICAL
+     warm responses (tests/test_multihost.py pins this for in-process
+     replicas; this file pins it across real OS processes, where
+     nothing — interpreter state, jax runtime, matrix caches, thread
+     pools — is shared);
+  2. replicas are failure-isolated: SIGKILLing one must not disturb
+     the other (losing a host loses 1/N capacity and nothing else —
+     the reference's operational model, README.md deployment notes).
+
+Spawn discipline (deadlines, banner counting) follows
+tests/test_workers.py — the 1-core CI host pays a full interpreter +
+jax import per replica, under suite-wide core contention.
+"""
+
+import json
+import os
+import signal
+import socket
+import subprocess
+import sys
+import time
+import urllib.request
+
+_BOOT = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import sys; from fanlin_tpu.cli import main; "
+         "sys.exit(main(sys.argv[1:]))")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def _cfg(port: int) -> str:
+    return json.dumps({
+        "port": port, "bind_addr": "127.0.0.1", "max_clients": 8,
+        "client": {"s3": {"aws_region": "x"},
+                   "web": {"user_agent": "t", "timeout": 2}},
+        "providers": [
+            {"path": "baz", "src": "file://localhost/./tests/golden"}
+        ],
+        "tpu": {"warmup": False},
+    })
+
+
+def _spawn(port: int) -> subprocess.Popen:
+    return subprocess.Popen(
+        [sys.executable, "-c", _BOOT, "-j", _cfg(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=_REPO,
+    )
+
+
+def _await_banner(proc: subprocess.Popen, deadline: float) -> None:
+    import selectors
+    import threading
+
+    sel = selectors.DefaultSelector()
+    sel.register(proc.stdout, selectors.EVENT_READ)
+    buf = ""
+    try:
+        while "listening on" not in buf:
+            if time.monotonic() > deadline:
+                raise AssertionError(f"replica never came up:\n{buf}")
+            if not sel.select(timeout=1.0):
+                continue
+            line = proc.stdout.readline()
+            if not line:
+                raise AssertionError(f"replica died during startup:\n{buf}")
+            buf += line
+    finally:
+        sel.close()
+    # the warm-polling below generates hundreds of access-log lines;
+    # keep draining stdout so the 64 KB pipe can never block the server
+    threading.Thread(
+        target=lambda: [None for _ in iter(proc.stdout.readline, "")],
+        daemon=True,
+    ).start()
+
+
+def _get(port: int, path: str, timeout=30):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}{path}", timeout=timeout
+    ) as resp:
+        return resp.status, resp.read(), dict(resp.headers)
+
+
+def _get_warm(port: int, path: str, deadline_s=300):
+    """Poll until the bucket compiles (cold responses ride the ±1 LSB
+    host mirror and are tagged no-store — not the comparison target)."""
+    deadline = time.monotonic() + deadline_s
+    while True:
+        status, body, hdrs = _get(port, path)
+        assert status == 200
+        if "X-Cache-Warmth" not in hdrs:
+            return body
+        assert time.monotonic() < deadline, "bucket never warmed"
+        time.sleep(0.3)
+
+
+def test_dcn_replicas_byte_identical_and_failure_isolated():
+    paths = [
+        "/baz/lenna_src.jpg?w=300&h=200",
+        "/baz/lenna_src.jpg?w=120&h=90&grayscale=true",
+    ]
+    port_a, port_b = _free_port(), _free_port()
+    # sequential spawn: on the 1-core CI rig two concurrent interpreter
+    # + jax imports starve each other (observed: the second replica
+    # reached build_state only ~9 min in); each replica gets its own
+    # full deadline instead
+    rep_a = _spawn(port_a)
+    rep_b = None
+    try:
+        _await_banner(rep_a, time.monotonic() + 600)
+        rep_b = _spawn(port_b)
+        _await_banner(rep_b, time.monotonic() + 600)
+        bodies_a = [_get_warm(port_a, p) for p in paths]
+        bodies_b = [_get_warm(port_b, p) for p in paths]
+        assert bodies_a == bodies_b, "cross-process replicas diverged"
+
+        # failure isolation: hard-kill replica A mid-fleet; B must
+        # keep serving the same bytes with no disturbance
+        rep_a.send_signal(signal.SIGKILL)
+        rep_a.wait(timeout=60)
+        for p, want in zip(paths, bodies_b):
+            s, b, h = _get(port_b, p)
+            assert s == 200 and "X-Cache-Warmth" not in h
+            assert b == want, "survivor's bytes changed after peer death"
+        s, body, _ = _get(port_b, "/ping")
+        assert (s, body) == (200, b"pong")
+    finally:
+        for proc in (rep_a, rep_b):
+            if proc is not None and proc.poll() is None:
+                proc.kill()

@@ -1,0 +1,130 @@
+"""`tpu.webp_method` — VP8 effort knob (ROADMAP perf item 2).
+
+The host VP8 rate-distortion search is the last host-bound encoder
+(~25-30 rps/core at libwebp's default method 4). The knob trades a few
+percent of file size for 2-4x single-core encode throughput; method 4
+(the default) keeps the exact simple-API path the reference's webp
+crate uses (handler.rs:286-305), so default deployments stay
+byte-stable.
+"""
+
+import io
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.config import Config, ConfigError
+from fanlin_tpu.engine import native_codecs
+
+
+@pytest.fixture
+def method_reset():
+    yield
+    native_codecs.set_webp_method(4)
+
+
+def _native_or_skip():
+    if not native_codecs.available() or not hasattr(
+        native_codecs._load(), "fc_encode_webp_m"
+    ):
+        pytest.skip("native codec core with webp effort knob not built")
+
+
+_GOLDEN = __file__.rsplit("/", 1)[0] + "/golden"
+
+
+def _src(_fixtures_dir=None):
+    return np.asarray(Image.open(f"{_GOLDEN}/lenna_src.jpg").convert("RGB"))
+
+
+def test_config_knob_validation():
+    base = """
+{"port": 0, "bind_addr": "x", "max_clients": 1,
+ "client": {"s3": {"aws_region": "x"},
+            "web": {"user_agent": "t", "timeout": 2}},
+ "providers": [{"path": "p", "src": "file://localhost/tmp"}],
+ "tpu": {"webp_method": %s}}
+"""
+    assert Config.from_str(base % "0").tpu.webp_method == 0
+    assert Config.from_str(base % "6").tpu.webp_method == 6
+    # default when the key is absent
+    no_key = json.loads(base % "4")
+    del no_key["tpu"]["webp_method"]
+    assert Config.from_str(json.dumps(no_key)).tpu.webp_method == 4
+    for bad in ("7", "-1", "true", '"fast"'):
+        with pytest.raises(ConfigError):
+            Config.from_str(base % bad)
+
+
+def test_default_method_bytes_unchanged(method_reset):
+    """method 4 must route through the legacy simple-API function —
+    the default deployment's bytes cannot move."""
+    _native_or_skip()
+    img = _src()
+    native_codecs.set_webp_method(4)
+    a = native_codecs.encode_webp(img, 85)
+    native_codecs.set_webp_method(2)
+    native_codecs.set_webp_method(4)
+    assert native_codecs.encode_webp(img, 85) == a
+
+
+def test_fast_method_valid_and_close(method_reset):
+    _native_or_skip()
+    img = _src()
+    ref = native_codecs.encode_webp(img, 85)
+    sizes = {}
+    for m in (0, 2):
+        native_codecs.set_webp_method(m)
+        b = native_codecs.encode_webp(img, 85)
+        assert b is not None and b[:4] == b"RIFF"
+        dec = np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))
+        assert dec.shape == img.shape
+        mse = float(np.mean((dec.astype(float) - img.astype(float)) ** 2))
+        assert mse < 60, f"method {m} quality collapsed (mse {mse})"
+        sizes[m] = len(b)
+    # effort buys compression: the fast methods may cost bytes, but
+    # bounded (observed +16% m0, +2.4% m2 on this source)
+    assert sizes[0] < len(ref) * 1.35
+    assert sizes[2] < len(ref) * 1.15
+
+
+def test_yuv420_method_variant(method_reset):
+    """The device-YUV front-end honors the knob too."""
+    _native_or_skip()
+    img = _src()
+    # libwebp-range YUV from the same constants the device sink uses —
+    # host reference conversion is fine for an encoder-surface test
+    r, g, b = [img[:, :, i].astype(np.int32) for i in range(3)]
+    y = (16839 * r + 33059 * g + 6420 * b + (16 << 16) + 32768) >> 16
+    u = (-9719 * r - 19081 * g + 28800 * b + (128 << 16) + 32768) >> 16
+    v = (28800 * r - 24116 * g - 4684 * b + (128 << 16) + 32768) >> 16
+    y = np.clip(y, 0, 255).astype(np.uint8)
+    u = np.clip(u, 0, 255).astype(np.uint8)[::2, ::2]
+    v = np.clip(v, 0, 255).astype(np.uint8)[::2, ::2]
+    native_codecs.set_webp_method(4)
+    ref = native_codecs.encode_webp_yuv420(y, u, v, 80)
+    native_codecs.set_webp_method(1)
+    fast = native_codecs.encode_webp_yuv420(y, u, v, 80)
+    native_codecs.set_webp_method(4)
+    again = native_codecs.encode_webp_yuv420(y, u, v, 80)
+    assert ref == again
+    assert fast is not None and fast != ref and fast[:4] == b"RIFF"
+    da = np.asarray(Image.open(io.BytesIO(ref)).convert("RGB"))
+    db = np.asarray(Image.open(io.BytesIO(fast)).convert("RGB"))
+    assert float(np.mean((da.astype(float) - db.astype(float)) ** 2)) < 30
+
+
+def test_apply_tpu_flags_plumbs_method(method_reset):
+    from fanlin_tpu.server.app import apply_tpu_flags
+
+    cfg = Config.from_str("""
+{"port": 0, "bind_addr": "x", "max_clients": 1,
+ "client": {"s3": {"aws_region": "x"},
+            "web": {"user_agent": "t", "timeout": 2}},
+ "providers": [{"path": "p", "src": "file://localhost/tmp"}],
+ "tpu": {"webp_method": 2}}
+""")
+    apply_tpu_flags(cfg)
+    assert native_codecs._WEBP_METHOD == 2

@@ -83,6 +83,13 @@ def _spawn(port: int, workers: int) -> subprocess.Popen:
         raise
     finally:
         sel.close()
+    # the warm-polling loops below can generate hundreds of access-log
+    # lines; keep draining stdout so the 64 KB pipe can never fill and
+    # block the server's logging write
+    threading.Thread(
+        target=lambda: [None for _ in iter(proc.stdout.readline, "")],
+        daemon=True,
+    ).start()
     return proc
 
 

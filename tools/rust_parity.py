@@ -60,6 +60,66 @@ ROWS = [
 ]
 
 
+# tools/make_goldens.py's CONFIG grid as query strings — the committed
+# tests/golden/ corpus definition (ROADMAP parity item 9: the corpus
+# can be re-exported from the REAL binary's responses; until a CI run
+# swaps the bytes, this leg certifies the committed refimpl corpus
+# against the real thing and ships the real bytes as an artifact).
+GOLDEN_CONFIGS = [
+    ("r300x200", "w=300&h=200"),
+    ("r300x200_rgb32", "w=300&h=200&rgb=32,32,32"),
+    ("crop100", "w=100&h=100&crop=true"),
+    ("gray300x200", "w=300&h=200&grayscale=true"),
+    ("inv150", "w=150&h=150&inverse=true"),
+    ("blur100x80", "w=100&h=80&blur=10"),
+    ("upscale700x600", "w=700&h=600&rgb=7,8,9"),
+]
+
+
+def export_golden(port: int, export_dir: str, golden_dir: str, report):
+    """Fetch the golden-corpus grid from the running fanlin-rs, save
+    the raw reference bytes + decoded pixels, and measure the COMMITTED
+    corpus against them. Geometry mismatches fail the run (they mean
+    the corpus definition drifted); PSNR is reported per row — the
+    encoded goldens carry PIL-q75 quantization and the rust bytes the
+    image crate's, so the number mixes cross-encoder loss with any real
+    divergence and the hard gate stays with the engine ROWS above."""
+    import hashlib
+
+    import numpy as np
+    from PIL import Image
+
+    os.makedirs(export_dir, exist_ok=True)
+    manifest = []
+    for cfg_name, qs in GOLDEN_CONFIGS:
+        name = f"lenna_{cfg_name}"
+        rust = fetch(port, f"/baz/lenna.jpg?{qs}", None)
+        raw_path = os.path.join(export_dir, f"{name}.rust.jpg")
+        with open(raw_path, "wb") as f:
+            f.write(rust)
+        dec = decoded_frames(rust)[0].astype(np.uint8)
+        Image.fromarray(dec).save(
+            os.path.join(export_dir, f"{name}.png"), compress_level=9)
+        entry = {"name": name, "query": qs, "bytes": len(rust),
+                 "sha256": hashlib.sha256(rust).hexdigest(),
+                 "shape": list(dec.shape)}
+        committed = os.path.join(golden_dir, f"{name}.jpg")
+        if os.path.exists(committed):
+            with open(committed, "rb") as f:
+                gold = decoded_frames(f.read())[0]
+            if gold.shape != dec.shape:
+                entry["error"] = (f"committed golden shape {gold.shape} "
+                                  f"!= rust {dec.shape}")
+                report["passed"] = False
+            else:
+                entry["corpus_psnr_db"] = round(
+                    psnr(gold, dec.astype(np.float64)), 2)
+        manifest.append(entry)
+    with open(os.path.join(export_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=2)
+    report["golden_export"] = manifest
+
+
 def wait_ping(port: int, timeout: float = 30.0) -> None:
     deadline = time.time() + timeout
     while time.time() < deadline:
@@ -110,6 +170,11 @@ def main() -> int:
     ap.add_argument("--port", type=int, default=3333)
     ap.add_argument("--profile", default=None,
                     help="ICC profile path for both sides (optional)")
+    ap.add_argument("--export-golden", default=None, metavar="DIR",
+                    help="also fetch the tests/golden corpus grid from "
+                         "the rust binary, write raw bytes + decoded "
+                         "PNGs + manifest there, and PSNR-report the "
+                         "committed corpus against them")
     args = ap.parse_args()
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -196,6 +261,10 @@ def main() -> int:
                 if db < min_db:
                     report["passed"] = False
             report["rows"].append(row)
+
+        if args.export_golden:
+            export_golden(args.port, args.export_golden,
+                          os.path.join(root, "tests", "golden"), report)
     finally:
         proc.terminate()
         try:
