@@ -6,12 +6,18 @@ transform chain stays f32, and write_to(OpenExr) re-encodes; DDS by
 contrast has no encoder in the crate, so DDS transforms 500 on BOTH
 sides). Scope:
 
-* decode: single-part scanline images, compression NONE / ZIPS / ZIP
-  (the zlib family — OpenEXR's byte reorder + delta predictor is
-  implemented here), HALF or FLOAT channels, increasing or decreasing
-  line order, R/G/B(/A) or luminance-style single channel. Tiled,
-  deep, multi-part, PIZ/PXR24/B44/DWA files raise (rare for origin
-  assets; the error surfaces as the reference's decode error would).
+* decode: single-part scanline OR single-level tiled images,
+  compression NONE / RLE / ZIPS / ZIP (OpenEXR's byte reorder + delta
+  predictor implemented here) / PIZ (bitmap LUT + 2D wavelet +
+  canonical Huffman, ImfPizCompressor/ImfWav/ImfHuf re-implemented) /
+  PXR24 (delta-coded byte planes under zlib; FLOAT mantissas
+  truncated to 24-bit by the WRITER, so reading is exact) / B44+B44A
+  (fixed-rate 4x4 half blocks), HALF or FLOAT channels, R/G/B(/A) or
+  luminance-style single channel. All decode paths are byte-exact
+  against fixtures written by real libOpenEXR 3.1 (tests/golden/exr/,
+  tools/make_exr_fixtures.cpp). Deep, multi-part, mip/ripmapped-tile
+  and DWAA/DWAB files raise (renderer-exotic for origin assets; the
+  error surfaces as the reference's decode error would).
 * encode: uncompressed (NONE) HALF scanlines — valid everywhere, like
   the HDR writer's flat RGBE.
 
@@ -30,9 +36,12 @@ import numpy as np
 
 MAGIC = b"\x76\x2f\x31\x01"
 
-# compression enum (ImfCompression.h)
-_NONE, _RLE, _ZIPS, _ZIP = 0, 1, 2, 3
-_ZIP_BLOCK = {_NONE: 1, _ZIPS: 1, _ZIP: 16}
+# compression enum (ImfCompression.h) and scanlines per chunk
+_NONE, _RLE, _ZIPS, _ZIP, _PIZ, _PXR24 = 0, 1, 2, 3, 4, 5
+_B44, _B44A = 6, 7
+_BLOCK = {_NONE: 1, _RLE: 1, _ZIPS: 1, _ZIP: 16, _PIZ: 32, _PXR24: 16,
+          _B44: 32, _B44A: 32}
+_ZIP_BLOCK = _BLOCK  # legacy alias
 
 _HALF, _FLOAT, _UINT = 1, 2, 0
 
@@ -74,6 +83,499 @@ def _zip_filter(data: bytes) -> bytes:
     return tmp.astype(np.uint8).tobytes()
 
 
+# -- OpenEXR's RLE codec (ImfRle.cpp): byte runs over the SAME
+# reorder+delta transform the zip family uses (ImfRleCompressor.cpp
+# applies Zip's predictor before rleCompress) -------------------------------
+
+
+def _rle_uncompress(src: bytes, max_out: int) -> bytes:
+    """rleUncompress: control byte as signed char — negative = -n
+    literal bytes follow, non-negative = next byte repeats n+1 times."""
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n:
+        c = src[i]
+        i += 1
+        if c > 127:  # signed char < 0: literal run
+            cnt = 256 - c
+            if i + cnt > n:
+                raise ExrError("truncated exr rle literal")
+            out += src[i : i + cnt]
+            i += cnt
+        else:
+            if i >= n:
+                raise ExrError("truncated exr rle run")
+            out += src[i : i + 1] * (c + 1)
+            i += 1
+        if len(out) > max_out:
+            raise ExrError("exr rle overrun")
+    return bytes(out)
+
+
+def _rle_compress(raw: bytes) -> bytes:
+    """Valid-stream encoder (test support for the decode path); runs
+    >= 3 bytes are emitted as repeats, bounded at 127 like ImfRle.cpp."""
+    out = bytearray()
+    i, n = 0, len(raw)
+    while i < n:
+        run = 1
+        while i + run < n and raw[i + run] == raw[i] and run < 127:
+            run += 1
+        if run >= 3:
+            out.append(run - 1)
+            out.append(raw[i])
+            i += run
+            continue
+        j = i
+        while j < n and j - i < 127:
+            if j + 2 < n and raw[j] == raw[j + 1] == raw[j + 2]:
+                break
+            j += 1
+        out.append(256 - (j - i))
+        out += raw[i:j]
+        i = j
+    return bytes(out)
+
+
+# -- PXR24 (ImfPxr24Compressor.cpp): per row x channel, pixels are
+# delta-coded integers split into big-endian byte planes, then the
+# whole chunk rides zlib. HALF keeps its exact 16 bits; FLOAT is
+# truncated to 24 bits (sign+exp+15 mantissa) BY THE WRITER — reading
+# reconstructs bits<<8 exactly as ImfPxr24Compressor::uncompress ----------
+
+
+def _pxr24_line_bytes(chans, w: int) -> int:
+    return sum((2 if c[1] == _HALF else 3) * w for c in chans)
+
+
+def _pxr24_expand(raw: bytes, chans, w: int, rows: int) -> dict:
+    """Filtered pxr24 chunk bytes -> {channel: (rows, w) float32}."""
+    out = {c[0]: np.zeros((rows, w), np.float32) for c in chans}
+    u8 = np.frombuffer(raw, np.uint8)
+    pos = 0
+    for r in range(rows):
+        for name, ptype, _xs, _ys in chans:
+            if ptype == _HALF:
+                b0 = u8[pos : pos + w].astype(np.uint32)
+                b1 = u8[pos + w : pos + 2 * w]
+                pos += 2 * w
+                diffs = (b0 << 8) | b1
+                bits = (np.cumsum(diffs, dtype=np.uint32) & 0xFFFF).astype(
+                    np.uint16
+                )
+                out[name][r] = bits.view(np.float16).astype(np.float32)
+            else:  # _FLOAT: 3 byte planes, 24-bit wraparound
+                b0 = u8[pos : pos + w].astype(np.uint32)
+                b1 = u8[pos + w : pos + 2 * w].astype(np.uint32)
+                b2 = u8[pos + 2 * w : pos + 3 * w]
+                pos += 3 * w
+                diffs = (b0 << 16) | (b1 << 8) | b2
+                vals = np.cumsum(diffs, dtype=np.uint32) & 0xFFFFFF
+                out[name][r] = (vals << 8).view(np.float32)
+    return out
+
+
+def _pxr24_filter(half_rows: list) -> bytes:
+    """[(rows in chlist order of (w,) '<f2' arrays)] -> filtered chunk
+    bytes (encode test support; HALF channels only)."""
+    parts = []
+    for row in half_rows:
+        bits = np.ascontiguousarray(row).view(np.uint16).astype(np.uint32)
+        diffs = np.empty_like(bits)
+        diffs[0] = bits[0]
+        diffs[1:] = (bits[1:] - bits[:-1]) & 0xFFFF
+        parts.append(((diffs >> 8) & 0xFF).astype(np.uint8).tobytes())
+        parts.append((diffs & 0xFF).astype(np.uint8).tobytes())
+    return b"".join(parts)
+
+
+# -- PIZ (ImfPizCompressor.cpp): bitmap-packed LUT -> 2D Haar-style
+# wavelet (ImfWav.cpp) -> canonical Huffman (ImfHuf.cpp). Decode-only;
+# validated byte-exact against files written by real libOpenEXR
+# (tests/golden/exr/*piz*). ----------------------------------------------------
+
+
+def _huf_canonical_codes(lengths: np.ndarray):
+    """Code-length table -> per-symbol code values (hufCanonicalCodeTable:
+    codes assigned from the longest length down, increasing symbol order
+    within a length)."""
+    counts = np.bincount(lengths, minlength=59)
+    base = np.zeros(59, np.int64)
+    c = 0
+    for ln in range(58, 0, -1):
+        nc = (c + int(counts[ln])) >> 1
+        base[ln] = c
+        c = nc
+    codes = np.zeros(lengths.size, np.int64)
+    for ln in range(1, 59):
+        syms = np.nonzero(lengths == ln)[0]
+        if syms.size:
+            codes[syms] = base[ln] + np.arange(syms.size)
+    return codes
+
+
+def _huf_uncompress(src: bytes, n_out: int) -> np.ndarray:
+    """OpenEXR's Huffman entropy coder (hufUncompress): 20-byte header
+    (im, iM, tableLength, nBits, room), 6-bit-packed code-length table
+    with zero-run escapes, then an MSB-first bitstream where the symbol
+    iM is the 8-bit-count run-length escape."""
+    if n_out == 0:
+        return np.zeros(0, np.uint16)
+    if len(src) < 20:
+        raise ExrError("truncated exr huf header")
+    im, iM, _tlen, nbits, _room = struct.unpack_from("<5i", src, 0)
+    if not (0 <= im <= iM < 65537) or nbits < 0:
+        raise ExrError("bad exr huf header")
+    pos, c, lc = 20, 0, 0
+
+    def getbits(n: int) -> int:
+        nonlocal pos, c, lc
+        while lc < n:
+            if pos >= len(src):
+                raise ExrError("truncated exr huf table")
+            c = (c << 8) | src[pos]
+            pos += 1
+            lc += 8
+        lc -= n
+        return (c >> lc) & ((1 << n) - 1)
+
+    lengths = np.zeros(iM + 1, np.int32)
+    i = im
+    while i <= iM:
+        ln = getbits(6)
+        if ln == 63:  # LONG_ZEROCODE_RUN
+            zerun = getbits(8) + 6
+            if i + zerun > iM + 1:
+                raise ExrError("exr huf table overrun")
+            i += zerun
+        elif ln >= 59:  # SHORT_ZEROCODE_RUN
+            zerun = ln - 59 + 2
+            if i + zerun > iM + 1:
+                raise ExrError("exr huf table overrun")
+            i += zerun
+        else:
+            lengths[i] = ln
+            i += 1
+    codes = _huf_canonical_codes(lengths)
+
+    # 14-bit fast decode table + dict for longer codes (hufBuildDecTable)
+    DECBITS = 14
+    fast_len = np.zeros(1 << DECBITS, np.uint8)
+    fast_sym = np.zeros(1 << DECBITS, np.uint32)
+    long_codes = {}
+    for s in np.nonzero(lengths)[0]:
+        ln = int(lengths[s])
+        code = int(codes[s])
+        if ln <= DECBITS:
+            start = code << (DECBITS - ln)
+            span = 1 << (DECBITS - ln)
+            if fast_len[start : start + span].any():
+                raise ExrError("invalid exr huf code table")
+            fast_len[start : start + span] = ln
+            fast_sym[start : start + span] = s
+        else:
+            long_codes[(ln, code)] = int(s)
+
+    # data bitstream starts at the next unread byte; residual table
+    # bits are discarded (hufUnpackEncTable consumes whole bytes)
+    data_start = pos
+    nbytes = (nbits + 7) >> 3
+    if data_start + nbytes > len(src):
+        raise ExrError("truncated exr huf data")
+    rlc = iM
+    out = np.empty(n_out, np.uint16)
+    oi = 0
+    c, lc = 0, 0
+    pos = data_start
+    ie = data_start + nbytes
+
+    def emit(sym: int) -> None:
+        nonlocal oi, c, lc, pos
+        if sym == rlc:
+            while lc < 8:
+                if pos >= ie:
+                    raise ExrError("truncated exr huf run")
+                c = (c << 8) | src[pos]
+                pos += 1
+                lc += 8
+            lc -= 8
+            cs = (c >> lc) & 0xFF
+            if oi == 0 or oi + cs > n_out:
+                raise ExrError("exr huf run overrun")
+            out[oi : oi + cs] = out[oi - 1]
+            oi += cs
+        else:
+            if oi >= n_out:
+                raise ExrError("exr huf output overrun")
+            out[oi] = sym
+            oi += 1
+
+    while pos < ie:
+        c = (c << 8) | src[pos]
+        pos += 1
+        lc += 8
+        while lc >= DECBITS:
+            idx = (c >> (lc - DECBITS)) & ((1 << DECBITS) - 1)
+            ln = int(fast_len[idx])
+            if ln:
+                lc -= ln
+                emit(int(fast_sym[idx]))
+            else:
+                # >14-bit code: prefix-freedom means at most one
+                # (length, code) can match, so scan lengths upward
+                matched = False
+                for ln2 in range(DECBITS + 1, 59):
+                    while lc < ln2 and pos < ie:
+                        c = (c << 8) | src[pos]
+                        pos += 1
+                        lc += 8
+                    if lc < ln2:
+                        break
+                    sym = long_codes.get((ln2, (c >> (lc - ln2))
+                                          & ((1 << ln2) - 1)))
+                    if sym is not None:
+                        lc -= ln2
+                        emit(sym)
+                        matched = True
+                        break
+                if not matched:
+                    raise ExrError("invalid exr huf code")
+    # trailing bits of the final partial byte (hufDecode's tail loop):
+    # drop the zero padding from the bottom of the accumulator first
+    pad = (8 - nbits) & 7
+    c >>= pad
+    lc -= pad
+    while lc > 0:
+        idx = (c << (DECBITS - lc)) & ((1 << DECBITS) - 1)
+        ln = int(fast_len[idx])
+        if ln and ln <= lc:
+            lc -= ln
+            emit(int(fast_sym[idx]))
+        else:
+            raise ExrError("invalid exr huf tail")
+    if oi != n_out:
+        raise ExrError("exr huf output short")
+    return out
+
+
+def _wdec14(lv: np.ndarray, hv: np.ndarray):
+    """ImfWav.cpp wdec14 (exact int16 semantics), vectorized."""
+    ls = lv.astype(np.int16).astype(np.int32)
+    hs = hv.astype(np.int16).astype(np.int32)
+    ai = ls + (hs & 1) + (hs >> 1)
+    a16 = ai.astype(np.int16)
+    b16 = (a16.astype(np.int32) - hs).astype(np.int16)
+    return a16.view(np.uint16), b16.view(np.uint16)
+
+
+def _wdec16(lv: np.ndarray, hv: np.ndarray):
+    """ImfWav.cpp wdec16: mod-2^16 arithmetic with the A_OFFSET bias."""
+    m = lv.astype(np.int32)
+    d = hv.astype(np.int32)
+    bb = (m - (d >> 1)) & 0xFFFF
+    aa = (d + bb - 0x8000) & 0xFFFF
+    return aa.astype(np.uint16), bb.astype(np.uint16)
+
+
+def _wav2_decode(buf: np.ndarray, base: int, nx: int, ox: int, ny: int,
+                 oy: int, mx: int) -> None:
+    """In-place 2D wavelet decode of one ushort slice (wav2Decode);
+    vectorized over each level's block grid."""
+    wdec = _wdec14 if mx < (1 << 14) else _wdec16
+    n = min(nx, ny)
+    p = 1
+    while p <= n:
+        p <<= 1
+    p >>= 1
+    p2 = p
+    p >>= 1
+    while p >= 1:
+        ys = np.arange(0, ny - p2 + 1, p2, dtype=np.int64)
+        xs = np.arange(0, nx - p2 + 1, p2, dtype=np.int64)
+        if ys.size and xs.size:
+            i00 = (base + ys[:, None] * oy + xs[None, :] * ox).ravel()
+            i01 = i00 + ox * p
+            i10 = i00 + oy * p
+            i11 = i10 + ox * p
+            v00, v10 = wdec(buf[i00], buf[i10])
+            v01, v11 = wdec(buf[i01], buf[i11])
+            a, b = wdec(v00, v01)
+            buf[i00], buf[i01] = a, b
+            a, b = wdec(v10, v11)
+            buf[i10], buf[i11] = a, b
+        if (nx & p) and ys.size:  # odd column (vertical 1D pairs)
+            i0 = base + ys * oy + xs.size * p2 * ox
+            i1 = i0 + oy * p
+            a, b = wdec(buf[i0], buf[i1])
+            buf[i0], buf[i1] = a, b
+        if (ny & p) and xs.size:  # odd line (horizontal 1D pairs)
+            i0 = base + ys.size * p2 * oy + xs * ox
+            i1 = i0 + ox * p
+            a, b = wdec(buf[i0], buf[i1])
+            buf[i0], buf[i1] = a, b
+        p2 = p
+        p >>= 1
+
+
+def _piz_reverse_lut(bitmap: np.ndarray):
+    """reverseLutFromBitmap: dense code -> ushort value (zero always
+    implicitly present)."""
+    bits = np.unpackbits(bitmap, bitorder="little")
+    bits[0] = 1
+    vals = np.nonzero(bits)[0].astype(np.uint16)
+    lut = np.zeros(65536, np.uint16)
+    lut[: vals.size] = vals
+    return lut, vals.size - 1
+
+
+def _piz_expand(payload: bytes, chans, w: int, rows: int) -> bytes:
+    """One PIZ chunk -> raw scanline-layout bytes."""
+    if len(payload) < 8:
+        raise ExrError("truncated exr piz chunk")
+    minnz, maxnz = struct.unpack_from("<HH", payload, 0)
+    pos = 4
+    if maxnz >= 8192:
+        raise ExrError("bad exr piz bitmap range")
+    bitmap = np.zeros(8192, np.uint8)
+    if minnz <= maxnz:
+        nb = maxnz - minnz + 1
+        if pos + nb > len(payload):
+            raise ExrError("truncated exr piz bitmap")
+        bitmap[minnz : maxnz + 1] = np.frombuffer(payload, np.uint8, nb, pos)
+        pos += nb
+    lut, maxval = _piz_reverse_lut(bitmap)
+    (length,) = struct.unpack_from("<i", payload, pos)
+    pos += 4
+    if length < 0 or pos + length > len(payload):
+        raise ExrError("truncated exr piz data")
+    sizes = [1 if c[1] == _HALF else 2 for c in chans]
+    total = rows * w * sum(sizes)
+    data = _huf_uncompress(payload[pos : pos + length], total)
+    off = 0
+    for sz in sizes:
+        n = rows * w * sz
+        for j in range(sz):
+            _wav2_decode(data, off + j, w, sz, rows, w * sz, maxval)
+        off += n
+    data = lut[data]
+    # planar channel blocks -> interleaved scanlines
+    out = np.empty(total, np.uint16)
+    pos_out = 0
+    starts = np.cumsum([0] + [rows * w * s for s in sizes])
+    for r in range(rows):
+        for ci, sz in enumerate(sizes):
+            n = w * sz
+            src_off = starts[ci] + r * n
+            out[pos_out : pos_out + n] = data[src_off : src_off + n]
+            pos_out += n
+    return out.astype("<u2").tobytes()
+
+
+# -- B44 / B44A (ImfB44Compressor.cpp): fixed-rate 4x4 blocks of HALF
+# data — 14 bytes each (16-bit base + 6-bit shift + 15 6-bit deltas in
+# a column-then-row prediction chain); B44A adds 3-byte flat blocks
+# (b[2] == 0xfc). Non-HALF channels ride the chunk verbatim. Lossy by
+# design — the expected answer is what libOpenEXR reads back. ------------------
+
+
+def _b44_undo_sign(t: np.ndarray) -> np.ndarray:
+    """Invert pack()'s monotonic-order transform: sign bit set -> clear
+    it, else bitwise-complement."""
+    return np.where(t & 0x8000, t & 0x7FFF, ~t & 0xFFFF).astype(np.uint16)
+
+
+def _b44_unpack14(blocks: np.ndarray) -> np.ndarray:
+    """(n, 14) uint8 -> (n, 16) uint16 half bits (vectorized unpack14;
+    mod-2^16 chain arithmetic)."""
+    b = blocks.astype(np.uint32)
+    shift = b[:, 2] >> 2
+    bias = (np.uint32(0x20) << shift).astype(np.uint32)
+
+    def fld(hi, lo, sh_hi, sh_lo):
+        return ((b[:, hi] << sh_hi) | (b[:, lo] >> sh_lo)) & 0x3F
+
+    d = [
+        fld(2, 3, 4, 4), fld(3, 4, 2, 6), b[:, 4] & 0x3F,      # s4 s8 s12
+        b[:, 5] >> 2, fld(5, 6, 4, 4), fld(6, 7, 2, 6),        # s1 s5 s9
+        b[:, 7] & 0x3F,                                        # s13
+        b[:, 8] >> 2, fld(8, 9, 4, 4), fld(9, 10, 2, 6),       # s2 s6 s10
+        b[:, 10] & 0x3F,                                       # s14
+        b[:, 11] >> 2, fld(11, 12, 4, 4), fld(12, 13, 2, 6),   # s3 s7 s11
+        b[:, 13] & 0x3F,                                       # s15
+    ]
+    d = [(x << shift) - bias for x in d]
+    s = np.zeros((b.shape[0], 16), np.uint32)
+    s[:, 0] = (b[:, 0] << 8) | b[:, 1]
+    s[:, 4] = s[:, 0] + d[0]
+    s[:, 8] = s[:, 4] + d[1]
+    s[:, 12] = s[:, 8] + d[2]
+    s[:, 1] = s[:, 0] + d[3]
+    s[:, 5] = s[:, 4] + d[4]
+    s[:, 9] = s[:, 8] + d[5]
+    s[:, 13] = s[:, 12] + d[6]
+    s[:, 2] = s[:, 1] + d[7]
+    s[:, 6] = s[:, 5] + d[8]
+    s[:, 10] = s[:, 9] + d[9]
+    s[:, 14] = s[:, 13] + d[10]
+    s[:, 3] = s[:, 2] + d[11]
+    s[:, 7] = s[:, 6] + d[12]
+    s[:, 11] = s[:, 10] + d[13]
+    s[:, 15] = s[:, 14] + d[14]
+    return _b44_undo_sign((s & 0xFFFF).astype(np.uint16))
+
+
+def _b44_expand(payload: bytes, chans, w: int, rows: int) -> bytes:
+    """One B44/B44A chunk -> raw scanline-layout bytes."""
+    pos = 0
+    planes = []  # per channel: (rows, w*units) uint16 rows
+    for _name, ptype, _xs, _ys in chans:
+        if ptype != _HALF:
+            # UINT/FLOAT channels are stored verbatim (planar)
+            nb = rows * w * 4
+            if pos + nb > len(payload):
+                raise ExrError("truncated exr b44 chunk")
+            planes.append(
+                np.frombuffer(payload, "<u2", rows * w * 2, pos)
+                .reshape(rows, w * 2))
+            pos += nb
+            continue
+        bx = (w + 3) // 4
+        by = (rows + 3) // 4
+        offs = np.empty(bx * by, np.int64)
+        sizes14 = np.empty(bx * by, bool)
+        for i in range(bx * by):
+            if pos + 3 > len(payload):
+                raise ExrError("truncated exr b44 chunk")
+            flat = payload[pos + 2] == 0xFC
+            offs[i] = pos
+            sizes14[i] = not flat
+            pos += 3 if flat else 14
+        if pos > len(payload):
+            raise ExrError("truncated exr b44 chunk")
+        u8 = np.frombuffer(payload, np.uint8)
+        svals = np.empty((bx * by, 16), np.uint16)
+        full = np.nonzero(sizes14)[0]
+        if full.size:
+            idx = offs[full, None] + np.arange(14)
+            svals[full] = _b44_unpack14(u8[idx])
+        flat_ix = np.nonzero(~sizes14)[0]
+        if flat_ix.size:
+            base = (u8[offs[flat_ix]].astype(np.uint16) << 8) \
+                | u8[offs[flat_ix] + 1]
+            svals[flat_ix] = _b44_undo_sign(base)[:, None]
+        # scatter 4x4 blocks (row-major) into the padded plane, then
+        # crop edge padding
+        grid = svals.reshape(by, bx, 4, 4)
+        plane = grid.transpose(0, 2, 1, 3).reshape(by * 4, bx * 4)
+        planes.append(np.ascontiguousarray(plane[:rows, :w]))
+    # planar -> interleaved scanlines
+    parts = []
+    for r in range(rows):
+        for plane in planes:
+            parts.append(plane[r].astype("<u2").tobytes())
+    return b"".join(parts)
+
+
 # -- header parsing ------------------------------------------------------------
 
 
@@ -109,12 +611,46 @@ def decode_exr(data: bytes) -> np.ndarray:
         raise ExrError(f"corrupt exr: {e}") from e
 
 
+def _unpack_chunk(payload: bytes, comp: int, chans, w: int, rows: int,
+                  dtypes) -> dict:
+    """One scanline block or tile -> {channel: (rows, w) float32}.
+    OpenEXR stores a chunk RAW (original scanline layout) whenever
+    compression didn't shrink it, for every codec family."""
+    line_bytes = sum(dtypes[c[1]].itemsize * w for c in chans)
+    raw_len = line_bytes * rows
+    size = len(payload)
+    if comp == _PXR24 and size < raw_len:
+        raw = zlib.decompress(payload)
+        if len(raw) != _pxr24_line_bytes(chans, w) * rows:
+            raise ExrError("corrupt exr pxr24 chunk")
+        return _pxr24_expand(raw, chans, w, rows)
+    if comp == _PIZ and size < raw_len:
+        raw = _piz_expand(payload, chans, w, rows)
+    elif comp in (_B44, _B44A) and size < raw_len:
+        raw = _b44_expand(payload, chans, w, rows)
+    elif comp == _RLE and size < raw_len:
+        raw = _zip_unfilter(_rle_uncompress(payload, raw_len))
+    elif comp in (_ZIPS, _ZIP) and size < raw_len:
+        raw = _zip_unfilter(zlib.decompress(payload))
+    else:
+        raw = payload
+    if len(raw) != raw_len:
+        raise ExrError("corrupt exr chunk")
+    out = {c[0]: np.zeros((rows, w), np.float32) for c in chans}
+    bpos = 0
+    for r in range(rows):
+        for name, ptype, _xs, _ys in chans:
+            dt = dtypes[ptype]
+            out[name][r] = np.frombuffer(raw, dt, w, bpos).astype(np.float32)
+            bpos += dt.itemsize * w
+    return out
+
+
 def _decode_exr(data: bytes) -> np.ndarray:
     if data[:4] != MAGIC:
         raise ExrError("not an exr file")
     version, = struct.unpack_from("<i", data, 4)
-    if version & 0x200:
-        raise ExrError("tiled exr not supported")
+    tiled = bool(version & 0x200)
     if version & 0x1000 or version & 0x800:
         raise ExrError("deep/multi-part exr not supported")
     pos = 8
@@ -139,46 +675,61 @@ def _decode_exr(data: bytes) -> np.ndarray:
     w, h = x1 - x0 + 1, y1 - y0 + 1
     if w <= 0 or h <= 0 or w * h > 100_000_000:
         raise ExrError("bad exr dimensions")
-    if comp not in _ZIP_BLOCK:
+    if comp not in _BLOCK:
         raise ExrError(f"unsupported exr compression {comp}")
-    if line_order != 0:
-        # decreasing/random order is renderer-exotic; serving silently
-        # wrong pixels would be worse than the error
-        raise ExrError("unsupported exr line order")
     for name, ptype, xs, ys in chans:
         if ptype not in (_HALF, _FLOAT):
             raise ExrError(f"unsupported exr pixel type {ptype}")
         if xs != 1 or ys != 1:
             raise ExrError("subsampled exr channels not supported")
-    block = _ZIP_BLOCK[comp]
-    n_blocks = (h + block - 1) // block
-    # line offset table
-    offsets = struct.unpack_from(f"<{n_blocks}Q", data, pos)
     dtypes = {_HALF: np.dtype("<f2"), _FLOAT: np.dtype("<f4")}
-    line_bytes = sum(dtypes[c[1]].itemsize * w for c in chans)
     planes = {c[0]: np.zeros((h, w), np.float32) for c in chans}
-    for off in offsets:
-        y, size = struct.unpack_from("<ii", data, off)
-        if not (y0 <= y <= y1) or size < 0:
-            raise ExrError("exr chunk y outside the data window")
-        payload = data[off + 8 : off + 8 + size]
-        rows = min(block, y1 - y + 1)
-        raw_len = line_bytes * rows
-        if comp != _NONE and size < raw_len:
-            payload = _zip_unfilter(zlib.decompress(payload))
-        # (OpenEXR stores raw when compression didn't shrink the block)
-        if len(payload) != raw_len:
-            raise ExrError("corrupt exr scanline block")
-        bpos = 0
-        for r in range(rows):
-            yy = y - y0 + r
-            for name, ptype, _xs, _ys in chans:
-                dt = dtypes[ptype]
-                nb = dt.itemsize * w
-                planes[name][yy] = np.frombuffer(
-                    payload, dt, w, bpos
-                ).astype(np.float32)
-                bpos += nb
+    if tiled:
+        # tile chunks carry their own coordinates, so any lineOrder
+        # (including RANDOM_Y) is fine
+        try:
+            txs, tys, tmode = struct.unpack("<IIB", attrs["tiles"])
+        except (KeyError, struct.error) as e:
+            raise ExrError(f"bad tiled exr header: {e}") from e
+        if tmode & 0xF:  # 1 = MIPMAP_LEVELS, 2 = RIPMAP_LEVELS
+            raise ExrError("mip/ripmapped exr tiles not supported")
+        if not (0 < txs <= 65536 and 0 < tys <= 65536):
+            raise ExrError("bad exr tile size")
+        nx = (w + txs - 1) // txs
+        ny = (h + tys - 1) // tys
+        offsets = struct.unpack_from(f"<{nx * ny}Q", data, pos)
+        for off in offsets:
+            dx, dy, _lx, _ly, size = struct.unpack_from("<5i", data, off)
+            if not (0 <= dx < nx and 0 <= dy < ny) or size < 0:
+                raise ExrError("exr tile outside the data window")
+            tw = min(txs, w - dx * txs)
+            th = min(tys, h - dy * tys)
+            got = _unpack_chunk(
+                data[off + 20 : off + 20 + size], comp, chans, tw, th, dtypes
+            )
+            xa, ya = dx * txs, dy * tys
+            for name, rowsarr in got.items():
+                planes[name][ya : ya + th, xa : xa + tw] = rowsarr
+    else:
+        if line_order != 0:
+            # decreasing/random order is renderer-exotic; serving
+            # silently wrong pixels would be worse than the error
+            raise ExrError("unsupported exr line order")
+        block = _BLOCK[comp]
+        n_blocks = (h + block - 1) // block
+        # line offset table
+        offsets = struct.unpack_from(f"<{n_blocks}Q", data, pos)
+        for off in offsets:
+            y, size = struct.unpack_from("<ii", data, off)
+            if not (y0 <= y <= y1) or size < 0:
+                raise ExrError("exr chunk y outside the data window")
+            rows = min(block, y1 - y + 1)
+            got = _unpack_chunk(
+                data[off + 8 : off + 8 + size], comp, chans, w, rows, dtypes
+            )
+            yy = y - y0
+            for name, rowsarr in got.items():
+                planes[name][yy : yy + rows] = rowsarr
     names = {n.upper(): n for n in planes}
     if all(k in names for k in ("R", "G", "B")):
         rgb = np.stack([planes[names["R"]], planes[names["G"]],
@@ -199,21 +750,21 @@ def _attr(name: bytes, typ: bytes, val: bytes) -> bytes:
     return name + b"\0" + typ + b"\0" + struct.pack("<i", len(val)) + val
 
 
-def encode_exr(img: np.ndarray, compression: int = _NONE) -> bytes:
-    """(H, W, 3|4) uint8 -> single-part scanline EXR, HALF channels
-    B/G/R (alphabetical, as the chlist must be sorted). compression:
-    _NONE (default output) or _ZIPS/_ZIP (test-support for the decode
-    paths)."""
-    h, w = img.shape[:2]
+def _bgr_half(img: np.ndarray) -> np.ndarray:
     rgb = img[:, :, :3].astype(np.float32) / 255.0
-    half = rgb.astype("<f2")
+    return rgb.astype("<f2")
+
+
+def _half_header(w: int, h: int, compression: int, extra: bytes = b"") -> bytes:
+    """Common header with HALF channels B/G/R (alphabetical, as the
+    chlist must be sorted)."""
     chlist = b""
     for name in (b"B", b"G", b"R"):
         chlist += (name + b"\0" + struct.pack("<iB3x", _HALF, 0)
                    + struct.pack("<ii", 1, 1))
     chlist += b"\0"
     dw = struct.pack("<4i", 0, 0, w - 1, h - 1)
-    header = (
+    return (
         _attr(b"channels", b"chlist", chlist)
         + _attr(b"compression", b"compression", bytes([compression]))
         + _attr(b"dataWindow", b"box2i", dw)
@@ -222,9 +773,40 @@ def encode_exr(img: np.ndarray, compression: int = _NONE) -> bytes:
         + _attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
         + _attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0))
         + _attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+        + extra
         + b"\0"
     )
-    block = _ZIP_BLOCK[compression]
+
+
+def _compress_rows(half: np.ndarray, r0: int, rows: int, x0: int, tw: int,
+                   compression: int) -> bytes:
+    """HALF rows [r0, r0+rows) x cols [x0, x0+tw) -> chunk payload
+    (channels in chlist order B, G, R; raw wins when compression
+    doesn't shrink, matching the readers' size-based dispatch)."""
+    lines = []
+    for r in range(r0, r0 + rows):
+        lines += [half[r, x0 : x0 + tw, 2], half[r, x0 : x0 + tw, 1],
+                  half[r, x0 : x0 + tw, 0]]
+    raw = b"".join(ln.tobytes() for ln in lines)
+    if compression == _NONE:
+        return raw
+    if compression == _PXR24:
+        z = zlib.compress(_pxr24_filter(lines))
+    elif compression == _RLE:
+        z = _rle_compress(_zip_filter(raw))
+    else:
+        z = zlib.compress(_zip_filter(raw))
+    return z if len(z) < len(raw) else raw
+
+
+def encode_exr(img: np.ndarray, compression: int = _NONE) -> bytes:
+    """(H, W, 3|4) uint8 -> single-part scanline EXR, HALF channels.
+    compression: _NONE (default output) or _RLE/_ZIPS/_ZIP/_PXR24
+    (test-support for the decode paths)."""
+    h, w = img.shape[:2]
+    half = _bgr_half(img)
+    header = _half_header(w, h, compression)
+    block = _BLOCK[compression]
     n_blocks = (h + block - 1) // block
     head_len = 8 + len(header) + 8 * n_blocks
     blocks = []
@@ -232,17 +814,7 @@ def encode_exr(img: np.ndarray, compression: int = _NONE) -> bytes:
     off = head_len
     for b0 in range(0, h, block):
         rows = min(block, h - b0)
-        lines = []
-        for r in range(b0, b0 + rows):
-            # channels in chlist order: B, G, R
-            lines += [half[r, :, 2].tobytes(), half[r, :, 1].tobytes(),
-                      half[r, :, 0].tobytes()]
-        raw = b"".join(lines)
-        payload = raw
-        if compression != _NONE:
-            z = zlib.compress(_zip_filter(raw))
-            if len(z) < len(raw):
-                payload = z
+        payload = _compress_rows(half, b0, rows, 0, w, compression)
         chunk = struct.pack("<ii", b0, len(payload)) + payload
         offsets.append(off)
         off += len(chunk)
@@ -251,8 +823,41 @@ def encode_exr(img: np.ndarray, compression: int = _NONE) -> bytes:
             + struct.pack(f"<{n_blocks}Q", *offsets) + b"".join(blocks))
 
 
+def encode_exr_tiled(img: np.ndarray, tile=(32, 32),
+                     compression: int = _NONE) -> bytes:
+    """Single-level (ONE_LEVEL) tiled writer — test support for the
+    tiled decode path (the serving encoder stays scanline)."""
+    h, w = img.shape[:2]
+    txs, tys = tile
+    half = _bgr_half(img)
+    tiles_attr = struct.pack("<IIB", txs, tys, 0)  # ONE_LEVEL, round down
+    header = _half_header(
+        w, h, compression, _attr(b"tiles", b"tiledesc", tiles_attr)
+    )
+    nx = (w + txs - 1) // txs
+    ny = (h + tys - 1) // tys
+    head_len = 8 + len(header) + 8 * nx * ny
+    blocks = []
+    offsets = []
+    off = head_len
+    for dy in range(ny):
+        for dx in range(nx):
+            tw = min(txs, w - dx * txs)
+            th = min(tys, h - dy * tys)
+            payload = _compress_rows(
+                half, dy * tys, th, dx * txs, tw, compression
+            )
+            chunk = struct.pack("<5i", dx, dy, 0, 0, len(payload)) + payload
+            offsets.append(off)
+            off += len(chunk)
+            blocks.append(chunk)
+    return (MAGIC + struct.pack("<i", 2 | 0x200) + header
+            + struct.pack(f"<{nx * ny}Q", *offsets) + b"".join(blocks))
+
+
 def sniff(data: bytes) -> bool:
     return data[:4] == MAGIC
 
 
-__all__ = ["decode_exr", "encode_exr", "ExrError", "sniff"]
+__all__ = ["decode_exr", "encode_exr", "encode_exr_tiled", "ExrError",
+           "sniff"]

@@ -7,6 +7,7 @@ src/handler.rs:192-196; mime via ImageFormat::to_mime_type.
 """
 
 import io
+import os
 
 import numpy as np
 import pytest
@@ -200,13 +201,128 @@ def test_exr_roundtrip_all_compressions():
 
     img = make_test_image(64, 48)
     sizes = {}
-    for comp in (0, 2, 3):  # NONE / ZIPS / ZIP
+    for comp in (0, 1, 2, 3, 5):  # NONE / RLE / ZIPS / ZIP / PXR24
         data = exr_codec.encode_exr(img, compression=comp)
         back = exr_codec.decode_exr(data)
         # half-precision mantissa holds u8/255 exactly
         np.testing.assert_array_equal(back, img)
         sizes[comp] = len(data)
     assert sizes[3] < sizes[0]  # zip actually compressed
+    assert sizes[1] < sizes[0]  # rle compressed the smooth gradient
+    assert sizes[5] < sizes[0]  # pxr24 too
+
+
+def test_exr_tiled_decode():
+    """Single-level tiled files decode identically to scanline ones,
+    including edge tiles that don't divide the image and every
+    compression the scanline path supports."""
+    from fanlin_tpu.engine import exr_codec
+
+    img = make_test_image(50, 37)  # primes against every tile grid
+    for comp in (0, 1, 3, 5):
+        for tile in ((32, 32), (20, 17), (64, 64), (7, 5)):
+            data = exr_codec.encode_exr_tiled(img, tile=tile,
+                                              compression=comp)
+            np.testing.assert_array_equal(exr_codec.decode_exr(data), img)
+    # mip/ripmapped tile pyramids are rejected, not misread as level 0
+    data = bytearray(exr_codec.encode_exr_tiled(img))
+    i = data.index(b"tiles\x00tiledesc\x00")
+    mode_off = i + len(b"tiles\x00tiledesc\x00") + 4 + 8  # size + xs + ys
+    for mode in (1, 2):  # MIPMAP_LEVELS / RIPMAP_LEVELS
+        data[mode_off] = mode
+        with pytest.raises(exr_codec.ExrError):
+            exr_codec.decode_exr(bytes(data))
+
+
+_EXR_GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "exr")
+
+
+def _exr_expected_u8(name: str, w: int = 61, h: int = 45) -> np.ndarray:
+    """The pixels REAL OpenEXR read back from its own file (dumped by
+    tools/make_exr_fixtures.cpp), through the codec's float->u8 map."""
+    if name == "noise_piz":
+        w, h = 256, 64
+    if name.startswith("float"):
+        f = np.fromfile(
+            os.path.join(_EXR_GOLDEN, name + ".expected.f32"), np.float32
+        ).reshape(h, w, 3)
+    else:
+        f = np.fromfile(
+            os.path.join(_EXR_GOLDEN, name + ".expected.f16"), "<f2"
+        ).reshape(h, w, 3).astype(np.float32)
+    f = np.nan_to_num(f, nan=0.0, posinf=1.0, neginf=0.0)
+    return np.round(np.clip(f, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+@pytest.mark.parametrize("name", [
+    "scan_none", "scan_rle", "scan_zips", "scan_zip", "scan_piz",
+    "scan_pxr24", "scan_b44", "scan_b44a",
+    "tile_none", "tile_rle", "tile_zip", "tile_piz", "tile_pxr24",
+    "float_zip", "float_pxr24", "float_piz",
+    "noise_piz",  # >=2^14 distinct values: the wavelet's wdec16 branch
+])
+def test_exr_real_openexr_conformance(name):
+    """Byte-exact decode of files written by REAL OpenEXR (libOpenEXR
+    3.1 via tools/make_exr_fixtures.cpp) — scanline + tiled, HALF +
+    FLOAT, every zlib/RLE/PIZ/PXR24 variant. The expected pixels are
+    what OpenEXR itself reads back from each file."""
+    from fanlin_tpu.engine import exr_codec
+
+    with open(os.path.join(_EXR_GOLDEN, name + ".exr"), "rb") as f:
+        out = exr_codec.decode_exr(f.read())
+    np.testing.assert_array_equal(out, _exr_expected_u8(name))
+
+
+def test_exr_pxr24_float_channels():
+    """FLOAT channels under PXR24: the writer truncates mantissas to
+    24 bits; reading reconstructs bits<<8. Hand-built file (our
+    encoder only writes HALF) with 24-bit-exact values."""
+    import struct
+    import zlib
+
+    from fanlin_tpu.engine import exr_codec as E
+
+    h, w = 3, 5
+    rng = np.random.default_rng(11)
+    # float32 values whose low 8 mantissa bits are zero (24-bit exact)
+    vals = (rng.integers(0, 1 << 24, (h, w, 3), np.uint32) << 8).view(
+        np.float32)
+    vals = np.nan_to_num(np.abs(vals), posinf=0.5) % 1.0
+    vals = (vals.view(np.uint32) & 0xFFFFFF00).view(np.float32).copy()
+    chlist = b""
+    for name in (b"B", b"G", b"R"):
+        chlist += (name + b"\0" + struct.pack("<iB3x", 2, 0)  # FLOAT
+                   + struct.pack("<ii", 1, 1))
+    chlist += b"\0"
+    dw = struct.pack("<4i", 0, 0, w - 1, h - 1)
+    header = (
+        E._attr(b"channels", b"chlist", chlist)
+        + E._attr(b"compression", b"compression", bytes([5]))
+        + E._attr(b"dataWindow", b"box2i", dw)
+        + E._attr(b"displayWindow", b"box2i", dw)
+        + E._attr(b"lineOrder", b"lineOrder", b"\0")
+        + b"\0"
+    )
+    # pxr24-filter: per row x channel (B,G,R), 24-bit diffs in 3
+    # big-endian byte planes
+    parts = []
+    for r in range(h):
+        for c in (2, 1, 0):
+            bits24 = vals[r, :, c].view(np.uint32) >> 8
+            diffs = np.empty_like(bits24)
+            diffs[0] = bits24[0]
+            diffs[1:] = (bits24[1:] - bits24[:-1]) & 0xFFFFFF
+            parts += [((diffs >> 16) & 0xFF).astype(np.uint8).tobytes(),
+                      ((diffs >> 8) & 0xFF).astype(np.uint8).tobytes(),
+                      (diffs & 0xFF).astype(np.uint8).tobytes()]
+    payload = zlib.compress(b"".join(parts))
+    chunk = struct.pack("<ii", 0, len(payload)) + payload
+    off = 8 + len(header) + 8
+    data = (b"\x76\x2f\x31\x01" + struct.pack("<i", 2) + header
+            + struct.pack("<Q", off) + chunk)
+    out = E.decode_exr(data)
+    want = np.round(np.clip(vals, 0, 1) * 255).astype(np.uint8)
+    np.testing.assert_array_equal(out, want)
 
 
 def test_exr_transform_returns_200():

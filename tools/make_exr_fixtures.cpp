@@ -1,0 +1,202 @@
+// Golden-fixture generator for the pure-python OpenEXR codec
+// (fanlin_tpu/engine/exr_codec.py). Writes a deterministic image with
+// REAL OpenEXR (the installed libOpenEXR) in every compression the
+// codec claims to decode — plus a read-back dump of the half bits, so
+// lossy codecs (B44 quantizes) still have an exact expected answer.
+//
+// Build:  g++ -O2 tools/make_exr_fixtures.cpp -o /tmp/make_exr_fixtures \
+//           $(pkg-config --cflags --libs OpenEXR)
+// Run:    /tmp/make_exr_fixtures tests/golden/exr
+//
+// Output per variant NAME: NAME.exr and NAME.expected.f16 (raw
+// little-endian half, H*W*3 in R,G,B scanline order, the pixels REAL
+// OpenEXR reads back from its own file).
+
+#include <ImfRgbaFile.h>
+#include <ImfTiledRgbaFile.h>
+#include <ImfOutputFile.h>
+#include <ImfInputFile.h>
+#include <ImfChannelList.h>
+#include <ImfArray.h>
+#include <ImfFrameBuffer.h>
+
+#include <cstdio>
+#include <cstdint>
+#include <cmath>
+#include <string>
+#include <vector>
+
+using namespace Imf;
+using namespace Imath;
+
+static const int W = 61, H = 45;  // primes vs tile/block sizes
+
+// deterministic photo-like content: gradients + a quantized step so
+// RLE/PIZ have structure to exploit and every value is exactly a
+// u8/255 half (lossless codecs must round-trip to the source bytes)
+static uint8_t srcByte(int y, int x, int c) {
+  double v = 128.0 + 90.0 * std::sin((x + 17.0 * c) / 11.0) +
+             60.0 * std::cos(y / 7.0) + ((x / 8 + y / 8) % 2) * 20.0;
+  if (v < 0) v = 0;
+  if (v > 255) v = 255;
+  return (uint8_t)v;
+}
+
+static void fillPixels(Array2D<Rgba>& px) {
+  for (int y = 0; y < H; ++y)
+    for (int x = 0; x < W; ++x) {
+      px[y][x].r = half(srcByte(y, x, 0) / 255.0f);
+      px[y][x].g = half(srcByte(y, x, 1) / 255.0f);
+      px[y][x].b = half(srcByte(y, x, 2) / 255.0f);
+      px[y][x].a = half(1.0f);
+    }
+}
+
+static void dumpReadback(const std::string& exrPath,
+                         const std::string& outPath) {
+  RgbaInputFile in(exrPath.c_str());
+  Box2i dw = in.dataWindow();
+  int w = dw.max.x - dw.min.x + 1, h = dw.max.y - dw.min.y + 1;
+  Array2D<Rgba> px(h, w);
+  in.setFrameBuffer(&px[0][0] - dw.min.x - dw.min.y * w, 1, w);
+  in.readPixels(dw.min.y, dw.max.y);
+  FILE* f = std::fopen(outPath.c_str(), "wb");
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x) {
+      uint16_t bits[3] = {px[y][x].r.bits(), px[y][x].g.bits(),
+                          px[y][x].b.bits()};
+      std::fwrite(bits, 2, 3, f);
+    }
+  std::fclose(f);
+}
+
+int main(int argc, char** argv) {
+  if (argc != 2) {
+    std::fprintf(stderr, "usage: %s OUTDIR\n", argv[0]);
+    return 2;
+  }
+  std::string dir = argv[1];
+  Array2D<Rgba> px(H, W);
+  fillPixels(px);
+
+  struct Variant { const char* name; Compression comp; };
+  const Variant scan[] = {
+      {"none", NO_COMPRESSION}, {"rle", RLE_COMPRESSION},
+      {"zips", ZIPS_COMPRESSION}, {"zip", ZIP_COMPRESSION},
+      {"piz", PIZ_COMPRESSION}, {"pxr24", PXR24_COMPRESSION},
+      {"b44", B44_COMPRESSION}, {"b44a", B44A_COMPRESSION},
+  };
+  for (const auto& v : scan) {
+    std::string path = dir + "/scan_" + v.name + ".exr";
+    {
+      RgbaOutputFile out(path.c_str(), W, H, WRITE_RGBA, 1.0f,
+                         V2f(0, 0), 1.0f, INCREASING_Y, v.comp);
+      out.setFrameBuffer(&px[0][0], 1, W);
+      out.writePixels(H);
+    }
+    dumpReadback(path, dir + "/scan_" + std::string(v.name)
+                           + ".expected.f16");
+    std::printf("wrote scan_%s\n", v.name);
+  }
+
+  const Variant tiled[] = {
+      {"none", NO_COMPRESSION}, {"rle", RLE_COMPRESSION},
+      {"zip", ZIP_COMPRESSION}, {"piz", PIZ_COMPRESSION},
+      {"pxr24", PXR24_COMPRESSION},
+  };
+  for (const auto& v : tiled) {
+    std::string path = dir + "/tile_" + v.name + ".exr";
+    {
+      TiledRgbaOutputFile out(path.c_str(), W, H, 16, 16, ONE_LEVEL,
+                              ROUND_DOWN, WRITE_RGBA, 1.0f, V2f(0, 0),
+                              1.0f, INCREASING_Y, v.comp);
+      out.setFrameBuffer(&px[0][0], 1, W);
+      out.writeTiles(0, out.numXTiles() - 1, 0, out.numYTiles() - 1);
+    }
+    dumpReadback(path, dir + "/tile_" + std::string(v.name)
+                           + ".expected.f16");
+    std::printf("wrote tile_%s\n", v.name);
+  }
+
+  // high-entropy PIZ: >=2^14 distinct ushort values forces the
+  // wavelet's mod-2^16 (wdec16) branch, which the photo-like content
+  // (few hundred distinct half values) never reaches
+  {
+    const int NW = 256, NH = 64;
+    Array2D<Rgba> npx(NH, NW);
+    // bit-space ramps: ~49k distinct ushort values (w16 engages) but
+    // neighbor deltas stay tiny, so the wavelet+huffman genuinely
+    // compresses instead of falling back to raw-stored chunks
+    for (int y = 0; y < NH; ++y)
+      for (int x = 0; x < NW; ++x) {
+        uint16_t r[4];
+        for (int c = 0; c < 4; ++c) {
+          uint16_t v = (uint16_t)(y * NW + x + c * 12289u + (x % 7));
+          if ((v & 0x7C00) == 0x7C00) v &= 0x7BFF;  // no inf/nan
+          r[c] = v;
+        }
+        npx[y][x].r.setBits(r[0]);
+        npx[y][x].g.setBits(r[1]);
+        npx[y][x].b.setBits(r[2]);
+        npx[y][x].a.setBits(r[3]);
+      }
+    std::string path = dir + "/noise_piz.exr";
+    {
+      RgbaOutputFile out(path.c_str(), NW, NH, WRITE_RGBA, 1.0f,
+                         V2f(0, 0), 1.0f, INCREASING_Y, PIZ_COMPRESSION);
+      out.setFrameBuffer(&npx[0][0], 1, NW);
+      out.writePixels(NH);
+    }
+    dumpReadback(path, dir + "/noise_piz.expected.f16");
+    std::printf("wrote noise_piz\n");
+  }
+
+  // FLOAT channels (ImfOutputFile; RgbaOutputFile is HALF-only):
+  // zip + pxr24 (pxr24 truncates FLOAT mantissas to 24 bits — the
+  // expected dump is the read-back, not the source)
+  {
+    std::vector<float> rgb(H * W * 3);
+    for (int y = 0; y < H; ++y)
+      for (int x = 0; x < W; ++x)
+        for (int c = 0; c < 3; ++c)
+          rgb[(y * W + x) * 3 + c] = srcByte(y, x, c) / 255.0f;
+    const Variant fl[] = {{"zip", ZIP_COMPRESSION},
+                          {"pxr24", PXR24_COMPRESSION},
+                          {"piz", PIZ_COMPRESSION}};
+    for (const auto& v : fl) {
+      std::string path = dir + "/float_" + v.name + ".exr";
+      {
+        Header hdr(W, H);
+        hdr.compression() = v.comp;
+        hdr.channels().insert("R", Channel(FLOAT));
+        hdr.channels().insert("G", Channel(FLOAT));
+        hdr.channels().insert("B", Channel(FLOAT));
+        OutputFile out(path.c_str(), hdr);
+        FrameBuffer fb;
+        fb.insert("R", Slice(FLOAT, (char*)&rgb[0], 12, 12 * W));
+        fb.insert("G", Slice(FLOAT, (char*)&rgb[1], 12, 12 * W));
+        fb.insert("B", Slice(FLOAT, (char*)&rgb[2], 12, 12 * W));
+        out.setFrameBuffer(fb);
+        out.writePixels(H);
+      }
+      // read back as FLOAT and dump as half bits of the values
+      {
+        InputFile in(path.c_str());
+        std::vector<float> back(H * W * 3);
+        FrameBuffer fb;
+        fb.insert("R", Slice(FLOAT, (char*)&back[0], 12, 12 * W));
+        fb.insert("G", Slice(FLOAT, (char*)&back[1], 12, 12 * W));
+        fb.insert("B", Slice(FLOAT, (char*)&back[2], 12, 12 * W));
+        in.setFrameBuffer(fb);
+        in.readPixels(0, H - 1);
+        std::string outp = dir + "/float_" + std::string(v.name)
+                               + ".expected.f32";
+        FILE* f = std::fopen(outp.c_str(), "wb");
+        std::fwrite(back.data(), 4, back.size(), f);
+        std::fclose(f);
+      }
+      std::printf("wrote float_%s\n", v.name);
+    }
+  }
+  return 0;
+}
