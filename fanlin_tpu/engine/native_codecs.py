@@ -142,6 +142,14 @@ def _load():
             lib.fc_deflate_zlib.restype = ctypes.c_int
         except AttributeError:
             pass  # older .so without libdeflate
+        try:
+            lib.fc_exr_huf.argtypes = [
+                u8p, ctypes.c_size_t,
+                ctypes.POINTER(ctypes.c_uint16), ctypes.c_size_t,
+            ]
+            lib.fc_exr_huf.restype = ctypes.c_int
+        except AttributeError:
+            pass  # older .so without the EXR PIZ entropy stage
         lib.fc_free.argtypes = [u8p]
         _LIB = lib
         break
@@ -339,6 +347,22 @@ def deflate_zlib(data: bytes, level: int) -> Optional[bytes]:
         return ctypes.string_at(out, out_len.value)
     finally:
         lib.fc_free(out)
+
+
+def exr_huf_uncompress(data: bytes, n_out: int) -> Optional["np.ndarray"]:
+    """OpenEXR PIZ Huffman stage (fc_exr_huf) -> uint16 array, or None
+    when the native core is unbuilt/old or the stream is invalid (the
+    caller falls back to the byte-exact pure-python decoder)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_exr_huf"):
+        return None
+    out = np.empty(n_out, np.uint16)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    rc = lib.fc_exr_huf(
+        ctypes.cast(ctypes.c_char_p(data), u8p), len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n_out,
+    )
+    return out if rc == 0 else None
 
 
 def read_jpeg_coeffs4(data: bytes) -> Optional[dict]:

@@ -818,6 +818,208 @@ int fc_deflate_zlib(const uint8_t* in, size_t in_len, int level,
   return 0;
 }
 
+// OpenEXR PIZ entropy stage (ImfHuf.cpp's hufUncompress, decode only):
+// 20-byte header (im, iM, tableLength, nBits, room), 6-bit-packed
+// canonical code-length table with zero-run escapes, MSB-first
+// bitstream where symbol iM is the 8-bit-count run-length escape.
+// The Python mirror in fanlin_tpu/engine/exr_codec.py is the
+// validated reference (byte-exact vs real libOpenEXR fixtures); this
+// exists because the per-symbol Python loop is ~200x slower.
+// Returns 0 on success; out must hold n_out uint16s.
+int fc_exr_huf(const uint8_t* src, size_t src_len, uint16_t* out,
+               size_t n_out) {
+  enum { ENCSIZE = 65537, DECBITS = 14 };
+  if (n_out == 0) return 0;
+  if (src_len < 20) return 1;
+  int32_t im, iM, nbits;
+  memcpy(&im, src, 4);
+  memcpy(&iM, src + 4, 4);
+  memcpy(&nbits, src + 12, 4);
+  if (im < 0 || iM < im || iM >= ENCSIZE || nbits < 0) return 1;
+
+  uint8_t* lengths = static_cast<uint8_t*>(calloc(ENCSIZE, 1));
+  uint64_t* codes = static_cast<uint64_t*>(calloc(ENCSIZE, 8));
+  uint8_t* fast_len = static_cast<uint8_t*>(calloc(1u << DECBITS, 1));
+  uint32_t* fast_sym =
+      static_cast<uint32_t*>(calloc((size_t)1 << DECBITS, 4));
+  if (!lengths || !codes || !fast_len || !fast_sym) {
+    free(lengths); free(codes); free(fast_len); free(fast_sym);
+    return 1;
+  }
+#define FC_HUF_FAIL \
+  { free(lengths); free(codes); free(fast_len); free(fast_sym); return 1; }
+
+  // unpack the 6-bit code-length table
+  size_t pos = 20;
+  uint64_t c = 0;
+  int lc = 0;
+  for (int i = im; i <= iM;) {
+    while (lc < 6) {
+      if (pos >= src_len) FC_HUF_FAIL;
+      c = (c << 8) | src[pos++];
+      lc += 8;
+    }
+    lc -= 6;
+    int l = (int)((c >> lc) & 0x3f);
+    if (l == 63) {
+      while (lc < 8) {
+        if (pos >= src_len) FC_HUF_FAIL;
+        c = (c << 8) | src[pos++];
+        lc += 8;
+      }
+      lc -= 8;
+      int zerun = (int)((c >> lc) & 0xff) + 6;
+      if (i + zerun > iM + 1) FC_HUF_FAIL;
+      i += zerun;
+    } else if (l >= 59) {
+      int zerun = l - 59 + 2;
+      if (i + zerun > iM + 1) FC_HUF_FAIL;
+      i += zerun;
+    } else {
+      lengths[i++] = (uint8_t)l;
+    }
+  }
+
+  // canonical codes (hufCanonicalCodeTable)
+  {
+    uint64_t count[59] = {0};
+    for (int i = im; i <= iM; ++i) count[lengths[i]]++;
+    uint64_t base[59] = {0};
+    uint64_t cc = 0;
+    for (int l = 58; l > 0; --l) {
+      uint64_t nc = (cc + count[l]) >> 1;
+      base[l] = cc;
+      cc = nc;
+    }
+    for (int i = im; i <= iM; ++i)
+      if (lengths[i] > 0) codes[i] = base[lengths[i]]++;
+  }
+
+  // 14-bit fast table; >14-bit codes resolved by linear candidate scan
+  int n_long = 0;
+  for (int i = im; i <= iM; ++i) {
+    int l = lengths[i];
+    if (!l) continue;
+    if (l <= DECBITS) {
+      uint32_t start = (uint32_t)(codes[i] << (DECBITS - l));
+      uint32_t span = 1u << (DECBITS - l);
+      for (uint32_t j = 0; j < span; ++j) {
+        if (fast_len[start + j]) FC_HUF_FAIL;
+        fast_len[start + j] = (uint8_t)l;
+        fast_sym[start + j] = (uint32_t)i;
+      }
+    } else {
+      n_long++;
+    }
+  }
+  uint32_t* long_sym = nullptr;
+  uint8_t* long_len = nullptr;
+  uint64_t* long_code = nullptr;
+  if (n_long) {
+    long_sym = static_cast<uint32_t*>(malloc((size_t)n_long * 4));
+    long_len = static_cast<uint8_t*>(malloc(n_long));
+    long_code = static_cast<uint64_t*>(malloc((size_t)n_long * 8));
+    if (!long_sym || !long_len || !long_code) {
+      free(long_sym); free(long_len); free(long_code);
+      FC_HUF_FAIL;
+    }
+    int k = 0;
+    for (int i = im; i <= iM; ++i)
+      if (lengths[i] > DECBITS) {
+        long_sym[k] = (uint32_t)i;
+        long_len[k] = lengths[i];
+        long_code[k] = codes[i];
+        k++;
+      }
+  }
+#define FC_HUF_FAIL2 \
+  { free(long_sym); free(long_len); free(long_code); FC_HUF_FAIL; }
+
+  size_t nbytes = ((size_t)nbits + 7) >> 3;
+  if (pos + nbytes > src_len) FC_HUF_FAIL2;
+  const uint32_t rlc = (uint32_t)iM;
+  size_t oi = 0;
+  size_t ie = pos + nbytes;
+  c = 0;
+  lc = 0;
+  while (pos < ie) {
+    c = (c << 8) | src[pos++];
+    lc += 8;
+    while (lc >= DECBITS) {
+      uint32_t idx = (uint32_t)((c >> (lc - DECBITS)) & ((1u << DECBITS) - 1));
+      int l = fast_len[idx];
+      uint32_t sym;
+      if (l) {
+        lc -= l;
+        sym = fast_sym[idx];
+      } else {
+        int matched = 0;
+        for (int k = 0; k < n_long; ++k) {
+          int ll = long_len[k];
+          while (lc < ll && pos < ie) {
+            c = (c << 8) | src[pos++];
+            lc += 8;
+          }
+          if (lc >= ll &&
+              ((c >> (lc - ll)) & (((uint64_t)1 << ll) - 1)) ==
+                  long_code[k]) {
+            lc -= ll;
+            sym = long_sym[k];
+            matched = 1;
+            break;
+          }
+        }
+        if (!matched) FC_HUF_FAIL2;
+      }
+      if (sym == rlc) {
+        while (lc < 8) {
+          if (pos >= ie) FC_HUF_FAIL2;
+          c = (c << 8) | src[pos++];
+          lc += 8;
+        }
+        lc -= 8;
+        size_t cs = (size_t)((c >> lc) & 0xff);
+        if (oi == 0 || oi + cs > n_out) FC_HUF_FAIL2;
+        uint16_t prev = out[oi - 1];
+        for (size_t j = 0; j < cs; ++j) out[oi++] = prev;
+      } else {
+        if (oi >= n_out) FC_HUF_FAIL2;
+        out[oi++] = (uint16_t)sym;
+      }
+    }
+  }
+  // tail: drop the final byte's zero padding, then drain short codes
+  {
+    int pad = (8 - nbits) & 7;
+    c >>= pad;
+    lc -= pad;
+    while (lc > 0) {
+      uint32_t idx =
+          (uint32_t)((c << (DECBITS - lc)) & ((1u << DECBITS) - 1));
+      int l = fast_len[idx];
+      if (!l || l > lc) FC_HUF_FAIL2;
+      lc -= l;
+      uint32_t sym = fast_sym[idx];
+      if (sym == rlc) {
+        if (lc < 8) FC_HUF_FAIL2;
+        lc -= 8;
+        size_t cs = (size_t)((c >> lc) & 0xff);
+        if (oi == 0 || oi + cs > n_out) FC_HUF_FAIL2;
+        uint16_t prev = out[oi - 1];
+        for (size_t j = 0; j < cs; ++j) out[oi++] = prev;
+      } else {
+        if (oi >= n_out) FC_HUF_FAIL2;
+        out[oi++] = (uint16_t)sym;
+      }
+    }
+  }
+  free(long_sym); free(long_len); free(long_code);
+  free(lengths); free(codes); free(fast_len); free(fast_sym);
+  return oi == n_out ? 0 : 1;
+#undef FC_HUF_FAIL2
+#undef FC_HUF_FAIL
+}
+
 int fc_abi_version() { return 1; }
 
 }  // extern "C"

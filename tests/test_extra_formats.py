@@ -273,6 +273,28 @@ def test_exr_real_openexr_conformance(name):
     np.testing.assert_array_equal(out, _exr_expected_u8(name))
 
 
+def test_exr_piz_native_huf_matches_pure():
+    """The native fc_exr_huf entropy stage must be byte-equivalent to
+    the validated pure-python decoder on every PIZ fixture (the
+    native path is ~200x faster; the pure path is the fallback)."""
+    from fanlin_tpu.engine import exr_codec, native_codecs
+
+    if not (native_codecs.available()
+            and hasattr(native_codecs._load(), "fc_exr_huf")):
+        pytest.skip("native codec core with fc_exr_huf not built")
+    for name in ("scan_piz", "tile_piz", "float_piz", "noise_piz"):
+        with open(os.path.join(_EXR_GOLDEN, name + ".exr"), "rb") as f:
+            data = f.read()
+        try:
+            exr_codec._NATIVE_HUF = True
+            a = exr_codec.decode_exr(data)
+            exr_codec._NATIVE_HUF = False
+            b = exr_codec.decode_exr(data)
+        finally:
+            exr_codec._NATIVE_HUF = True
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_exr_pxr24_float_channels():
     """FLOAT channels under PXR24: the writer truncates mantissas to
     24 bits; reading reconstructs bits<<8. Hand-built file (our
