@@ -6,18 +6,21 @@ transform chain stays f32, and write_to(OpenExr) re-encodes; DDS by
 contrast has no encoder in the crate, so DDS transforms 500 on BOTH
 sides). Scope:
 
-* decode: single-part scanline OR single-level tiled images,
-  compression NONE / RLE / ZIPS / ZIP (OpenEXR's byte reorder + delta
-  predictor implemented here) / PIZ (bitmap LUT + 2D wavelet +
-  canonical Huffman, ImfPizCompressor/ImfWav/ImfHuf re-implemented) /
-  PXR24 (delta-coded byte planes under zlib; FLOAT mantissas
-  truncated to 24-bit by the WRITER, so reading is exact) / B44+B44A
-  (fixed-rate 4x4 half blocks), HALF or FLOAT channels, R/G/B(/A) or
-  luminance-style single channel. All decode paths are byte-exact
-  against fixtures written by real libOpenEXR 3.1 (tests/golden/exr/,
-  tools/make_exr_fixtures.cpp). Deep, multi-part, mip/ripmapped-tile
-  and DWAA/DWAB files raise (renderer-exotic for origin assets; the
-  error surfaces as the reference's decode error would).
+* decode: scanline (either line order) and tiled images including
+  mip/ripmapped pyramids (level (0,0) is returned, the image crate's
+  largest_resolution_level choice) and multi-part files (first
+  RGB-carrying part, its first_valid_layer choice); compression
+  NONE / RLE / ZIPS / ZIP (OpenEXR's byte reorder + delta predictor
+  implemented here) / PIZ (bitmap LUT + 2D wavelet + canonical
+  Huffman, ImfPizCompressor/ImfWav/ImfHuf re-implemented; entropy
+  stage also in the native core) / PXR24 (delta-coded byte planes
+  under zlib; FLOAT mantissas truncated to 24-bit by the WRITER, so
+  reading is exact) / B44+B44A (fixed-rate 4x4 half blocks), HALF or
+  FLOAT channels, R/G/B(/A) or luminance-style single channel. All
+  decode paths are byte-exact against fixtures written by real
+  libOpenEXR 3.1 (tests/golden/exr/, tools/make_exr_fixtures.cpp).
+  Deep data and DWAA/DWAB raise — the reference's exr crate (1.73,
+  its Cargo.lock) does not decode those either, so both sides error.
 * encode: uncompressed (NONE) HALF scanlines — valid everywhere, like
   the HDR writer's flat RGBE.
 
@@ -657,14 +660,8 @@ def _unpack_chunk(payload: bytes, comp: int, chans, w: int, rows: int,
     return out
 
 
-def _decode_exr(data: bytes) -> np.ndarray:
-    if data[:4] != MAGIC:
-        raise ExrError("not an exr file")
-    version, = struct.unpack_from("<i", data, 4)
-    tiled = bool(version & 0x200)
-    if version & 0x1000 or version & 0x800:
-        raise ExrError("deep/multi-part exr not supported")
-    pos = 8
+def _parse_header(data: bytes, pos: int):
+    """One header (attribute list up to its null terminator)."""
     attrs = {}
     while True:
         if data[pos] == 0:
@@ -676,6 +673,73 @@ def _decode_exr(data: bytes) -> np.ndarray:
         pos += 4
         attrs[name] = data[pos : pos + size]
         pos += size
+    return attrs, pos
+
+
+_PART_TYPES = (b"scanlineimage", b"tiledimage")
+
+
+def _select_part(headers):
+    """Multi-part selection, mirroring the image crate's
+    first_valid_layer: the first non-deep part carrying R/G/B (else
+    the first non-deep part at all)."""
+    fallback = None
+    for k, hdr in enumerate(headers):
+        typ = hdr.get("type", b"").rstrip(b"\0")
+        if typ not in _PART_TYPES:
+            continue  # deepscanline / deeptile
+        if fallback is None:
+            fallback = k
+        names = {c[0].upper() for c in _parse_chlist(hdr.get("channels",
+                                                             b""))}
+        if {"R", "G", "B"} <= names:
+            return k
+    if fallback is None:
+        raise ExrError("no decodable exr part (deep-only multi-part)")
+    return fallback
+
+
+def _decode_exr(data: bytes) -> np.ndarray:
+    if data[:4] != MAGIC:
+        raise ExrError("not an exr file")
+    version, = struct.unpack_from("<i", data, 4)
+    tiled = bool(version & 0x200)
+    multi = bool(version & 0x1000)
+    if (version & 0x800) and not multi:
+        raise ExrError("deep exr not supported")
+    pos = 8
+    if multi:
+        # multi-part (OpenEXR 2): concatenated headers, a null
+        # terminator, per-part chunk-offset tables, and chunks carrying
+        # a leading part number. Decode ONE part (the image crate's
+        # first_valid_layer choice); other parts' tables are skipped
+        # via their required chunkCount attributes.
+        headers = []
+        while data[pos] != 0:
+            hdr, pos = _parse_header(data, pos)
+            headers.append(hdr)
+        pos += 1
+        if not headers:
+            raise ExrError("multi-part exr with no parts")
+        counts = []
+        for hdr in headers:
+            try:
+                (cc,) = struct.unpack("<i", hdr["chunkCount"])
+            except (KeyError, struct.error) as e:
+                raise ExrError(f"bad multi-part exr header: {e}") from e
+            if cc < 0 or cc > 10_000_000:
+                raise ExrError("bad exr chunkCount")
+            counts.append(cc)
+        sel = _select_part(headers)
+        attrs = headers[sel]
+        tiled = attrs.get("type", b"").rstrip(b"\0") == b"tiledimage"
+        pos = pos + 8 * sum(counts[:sel])  # this part's offset table
+        n_off_part = counts[sel]
+        chunk_pre = 4  # chunks start with the part number
+    else:
+        attrs, pos = _parse_header(data, pos)
+        n_off_part = None
+        chunk_pre = 0
     try:
         x0, y0, x1, y1 = struct.unpack("<4i", attrs["dataWindow"])
         comp = attrs["compression"][0]
@@ -697,21 +761,61 @@ def _decode_exr(data: bytes) -> np.ndarray:
     planes = {c[0]: np.zeros((h, w), np.float32) for c in chans}
     if tiled:
         # tile chunks carry their own coordinates, so any lineOrder
-        # (including RANDOM_Y) is fine
+        # (including RANDOM_Y) is fine. Mip/ripmapped pyramids: decode
+        # level (0, 0) — full resolution — and skip the rest, matching
+        # the image crate's largest_resolution_level() read
         try:
             txs, tys, tmode = struct.unpack("<IIB", attrs["tiles"])
         except (KeyError, struct.error) as e:
             raise ExrError(f"bad tiled exr header: {e}") from e
-        if tmode & 0xF:  # 1 = MIPMAP_LEVELS, 2 = RIPMAP_LEVELS
-            raise ExrError("mip/ripmapped exr tiles not supported")
+        lev_mode = tmode & 0xF  # 0 ONE_LEVEL / 1 MIPMAP / 2 RIPMAP
+        round_up = (tmode >> 4) & 0xF == 1
+        if lev_mode > 2:
+            raise ExrError("bad exr tile level mode")
         if not (0 < txs <= 65536 and 0 < tys <= 65536):
             raise ExrError("bad exr tile size")
-        nx = (w + txs - 1) // txs
-        ny = (h + tys - 1) // tys
-        offsets = struct.unpack_from(f"<{nx * ny}Q", data, pos)
+
+        def _nlev(s: int) -> int:
+            n = 1
+            while s > 1:
+                s = (s + 1) // 2 if round_up else s // 2
+                n += 1
+            return n
+
+        def _lsize(s: int, lev: int) -> int:
+            for _ in range(lev):
+                s = (s + 1) // 2 if round_up else s // 2
+            return max(1, s)
+
+        def _ntiles(s: int, ts: int) -> int:
+            return (s + ts - 1) // ts
+
+        nx = _ntiles(w, txs)
+        ny = _ntiles(h, tys)
+        if n_off_part is not None:
+            n_off = n_off_part
+        elif lev_mode == 0:
+            n_off = nx * ny
+        elif lev_mode == 1:  # MIPMAP_LEVELS
+            n_off = sum(
+                _ntiles(_lsize(w, lv), txs) * _ntiles(_lsize(h, lv), tys)
+                for lv in range(_nlev(max(w, h)))
+            )
+        else:  # RIPMAP_LEVELS
+            n_off = sum(
+                _ntiles(_lsize(w, lx), txs) * _ntiles(_lsize(h, ly), tys)
+                for lx in range(_nlev(w))
+                for ly in range(_nlev(h))
+            )
+        offsets = struct.unpack_from(f"<{n_off}Q", data, pos)
         for off in offsets:
-            dx, dy, _lx, _ly, size = struct.unpack_from("<5i", data, off)
-            if not (0 <= dx < nx and 0 <= dy < ny) or size < 0:
+            off += chunk_pre
+            dx, dy, lx, ly, size = struct.unpack_from("<5i", data, off)
+            if size < 0:
+                raise ExrError("bad exr tile chunk")
+            if lx != 0 or ly != 0:
+                continue  # smaller pyramid level
+            if not (0 <= dx < nx and 0 <= dy < ny):
                 raise ExrError("exr tile outside the data window")
             tw = min(txs, w - dx * txs)
             th = min(tys, h - dy * tys)
@@ -722,15 +826,18 @@ def _decode_exr(data: bytes) -> np.ndarray:
             for name, rowsarr in got.items():
                 planes[name][ya : ya + th, xa : xa + tw] = rowsarr
     else:
-        if line_order != 0:
-            # decreasing/random order is renderer-exotic; serving
-            # silently wrong pixels would be worse than the error
+        if line_order not in (0, 1):
+            # INCREASING_Y and DECREASING_Y both work (each chunk
+            # carries its own y); RANDOM_Y is tile-only
             raise ExrError("unsupported exr line order")
         block = _BLOCK[comp]
         n_blocks = (h + block - 1) // block
+        if n_off_part is not None:
+            n_blocks = n_off_part
         # line offset table
         offsets = struct.unpack_from(f"<{n_blocks}Q", data, pos)
         for off in offsets:
+            off += chunk_pre
             y, size = struct.unpack_from("<ii", data, off)
             if not (y0 <= y <= y1) or size < 0:
                 raise ExrError("exr chunk y outside the data window")

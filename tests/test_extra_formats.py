@@ -257,9 +257,12 @@ def _exr_expected_u8(name: str, w: int = 61, h: int = 45) -> np.ndarray:
 @pytest.mark.parametrize("name", [
     "scan_none", "scan_rle", "scan_zips", "scan_zip", "scan_piz",
     "scan_pxr24", "scan_b44", "scan_b44a",
+    "scan_zip_dec",  # DECREASING_Y line order
     "tile_none", "tile_rle", "tile_zip", "tile_piz", "tile_pxr24",
+    "tile_mip", "tile_rip",  # pyramids: level (0,0) is the answer
     "float_zip", "float_pxr24", "float_piz",
     "noise_piz",  # >=2^14 distinct values: the wavelet's wdec16 branch
+    "multi_zip",  # multi-part: pick the RGB part, skip the Z part
 ])
 def test_exr_real_openexr_conformance(name):
     """Byte-exact decode of files written by REAL OpenEXR (libOpenEXR

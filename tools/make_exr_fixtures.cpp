@@ -16,6 +16,11 @@
 #include <ImfTiledRgbaFile.h>
 #include <ImfOutputFile.h>
 #include <ImfInputFile.h>
+#include <ImfMultiPartOutputFile.h>
+#include <ImfMultiPartInputFile.h>
+#include <ImfOutputPart.h>
+#include <ImfInputPart.h>
+#include <ImfPartType.h>
 #include <ImfChannelList.h>
 #include <ImfArray.h>
 #include <ImfFrameBuffer.h>
@@ -116,6 +121,124 @@ int main(int argc, char** argv) {
     dumpReadback(path, dir + "/tile_" + std::string(v.name)
                            + ".expected.f16");
     std::printf("wrote tile_%s\n", v.name);
+  }
+
+  // DECREASING_Y scanline order (each chunk self-describes its y, so
+  // the reader must cope with any chunk order)
+  {
+    std::string path = dir + "/scan_zip_dec.exr";
+    {
+      RgbaOutputFile out(path.c_str(), W, H, WRITE_RGBA, 1.0f,
+                         V2f(0, 0), 1.0f, DECREASING_Y, ZIP_COMPRESSION);
+      out.setFrameBuffer(&px[0][0], 1, W);
+      out.writePixels(H);
+    }
+    dumpReadback(path, dir + "/scan_zip_dec.expected.f16");
+    std::printf("wrote scan_zip_dec\n");
+  }
+
+  // mip/ripmapped tile pyramids: the reader must return level (0,0)
+  // (the image crate's largest_resolution_level) and skip the rest
+  {
+    struct PyrVariant { const char* name; LevelMode mode;
+                        LevelRoundingMode rnd; };
+    const PyrVariant pyr[] = {
+        {"mip", MIPMAP_LEVELS, ROUND_DOWN},
+        {"rip", RIPMAP_LEVELS, ROUND_UP},
+    };
+    for (const auto& v : pyr) {
+      std::string path = dir + "/tile_" + v.name + ".exr";
+      {
+        TiledRgbaOutputFile out(path.c_str(), W, H, 16, 16, v.mode,
+                                v.rnd, WRITE_RGBA, 1.0f, V2f(0, 0),
+                                1.0f, INCREASING_Y, ZIP_COMPRESSION);
+        for (int ly = 0; ly < out.numYLevels(); ++ly)
+          for (int lx = 0; lx < out.numXLevels(); ++lx) {
+            if (v.mode == MIPMAP_LEVELS && lx != ly) continue;
+            int lw = out.levelWidth(lx), lh = out.levelHeight(ly);
+            Array2D<Rgba> lp(lh, lw);
+            for (int y = 0; y < lh; ++y)
+              for (int x = 0; x < lw; ++x) {
+                lp[y][x].r = half(srcByte(y, x, 0) / 255.0f);
+                lp[y][x].g = half(srcByte(y, x, 1) / 255.0f);
+                lp[y][x].b = half(srcByte(y, x, 2) / 255.0f);
+                lp[y][x].a = half(1.0f);
+              }
+            out.setFrameBuffer(&lp[0][0], 1, lw);
+            out.writeTiles(0, out.numXTiles(lx) - 1, 0,
+                           out.numYTiles(ly) - 1, lx, ly);
+          }
+      }
+      dumpReadback(path, dir + "/tile_" + std::string(v.name)
+                             + ".expected.f16");
+      std::printf("wrote tile_%s\n", v.name);
+    }
+  }
+
+  // multi-part (OpenEXR 2): part 0 is a Z-only depth part (no RGB),
+  // part 1 carries the RGB image — the reader must pick part 1 the
+  // way the image crate's first_valid_layer does
+  {
+    std::string path = dir + "/multi_zip.exr";
+    {
+      Header h0(W, H);
+      h0.setName("depth");
+      h0.setType(SCANLINEIMAGE);
+      h0.compression() = ZIP_COMPRESSION;
+      h0.channels().insert("Z", Channel(FLOAT));
+      Header h1(W, H);
+      h1.setName("rgb");
+      h1.setType(SCANLINEIMAGE);
+      h1.compression() = ZIP_COMPRESSION;
+      h1.channels().insert("R", Channel(HALF));
+      h1.channels().insert("G", Channel(HALF));
+      h1.channels().insert("B", Channel(HALF));
+      Header hdrs[2] = {h0, h1};
+      MultiPartOutputFile out(path.c_str(), hdrs, 2);
+      {
+        std::vector<float> z(W * H);
+        for (int y = 0; y < H; ++y)
+          for (int x = 0; x < W; ++x) z[y * W + x] = (x + y) / 100.0f;
+        OutputPart p0(out, 0);
+        FrameBuffer fb;
+        fb.insert("Z", Slice(FLOAT, (char*)z.data(), 4, 4 * W));
+        p0.setFrameBuffer(fb);
+        p0.writePixels(H);
+      }
+      {
+        std::vector<half> rgb(W * H * 3);
+        for (int y = 0; y < H; ++y)
+          for (int x = 0; x < W; ++x)
+            for (int ch = 0; ch < 3; ++ch)
+              rgb[(y * W + x) * 3 + ch] = half(srcByte(y, x, ch) / 255.0f);
+        OutputPart p1(out, 1);
+        FrameBuffer fb;
+        fb.insert("R", Slice(HALF, (char*)&rgb[0], 6, 6 * W));
+        fb.insert("G", Slice(HALF, (char*)&rgb[1], 6, 6 * W));
+        fb.insert("B", Slice(HALF, (char*)&rgb[2], 6, 6 * W));
+        p1.setFrameBuffer(fb);
+        p1.writePixels(H);
+      }
+    }
+    {
+      MultiPartInputFile in(path.c_str());
+      InputPart p1(in, 1);
+      std::vector<half> back(W * H * 3);
+      FrameBuffer fb;
+      fb.insert("R", Slice(HALF, (char*)&back[0], 6, 6 * W));
+      fb.insert("G", Slice(HALF, (char*)&back[1], 6, 6 * W));
+      fb.insert("B", Slice(HALF, (char*)&back[2], 6, 6 * W));
+      p1.setFrameBuffer(fb);
+      p1.readPixels(0, H - 1);
+      std::string outp = dir + "/multi_zip.expected.f16";
+      FILE* f = std::fopen(outp.c_str(), "wb");
+      for (size_t i = 0; i < back.size(); ++i) {
+        uint16_t b = back[i].bits();
+        std::fwrite(&b, 2, 1, f);
+      }
+      std::fclose(f);
+    }
+    std::printf("wrote multi_zip\n");
   }
 
   // high-entropy PIZ: >=2^14 distinct ushort values forces the
