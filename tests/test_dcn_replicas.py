@@ -63,8 +63,13 @@ def _await_banner(proc: subprocess.Popen, deadline: float) -> None:
     import selectors
     import threading
 
+    # read RAW bytes off the fd: select() watches the fd, so pairing it
+    # with buffered readline() loses any line that arrived in the same
+    # chunk as the previous one (the banner lands in the TextIO buffer,
+    # the fd goes quiet, and select blocks until the deadline)
     sel = selectors.DefaultSelector()
-    sel.register(proc.stdout, selectors.EVENT_READ)
+    fd = proc.stdout.fileno()
+    sel.register(fd, selectors.EVENT_READ)
     buf = ""
     try:
         while "listening on" not in buf:
@@ -72,10 +77,10 @@ def _await_banner(proc: subprocess.Popen, deadline: float) -> None:
                 raise AssertionError(f"replica never came up:\n{buf}")
             if not sel.select(timeout=1.0):
                 continue
-            line = proc.stdout.readline()
-            if not line:
+            chunk = os.read(fd, 65536).decode("utf-8", "replace")
+            if not chunk:
                 raise AssertionError(f"replica died during startup:\n{buf}")
-            buf += line
+            buf += chunk
     finally:
         sel.close()
     # the warm-polling below generates hundreds of access-log lines;

@@ -56,28 +56,29 @@ def _spawn(port: int, workers: int) -> subprocess.Popen:
     import selectors
 
     want = max(workers, 1)
-    seen = 0
     sel = selectors.DefaultSelector()
-    sel.register(proc.stdout, selectors.EVENT_READ)
+    # read RAW bytes off the fd: select() watches the fd, so pairing
+    # it with buffered readline() loses any banner that arrived in the
+    # same chunk as an earlier line (N workers' banners often coalesce
+    # into one pipe write window; the buffered line makes the fd go
+    # quiet and select blocks until the deadline)
+    fd = proc.stdout.fileno()
+    sel.register(fd, selectors.EVENT_READ)
     # generous: the 1-core CI host may be running a TPU bench or the
     # rest of the suite concurrently, and the subprocess pays a full
-    # interpreter + jax import (observed >300 s under 3-way core
-    # contention; passes in ~12 s on an idle machine)
+    # interpreter + jax import (passes in ~12 s on an idle machine)
     deadline = time.monotonic() + 600
     buf = ""
     try:
-        while seen < want:
+        while buf.count("listening on") < want:
             if time.monotonic() > deadline:
                 raise AssertionError(f"server never came up:\n{buf}")
             if not sel.select(timeout=1.0):
                 continue
-            line = proc.stdout.readline()
-            if not line:
+            chunk = os.read(fd, 65536).decode("utf-8", "replace")
+            if not chunk:
                 raise AssertionError(f"server died during startup:\n{buf}")
-            buf += line
-            # count occurrences, not lines: concurrent workers'
-            # banners can share a line
-            seen += line.count("listening on")
+            buf += chunk
     except BaseException:
         proc.kill()  # don't leak a half-started server into the suite
         raise
