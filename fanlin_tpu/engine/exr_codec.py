@@ -280,6 +280,10 @@ def _huf_uncompress(src: bytes, n_out: int) -> np.ndarray:
     for s in np.nonzero(lengths)[0]:
         ln = int(lengths[s])
         code = int(codes[s])
+        if code >= 1 << ln:
+            # non-Kraft table: the canonical counter overflowed its
+            # length's code space
+            raise ExrError("invalid exr huf code table")
         if ln <= DECBITS:
             start = code << (DECBITS - ln)
             span = 1 << (DECBITS - ln)

@@ -900,6 +900,10 @@ int fc_exr_huf(const uint8_t* src, size_t src_len, uint16_t* out,
   for (int i = im; i <= iM; ++i) {
     int l = lengths[i];
     if (!l) continue;
+    // a corrupt (non-Kraft) table can overflow the canonical counter
+    // past 2^l — without this check the fast-table fill below writes
+    // past the 2^DECBITS buffer
+    if (codes[i] >= ((uint64_t)1 << l)) FC_HUF_FAIL;
     if (l <= DECBITS) {
       uint32_t start = (uint32_t)(codes[i] << (DECBITS - l));
       uint32_t span = 1u << (DECBITS - l);

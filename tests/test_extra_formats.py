@@ -276,6 +276,31 @@ def test_exr_real_openexr_conformance(name):
     np.testing.assert_array_equal(out, _exr_expected_u8(name))
 
 
+def test_exr_piz_corruption_fuzz():
+    """Byte flips and truncations of a real PIZ file must decode or
+    raise ExrError — never crash (the native fc_exr_huf bounds-checks
+    its fast-table fill against non-Kraft code tables) or leak a raw
+    struct/zlib error."""
+    from fanlin_tpu.engine import exr_codec
+
+    with open(os.path.join(_EXR_GOLDEN, "scan_piz.exr"), "rb") as f:
+        data = bytearray(f.read())
+    rng = np.random.default_rng(5)
+    for i in rng.integers(8, len(data), 120):
+        orig = data[i]
+        data[i] = (orig + 1 + rng.integers(0, 255)) % 256
+        try:
+            exr_codec.decode_exr(bytes(data))
+        except exr_codec.ExrError:
+            pass
+        data[i] = orig
+    for n in rng.integers(0, len(data), 40):
+        try:
+            exr_codec.decode_exr(bytes(data[:n]))
+        except exr_codec.ExrError:
+            pass
+
+
 def test_exr_piz_native_huf_matches_pure():
     """The native fc_exr_huf entropy stage must be byte-equivalent to
     the validated pure-python decoder on every PIZ fixture (the
