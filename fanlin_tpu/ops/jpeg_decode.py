@@ -62,9 +62,15 @@ def _idct_blockdiag(n: int) -> np.ndarray:
 # elementwise VPU ops over (B, H, W)-shaped strided slices — no 8-wide
 # contractions, no block<->planar transposes. Valid baseline JPEG data
 # keeps every intermediate within int32 (the same contract 32-bit
-# libjpeg builds rely on); the only divergence left vs libjpeg is its
-# range-limit table's wraparound on CRAFTED out-of-range data, where
-# we clip instead.
+# libjpeg builds rely on). The post-iDCT limit SATURATES. On CRAFTED
+# out-of-range coefficient streams every decoder family already
+# disagrees with every other — plain C libjpeg wraps via its masked
+# range-limit table, libjpeg-turbo's SIMD iDCT wraps in int16 lanes
+# mid-pass (measured: PIL 255 where the C table says 0), Rust
+# decoders saturate — so there is no single behavior to be
+# bit-identical TO; exact int32 math + clamp is this decoder's
+# deterministic answer, and the bit-exactness claims apply to valid
+# baseline data (where all families agree and the tests pin it).
 #
 # The folded fast path (fused.set_fold) keeps the float matmul math —
 # its resample matrices absorb the iDCT, and it is the documented
@@ -131,6 +137,12 @@ def islow_idct_planar(coef_i32, xp=jnp):
     out = _islow_pass([v2[:, :, :, u] for u in range(8)],
                       _ISLOW_PASS2_SHIFT)
     o = xp.stack(out, axis=3).reshape(b, h, w)
+    # post-iDCT sample limit: SATURATE, matching the actual parity
+    # targets — libjpeg-turbo's SIMD iDCT (what PIL links) and the
+    # reference's Rust decoder both clamp crafted out-of-range
+    # coefficients; only plain C libjpeg's masked range-limit table
+    # would wrap (tests/test_jpeg_device_decode.py pins a crafted
+    # stream byte-for-byte against the host libjpeg decode)
     return xp.clip(o + 128, 0, 255).astype(xp.int32)
 
 

@@ -410,3 +410,41 @@ def test_staged_decode_bit_exact_vs_libjpeg_real_lenna():
     coef_out = fused.CoefBatchAssembly([plan] * 2, [m, m]).run()[0]
     pix_out = fused.BatchAssembly([plan], [pix]).run()[0]
     np.testing.assert_array_equal(coef_out, pix_out)
+
+
+def test_crafted_out_of_range_coefficients_decode_deterministically():
+    """CRAFTED coefficient streams whose iDCT leaves [0,255]: every
+    decoder family disagrees here (C libjpeg wraps via its masked
+    range-limit table, libjpeg-turbo SIMD wraps in int16 lanes
+    mid-pass, Rust decoders saturate — PARITY known-diff #5), so the
+    contract is: no error, deterministic saturating output, and
+    byte-equality with the host libjpeg everywhere OUTSIDE the
+    crafted blocks."""
+    rng = np.random.default_rng(9)
+    y = np.zeros((4, 4, 64), np.int16)
+    y[..., 0] = rng.integers(-40, 40, (4, 4))
+    y[..., 1] = rng.integers(-20, 20, (4, 4))
+    crafted = [(0, 0), (1, 1), (2, 2), (3, 0)]
+    y[0, 0, 0] = 1600
+    y[1, 1, 0] = -1600
+    y[2, 2, 0] = 900
+    y[2, 2, 5] = 800
+    y[3, 0, 0] = -900
+    y[3, 0, 3] = -700
+    cb = np.zeros((2, 2, 64), np.int16)
+    cr = np.zeros((2, 2, 64), np.int16)
+    data = native_codecs.encode_jpeg_coeffs(y, cb, cr, 32, 32, 25)
+    assert data is not None
+    m = native_codecs.read_jpeg_coeffs(data)
+    assert m is not None and jpeg_decode.upload_viable(m)
+    pix, _, _ = codecs.decode(data)
+    plan = fused.plan_image(32, 32, parse_query("w=32&h=32"),
+                            opaque=True)
+    a = np.asarray(fused.CoefBatchAssembly([plan], [m]).run()[0])
+    b = np.asarray(fused.CoefBatchAssembly([plan], [m]).run()[0])
+    np.testing.assert_array_equal(a, b)  # deterministic
+    host = np.asarray(fused.BatchAssembly([plan], [pix]).run()[0])
+    mask = np.zeros((32, 32), bool)
+    for by, bx in crafted:
+        mask[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = True
+    np.testing.assert_array_equal(a[~mask], host[~mask])
