@@ -338,7 +338,12 @@ def encode(img: np.ndarray, fmt: str, quality: int, mode: str) -> bytes:
     elif fmt == OPENEXR:
         from . import exr_codec
 
-        return exr_codec.encode_exr(img)
+        # ZIP-compressed HALF scanlines (round 5): ~60x smaller than
+        # the uncompressed writer on photographic content for a little
+        # host zlib; every reader (incl. the reference's exr crate)
+        # decodes ZIP. Bitstream differs from the crate's RLE+f32
+        # output either way — pixel parity is what's pinned.
+        return exr_codec.encode_exr(img, compression=exr_codec._ZIP)
     else:
         # DDS: the image crate has no DDS encoder either, so the
         # reference's write_to(Dds) errors exactly the same way (-> 500)

@@ -21,8 +21,9 @@ sides). Scope:
   libOpenEXR 3.1 (tests/golden/exr/, tools/make_exr_fixtures.cpp).
   Deep data and DWAA/DWAB raise — the reference's exr crate (1.73,
   its Cargo.lock) does not decode those either, so both sides error.
-* encode: uncompressed (NONE) HALF scanlines — valid everywhere, like
-  the HDR writer's flat RGBE.
+* encode: ZIP-compressed HALF scanlines (the serving default;
+  NONE/RLE/ZIPS/PXR24 selectable) — decodable everywhere, including
+  the reference's exr crate.
 
 Float -> u8 matches the image crate's Rgb32F -> Rgb8 conversion:
 round(clamp(v, 0, 1) * 255); u8 -> float is v / 255. No transfer

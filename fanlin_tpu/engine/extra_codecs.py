@@ -299,15 +299,54 @@ def decode_hdr(data: bytes) -> np.ndarray:
     return np.round(np.clip(rgb, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 
+def _hdr_rle_component(comp: np.ndarray) -> bytes:
+    """New-style Radiance RLE for one (w,) uint8 component row: runs
+    >= 4 as (128+len, value) with len <= 127, literals in <=128-byte
+    chunks. Segment-level loop (run boundaries found vectorized), so
+    noisy rows cost ~w/128 iterations, not w."""
+    n = comp.size
+    change = np.nonzero(np.diff(comp))[0] + 1
+    starts = np.concatenate([[0], change, [n]])
+    lens = np.diff(starts)
+    run_ix = np.nonzero(lens >= 4)[0]  # loop RUNS only, not every segment
+    out = bytearray()
+    lit_start = 0  # pending literal span [lit_start, run start)
+
+    def flush_literals(end: int) -> None:
+        nonlocal lit_start
+        while lit_start < end:
+            k = min(128, end - lit_start)
+            out.append(k)
+            out.extend(comp[lit_start : lit_start + k].tobytes())
+            lit_start += k
+
+    for si in run_ix:
+        s, e = int(starts[si]), int(starts[si + 1])
+        flush_literals(s)
+        v = int(comp[s])
+        run = e - s
+        while run > 0:
+            k = min(127, run)
+            out += bytes((128 + k, v))
+            run -= k
+        lit_start = e
+    flush_literals(n)
+    return bytes(out)
+
+
 def encode_hdr(img: np.ndarray) -> bytes:
-    """(H, W, 3|4) uint8 -> Radiance RGBE bytes (flat scanlines).
-    Inverse of decode_hdr's u8 mapping: v/255 -> float -> rgbe."""
+    """(H, W, 3|4) uint8 -> Radiance RGBE bytes. New-style RLE
+    scanlines (what the image crate's hdr encoder writes) when the
+    width allows (8..32767), flat RGBE otherwise. Inverse of
+    decode_hdr's u8 mapping: v/255 -> float -> rgbe."""
     rgb = img[:, :, :3].astype(np.float32) / 255.0
     h, w = rgb.shape[:2]
     maxv = rgb.max(axis=2)
     mant, expo = np.frexp(maxv)  # maxv = mant * 2^expo, mant in [0.5, 1)
     # rgbe mantissas: round(v * 2^(8 - expo)); e byte = expo + 128
-    factor = np.where(maxv < 1e-32, 0.0, np.ldexp(1.0, 8 - expo))
+    factor = np.where(maxv < 1e-32, 0.0, np.ldexp(1.0, 8 - expo)).astype(
+        np.float32  # keep the round in f32 (ldexp promotes to f64)
+    )
     rgbe = np.zeros((h, w, 4), np.uint8)
     rgbe[:, :, :3] = np.minimum(
         np.round(rgb * factor[:, :, None]), 255
@@ -316,4 +355,13 @@ def encode_hdr(img: np.ndarray) -> bytes:
     header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + (
         b"-Y %d +X %d\n" % (h, w)
     )
-    return header + rgbe.tobytes()
+    if not (8 <= w <= 32767):
+        return header + rgbe.tobytes()
+    parts = [header]
+    marker = bytes((2, 2, w >> 8, w & 0xFF))
+    planar = np.ascontiguousarray(rgbe.transpose(0, 2, 1))  # (h, 4, w)
+    for r in range(h):
+        parts.append(marker)
+        for c in range(4):
+            parts.append(_hdr_rle_component(planar[r, c]))
+    return b"".join(parts)

@@ -234,6 +234,30 @@ def test_exr_tiled_decode():
             exr_codec.decode_exr(bytes(data))
 
 
+def test_hdr_encode_writes_rle_scanlines():
+    """encode_hdr emits new-style RLE scanlines (what the image
+    crate's hdr encoder writes) for 8<=w<=32767, flat RGBE otherwise;
+    re-decode is exact and re-encode is stable."""
+    img = make_test_image(96, 64)
+    data = extra_codecs.encode_hdr(img)
+    # scanline marker right after the header
+    hdr_end = data.index(b"+X 96\n") + len(b"+X 96\n")
+    assert data[hdr_end : hdr_end + 4] == bytes((2, 2, 0, 96))
+    flat_px = 96 * 64 * 4
+    assert len(data) - hdr_end < flat_px  # actually compressed
+    back = extra_codecs.decode_hdr(data)
+    assert back.shape == img.shape
+    # rgbe quantization happened at encode; the decoded image must
+    # re-encode/decode byte-stably
+    np.testing.assert_array_equal(
+        extra_codecs.decode_hdr(extra_codecs.encode_hdr(back)), back)
+    # narrow images take the flat path (RLE needs 8 <= w)
+    narrow = extra_codecs.encode_hdr(img[:, :7])
+    nh = narrow.index(b"+X 7\n") + len(b"+X 7\n")
+    assert len(narrow) - nh == 64 * 7 * 4
+    assert extra_codecs.decode_hdr(narrow).shape == (64, 7, 3)
+
+
 _EXR_GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "exr")
 
 
