@@ -300,6 +300,26 @@ def test_exr_real_openexr_conformance(name):
     np.testing.assert_array_equal(out, _exr_expected_u8(name))
 
 
+@pytest.mark.parametrize("name", [
+    "scan_dwaa", "scan_dwab", "tile_dwaa", "float_dwaa",
+    "rgbz_dwaa",  # lossy RGB + an UNKNOWN (zlib-verbatim) Z channel
+])
+def test_exr_dwa_conformance(name):
+    """DWAA/DWAB decode — BEYOND the reference (its exr crate 1.73
+    errors on DWA). Validated against real libOpenEXR's own read-back
+    of its own files; the DCT/CSC/nonlinearity run in float32, so a
+    float-op-order wobble of +-1 u8 step on isolated pixels is
+    allowed (observed: exactly 1 pixel in 8,235)."""
+    from fanlin_tpu.engine import exr_codec
+
+    with open(os.path.join(_EXR_GOLDEN, name + ".exr"), "rb") as f:
+        out = exr_codec.decode_exr(f.read())
+    want = _exr_expected_u8(name)
+    diff = np.abs(out.astype(int) - want.astype(int))
+    assert diff.max() <= 1, (name, diff.max())
+    assert (diff > 0).sum() <= 8, (name, int((diff > 0).sum()))
+
+
 def test_exr_piz_corruption_fuzz():
     """Byte flips and truncations of a real PIZ file must decode or
     raise ExrError — never crash (the native fc_exr_huf bounds-checks

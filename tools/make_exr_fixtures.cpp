@@ -90,6 +90,7 @@ int main(int argc, char** argv) {
       {"zips", ZIPS_COMPRESSION}, {"zip", ZIP_COMPRESSION},
       {"piz", PIZ_COMPRESSION}, {"pxr24", PXR24_COMPRESSION},
       {"b44", B44_COMPRESSION}, {"b44a", B44A_COMPRESSION},
+      {"dwaa", DWAA_COMPRESSION}, {"dwab", DWAB_COMPRESSION},
   };
   for (const auto& v : scan) {
     std::string path = dir + "/scan_" + v.name + ".exr";
@@ -107,7 +108,7 @@ int main(int argc, char** argv) {
   const Variant tiled[] = {
       {"none", NO_COMPRESSION}, {"rle", RLE_COMPRESSION},
       {"zip", ZIP_COMPRESSION}, {"piz", PIZ_COMPRESSION},
-      {"pxr24", PXR24_COMPRESSION},
+      {"pxr24", PXR24_COMPRESSION}, {"dwaa", DWAA_COMPRESSION},
   };
   for (const auto& v : tiled) {
     std::string path = dir + "/tile_" + v.name + ".exr";
@@ -274,6 +275,39 @@ int main(int argc, char** argv) {
     std::printf("wrote noise_piz\n");
   }
 
+  // DWA with a non-classified channel: R/G/B ride the lossy DCT path
+  // while Z (no rule suffix) travels the UNKNOWN (zlib-verbatim)
+  // stream — exercises the mixed-scheme row assembly
+  {
+    std::string path = dir + "/rgbz_dwaa.exr";
+    {
+      Header hdr(W, H);
+      hdr.compression() = DWAA_COMPRESSION;
+      hdr.channels().insert("R", Channel(HALF));
+      hdr.channels().insert("G", Channel(HALF));
+      hdr.channels().insert("B", Channel(HALF));
+      hdr.channels().insert("Z", Channel(FLOAT));
+      std::vector<half> rgb(W * H * 3);
+      std::vector<float> z(W * H);
+      for (int y = 0; y < H; ++y)
+        for (int x = 0; x < W; ++x) {
+          for (int c = 0; c < 3; ++c)
+            rgb[(y * W + x) * 3 + c] = half(srcByte(y, x, c) / 255.0f);
+          z[y * W + x] = (x * 31 + y * 17) / 7.0f;
+        }
+      OutputFile out(path.c_str(), hdr);
+      FrameBuffer fb;
+      fb.insert("R", Slice(HALF, (char*)&rgb[0], 6, 6 * W));
+      fb.insert("G", Slice(HALF, (char*)&rgb[1], 6, 6 * W));
+      fb.insert("B", Slice(HALF, (char*)&rgb[2], 6, 6 * W));
+      fb.insert("Z", Slice(FLOAT, (char*)z.data(), 4, 4 * W));
+      out.setFrameBuffer(fb);
+      out.writePixels(H);
+    }
+    dumpReadback(path, dir + "/rgbz_dwaa.expected.f16");
+    std::printf("wrote rgbz_dwaa\n");
+  }
+
   // FLOAT channels (ImfOutputFile; RgbaOutputFile is HALF-only):
   // zip + pxr24 (pxr24 truncates FLOAT mantissas to 24 bits — the
   // expected dump is the read-back, not the source)
@@ -285,7 +319,8 @@ int main(int argc, char** argv) {
           rgb[(y * W + x) * 3 + c] = srcByte(y, x, c) / 255.0f;
     const Variant fl[] = {{"zip", ZIP_COMPRESSION},
                           {"pxr24", PXR24_COMPRESSION},
-                          {"piz", PIZ_COMPRESSION}};
+                          {"piz", PIZ_COMPRESSION},
+                          {"dwaa", DWAA_COMPRESSION}};
     for (const auto& v : fl) {
       std::string path = dir + "/float_" + v.name + ".exr";
       {
