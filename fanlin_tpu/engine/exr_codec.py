@@ -18,8 +18,9 @@ sides). Scope:
   reading is exact) / B44+B44A (fixed-rate 4x4 half blocks) / DWAA+DWAB (8x8 float
   DCT over a perceptual nonlinearity with Rec.709 CSC; both AC
   entropy variants; the reference's exr crate can NOT read these —
-  this decoder goes beyond it), HALF or
-  FLOAT channels, R/G/B(/A) or luminance-style single channel. All
+  this decoder goes beyond it). HALF, FLOAT and UINT channels (UINT
+  converts by value, the crate's u32 -> f32 cast), R/G/B(/A) or
+  luminance-style single channel. All
   decode paths are byte-exact against fixtures written by real
   libOpenEXR 3.1 (tests/golden/exr/, tools/make_exr_fixtures.cpp).
   Only deep data raises — which the reference's exr crate (1.73,
@@ -152,7 +153,11 @@ def _rle_compress(raw: bytes) -> bytes:
 
 
 def _pxr24_line_bytes(chans, w: int) -> int:
-    return sum((2 if c[1] == _HALF else 3) * w for c in chans)
+    # filtered bytes per value: HALF 2, FLOAT 3 (24-bit), UINT 4
+    return sum(
+        (2 if c[1] == _HALF else 3 if c[1] == _FLOAT else 4) * w
+        for c in chans
+    )
 
 
 def _pxr24_expand(raw: bytes, chans, w: int, rows: int) -> dict:
@@ -171,7 +176,7 @@ def _pxr24_expand(raw: bytes, chans, w: int, rows: int) -> dict:
                     np.uint16
                 )
                 out[name][r] = bits.view(np.float16).astype(np.float32)
-            else:  # _FLOAT: 3 byte planes, 24-bit wraparound
+            elif ptype == _FLOAT:  # 3 byte planes, 24-bit wraparound
                 b0 = u8[pos : pos + w].astype(np.uint32)
                 b1 = u8[pos + w : pos + 2 * w].astype(np.uint32)
                 b2 = u8[pos + 2 * w : pos + 3 * w]
@@ -179,6 +184,13 @@ def _pxr24_expand(raw: bytes, chans, w: int, rows: int) -> dict:
                 diffs = (b0 << 16) | (b1 << 8) | b2
                 vals = np.cumsum(diffs, dtype=np.uint32) & 0xFFFFFF
                 out[name][r] = (vals << 8).view(np.float32)
+            else:  # _UINT: 4 byte planes, full 32 bits, value semantics
+                b = [u8[pos + j * w : pos + (j + 1) * w].astype(np.uint64)
+                     for j in range(4)]
+                pos += 4 * w
+                diffs = (b[0] << 24) | (b[1] << 16) | (b[2] << 8) | b[3]
+                vals = np.cumsum(diffs, dtype=np.uint64) & 0xFFFFFFFF
+                out[name][r] = vals.astype(np.float32)
     return out
 
 
@@ -746,7 +758,9 @@ def _dwa_expand(payload: bytes, chans, w: int, rows: int) -> bytes:
             q = e + 1
             (v,) = struct.unpack_from("<H", payload, q)
             q += 2
-            rules.append((name, (v >> 2) & 3, ((v >> 4) & 0xF) - 1))
+            # cstr + u16: type<<8 | (cscIdx+1)<<4 | scheme<<2 | flags
+            rules.append((name, (v >> 2) & 3, ((v >> 4) & 0xF) - 1,
+                          (v >> 8) & 3))
         pos = end
     streams = {}
     for key, n in (("unknown", unk_cmp), ("ac", ac_cmp), ("dc", dc_cmp),
@@ -756,14 +770,15 @@ def _dwa_expand(payload: bytes, chans, w: int, rows: int) -> bytes:
         streams[key] = payload[pos : pos + n]
         pos += n
 
-    def classify(name: str):
+    def classify(name: str, ptype: int):
         suffix = name.rsplit(".", 1)[-1]
-        for rname, scheme, csc in rules:
-            if suffix == rname or suffix.lower() == rname.lower():
+        for rname, scheme, csc, rtype in rules:
+            if ptype == rtype and (suffix == rname
+                                   or suffix.lower() == rname.lower()):
                 return scheme, csc
         return _DWA_UNKNOWN, -1
 
-    schemes = [classify(c[0]) for c in chans]
+    schemes = [classify(c[0], c[1]) for c in chans]
     pw, ph = (w + 7) // 8 * 8, (rows + 7) // 8 * 8
     nb = (pw // 8) * (ph // 8)
     lossy = [i for i, s in enumerate(schemes) if s[0] == _DWA_LOSSY]
@@ -1033,11 +1048,15 @@ def _decode_exr(data: bytes) -> np.ndarray:
     if comp not in _BLOCK:
         raise ExrError(f"unsupported exr compression {comp}")
     for name, ptype, xs, ys in chans:
-        if ptype not in (_HALF, _FLOAT):
+        if ptype not in (_HALF, _FLOAT, _UINT):
             raise ExrError(f"unsupported exr pixel type {ptype}")
         if xs != 1 or ys != 1:
             raise ExrError("subsampled exr channels not supported")
-    dtypes = {_HALF: np.dtype("<f2"), _FLOAT: np.dtype("<f4")}
+    # UINT converts by VALUE (the exr crate casts u32 samples to f32
+    # the same way), so its dtype yields numbers, not reinterpreted
+    # bits, under the shared .astype(float32) in _unpack_chunk
+    dtypes = {_HALF: np.dtype("<f2"), _FLOAT: np.dtype("<f4"),
+              _UINT: np.dtype("<u4")}
     planes = {c[0]: np.zeros((h, w), np.float32) for c in chans}
     if tiled:
         # tile chunks carry their own coordinates, so any lineOrder

@@ -266,7 +266,7 @@ def _exr_expected_u8(name: str, w: int = 61, h: int = 45) -> np.ndarray:
     tools/make_exr_fixtures.cpp), through the codec's float->u8 map."""
     if name == "noise_piz":
         w, h = 256, 64
-    if name.startswith("float"):
+    if name.startswith(("float", "uint")):
         f = np.fromfile(
             os.path.join(_EXR_GOLDEN, name + ".expected.f32"), np.float32
         ).reshape(h, w, 3)
@@ -285,6 +285,8 @@ def _exr_expected_u8(name: str, w: int = 61, h: int = 45) -> np.ndarray:
     "tile_none", "tile_rle", "tile_zip", "tile_piz", "tile_pxr24",
     "tile_mip", "tile_rip",  # pyramids: level (0,0) is the answer
     "float_zip", "float_pxr24", "float_piz",
+    # UINT channels convert by value (the crate's u32 -> f32 cast)
+    "uint_zip", "uint_pxr24", "uint_piz", "uint_rle",
     "noise_piz",  # >=2^14 distinct values: the wavelet's wdec16 branch
     "multi_zip",  # multi-part: pick the RGB part, skip the Z part
 ])

@@ -275,6 +275,57 @@ int main(int argc, char** argv) {
     std::printf("wrote noise_piz\n");
   }
 
+  // UINT channels (the exr crate casts u32 samples to f32; content
+  // mixes 0/1 with large values so the clamp path is exercised)
+  {
+    const Variant ui[] = {{"zip", ZIP_COMPRESSION},
+                          {"pxr24", PXR24_COMPRESSION},
+                          {"piz", PIZ_COMPRESSION},
+                          {"rle", RLE_COMPRESSION}};
+    std::vector<unsigned int> upx(W * H * 3);
+    for (int y = 0; y < H; ++y)
+      for (int x = 0; x < W; ++x) {
+        upx[(y * W + x) * 3 + 0] = ((x / 4 + y / 4) % 2);
+        upx[(y * W + x) * 3 + 1] = (x * y) % 3;
+        upx[(y * W + x) * 3 + 2] = (x == y) ? 4000000000u : 0u;
+      }
+    for (const auto& v : ui) {
+      std::string path = dir + "/uint_" + v.name + ".exr";
+      {
+        Header hdr(W, H);
+        hdr.compression() = v.comp;
+        hdr.channels().insert("R", Channel(UINT));
+        hdr.channels().insert("G", Channel(UINT));
+        hdr.channels().insert("B", Channel(UINT));
+        OutputFile out(path.c_str(), hdr);
+        FrameBuffer fb;
+        fb.insert("R", Slice(UINT, (char*)&upx[0], 12, 12 * W));
+        fb.insert("G", Slice(UINT, (char*)&upx[1], 12, 12 * W));
+        fb.insert("B", Slice(UINT, (char*)&upx[2], 12, 12 * W));
+        out.setFrameBuffer(fb);
+        out.writePixels(H);
+      }
+      // read back as FLOAT (the library converts u32 -> float, the
+      // same cast the exr crate applies)
+      {
+        InputFile in(path.c_str());
+        std::vector<float> back(H * W * 3);
+        FrameBuffer fb;
+        fb.insert("R", Slice(FLOAT, (char*)&back[0], 12, 12 * W));
+        fb.insert("G", Slice(FLOAT, (char*)&back[1], 12, 12 * W));
+        fb.insert("B", Slice(FLOAT, (char*)&back[2], 12, 12 * W));
+        in.setFrameBuffer(fb);
+        in.readPixels(0, H - 1);
+        std::string outp = dir + "/uint_" + std::string(v.name)
+                               + ".expected.f32";
+        FILE* f = std::fopen(outp.c_str(), "wb");
+        std::fwrite(back.data(), 4, back.size(), f);
+        std::fclose(f);
+      }
+      std::printf("wrote uint_%s\n", v.name);
+    }
+  }
+
   // DWA with a non-classified channel: R/G/B ride the lossy DCT path
   // while Z (no rule suffix) travels the UNKNOWN (zlib-verbatim)
   // stream — exercises the mixed-scheme row assembly
