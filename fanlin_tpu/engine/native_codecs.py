@@ -150,6 +150,22 @@ def _load():
             lib.fc_exr_huf.restype = ctypes.c_int
         except AttributeError:
             pass  # older .so without the EXR PIZ entropy stage
+        try:
+            lib.fc_nc_pack.argtypes = [
+                i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_int), ctypes.c_int, i16p,
+                ctypes.POINTER(u8p),
+                ctypes.POINTER(ctypes.c_int32), i16p,
+            ]
+            lib.fc_nc_pack.restype = ctypes.c_int
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            lib.fc_nc_counts.argtypes = [
+                i16p, ctypes.c_int64, i64p, i64p, i64p, i64p,
+            ]
+            lib.fc_nc_counts.restype = None
+        except AttributeError:
+            pass  # older .so without the nc upload pack
         lib.fc_free.argtypes = [u8p]
         _LIB = lib
         break
@@ -363,6 +379,52 @@ def exr_huf_uncompress(data: bytes, n_out: int) -> Optional["np.ndarray"]:
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), n_out,
     )
     return out if rc == 0 else None
+
+
+def nc_pack(grid: np.ndarray, ph: int, pw: int, rects, cap: int,
+            dc: np.ndarray, bufs, esc_idx: np.ndarray,
+            esc_val: np.ndarray) -> Optional[int]:
+    """Single-pass nested-corner upload pack (fc_nc_pack): writes the
+    tier rectangles, DC plane and escape stream into the caller's
+    ZEROED buffers, byte-identical to the numpy pack in
+    ops/jpeg_decode.py. Returns the escape count, or None to fall back
+    (unbuilt/old lib, or a rect layout the packed widths can't carry)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_nc_pack"):
+        return None
+    gh, gw = grid.shape[:2]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    rect_arr = (ctypes.c_int * (len(rects) * 5))(
+        *[x for r in rects for x in r]
+    )
+    buf_ptrs = (u8p * len(bufs))(*[b.ctypes.data_as(u8p) for b in bufs])
+    n = lib.fc_nc_pack(
+        grid.ctypes.data_as(i16p), gh, gw, ph, pw,
+        len(rects), rect_arr, cap, dc.ctypes.data_as(i16p), buf_ptrs,
+        esc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        esc_val.ctypes.data_as(i16p),
+    )
+    return None if n < 0 else n
+
+
+def nc_counts(grid: np.ndarray) -> Optional[Tuple[np.ndarray, ...]]:
+    """One-pass per-position counts (fc_nc_counts) for the nc mode
+    selection: (out8, out4, out2, nnz), each (64,) int64 with the DC
+    slot zero — identical to ops/jpeg_decode.py:nc_grid_counts. None
+    falls back to the numpy twin (unbuilt/old lib)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_nc_counts"):
+        return None
+    g = grid
+    if g.dtype != np.int16 or not g.flags.c_contiguous:
+        g = np.ascontiguousarray(g, dtype=np.int16)
+    acc = np.zeros((4, 64), dtype=np.int64)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    ptrs = [acc[i].ctypes.data_as(i64p) for i in range(4)]
+    lib.fc_nc_counts(g.ctypes.data_as(i16p), g.size // 64, *ptrs)
+    return acc[0], acc[1], acc[2], acc[3]
 
 
 def read_jpeg_coeffs4(data: bytes) -> Optional[dict]:

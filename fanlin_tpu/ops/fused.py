@@ -1502,7 +1502,8 @@ def _group_cap(mode: str, metas, keys) -> int:
         return 0
     k = jpeg_decode._MODE_K.get(mode, 0)
     return jpeg_decode.i8v_cap(max(
-        max(jpeg_decode.overflow_count(m[key], k) for key in keys)
+        max(jpeg_decode.overflow_from_counts(
+            jpeg_decode.nc_counts_cached(m, key), k) for key in keys)
         for m in metas))
 
 
@@ -1826,7 +1827,8 @@ class CoefBatchAssembly(BatchAssembly):
             for (key, qkey, na2, nb2, w), gate2, (php, pwp) in zip(
                 planes, gates, plane_dims
             ):
-                mode = jpeg_decode.plane_mode(m[key])
+                mode = jpeg_decode.plane_mode_from_counts(
+                    jpeg_decode.nc_counts_cached(m, key))
                 modes.append(mode)
                 hw = php * pwp
                 lossless_b = jpeg_decode.legacy_plane_bytes(
@@ -2082,14 +2084,12 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
         cbh, cbw = self.sh // (8 * csv), self.sw // (8 * csh)
         ymode = cmode = kmode = "zero"
         for m in metas:
-            ymode = jpeg_decode.widest_mode(
-                ymode, jpeg_decode.plane_mode(m["y"]))
+            pm = lambda key: jpeg_decode.plane_mode_from_counts(  # noqa: E731
+                jpeg_decode.nc_counts_cached(m, key))
+            ymode = jpeg_decode.widest_mode(ymode, pm("y"))
             cmode = jpeg_decode.widest_mode(
-                cmode, jpeg_decode.widest_mode(
-                    jpeg_decode.plane_mode(m["cb"]),
-                    jpeg_decode.plane_mode(m["cr"])))
-            kmode = jpeg_decode.widest_mode(
-                kmode, jpeg_decode.plane_mode(m["k"]))
+                cmode, jpeg_decode.widest_mode(pm("cb"), pm("cr")))
+            kmode = jpeg_decode.widest_mode(kmode, pm("k"))
         # dense CMYK scans (typically 4:4:4 q95 print assets) benefit
         # from the nested-corner rung exactly like 3-component sources
         ymode = _nc_upgrade(ymode, metas, ("y",), self.sh, self.sw)

@@ -709,6 +709,13 @@ def overflow_count(grid: np.ndarray, k: int = 0) -> int:
     return int(((a > 127) | (a < -128)).sum())
 
 
+def overflow_from_counts(counts, k: int = 0) -> int:
+    """overflow_count from cached per-position counts (nc_grid_counts:
+    DC slot already zero, so the corner sum needs no DC mask)."""
+    out8 = counts[0]
+    return int(out8[low_idx(k)].sum()) if k else int(out8.sum())
+
+
 def i8v_cap(n: int) -> int:
     """Smallest capacity bucket holding n overflow entries."""
     for c in _I8V_CAPS:
@@ -755,11 +762,31 @@ def widest_mode(a: str, b: str) -> str:
     return m
 
 
+def plane_mode_from_counts(counts) -> str:
+    """plane_mode from cached per-position counts (nc_grid_counts) —
+    every branch of the max/min scan is a count predicate: zero ⟺ no
+    nonzero AC, wide ⟺ any |v| outside int8, the lo8/i4h gates ⟺ the
+    high-frequency positions' nnz / out-of-int4 counts. Equality with
+    plane_mode is pinned by tests/test_pack_modes.py."""
+    out8, out4, out2, nnz = counts
+    if int(nnz.sum()) == 0:
+        return "zero"
+    wide = int(out8.sum()) > 0
+    if int(nnz[_HIGH_MASK].sum()) == 0:
+        return "lo8v" if wide else "lo8"
+    if wide:
+        return "i8v"
+    if int(out4[_HIGH_MASK].sum()) == 0:
+        return "i4h"
+    return "i8"
+
+
 def meta_modes(meta: dict) -> tuple:
     """(y_mode, chroma_mode) for one image; cb/cr share a mode (they
     share a quant table and a program input structure)."""
-    y = plane_mode(meta["y"])
-    c = widest_mode(plane_mode(meta["cb"]), plane_mode(meta["cr"]))
+    y = plane_mode_from_counts(nc_counts_cached(meta, "y"))
+    c = widest_mode(plane_mode_from_counts(nc_counts_cached(meta, "cb")),
+                    plane_mode_from_counts(nc_counts_cached(meta, "cr")))
     return y, c
 
 
@@ -1143,7 +1170,8 @@ def upload_viable(meta: dict) -> bool:
     (handler.rs resize path); this gate only chooses our upload form."""
     keys = ("y", "cb", "cr", "k") if "k" in meta else ("y", "cb", "cr")
     return all(
-        overflow_count(meta[k]) <= _I8V_CAPS[-1] for k in keys
+        overflow_from_counts(nc_counts_cached(meta, k)) <= _I8V_CAPS[-1]
+        for k in keys
     )
 
 
@@ -1326,7 +1354,15 @@ def nc_grid_counts(grid: np.ndarray):
     """Per-natural-position escape-relevant counts for one
     (bh, bw, 64) plane: (out8, out4, out2, nnz), each (64,) int64,
     with the DC slot zeroed (DC rides separately). int16-native (no
-    grid copy) — this runs per plane per batch on the 1-core host."""
+    grid copy) — this runs per plane per batch on the 1-core host.
+    Dispatches to the native one-pass counter (fc_nc_counts) when the
+    codec core is built; the numpy body below is the fallback and the
+    equality oracle (tests/test_pack_modes.py)."""
+    from ..engine import native_codecs
+
+    native = native_codecs.nc_counts(grid)
+    if native is not None:
+        return native
     g = grid
     out8 = ((g < -128) | (g > 127)).sum(axis=(0, 1))
     out4 = ((g < -8) | (g > 7)).sum(axis=(0, 1))
@@ -1539,7 +1575,55 @@ def nc_pack_plane(grid: np.ndarray, ph: int, pw: int, mode: str,
     """pack_plane's nc branch: (dc, arrays) where arrays is one entry
     per storage rectangle (int8 raw / nibble-packed / crumb-packed)
     followed by the escape stream (idx int32 (cap,), val int16
-    (cap,))."""
+    (cap,)). Dispatches to the native single-pass pack (fc_nc_pack,
+    ~7x the numpy pack on the 1-core host) when the codec core is
+    built; the numpy twin below is the fallback and the byte-equality
+    oracle (tests/test_pack_modes.py)."""
+    out = _nc_pack_native(grid, ph, pw, mode, cap)
+    if out is not None:
+        return out
+    return nc_pack_plane_np(grid, ph, pw, mode, cap)
+
+
+def _nc_pack_native(grid: np.ndarray, ph: int, pw: int, mode: str,
+                    cap: int):
+    """Allocate the (zeroed) output buffers and run fc_nc_pack; None
+    falls back to the numpy pack (unbuilt lib, or a packed width the
+    nibble/crumb column split can't carry)."""
+    from ..engine import native_codecs
+
+    rects = nc_tier_rects(nc_parse(mode))
+    g = grid
+    if g.dtype != np.int16 or not g.flags.c_contiguous:
+        g = np.ascontiguousarray(g, dtype=np.int16)
+    dc = np.zeros((ph // 8, pw // 8), dtype=np.int16)
+    bufs = []
+    for bits, u0, u1, v0, v1 in rects:
+        h, w = ph // 8 * (u1 - u0), pw // 8 * (v1 - v0)
+        if bits == 8:
+            bufs.append(np.zeros((h, w), dtype=np.int8))
+        elif bits == 4:
+            if w % 2:
+                return None
+            bufs.append(np.zeros((h, w // 2), dtype=np.uint8))
+        else:
+            if w % 4:
+                return None
+            bufs.append(np.zeros((h, w // 4), dtype=np.uint8))
+    esc_idx = np.zeros(cap, dtype=np.int32)
+    esc_val = np.zeros(cap, dtype=np.int16)
+    n = native_codecs.nc_pack(g, ph, pw, rects, cap, dc, bufs,
+                              esc_idx, esc_val)
+    if n is None:
+        return None
+    assert n <= cap, f"nc escape count {n} exceeds cap {cap}"
+    return dc, tuple(bufs) + (esc_idx, esc_val)
+
+
+def nc_pack_plane_np(grid: np.ndarray, ph: int, pw: int, mode: str,
+                     cap: int):
+    """Numpy twin of the native nc pack (the original implementation;
+    byte-identical by test)."""
     triple = nc_parse(mode)
     gh, gw = grid.shape[:2]
     dc = np.zeros((ph // 8, pw // 8), dtype=np.int16)

@@ -1024,6 +1024,140 @@ int fc_exr_huf(const uint8_t* src, size_t src_len, uint16_t* out,
 #undef FC_HUF_FAIL
 }
 
+// Nested-corner ("nc") upload pack, single fused pass (the numpy pack
+// in ops/jpeg_decode.py:nc_pack_plane makes ~5 gather+transpose copies
+// plus a full residual grid + nonzero scan per plane — ~13 ms/img on
+// the 1-core host for 4:4:4 512^2, which sits on the serving hot path
+// for q90+ sources). Layouts are BYTE-IDENTICAL to the numpy pack
+// (pinned by tests/test_pack_modes.py): value (i, j, u, v) of rect
+// (bits, u0, u1, v0, v1) lands at row i*nu + (u - u0),
+// col j*nv + (v - v0) of a (ph/8*nu, pw/8*nv) plane; 4-bit rects
+// nibble-pack column halves (low nibble = left half), 2-bit rects
+// crumb-pack column quarters (bit pair 2q = quarter q); escapes are
+// (planar linear idx int32, int16 residual) in block-scan order.
+//
+// grid: (gh, gw, 64) int16 natural-order blocks. rects: nrects x 5
+// ints from nc_tier_rects (disjoint). dc (ph/8*pw/8 int16), bufs
+// (one per rect, caller-ZEROED — padding blocks stay zero), esc_idx /
+// esc_val (cap entries, caller-zeroed). Returns the escape count
+// (callers treat > cap as "re-bucket"; entries past cap are dropped),
+// or -1 on a malformed rect table.
+int fc_nc_pack(const int16_t* grid, int gh, int gw, int ph, int pw,
+               int nrects, const int* rects, int cap, int16_t* dc,
+               uint8_t** bufs, int32_t* esc_idx, int16_t* esc_val) {
+  if (nrects < 1 || nrects > 5) return -1;
+  // per-position route table (natural order p = 8u + v)
+  struct Pos {
+    int rect;     // -1 = outside every rect (zero tier)
+    int uoff, voff;
+    int lo, hi;
+  } pos[64];
+  struct Rect {
+    int bits, nu, nv, w, rowstride;
+  } rt[5];
+  for (int r = 0; r < nrects; ++r) {
+    const int bits = rects[r * 5 + 0];
+    const int nu = rects[r * 5 + 2] - rects[r * 5 + 1];
+    const int nv = rects[r * 5 + 4] - rects[r * 5 + 3];
+    if (nu <= 0 || nv <= 0) return -1;
+    const int w = pw / 8 * nv;
+    int rowstride;
+    if (bits == 8) rowstride = w;
+    else if (bits == 4) { if (w % 2) return -1; rowstride = w / 2; }
+    else if (bits == 2) { if (w % 4) return -1; rowstride = w / 4; }
+    else return -1;
+    rt[r] = {bits, nu, nv, w, rowstride};
+  }
+  for (int p = 0; p < 64; ++p) {
+    const int u = p / 8, v = p % 8;
+    pos[p] = {-1, 0, 0, 0, 0};
+    for (int r = 0; r < nrects; ++r) {
+      if (u >= rects[r * 5 + 1] && u < rects[r * 5 + 2] &&
+          v >= rects[r * 5 + 3] && v < rects[r * 5 + 4]) {
+        static const int lohi[3][2] = {{-128, 127}, {-8, 7}, {-2, 1}};
+        const int b = rt[r].bits == 8 ? 0 : rt[r].bits == 4 ? 1 : 2;
+        pos[p] = {r, u - rects[r * 5 + 1], v - rects[r * 5 + 3],
+                  lohi[b][0], lohi[b][1]};
+        break;
+      }
+    }
+  }
+  const int pw8 = pw / 8;
+  int n_esc = 0;
+  for (int i = 0; i < gh; ++i) {
+    for (int j = 0; j < gw; ++j) {
+      const int16_t* blk = grid + ((size_t)i * gw + j) * 64;
+      dc[(size_t)i * pw8 + j] = blk[0];
+      for (int p = 1; p < 64; ++p) {
+        const int v = blk[p];
+        const Pos& q = pos[p];
+        int clipped = 0;
+        if (q.rect >= 0) {
+          clipped = v < q.lo ? q.lo : v > q.hi ? q.hi : v;
+          const Rect& R = rt[q.rect];
+          const int row = i * R.nu + q.uoff;
+          const int col = j * R.nv + q.voff;
+          uint8_t* buf = bufs[q.rect];
+          if (R.bits == 8) {
+            buf[(size_t)row * R.rowstride + col] = (uint8_t)(int8_t)clipped;
+          } else if (R.bits == 4) {
+            const int half = R.w / 2;
+            const int shift = col < half ? 0 : 4;
+            buf[(size_t)row * R.rowstride + (col < half ? col : col - half)]
+                |= (uint8_t)((clipped & 15) << shift);
+          } else {
+            const int quarter = R.w / 4;
+            buf[(size_t)row * R.rowstride + col % quarter]
+                |= (uint8_t)((clipped & 3) << (2 * (col / quarter)));
+          }
+        } else if (v == 0) {
+          continue;
+        }
+        if (v != clipped) {
+          if (n_esc < cap) {
+            esc_idx[n_esc] =
+                (int32_t)((8 * i + p / 8) * pw + 8 * j + p % 8);
+            esc_val[n_esc] = (int16_t)(v - clipped);
+          }
+          ++n_esc;
+        }
+      }
+    }
+  }
+  return n_esc;
+}
+
+// Per-natural-position escape-relevant counts of one (n_blocks, 64)
+// int16 coefficient plane, one fused pass (the numpy twin
+// ops/jpeg_decode.py:nc_grid_counts makes four full-plane
+// compare+reduce passes — ~3.7 ms/img on the 1-core host). Counts
+// arrive zeroed from the caller; the DC slot (p = 0) is skipped, so
+// it stays zero, matching the numpy twin.
+void fc_nc_counts(const int16_t* grid, int64_t n_blocks, int64_t* out8,
+                  int64_t* out4, int64_t* out2, int64_t* nnz) {
+  // Branchless position-lane accumulators so the compiler can
+  // vectorize the 64-wide inner loop (p = 0 counted here, dropped at
+  // the flush). int32 lanes are safe: each lane counts at most
+  // n_blocks, and planes are far below 2^31 blocks.
+  int32_t a8[64] = {0}, a4[64] = {0}, a2[64] = {0}, an[64] = {0};
+  for (int64_t b = 0; b < n_blocks; ++b) {
+    const int16_t* blk = grid + b * 64;
+    for (int p = 0; p < 64; ++p) {
+      const int16_t v = blk[p];
+      an[p] += v != 0;
+      a2[p] += v < -2 || v > 1;
+      a4[p] += v < -8 || v > 7;
+      a8[p] += v < -128 || v > 127;
+    }
+  }
+  for (int p = 1; p < 64; ++p) {
+    out8[p] += a8[p];
+    out4[p] += a4[p];
+    out2[p] += a2[p];
+    nnz[p] += an[p];
+  }
+}
+
 int fc_abi_version() { return 1; }
 
 }  // extern "C"

@@ -553,3 +553,113 @@ def test_nc_selection_matches_loop_reference():
             assert tuple(ref[0]) == tuple(new[0])
             assert abs(ref[1] - new[1]) < 1e-6
             assert ref[2] == new[2]
+
+
+# ---------------------------------------------------------------------------
+# native single-pass nc pack / counts (fanlin_codec.cpp fc_nc_pack /
+# fc_nc_counts) vs the numpy twins — the numpy implementations are the
+# byte-equality oracles; the native path is what serves.
+# ---------------------------------------------------------------------------
+
+
+def _ladder_cap(grid, mode):
+    n = jpeg_decode.nc_escape_count(grid, jpeg_decode.nc_parse(mode))
+    return jpeg_decode.nc_cap(n)
+
+
+def test_native_nc_pack_matches_numpy():
+    """fc_nc_pack is byte-identical to nc_pack_plane_np: every tier
+    rectangle (raw / nibble / crumb packing), the DC plane, and the
+    escape stream (order and residuals) — on the real bench source and
+    on random grids across triple families (no-int8 corner, equal
+    tiers, 2-bit-only, full int8) including padded plane dims."""
+    m = native_codecs.read_jpeg_coeffs(
+        open("tests/golden/lenna_src.jpg", "rb").read()
+    )
+    rng = np.random.default_rng(0)
+
+    def rand(gh, gw, scale):
+        return (rng.standard_normal((gh, gw, 64)) * scale).astype(np.int16)
+
+    cases = [
+        (m["y"], 512, 512, "nc688"),
+        (m["cb"], 512, 512, "nc388"),
+        (rand(13, 17, 3), 112, 144, "nc088"),   # no int8 corner + padding
+        (rand(8, 8, 40), 64, 64, "nc444"),      # k4 == k2
+        (rand(16, 16, 300), 128, 128, "nc268"),  # escape-heavy
+        (rand(4, 4, 1), 64, 64, "nc002"),       # crumb-only
+        (rand(8, 8, 500), 64, 64, "nc888"),     # full int8, huge escapes
+    ]
+    for grid, ph, pw, mode in cases:
+        cap = _ladder_cap(grid, mode)
+        native = jpeg_decode._nc_pack_native(grid, ph, pw, mode, cap)
+        assert native is not None, mode
+        ref = jpeg_decode.nc_pack_plane_np(grid, ph, pw, mode, cap)
+        assert np.array_equal(native[0], ref[0]), mode
+        assert len(native[1]) == len(ref[1]), mode
+        for got, want in zip(native[1], ref[1]):
+            assert got.dtype == want.dtype, mode
+            assert np.array_equal(got, want), mode
+
+
+def test_native_nc_counts_matches_numpy():
+    m = native_codecs.read_jpeg_coeffs(
+        open("tests/golden/lenna_src.jpg", "rb").read()
+    )
+    rng = np.random.default_rng(1)
+    grids = [
+        m["y"], m["cb"],
+        (rng.standard_normal((3, 5, 64)) * 4).astype(np.int16),
+        (rng.standard_normal((16, 16, 64)) * 400).astype(np.int16),
+        np.zeros((4, 4, 64), np.int16),
+    ]
+    for g in grids:
+        got = native_codecs.nc_counts(g)
+        assert got is not None
+        out8 = ((g < -128) | (g > 127)).sum(axis=(0, 1))
+        out4 = ((g < -8) | (g > 7)).sum(axis=(0, 1))
+        out2 = ((g < -2) | (g > 1)).sum(axis=(0, 1))
+        nnz = (g != 0).sum(axis=(0, 1))
+        for c in (out8, out4, out2, nnz):
+            c[0] = 0
+        for a, b in zip(got, (out8, out4, out2, nnz)):
+            assert np.array_equal(a, b)
+
+
+def test_plane_mode_from_counts_matches_scan():
+    """The counts-predicate mode selection equals the max/min-scan
+    plane_mode across content regimes (zero, low-only at several
+    widths, mixed, high-frequency-only, wide)."""
+    rng = np.random.default_rng(7)
+    for trial in range(300):
+        kind = trial % 5
+        if kind == 0:
+            g = np.zeros((3, 3, 64), np.int16)
+        elif kind == 1:
+            g = np.zeros((4, 5, 64), np.int16)
+            g[:, :, jpeg_decode.low_idx(4)] = (
+                rng.standard_normal((4, 5, 16))
+                * rng.choice([3, 100, 300])
+            ).astype(np.int16)
+        elif kind == 2:
+            g = (rng.standard_normal((4, 4, 64))
+                 * rng.choice([2, 6, 30, 200])).astype(np.int16)
+        elif kind == 3:
+            g = (rng.standard_normal((4, 4, 64)) * 3).astype(np.int16)
+            g[:, :, :16] = 0
+        else:
+            g = (rng.standard_normal((2, 2, 64))
+                 * rng.choice([1, 9, 128, 1000])).astype(np.int16)
+        assert jpeg_decode.plane_mode(g) == (
+            jpeg_decode.plane_mode_from_counts(jpeg_decode.nc_grid_counts(g))
+        ), trial
+
+
+def test_overflow_from_counts_matches_scan():
+    rng = np.random.default_rng(11)
+    for k in (0, 2, 4, 8):
+        g = (rng.standard_normal((16, 16, 64)) * 300).astype(np.int16)
+        meta = {"x": g}
+        assert jpeg_decode.overflow_from_counts(
+            jpeg_decode.nc_counts_cached(meta, "x"), k
+        ) == jpeg_decode.overflow_count(g, k)
