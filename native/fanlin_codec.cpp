@@ -1046,6 +1046,10 @@ int fc_nc_pack(const int16_t* grid, int gh, int gw, int ph, int pw,
                int nrects, const int* rects, int cap, int16_t* dc,
                uint8_t** bufs, int32_t* esc_idx, int16_t* esc_val) {
   if (nrects < 1 || nrects > 5) return -1;
+  // the padded plane must cover the block grid — the numpy twin would
+  // raise on a mis-sized destination; here it would scribble
+  if (gh < 0 || gw < 0 || ph < 8 || pw < 8 || gh > ph / 8 || gw > pw / 8)
+    return -1;
   // per-position route table (natural order p = 8u + v)
   struct Pos {
     int rect;     // -1 = outside every rect (zero tier)
