@@ -164,6 +164,12 @@ def _load():
                 i16p, ctypes.c_int64, i64p, i64p, i64p, i64p,
             ]
             lib.fc_nc_counts.restype = None
+            f32p = ctypes.POINTER(ctypes.c_float)
+            lib.fc_spectral_energy64.argtypes = [
+                i16p, ctypes.c_int, ctypes.c_int, f32p, f32p, f32p,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.fc_spectral_energy64.restype = None
         except AttributeError:
             pass  # older .so without the nc upload pack
         lib.fc_free.argtypes = [u8p]
@@ -425,6 +431,38 @@ def nc_counts(grid: np.ndarray) -> Optional[Tuple[np.ndarray, ...]]:
     ptrs = [acc[i].ctypes.data_as(i64p) for i in range(4)]
     lib.fc_nc_counts(g.ctypes.data_as(i16p), g.size // 64, *ptrs)
     return acc[0], acc[1], acc[2], acc[3]
+
+
+def spectral_energy64(grid: np.ndarray, nau: np.ndarray,
+                      nbv: np.ndarray, q2: np.ndarray,
+                      residual_int4: bool) -> Optional[np.ndarray]:
+    """Fused spectral error-energy pass (fc_spectral_energy64) for the
+    thinning policy — see ops/jpeg_decode.py:spectral_energy64 for the
+    model. Returns a (64,) float64 energy vector, or None to fall back
+    to the numpy twin (unbuilt/old lib or allocation failure).
+    Agreement with the twin is ~1e-7 relative (double vs float32
+    pairwise accumulation), inside the policy's 3 dB margin."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_spectral_energy64"):
+        return None
+    g = grid
+    if g.dtype != np.int16 or not g.flags.c_contiguous:
+        g = np.ascontiguousarray(g, dtype=np.int16)
+    gh, gw = g.shape[:2]
+    out = np.empty(64, dtype=np.float64)
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.fc_spectral_energy64(
+        g.ctypes.data_as(i16p), gh, gw,
+        np.ascontiguousarray(nau, np.float32).ctypes.data_as(f32p),
+        np.ascontiguousarray(nbv, np.float32).ctypes.data_as(f32p),
+        np.ascontiguousarray(q2, np.float32).ctypes.data_as(f32p),
+        int(residual_int4),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    if out[0] < 0:
+        return None  # calloc failure sentinel
+    return out
 
 
 def read_jpeg_coeffs4(data: bytes) -> Optional[dict]:

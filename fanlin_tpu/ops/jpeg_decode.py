@@ -1084,12 +1084,22 @@ def spectral_energy64(grid: np.ndarray, q: np.ndarray, na2: np.ndarray,
     This runs per image per plane on the single host core, so it is
     written for speed: int16*int16 squares in int32, one float32
     weighted reduction (f32 keeps ~7 significant digits — the policy
-    threshold only needs ~2)."""
+    threshold only needs ~2). Dispatches to the fused native pass
+    (fc_spectral_energy64) when the codec core is built; agreement is
+    ~1e-7 relative (double vs f32-pairwise accumulation — the numpy
+    body below is the fallback and the closeness oracle,
+    tests/test_pack_modes.py)."""
+    from ..engine import native_codecs
+
     gh, gw = grid.shape[:2]
     q2 = q.astype(np.float32) ** 2  # (64,)
     # per-(block, freq) gains spread to the 64 natural positions
     nau = na2.reshape(-1, 8)[:gh].astype(np.float32)[:, _NAT_U]  # (gh, 64)
     nbv = nb2.reshape(-1, 8)[:gw].astype(np.float32)[:, _NAT_V]  # (gw, 64)
+    native = native_codecs.spectral_energy64(grid, nau, nbv, q2,
+                                             residual_int4)
+    if native is not None:
+        return native.astype(np.float32)
     g32 = grid.astype(np.int32)
     if residual_int4:
         g32 = g32 - np.clip(g32, -8, 7)

@@ -1162,6 +1162,61 @@ void fc_nc_counts(const int16_t* grid, int64_t n_blocks, int64_t* out8,
   }
 }
 
+// Random-phase spectral error energy of one (gh, gw, 64) int16
+// coefficient plane, fused single pass (the numpy twin
+// ops/jpeg_decode.py:spectral_energy64 materializes ~5 full-plane
+// temporaries — ~2 ms/plane on the 1-core host, on the headline
+// serving path via the spectral-thinning policy). nau (gh, 64) /
+// nbv (gw, 64) are the folded matrices' per-(block, position) squared
+// column norms, q2 (64,) the squared quant table. residual_int4
+// evaluates the int4-clip residuals instead. out (64,) float64.
+//
+// Accumulation: per-(j, p) double lanes over i, then a double
+// reduction over j with the nbv/q2 weights. All terms are
+// non-negative, and doubles hold ~9 more digits than the numpy f32
+// pairwise sums — agreement is ~1e-7 relative, far inside the
+// thinning policy's 3 dB margin (the numpy twin's own pairwise order
+// isn't stable across numpy versions either).
+void fc_spectral_energy64(const int16_t* grid, int gh, int gw,
+                          const float* nau, const float* nbv,
+                          const float* q2, int residual_int4,
+                          double* out) {
+  double* a = (double*)calloc((size_t)gw * 64, sizeof(double));
+  if (a == nullptr) {
+    for (int p = 0; p < 64; ++p) out[p] = -1.0;  // caller falls back
+    return;
+  }
+  for (int i = 0; i < gh; ++i) {
+    const float* naui = nau + (size_t)i * 64;
+    const int16_t* row = grid + (size_t)i * gw * 64;
+    for (int j = 0; j < gw; ++j) {
+      const int16_t* blk = row + (size_t)j * 64;
+      double* aj = a + (size_t)j * 64;
+      if (residual_int4) {
+        for (int p = 0; p < 64; ++p) {
+          int v = blk[p];
+          const int c = v < -8 ? -8 : v > 7 ? 7 : v;
+          v -= c;
+          aj[p] += (double)naui[p] * (double)(v * v);
+        }
+      } else {
+        for (int p = 0; p < 64; ++p) {
+          const int v = blk[p];
+          aj[p] += (double)naui[p] * (double)(v * v);
+        }
+      }
+    }
+  }
+  for (int p = 0; p < 64; ++p) out[p] = 0.0;
+  for (int j = 0; j < gw; ++j) {
+    const float* nbvj = nbv + (size_t)j * 64;
+    const double* aj = a + (size_t)j * 64;
+    for (int p = 0; p < 64; ++p) out[p] += (double)nbvj[p] * aj[p];
+  }
+  for (int p = 0; p < 64; ++p) out[p] *= (double)q2[p];
+  free(a);
+}
+
 int fc_abi_version() { return 1; }
 
 }  // extern "C"

@@ -663,3 +663,38 @@ def test_overflow_from_counts_matches_scan():
         assert jpeg_decode.overflow_from_counts(
             jpeg_decode.nc_counts_cached(meta, "x"), k
         ) == jpeg_decode.overflow_count(g, k)
+
+
+def test_native_spectral_energy_close_and_same_decisions():
+    """fc_spectral_energy64 tracks the numpy twin to ~1e-7 relative
+    (double vs f32-pairwise accumulation) and — what actually matters —
+    yields the same thinning decisions (zero/clip Frobenius estimates)
+    on the real bench source at production-like fold norms."""
+    m = native_codecs.read_jpeg_coeffs(
+        open("tests/golden/lenna_src.jpg", "rb").read()
+    )
+    rng = np.random.default_rng(3)
+    na2 = rng.random(512)
+    nb2 = rng.random(512)
+    orig = native_codecs.spectral_energy64
+    try:
+        for residual in (False, True):
+            for g, q in ((m["y"], m["lq"]), (m["cb"], m["cq"]),
+                         ((rng.standard_normal((5, 7, 64)) * 200)
+                          .astype(np.int16), m["lq"])):
+                a = jpeg_decode.spectral_energy64(g, q, na2, nb2, residual)
+                native_codecs.spectral_energy64 = lambda *x: None
+                b = jpeg_decode.spectral_energy64(g, q, na2, nb2, residual)
+                native_codecs.spectral_energy64 = orig
+                rel = float(np.abs(a.astype(np.float64) - b).max()
+                            / (np.abs(b).max() + 1e-30))
+                assert rel < 1e-5, (residual, rel)
+        for g, q in ((m["y"], m["lq"]), (m["cb"], m["cq"])):
+            zn, cn = jpeg_decode.spectral_errors(g, q, na2, nb2, True)
+            native_codecs.spectral_energy64 = lambda *x: None
+            zp, cp = jpeg_decode.spectral_errors(g, q, na2, nb2, True)
+            native_codecs.spectral_energy64 = orig
+            assert abs(zn - zp) / (zp + 1e-30) < 1e-5
+            assert abs(cn - cp) / (cp + 1e-30) < 1e-5
+    finally:
+        native_codecs.spectral_energy64 = orig
