@@ -1050,12 +1050,6 @@ int fc_nc_pack(const int16_t* grid, int gh, int gw, int ph, int pw,
   // raise on a mis-sized destination; here it would scribble
   if (gh < 0 || gw < 0 || ph < 8 || pw < 8 || gh > ph / 8 || gw > pw / 8)
     return -1;
-  // per-position route table (natural order p = 8u + v)
-  struct Pos {
-    int rect;     // -1 = outside every rect (zero tier)
-    int uoff, voff;
-    int lo, hi;
-  } pos[64];
   struct Rect {
     int bits, nu, nv, w, rowstride;
   } rt[5];
@@ -1072,58 +1066,111 @@ int fc_nc_pack(const int16_t* grid, int gh, int gw, int ph, int pw,
     else return -1;
     rt[r] = {bits, nu, nv, w, rowstride};
   }
+  // Per-position clip ranges for the escape scan (zero tier: [0, 0]
+  // so every nonzero value escapes with its full residual; DC slot:
+  // the full int16 range so it never escapes — DC rides separately).
+  int16_t lo[64], hi[64];
   for (int p = 0; p < 64; ++p) {
     const int u = p / 8, v = p % 8;
-    pos[p] = {-1, 0, 0, 0, 0};
+    static const int lohi[3][2] = {{-128, 127}, {-8, 7}, {-2, 1}};
+    lo[p] = 0;
+    hi[p] = 0;
     for (int r = 0; r < nrects; ++r) {
       if (u >= rects[r * 5 + 1] && u < rects[r * 5 + 2] &&
           v >= rects[r * 5 + 3] && v < rects[r * 5 + 4]) {
-        static const int lohi[3][2] = {{-128, 127}, {-8, 7}, {-2, 1}};
         const int b = rt[r].bits == 8 ? 0 : rt[r].bits == 4 ? 1 : 2;
-        pos[p] = {r, u - rects[r * 5 + 1], v - rects[r * 5 + 3],
-                  lohi[b][0], lohi[b][1]};
+        lo[p] = (int16_t)lohi[b][0];
+        hi[p] = (int16_t)lohi[b][1];
         break;
       }
     }
   }
+  lo[0] = INT16_MIN;
+  hi[0] = INT16_MAX;
   const int pw8 = pw / 8;
+  // Per-block-constant packed-column split: with W = pw8 * nv and
+  // half = W/2, col = j*nv + voff < half  ⟺  j < pw8/2 — the whole
+  // block lands in one nibble (resp. crumb quarter), so the inner
+  // run needs no per-value division. Requires pw8 divisible by 2
+  // (resp. 4); otherwise this pack falls back (callers' bucket
+  // tables keep pw8 a multiple of 4 in practice).
+  for (int r = 0; r < nrects; ++r) {
+    if ((rt[r].bits == 4 && pw8 % 2) || (rt[r].bits == 2 && pw8 % 4))
+      return -1;
+  }
   int n_esc = 0;
   for (int i = 0; i < gh; ++i) {
     for (int j = 0; j < gw; ++j) {
       const int16_t* blk = grid + ((size_t)i * gw + j) * 64;
       dc[(size_t)i * pw8 + j] = blk[0];
-      for (int p = 1; p < 64; ++p) {
-        const int v = blk[p];
-        const Pos& q = pos[p];
-        int clipped = 0;
-        if (q.rect >= 0) {
-          clipped = v < q.lo ? q.lo : v > q.hi ? q.hi : v;
-          const Rect& R = rt[q.rect];
-          const int row = i * R.nu + q.uoff;
-          const int col = j * R.nv + q.voff;
-          uint8_t* buf = bufs[q.rect];
-          if (R.bits == 8) {
-            buf[(size_t)row * R.rowstride + col] = (uint8_t)(int8_t)clipped;
-          } else if (R.bits == 4) {
-            const int half = R.w / 2;
-            const int shift = col < half ? 0 : 4;
-            buf[(size_t)row * R.rowstride + (col < half ? col : col - half)]
-                |= (uint8_t)((clipped & 15) << shift);
-          } else {
-            const int quarter = R.w / 4;
-            buf[(size_t)row * R.rowstride + col % quarter]
-                |= (uint8_t)((clipped & 3) << (2 * (col / quarter)));
+      // phase A: tier stores, one contiguous run per rect row
+      for (int r = 0; r < nrects; ++r) {
+        const Rect& R = rt[r];
+        const int u0 = rects[r * 5 + 1], u1 = rects[r * 5 + 2];
+        const int v0 = rects[r * 5 + 3], v1 = rects[r * 5 + 4];
+        uint8_t* buf = bufs[r];
+        if (R.bits == 8) {
+          uint8_t* dst =
+              buf + (size_t)(i * R.nu) * R.rowstride + (size_t)j * R.nv;
+          for (int u = u0; u < u1; ++u, dst += R.rowstride) {
+            const int16_t* src = blk + 8 * u + v0;
+            const int vskip = (u == 0 && v0 == 0) ? 1 : 0;  // DC slot
+            for (int v = vskip; v < v1 - v0; ++v) {
+              const int x = src[v];
+              dst[v] = (uint8_t)(int8_t)(x < -128 ? -128 : x > 127 ? 127 : x);
+            }
           }
-        } else if (v == 0) {
-          continue;
+        } else if (R.bits == 4) {
+          const int lohalf = j < pw8 / 2;
+          const int shift = lohalf ? 0 : 4;
+          const int jb = lohalf ? j : j - pw8 / 2;
+          uint8_t* dst =
+              buf + (size_t)(i * R.nu) * R.rowstride + (size_t)jb * R.nv;
+          for (int u = u0; u < u1; ++u, dst += R.rowstride) {
+            const int16_t* src = blk + 8 * u + v0;
+            const int vskip = (u == 0 && v0 == 0) ? 1 : 0;  // DC slot
+            for (int v = vskip; v < v1 - v0; ++v) {
+              const int x = src[v];
+              const int c = x < -8 ? -8 : x > 7 ? 7 : x;
+              dst[v] |= (uint8_t)((c & 15) << shift);
+            }
+          }
+        } else {
+          const int q4 = pw8 / 4;
+          const int quarter = j / q4;  // 0..3
+          const int shift = 2 * quarter;
+          const int jb = j - quarter * q4;
+          uint8_t* dst =
+              buf + (size_t)(i * R.nu) * R.rowstride + (size_t)jb * R.nv;
+          for (int u = u0; u < u1; ++u, dst += R.rowstride) {
+            const int16_t* src = blk + 8 * u + v0;
+            const int vskip = (u == 0 && v0 == 0) ? 1 : 0;  // DC slot
+            for (int v = vskip; v < v1 - v0; ++v) {
+              const int x = src[v];
+              const int c = x < -2 ? -2 : x > 1 ? 1 : x;
+              dst[v] |= (uint8_t)((c & 3) << shift);
+            }
+          }
         }
-        if (v != clipped) {
-          if (n_esc < cap) {
-            esc_idx[n_esc] =
-                (int32_t)((8 * i + p / 8) * pw + 8 * j + p % 8);
-            esc_val[n_esc] = (int16_t)(v - clipped);
+      }
+      // phase B: branchless escape detection, rare scalar collect
+      int bad = 0;
+      for (int p = 0; p < 64; ++p)
+        bad |= (blk[p] < lo[p]) | (blk[p] > hi[p]);
+      if (bad) {
+        for (int p = 1; p < 64; ++p) {
+          const int v = blk[p];
+          if (v < lo[p] || v > hi[p]) {
+            // v - clip(v, lo, hi); the zero tier (lo = hi = 0)
+            // escapes its full value through the same formula
+            const int resid = v - (v < lo[p] ? lo[p] : hi[p]);
+            if (n_esc < cap) {
+              esc_idx[n_esc] =
+                  (int32_t)((8 * i + p / 8) * pw + 8 * j + p % 8);
+              esc_val[n_esc] = (int16_t)resid;
+            }
+            ++n_esc;
           }
-          ++n_esc;
         }
       }
     }

@@ -698,3 +698,36 @@ def test_native_spectral_energy_close_and_same_decisions():
             assert abs(cn - cp) / (cp + 1e-30) < 1e-5
     finally:
         native_codecs.spectral_energy64 = orig
+
+
+def test_native_nc_pack_fuzz_random_triples():
+    """Randomized native-vs-numpy byte-equality across the triple
+    lattice, block-grid geometries, bucket paddings and content
+    scales (the run-split pack handles each rect shape differently;
+    the fixed cases above can't cover the lattice)."""
+    rng = np.random.default_rng(42)
+    triples = [t for t in jpeg_decode._NC_TRIPLES if t[2] >= 1]
+    tested = 0
+    for trial in range(120):
+        t = triples[rng.integers(len(triples))]
+        mode = jpeg_decode.nc_mode(t)
+        gh, gw = int(rng.integers(1, 20)), int(rng.integers(1, 20))
+        ph = ((gh + int(rng.integers(0, 4)) + 3) // 4 * 4) * 8
+        pw = ((gw + int(rng.integers(0, 4)) + 3) // 4 * 4) * 8
+        scale = float(rng.choice([0.5, 3, 12, 60, 200, 800]))
+        g = (rng.standard_normal((gh, gw, 64)) * scale).astype(np.int16)
+        n = jpeg_decode.nc_escape_count(g, t)
+        caps = [c for c in jpeg_decode._NC_ESC_CAPS if c >= n]
+        if not caps:
+            continue
+        cap = caps[0]
+        native = jpeg_decode._nc_pack_native(g, ph, pw, mode, cap)
+        ref = jpeg_decode.nc_pack_plane_np(g, ph, pw, mode, cap)
+        assert native is not None, (trial, mode)
+        assert np.array_equal(native[0], ref[0]), (trial, mode)
+        assert len(native[1]) == len(ref[1])
+        for k, (x, y) in enumerate(zip(native[1], ref[1])):
+            assert x.dtype == y.dtype and np.array_equal(x, y), (
+                trial, mode, k, gh, gw, ph, pw)
+        tested += 1
+    assert tested > 80  # the ladder rarely rejects; keep coverage real
