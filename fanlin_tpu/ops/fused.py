@@ -1507,11 +1507,12 @@ def _group_cap(mode: str, metas, keys) -> int:
         for m in metas))
 
 
-# nested-corner upload rung enable (tpu.nc_upload). The nc pack costs
-# ~13 ms/img of host CPU on the 1-core rig vs ~5 for the dense i8v
-# pack, buying ~250 KB/img of wire on dense q90+ content — a clear win
-# on narrow links (the relay: 12-25 ms/img of wire saved), roughly
-# neutral-to-negative on a local-PCIe host where the link is ~free.
+# nested-corner upload rung enable (tpu.nc_upload). The native
+# single-pass pack (fc_nc_pack) prices nc at ~1.9 ms/img of host CPU
+# on the 1-core rig — at or below the dense i8v pack's numpy
+# transpose — while buying ~250 KB/img of wire on dense q90+ content,
+# so nc wins on every link now (the knob remains for the numpy
+# fallback, where the pack costs ~10 ms/img, and for A/B runs).
 _NC_UPLOAD = {"enabled": True}
 
 
