@@ -180,6 +180,12 @@ class TpuConfig:
     # are rejected with 503 instead of queueing unboundedly (0 = off,
     # matching the reference's queue-forever concurrency layer)
     max_queue: int = 0
+    # device-stall failover: a WARM batch's device call exceeding this
+    # (seconds) marks the device wedged — its requests and everything
+    # after serve from the host numpy mirror until the device returns
+    # (a dropped TPU relay/PCIe link otherwise bricks the pipeline;
+    # warm executes are milliseconds). Needs host_fallback; 0 = off.
+    device_stall_s: float = 30.0
     # extra (src_w, src_h, "query") warmup shapes precompiled at
     # startup alongside the defaults, as "WxH:query" strings, e.g.
     # "1024x768:w=400&h=300&blur=5"
@@ -271,6 +277,8 @@ class TpuConfig:
             )
         if "max_queue" in obj:
             cfg.max_queue = _as_uint(obj["max_queue"], "max_queue")
+        if "device_stall_s" in obj:
+            cfg.device_stall_s = float(obj["device_stall_s"])
         if "profile_dir" in obj:
             cfg.profile_dir = _as_str(obj["profile_dir"], "profile_dir")
         if "response_cache_mb" in obj:

@@ -42,7 +42,7 @@ import contextvars
 import logging
 import threading
 import time
-from concurrent.futures import Future, ThreadPoolExecutor
+from concurrent.futures import Future, InvalidStateError, ThreadPoolExecutor
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -86,6 +86,30 @@ class RequestExpired(Exception):
     middleware usually wins the race and has already sent one; when
     the batcher sheds first, the client must still see a 408, not a
     logged 500 + fallback reprocessing)."""
+
+
+def _safe_result(fut: Future, result, mirror: bool = False) -> None:
+    """set_result tolerant of a future already resolved elsewhere —
+    after a device stall a batch is failed over to the host mirror
+    while the stuck device call may still complete later; whichever
+    side arrives second is dropped."""
+    if fut.cancelled():
+        return
+    try:
+        if mirror:
+            fut.fanlin_host_mirror = True
+        fut.set_result(result)
+    except InvalidStateError:
+        pass
+
+
+def _safe_fail(fut: Future, exc: BaseException) -> None:
+    if fut.cancelled():
+        return
+    try:
+        fut.set_exception(exc)
+    except InvalidStateError:
+        pass
 
 
 def _group_key(plan: fused.ImagePlan, kind: str) -> Tuple:
@@ -141,7 +165,8 @@ class MicroBatcher:
 
     def __init__(self, max_batch: int = 8, window_ms: float = 2.0,
                  mesh=None, host_fallback: bool = False,
-                 pipeline_depth: int = 2, max_queue: int = 0):
+                 pipeline_depth: int = 2, max_queue: int = 0,
+                 device_stall_s: float = 30.0):
         """mesh: optional ('dp','sp') jax.sharding.Mesh — flushed
         batches execute dp/sp-sharded across it (the assemblies own
         the shardings; fused.make_assembly(mesh=...)). One execution
@@ -163,7 +188,18 @@ class MicroBatcher:
         max_queue: per-group cap on admitted-but-not-yet-dispatched
         entries (waiting for a flush OR flushed and queued behind the
         device thread); submit raises BatcherOverload beyond it.
-        0 = unlimited."""
+        0 = unlimited.
+
+        device_stall_s: a WARM batch's device dispatch/collect
+        exceeding this (seconds) marks the device wedged — its
+        requests and every batch after it serve from the host mirror
+        until the stuck call eventually returns (observed failure
+        mode: the TPU relay dropping mid-serving blocks collect
+        forever, exhausts pipeline_depth permits and bricks the
+        device thread; every request then 408s until restart). Warm
+        executes are milliseconds — even terrible relay weather sits
+        ~100x under the default. Requires host_fallback (the mirror
+        is the failover target); 0 disables."""
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
         self._mesh = mesh
@@ -193,10 +229,24 @@ class MicroBatcher:
         self.pipeline_depth = max(int(pipeline_depth), 1)
         self._inflight = threading.BoundedSemaphore(self.pipeline_depth)
         self._closed = False
+        # device-stall failover state (all guarded by self._lock):
+        # token -> [start_monotonic, asm, futures, failed_over]
+        self.device_stall_s = float(device_stall_s)
+        self._wedged = False
+        self._watch: Dict[int, list] = {}
+        self._watch_token = 0
+        self._probe_asm = None  # last stalled assembly, reused as probe
+        self._probing = False
+        self._last_probe = 0.0
         self._scheduler = threading.Thread(
             target=self._flush_loop, name="fanlin-batch-flush", daemon=True
         )
         self._scheduler.start()
+        if self.device_stall_s > 0 and self._host_fallback:
+            threading.Thread(
+                target=self._stall_watchdog, name="fanlin-stallwatch",
+                daemon=True,
+            ).start()
         # observability counters (read by the gateway's /stats)
         self.stats = {"batches": 0, "images": 0, "full_flushes": 0,
                       "timer_flushes": 0, "host_fallbacks": 0,
@@ -221,7 +271,12 @@ class MicroBatcher:
                       # rising backlog means admission is.
                       "backlog": 0,
                       "queue_wait_ms_total": 0.0,
-                      "queue_wait_ms_peak": 0.0}
+                      "queue_wait_ms_peak": 0.0,
+                      # device-stall failover: stall events observed,
+                      # and a 0/1 gauge while the device is wedged
+                      # (batches serve from the host mirror)
+                      "device_stalls": 0,
+                      "device_wedged": 0}
 
     # -- submission --------------------------------------------------------
 
@@ -256,7 +311,10 @@ class MicroBatcher:
                 flush_now = self._groups.pop(key)[1]
         if flush_now is not None:
             self.stats["full_flushes"] += 1
-            self._device.submit(self._run_batch, flush_now)
+            # while wedged, don't queue flushes behind the stuck
+            # device thread — _run_batch routes them to the mirror
+            pool = self._host if self._wedged else self._device
+            pool.submit(self._run_batch, flush_now)
         return fut
 
     def _flush_loop(self) -> None:
@@ -282,8 +340,101 @@ class MicroBatcher:
                 )
                 if not due:
                     self._wake.wait(timeout=timeout)
+            pool = self._host if self._wedged else self._device
             for group in due:
-                self._device.submit(self._run_batch, group)
+                pool.submit(self._run_batch, group)
+
+    # -- device-stall failover ----------------------------------------------
+
+    def _watch_add(self, asm, futures) -> int:
+        with self._lock:
+            self._watch_token += 1
+            token = self._watch_token
+            self._watch[token] = [time.monotonic(), asm, futures, False]
+        return token
+
+    def _watch_done(self, token: int, roundtrip_ok: bool) -> None:
+        """Unregister a device call; a completed round trip while
+        wedged means the device came back — resume device serving."""
+        with self._lock:
+            self._watch.pop(token, None)
+            recovered = roundtrip_ok and self._wedged
+            if recovered:
+                self._wedged = False
+                self.stats["device_wedged"] = 0
+        if recovered:
+            _logger.warning(
+                "device recovered after a stall; resuming device serving"
+            )
+
+    def _stall_watchdog(self) -> None:
+        """Scan in-flight device calls; a warm batch stuck past
+        device_stall_s wedges the batcher (mirror serving) and fails
+        the stuck batch over to the host mirror. The stuck thread
+        itself can't be interrupted — its eventual return is the
+        recovery signal (_watch_done)."""
+        period = min(self.device_stall_s / 4.0, 1.0)
+        while True:
+            time.sleep(period)
+            stale = []
+            with self._lock:
+                if self._closed:
+                    return
+                now = time.monotonic()
+                for token, ent in self._watch.items():
+                    if ent[3] or now - ent[0] < self.device_stall_s:
+                        continue
+                    ent[3] = True
+                    stale.append(ent)
+                    self.stats["device_stalls"] += 1
+                    self._probe_asm = ent[1]
+                    if not self._wedged:
+                        self._wedged = True
+                        self.stats["device_wedged"] = 1
+                # while wedged, re-try the device periodically with ONE
+                # background probe (a stuck collect that eventually
+                # RAISES would otherwise never clear the wedge); a probe
+                # hanging on the still-dead device simply returns — and
+                # recovers the batcher — whenever the device comes back
+                probe = None
+                if (self._wedged and not self._probing
+                        and self._probe_asm is not None
+                        and now - self._last_probe >= self.device_stall_s):
+                    self._probing = True
+                    self._last_probe = now
+                    probe = self._probe_asm
+            if probe is not None:
+                threading.Thread(
+                    target=self._probe_device, args=(probe,),
+                    name="fanlin-deviceprobe", daemon=True,
+                ).start()
+            for ent in stale:
+                _logger.error(
+                    "device call stalled > %.0fs (warm program; relay "
+                    "unreachable?) — serving from the host mirror until "
+                    "it returns", self.device_stall_s,
+                )
+                self._host.submit(self._run_host, ent[1], ent[2])
+
+    def _probe_device(self, asm) -> None:
+        try:
+            asm.run()
+            ok = True
+        except Exception:
+            ok = False  # still bad; the watchdog probes again later
+        finally:
+            with self._lock:
+                self._probing = False
+        if ok:
+            with self._lock:
+                recovered = self._wedged
+                if recovered:
+                    self._wedged = False
+                    self.stats["device_wedged"] = 0
+            if recovered:
+                _logger.warning(
+                    "device probe succeeded; resuming device serving"
+                )
 
     # -- device execution --------------------------------------------------
 
@@ -412,39 +563,75 @@ class MicroBatcher:
             # stat reflects bytes that actually cross the link
             if hasattr(asm, "upload_ac_bytes"):
                 self.stats["upload_ac_bytes"] += asm.upload_ac_bytes
-            self._inflight.acquire()  # bound upload-ahead to the depth
+            with self._lock:
+                wedged = self._wedged
+            if wedged:
+                # device wedged (stalled warm call) — don't queue more
+                # work behind the stuck thread; the mirror serves
+                self.stats["host_fallbacks"] += 1
+                self._run_host(asm, futures)
+                return
+            # bound upload-ahead to the depth; permits held by STUCK
+            # collects must not block the device thread forever, so the
+            # wait is stall-bounded when the failover is armed
+            timeout = (self.device_stall_s
+                       if self.device_stall_s > 0 and self._host_fallback
+                       else None)
+            if not self._inflight.acquire(timeout=timeout):
+                with self._lock:
+                    self.stats["device_stalls"] += 1
+                    self._probe_asm = asm
+                    if not self._wedged:
+                        self._wedged = True
+                        self.stats["device_wedged"] = 1
+                _logger.error(
+                    "pipeline permits stuck > %.0fs (device collects "
+                    "not returning) — serving from the host mirror",
+                    self.device_stall_s,
+                )
+                self.stats["host_fallbacks"] += 1
+                self._run_host(asm, futures)
+                return
+            token = (self._watch_add(asm, futures)
+                     if self.device_stall_s > 0 and self._host_fallback
+                     else None)
             try:
                 out = asm.submit()
             except BaseException:
+                if token is not None:
+                    self._watch_done(token, roundtrip_ok=False)
                 self._inflight.release()
                 raise
-            self._collector.submit(self._collect_batch, asm, out, futures)
+            self._collector.submit(
+                self._collect_batch, asm, out, futures, token
+            )
         except Exception as e:
             for f in futures:
-                if not f.cancelled():
-                    f.set_exception(e)
+                _safe_fail(f, e)
 
-    def _collect_batch(self, asm, out, futures) -> None:
+    def _collect_batch(self, asm, out, futures, token=None) -> None:
         """Collect-side half: blocks on the device result while the
         device thread stages/dispatches the next batch."""
         try:
             results = asm.collect(out)
         except Exception as e:
+            if token is not None:
+                self._watch_done(token, roundtrip_ok=False)
             for f in futures:
-                if not f.cancelled():
-                    f.set_exception(e)
+                _safe_fail(f, e)
             return
         finally:
             self._inflight.release()
+        if token is not None:
+            # a completed round trip is the recovery signal after a
+            # stall (the stuck call returning means the device is back)
+            self._watch_done(token, roundtrip_ok=True)
         # the jpegdct overflow ladder may have served the batch from
         # the host mirror inside collect() (cold wider rung) — those
         # responses must be tagged cold exactly like _run_host's
         mirror = getattr(asm, "mirror_served", False)
         for f, r in zip(futures, results):
-            if not f.cancelled():
-                if mirror:
-                    f.fanlin_host_mirror = True
-                f.set_result(r)
+            _safe_result(f, r, mirror=mirror)
 
     def _run_host(self, asm, futures) -> None:
         from ..ops import hostexec
@@ -453,17 +640,14 @@ class MicroBatcher:
             results = hostexec.run_host(asm)
         except Exception as e:
             for f in futures:
-                if not f.cancelled():
-                    f.set_exception(e)
+                _safe_fail(f, e)
             return
         for f, r in zip(futures, results):
-            if not f.cancelled():
-                # mark mirror-served results: they can differ from the
-                # device program by ±1 LSB (PARITY.md known-diff #6),
-                # so the gateway must not let a CDN / response cache
-                # pin cold-replica bytes (VERDICT r4 weak #5)
-                f.fanlin_host_mirror = True
-                f.set_result(r)
+            # mark mirror-served results: they can differ from the
+            # device program by ±1 LSB (PARITY.md known-diff #6), so
+            # the gateway must not let a CDN / response cache pin
+            # cold-replica bytes (VERDICT r4 weak #5)
+            _safe_result(f, r, mirror=True)
 
     def close(self) -> None:
         with self._lock:

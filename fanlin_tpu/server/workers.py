@@ -214,6 +214,7 @@ class DeviceService:
             host_fallback=cfg.tpu.host_fallback,
             pipeline_depth=cfg.tpu.pipeline_depth,
             max_queue=cfg.tpu.max_queue,
+            device_stall_s=cfg.tpu.device_stall_s,
         )
         self.runner = BatchingRunner(self.batcher)
         device_decode = (cfg.tpu.device_decode

@@ -1,0 +1,124 @@
+"""Device-stall failover (tpu.device_stall_s): a WARM batch whose
+device call stops returning (observed live: the TPU relay dropping
+mid-serving blocks collect forever, exhausts pipeline_depth permits
+and bricks the device thread) must fail over to the host numpy mirror,
+keep serving subsequent batches from the mirror while wedged, and
+resume device serving when the stuck call finally returns."""
+
+import threading
+import time
+
+import numpy as np
+
+from fanlin_tpu.config import TpuConfig
+from fanlin_tpu.engine.batcher import MicroBatcher
+from fanlin_tpu.ops import fused
+from fanlin_tpu.spec.query import parse_query
+from tests.conftest import make_test_image
+
+
+def _rgba(img):
+    out = np.empty(img.shape[:2] + (4,), dtype=np.uint8)
+    out[..., :3] = img
+    out[..., 3] = 255
+    return out
+
+
+def _wait(pred, timeout=10.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if pred():
+            return True
+        time.sleep(0.05)
+    return pred()
+
+
+def test_warm_stall_fails_over_and_recovers(monkeypatch):
+    # unique geometry so this program key belongs to this test only
+    img = _rgba(make_test_image(157, 103))
+    q = parse_query("w=71&h=59")
+    plan = fused.plan_image(157, 103, q)
+
+    # warm the program OUTSIDE the batcher so the device path engages
+    warm_asm = fused.make_assembly([plan], [img], ["rgb"])
+    expected = warm_asm.run()[0]
+    assert fused.is_warm(warm_asm.program_key())
+
+    # simulate the relay wedge: device collect (and the recovery
+    # probe's run) block until the "relay" comes back
+    relay_back = threading.Event()
+    stuck = threading.Event()
+    real_collect = fused.BatchAssembly.collect
+    real_run = fused.BatchAssembly.run
+    hang_once = [True]
+
+    def wedged_collect(self, out):
+        if hang_once[0]:
+            hang_once[0] = False
+            stuck.set()
+            assert relay_back.wait(30.0)
+        return real_collect(self, out)
+
+    def wedged_run(self):
+        if not relay_back.is_set():
+            assert relay_back.wait(30.0)
+        return real_run(self)
+
+    monkeypatch.setattr(fused.BatchAssembly, "collect", wedged_collect)
+    monkeypatch.setattr(fused.BatchAssembly, "run", wedged_run)
+
+    batcher = MicroBatcher(max_batch=2, window_ms=1.0,
+                           host_fallback=True, device_stall_s=0.4)
+    try:
+        # 1) the stuck batch itself: answered from the mirror well
+        #    before the 10 s request deadline, and tagged cold
+        f1 = batcher.submit(plan, img)
+        r1 = f1.result(timeout=10.0)
+        assert stuck.is_set()
+        assert getattr(f1, "fanlin_host_mirror", False)
+        assert r1.shape == expected.shape
+        assert int(np.abs(r1.astype(np.int16)
+                          - np.asarray(expected).astype(np.int16)).max()) <= 1
+        assert batcher.stats["device_stalls"] >= 1
+        assert batcher.stats["device_wedged"] == 1
+
+        # 2) while wedged: new batches go straight to the mirror (the
+        #    stuck device thread is not in their path)
+        before = batcher.stats["host_fallbacks"]
+        f2 = batcher.submit(plan, img)
+        r2 = f2.result(timeout=10.0)
+        assert getattr(f2, "fanlin_host_mirror", False)
+        assert batcher.stats["host_fallbacks"] > before
+        assert r2.shape == expected.shape
+
+        # 3) the relay returns: the stuck collect completes, which
+        #    clears the wedge; the next batch rides the device again
+        relay_back.set()
+        assert _wait(lambda: batcher.stats["device_wedged"] == 0), (
+            "wedge never cleared after the device call returned"
+        )
+        f3 = batcher.submit(plan, img)
+        r3 = f3.result(timeout=30.0)
+        assert not getattr(f3, "fanlin_host_mirror", False)
+        assert np.array_equal(np.asarray(r3), np.asarray(expected))
+    finally:
+        relay_back.set()
+        batcher.close()
+
+
+def test_device_stall_config_knob():
+    cfg = TpuConfig.from_obj({"device_stall_s": 7.5})
+    assert cfg.device_stall_s == 7.5
+    assert TpuConfig().device_stall_s == 30.0
+    # 0 disables: constructing the batcher spawns no NEW watchdog
+    # thread (an earlier test's daemon watchdog may still be draining)
+    before = sum(t.name == "fanlin-stallwatch"
+                 for t in threading.enumerate())
+    b = MicroBatcher(max_batch=2, window_ms=1.0, host_fallback=True,
+                     device_stall_s=0.0)
+    try:
+        after = sum(t.name == "fanlin-stallwatch"
+                    for t in threading.enumerate())
+        assert after == before
+    finally:
+        b.close()
