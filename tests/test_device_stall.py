@@ -106,6 +106,65 @@ def test_warm_stall_fails_over_and_recovers(monkeypatch):
         batcher.close()
 
 
+def test_probe_recovers_after_collect_raises(monkeypatch):
+    """If the stuck collect eventually RAISES (relay tear-down error)
+    instead of returning, the roundtrip-ok recovery signal never
+    fires — the background probe must bring the device back."""
+    img = _rgba(make_test_image(149, 107))
+    q = parse_query("w=67&h=61")
+    plan = fused.plan_image(149, 107, q)
+    warm_asm = fused.make_assembly([plan], [img], ["rgb"])
+    expected = warm_asm.run()[0]
+    assert fused.is_warm(warm_asm.program_key())
+
+    relay_back = threading.Event()
+    died = threading.Event()
+    real_collect = fused.BatchAssembly.collect
+    real_run = fused.BatchAssembly.run
+    hang_once = [True]
+
+    def dying_collect(self, out):
+        if hang_once[0]:
+            hang_once[0] = False
+            time.sleep(0.6)  # past device_stall_s, then tear down
+            died.set()
+            raise RuntimeError("synthetic relay tear-down")
+        return real_collect(self, out)
+
+    def probe_run(self):
+        if not relay_back.is_set():
+            assert relay_back.wait(30.0)
+        return real_run(self)
+
+    monkeypatch.setattr(fused.BatchAssembly, "collect", dying_collect)
+    monkeypatch.setattr(fused.BatchAssembly, "run", probe_run)
+
+    batcher = MicroBatcher(max_batch=2, window_ms=1.0,
+                           host_fallback=True, device_stall_s=0.3)
+    try:
+        f1 = batcher.submit(plan, img)
+        r1 = f1.result(timeout=10.0)
+        assert getattr(f1, "fanlin_host_mirror", False)
+        assert r1.shape == expected.shape
+        assert _wait(lambda: batcher.stats["device_wedged"] == 1)
+        # let the stuck collect RAISE (clearing the collector thread)
+        # before recovery — a raise is NOT the roundtrip-ok signal,
+        # so the batcher must still be wedged; only the probe recovers
+        assert died.wait(10.0)
+        time.sleep(0.2)
+        assert batcher.stats["device_wedged"] == 1
+        relay_back.set()
+        assert _wait(lambda: batcher.stats["device_wedged"] == 0,
+                     timeout=15.0), "probe never recovered the device"
+        f2 = batcher.submit(plan, img)
+        r2 = f2.result(timeout=30.0)
+        assert not getattr(f2, "fanlin_host_mirror", False)
+        assert np.array_equal(np.asarray(r2), np.asarray(expected))
+    finally:
+        relay_back.set()
+        batcher.close()
+
+
 def test_device_stall_config_knob():
     cfg = TpuConfig.from_obj({"device_stall_s": 7.5})
     assert cfg.device_stall_s == 7.5
