@@ -71,6 +71,18 @@ async def serve(cfg: config_mod.Config) -> None:
     print(f"fanlin-tpu listening on {cfg.bind_addr}:{cfg.port}", flush=True)
     await stop.wait()
     await runner.cleanup()
+    if app["fanlin_close_status"]["unclean"]:
+        # a wedged accelerator link leaves device threads stuck in XLA
+        # calls that never return; normal interpreter exit would join
+        # those non-daemon executor threads forever, turning SIGTERM
+        # into a hang. In-flight HTTP requests are already drained
+        # (runner.cleanup above) — exit 0 the hard way, matching the
+        # reference's bounded graceful shutdown (main.rs:276-294).
+        import os
+
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(0)
 
 
 def main(argv=None) -> int:

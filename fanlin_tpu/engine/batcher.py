@@ -649,10 +649,25 @@ class MicroBatcher:
             # cold-replica bytes (VERDICT r4 weak #5)
             _safe_result(f, r, mirror=True)
 
-    def close(self) -> None:
+    def close(self) -> bool:
+        """Drain and shut the batcher down. Returns True when every
+        device-touching thread actually finished; False when some were
+        still stuck past the close budget (a wedged accelerator link —
+        observed live: the relay dropping blocks XLA calls FOREVER, and
+        an unbounded close turns SIGTERM into a hang; the caller must
+        then hard-exit rather than let interpreter teardown join the
+        hung non-daemon executor threads)."""
         with self._lock:
             self._closed = True
             self._wake.notify()
+        # budget: generous vs warm execute times (milliseconds) and the
+        # background-compile tail, but finite even when the device is
+        # gone. A wedged device gets only the stall bound — its threads
+        # are not coming back.
+        budget = self.device_stall_s if self.device_stall_s > 0 else 60.0
+        if self._wedged:
+            budget = min(budget, 5.0)
+        deadline = time.monotonic() + budget
         # join the scheduler BEFORE shutting executors down: it may
         # have popped due groups and be about to submit them — a
         # submit against a shut-down executor would kill it and leave
@@ -663,13 +678,26 @@ class MicroBatcher:
             self._groups.clear()
         for group in pending:
             self._device.submit(self._run_batch, group)
-        self._device.shutdown(wait=True)
-        self._collector.shutdown(wait=True)
-        self._host.shutdown(wait=True)
+        clean = True
+        for ex in (self._device, self._collector, self._host):
+            # shutdown(wait=True) has no timeout; release the queue
+            # and join the (named, non-daemon) workers ourselves
+            ex.shutdown(wait=False)
+            for t in list(getattr(ex, "_threads", ())):
+                t.join(timeout=max(deadline - time.monotonic(), 0.1))
+                clean = clean and not t.is_alive()
         # join outstanding background warm runs: an XLA execution
         # in flight at interpreter teardown aborts the process
         for t in self._warm_threads:
-            t.join(timeout=60)
+            t.join(timeout=max(deadline - time.monotonic(), 0.1))
+            clean = clean and not t.is_alive()
+        if not clean:
+            _logger.error(
+                "batcher close timed out after %.0fs: device threads "
+                "still stuck (accelerator link down?) — the process "
+                "must hard-exit to honor shutdown", budget,
+            )
+        return clean
 
 
 class BatchingRunner:

@@ -334,12 +334,20 @@ def create_app(cfg: config_mod.Config, state: State) -> web.Application:
     # axum's .fallback() catches every method (reference main.rs:90) —
     # the generic handler serves them all identically
     app.router.add_route("*", "/{tail:.*}", generic_handler)
+    # mutable status holder registered BEFORE startup (aiohttp forbids
+    # adding app keys after start): cleanup records an unclean batcher
+    # close here so the entrypoint knows to hard-exit
+    app["fanlin_close_status"] = status = {"unclean": False}
 
     async def _cleanup(app_):
         await state.client.close()
         batcher = getattr(state.engine.runner, "batcher", None)
-        if batcher is not None:
-            batcher.close()
+        if batcher is not None and not batcher.close():
+            # device threads stuck past the close budget (wedged
+            # accelerator link): interpreter teardown would join the
+            # hung non-daemon executor threads forever — the server
+            # entrypoint must hard-exit instead
+            status["unclean"] = True
 
     app.on_cleanup.append(_cleanup)
     return app
@@ -418,7 +426,12 @@ async def build_state(cfg: config_mod.Config, runner=None,
         if cfg.tpu.data_parallel:
             import jax
 
-            if len(jax.devices()) > 1:
+            from ..utils.bounded import bounded_call
+
+            n_dev = bounded_call(lambda: len(jax.devices()),
+                                 cfg.tpu.device_stall_s, 0,
+                                 "jax device enumeration")
+            if n_dev > 1:
                 # device batches shard dp-wise across the local mesh;
                 # the batcher owns coalescing AND the cold-bucket
                 # fallback, so the mesh rides inside its assemblies
@@ -442,8 +455,16 @@ async def build_state(cfg: config_mod.Config, runner=None,
         # accelerators.
         import jax as _jax
 
-        device_decode = (cfg.tpu.device_decode
-                         and _jax.default_backend() != "cpu")
+        from ..utils.bounded import bounded_call
+
+        # backend init can hang forever when the accelerator link is
+        # down at BOOT (observed live on the dev relay); bind and serve
+        # anyway — an unanswered probe is treated as an accelerator so
+        # the config's intent survives the outage
+        backend = bounded_call(_jax.default_backend,
+                               cfg.tpu.device_stall_s, "unknown",
+                               "jax backend init")
+        device_decode = cfg.tpu.device_decode and backend != "cpu"
         if cfg.tpu.device_decode and not device_decode:
             log.info("device_decode disabled on the cpu backend")
     engine = Engine(runner=runner,

@@ -202,10 +202,15 @@ class DeviceService:
         from ..engine.batcher import BatchingRunner, MicroBatcher
         from .app import apply_tpu_flags, enable_compilation_cache
 
+        from ..utils.bounded import bounded_call
+
         enable_compilation_cache()
         apply_tpu_flags(cfg)
         mesh = None
-        if cfg.tpu.data_parallel and len(_jax.devices()) > 1:
+        if cfg.tpu.data_parallel and bounded_call(
+            lambda: len(_jax.devices()), cfg.tpu.device_stall_s, 0,
+            "jax device enumeration",
+        ) > 1:
             from ..parallel import make_mesh
 
             mesh = make_mesh(n_sp=cfg.tpu.mesh_sp)
@@ -217,8 +222,12 @@ class DeviceService:
             device_stall_s=cfg.tpu.device_stall_s,
         )
         self.runner = BatchingRunner(self.batcher)
-        device_decode = (cfg.tpu.device_decode
-                         and _jax.default_backend() != "cpu")
+        # backend init can hang forever if the accelerator link is
+        # down at boot; bind and serve anyway (mirror side)
+        backend = bounded_call(_jax.default_backend,
+                               cfg.tpu.device_stall_s, "unknown",
+                               "jax backend init")
+        device_decode = cfg.tpu.device_decode and backend != "cpu"
         # what the workers need to know about the device they can't see
         self.worker_cfg = {"device_decode": device_decode}
         self._warmup_on = bool(cfg.tpu.warmup)
@@ -263,10 +272,14 @@ class DeviceService:
     def start(self):
         self._thread.start()
 
-    def stop(self):
+    def stop(self) -> bool:
+        """Returns False when device threads were still stuck past the
+        batcher's close budget (wedged accelerator link) — the caller
+        must hard-exit instead of letting interpreter teardown join
+        the hung non-daemon executor threads forever."""
         self._server.shutdown()
         self._server.server_close()
-        self.batcher.close()
+        return self.batcher.close()
 
 
 async def _serve_worker_async(cfg, uds_path: str) -> None:
@@ -429,7 +442,7 @@ def serve_multiworker(cfg) -> int:
             os.waitpid(pid, 0)
         except ChildProcessError:
             pass
-    service.stop()
+    clean = service.stop()
     try:
         os.unlink(uds_path)
         os.rmdir(tmpdir)
@@ -438,7 +451,14 @@ def serve_multiworker(cfg) -> int:
     # exit non-zero when the gateway died on its own (every worker
     # gone without a stop signal) so restart-on-failure supervisors
     # actually restart it
-    return 0 if stop["flag"] else (1 if died else 0)
+    code = 0 if stop["flag"] else (1 if died else 0)
+    if not clean:
+        # wedged device: hung XLA calls would block interpreter
+        # teardown forever — workers are already drained, exit hard
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(code)
+    return code
 
 
 def main_multiworker(cfg) -> int:

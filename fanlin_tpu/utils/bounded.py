@@ -1,0 +1,49 @@
+"""Bounded calls into code that can hang on dead hardware.
+
+jax backend init blocks indefinitely when the accelerator link is down
+(observed live on the dev TPU relay: jax.devices() never returns).
+Startup probes must not keep the gateway from binding its port — the
+batcher's device-stall failover (engine/batcher.py) serves from the
+host mirror until the device answers, but only if the server actually
+comes up."""
+
+from __future__ import annotations
+
+import logging
+import threading
+from typing import Any, Callable
+
+log = logging.getLogger("fanlin.bounded")
+
+_SENTINEL = object()
+
+
+def bounded_call(fn: Callable[[], Any], timeout: float, default: Any,
+                 what: str) -> Any:
+    """Run fn() on a daemon thread and wait up to `timeout` seconds;
+    on timeout (or exception) log and return `default`. timeout <= 0
+    means call inline (unbounded — the pre-failover behavior)."""
+    if timeout is None or timeout <= 0:
+        return fn()
+    box = {"v": _SENTINEL}
+    done = threading.Event()
+
+    def _run():
+        try:
+            box["v"] = fn()
+        except Exception as e:  # the probe failing IS an answer
+            log.warning("%s failed: %s", what, e)
+            box["v"] = default
+        finally:
+            done.set()
+
+    threading.Thread(target=_run, daemon=True,
+                     name="fanlin-bounded").start()
+    if not done.wait(timeout):
+        log.error(
+            "%s not responding after %.0fs (accelerator link down?) — "
+            "continuing; the batcher serves from the host mirror until "
+            "the device answers", what, timeout,
+        )
+        return default
+    return box["v"] if box["v"] is not _SENTINEL else default

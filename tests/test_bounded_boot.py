@@ -1,0 +1,128 @@
+"""Boot-stall resilience: jax backend init blocks FOREVER when the
+accelerator link is down at startup (observed live on the dev relay —
+jax.devices()/default_backend() never return). The gateway must still
+bind and serve within ~tpu.device_stall_s: startup device probes ride
+utils.bounded.bounded_call, and the batcher's stall failover then
+serves from the host mirror until the device answers."""
+
+import asyncio
+import threading
+import time
+
+from fanlin_tpu.config import Config
+from fanlin_tpu.utils.bounded import bounded_call
+
+
+def test_bounded_call_passthrough():
+    assert bounded_call(lambda: 41 + 1, 5.0, 0, "t") == 42
+
+
+def test_bounded_call_exception_is_an_answer():
+    def boom():
+        raise RuntimeError("synthetic probe failure")
+
+    assert bounded_call(boom, 5.0, "fallback", "t") == "fallback"
+
+
+def test_bounded_call_timeout_returns_default_promptly():
+    ev = threading.Event()
+    t0 = time.monotonic()
+    try:
+        got = bounded_call(lambda: ev.wait(60.0), 0.2, "late", "t")
+    finally:
+        ev.set()
+    assert got == "late"
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_bounded_call_zero_timeout_is_inline():
+    # timeout <= 0 disables the bound (pre-failover behavior): the fn
+    # runs on THIS thread, so thread-locals and exceptions propagate
+    tid = bounded_call(threading.get_ident, 0, None, "t")
+    assert tid == threading.get_ident()
+    try:
+        bounded_call(lambda: 1 / 0, 0, "swallowed", "t")
+    except ZeroDivisionError:
+        pass
+    else:  # inline mode must NOT swallow exceptions
+        raise AssertionError("inline bounded_call swallowed the error")
+
+
+def _cfg(fixtures_dir, stall_s):
+    return Config.from_str(
+        """
+{
+  "port": 0, "bind_addr": "127.0.0.1", "max_clients": 4,
+  "client": {"s3": {"aws_region": "x"},
+             "web": {"user_agent": "t", "timeout": 2}},
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "tpu": {"warmup": false, "batch_window_ms": 1.0,
+          "data_parallel": true, "device_stall_s": %s}
+}
+"""
+        % (fixtures_dir, stall_s)
+    )
+
+
+def test_build_state_survives_hung_backend(fixtures_dir, monkeypatch):
+    """Both startup probes (jax.devices for the dp mesh,
+    jax.default_backend for the decode gate) hang; build_state must
+    return within the stall bound, keep the config's device_decode
+    intent (an unanswered probe is treated as an accelerator), and
+    the resulting state must still serve requests (host mirror)."""
+    import jax
+
+    from fanlin_tpu.server.app import build_state, create_app
+
+    relay_back = threading.Event()
+
+    def hung(*a, **k):
+        relay_back.wait(60.0)
+        raise RuntimeError("relay down")
+
+    monkeypatch.setattr(jax, "devices", hung)
+    monkeypatch.setattr(jax, "default_backend", hung)
+
+    cfg = _cfg(fixtures_dir, 0.3)
+
+    async def go():
+        t0 = time.monotonic()
+        state = await build_state(cfg)
+        boot_s = time.monotonic() - t0
+        from aiohttp.test_utils import TestClient, TestServer
+
+        client = TestClient(TestServer(create_app(cfg, state)))
+        await client.start_server()
+        try:
+            r = await client.get("/baz/lenna.jpg?w=64&h=48")
+            body = await r.read()
+            return boot_s, state, r.status, body[:3]
+        finally:
+            await client.close()
+
+    try:
+        boot_s, state, status, magic = (
+            asyncio.new_event_loop().run_until_complete(go())
+        )
+    finally:
+        relay_back.set()
+    # two probes x 0.3 s bound, plus slack for the event loop
+    assert boot_s < 10.0, f"boot took {boot_s:.1f}s with a hung backend"
+    # the unanswered backend probe must NOT flip device_decode off:
+    # when the link comes back mid-serving the config's intent applies
+    assert state.engine.device_decode is True
+    assert status == 200 and magic == b"\xff\xd8\xff"
+
+
+def test_build_state_cpu_backend_still_gates_decode(fixtures_dir):
+    """The bound must not change the answered-probe behavior: on this
+    rig's cpu test backend the decode back half stays gated off."""
+    from fanlin_tpu.server.app import build_state
+
+    cfg = _cfg(fixtures_dir, 30.0)
+
+    async def go():
+        return await build_state(cfg)
+
+    state = asyncio.new_event_loop().run_until_complete(go())
+    assert state.engine.device_decode is False

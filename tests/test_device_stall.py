@@ -165,6 +165,55 @@ def test_probe_recovers_after_collect_raises(monkeypatch):
         batcher.close()
 
 
+def test_close_is_bounded_while_wedged(monkeypatch):
+    """SIGTERM on a wedged relay (observed live): batcher.close() must
+    return within its budget — reporting unclean — instead of joining
+    the hung device thread forever and turning graceful shutdown into
+    a hang."""
+    img = _rgba(make_test_image(151, 109))
+    q = parse_query("w=73&h=57")
+    plan = fused.plan_image(151, 109, q)
+    warm_asm = fused.make_assembly([plan], [img], ["rgb"])
+    warm_asm.run()
+    assert fused.is_warm(warm_asm.program_key())
+
+    relay_back = threading.Event()
+    real_collect = fused.BatchAssembly.collect
+
+    def wedged_collect(self, out):
+        assert relay_back.wait(60.0)  # the relay never comes back
+        return real_collect(self, out)
+
+    monkeypatch.setattr(fused.BatchAssembly, "collect", wedged_collect)
+    monkeypatch.setattr(
+        fused.BatchAssembly, "run",
+        lambda self: relay_back.wait(60.0) and None,
+    )
+
+    batcher = MicroBatcher(max_batch=2, window_ms=1.0,
+                           host_fallback=True, device_stall_s=0.3)
+    try:
+        f1 = batcher.submit(plan, img)
+        f1.result(timeout=10.0)  # served from the mirror
+        assert _wait(lambda: batcher.stats["device_wedged"] == 1)
+        t0 = time.monotonic()
+        clean = batcher.close()
+        took = time.monotonic() - t0
+        assert clean is False, "close claimed clean with a stuck thread"
+        assert took < 20.0, f"wedged close took {took:.1f}s"
+    finally:
+        relay_back.set()
+
+
+def test_close_clean_when_healthy():
+    batcher = MicroBatcher(max_batch=2, window_ms=1.0,
+                           host_fallback=True, device_stall_s=5.0)
+    img = _rgba(make_test_image(83, 61))
+    plan = fused.plan_image(83, 61, parse_query("w=41&h=31"))
+    batcher.submit(plan, img).result(timeout=60.0)
+    assert batcher.close() is True
+
+
 def test_device_stall_config_knob():
     cfg = TpuConfig.from_obj({"device_stall_s": 7.5})
     assert cfg.device_stall_s == 7.5
