@@ -225,7 +225,17 @@ class MicroBatcher:
         self._collector = ThreadPoolExecutor(
             1, thread_name_prefix="fanlin-collect"
         )
-        self._host = ThreadPoolExecutor(1, thread_name_prefix="fanlin-hostexec")
+        # degraded-mode lane (cold buckets + wedged-device failover):
+        # hostexec is pure per-assembly numpy, so mirror batches can
+        # run concurrently — one thread would cap outage throughput at
+        # a single core on multi-core hosts (capped: mirror batches
+        # hold full f32 intermediates)
+        import os as _os
+
+        self._host = ThreadPoolExecutor(
+            max(1, min(4, _os.cpu_count() or 1)),
+            thread_name_prefix="fanlin-hostexec",
+        )
         self.pipeline_depth = max(int(pipeline_depth), 1)
         self._inflight = threading.BoundedSemaphore(self.pipeline_depth)
         self._closed = False
