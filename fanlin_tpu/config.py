@@ -206,6 +206,13 @@ class TpuConfig:
     # and host cores are the scarce resource. Responses are
     # byte-identical either way (both rungs are lossless).
     nc_upload: bool = True
+    # threads for the per-image assembly fill/pack loops (the host
+    # side of building a device batch: coefficient packs, pixel
+    # staging copies — all GIL-releasing). 0 = auto (one per core,
+    # capped at 8); 1 = serial. Auto is right everywhere: a 1-core
+    # host resolves to serial, a 24-core host overlaps a B=16 build's
+    # ~50 ms of pack CPU down to ~7 ms of batch latency.
+    pack_threads: int = 0
     # multi-worker gateway (VERDICT r4 missing #1): N forked gateway
     # processes share the listen port via SO_REUSEPORT (host codecs,
     # query parsing and HTTP scale across cores — the reference gets
@@ -287,6 +294,10 @@ class TpuConfig:
             )
         if "nc_upload" in obj:
             cfg.nc_upload = _as_bool(obj["nc_upload"], "nc_upload")
+        if "pack_threads" in obj:
+            cfg.pack_threads = _as_uint(obj["pack_threads"], "pack_threads")
+            if cfg.pack_threads > 64:
+                raise ConfigError("`pack_threads` out of range (0..64)")
         if "workers" in obj:
             cfg.workers = _as_uint(obj["workers"], "workers")
             if cfg.workers > 128:

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -1145,12 +1146,15 @@ class BatchAssembly:
             plans, self.b, self.sh, self.sw, self.oh, self.ow,
             self.uniform, self.has_blur,
         )
-        for i, (p, img) in enumerate(zip(plans, images)):
+        def fill_one(i):
             # channel-first, padded; 3-channel sources are opaque
+            p, img = plans[i], images[i]
             c = img.shape[2]
             self.x[i, :c, : p.src_h, : p.src_w] = img.transpose(2, 0, 1)
             if c == 3 and self.c_in == 4:
                 self.x[i, 3, : p.src_h, : p.src_w] = 255
+
+        _fill_images(len(plans), fill_one)
 
     def program_key(self):
         """Cache/warm key identifying this batch's compiled program."""
@@ -1520,6 +1524,61 @@ def set_nc_upload(enabled: bool) -> None:
     _NC_UPLOAD["enabled"] = bool(enabled)
 
 
+# Per-image pack parallelism for assembly builds (tpu.pack_threads).
+# The per-image fill loops are embarrassingly parallel — image i only
+# writes batch slice i of preallocated arrays, and the hot passes
+# (native fc_nc_pack via ctypes, numpy strided copies/clips) release
+# the GIL — so multi-core hosts can overlap the ~2-8 ms/img build
+# across cores instead of serializing it on the batcher thread
+# (B=16 at 3 ms/img is ~48 ms of added batch latency serial, ~12 ms
+# at 4 threads). 0 = auto (one thread per core, capped at 8);
+# 1 = serial (all a 1-core host can use).
+_PACK_POOL = {"threads": 0, "pool": None, "pool_n": 0, "pid": 0}
+
+
+def set_pack_threads(n: int) -> None:
+    _PACK_POOL["threads"] = max(int(n), 0)
+
+
+def _pack_pool():
+    """The shared per-image pack executor, or None when serial. Keyed
+    on pid: a pool inherited across fork (tpu.workers spawns gateway
+    processes) has no worker threads, so a child must build its own."""
+    n = _PACK_POOL["threads"] or min(os.cpu_count() or 1, 8)
+    if n <= 1:
+        return None
+    pid = os.getpid()
+    if (
+        _PACK_POOL["pool"] is None
+        or _PACK_POOL["pool_n"] != n
+        or _PACK_POOL["pid"] != pid
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        old = _PACK_POOL["pool"] if _PACK_POOL["pid"] == pid else None
+        _PACK_POOL["pool"] = ThreadPoolExecutor(
+            n, thread_name_prefix="fanlin-pack"
+        )
+        _PACK_POOL["pool_n"] = n
+        _PACK_POOL["pid"] = pid
+        if old is not None:
+            old.shutdown(wait=False)
+    return _PACK_POOL["pool"]
+
+
+def _fill_images(n: int, fill_one) -> None:
+    """Run fill_one(i) for i in range(n): in the shared pack pool when
+    one exists, serially otherwise. Images are independent (disjoint
+    batch slices), so order doesn't matter; the first exception
+    propagates either way."""
+    pool = _pack_pool() if n > 1 else None
+    if pool is None:
+        for i in range(n):
+            fill_one(i)
+    else:
+        list(pool.map(fill_one, range(n)))
+
+
 def _nc_upgrade(mode: str, metas, keys, ph: int, pw: int) -> str:
     """Swap an expensive legacy group mode for the nested-corner pack
     when the batch's content prices below it on the wire (VERDICT r4
@@ -1679,7 +1738,8 @@ class CoefBatchAssembly(BatchAssembly):
             plans, self.b, self.sh, self.sw, self.oh, self.ow,
             self.uniform, self.has_blur,
         )
-        for i, m in enumerate(metas):
+        def fill_one(i):
+            m = metas[i]
             assert m["h"] == self.true_h and m["w"] == self.true_w
             assert m.get("subsamp", 420) == self.subsamp
             self.ydc[i], ya = jpeg_decode.pack_plane(
@@ -1696,6 +1756,8 @@ class CoefBatchAssembly(BatchAssembly):
                 dst[i] = src
             self.lq[i] = m["lq"]
             self.cq[i] = m["cq"]
+
+        _fill_images(len(metas), fill_one)
 
     @property
     def upload_ac_bytes(self) -> int:
@@ -2122,7 +2184,8 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
             plans, self.b, self.sh, self.sw, self.oh, self.ow,
             self.uniform, self.has_blur,
         )
-        for i, m in enumerate(metas):
+        def fill_one(i):
+            m = metas[i]
             assert m["h"] == self.true_h and m["w"] == self.true_w
             assert m.get("subsamp", 444) == self.subsamp
             assert bool(m.get("ycck")) == self.ycck
@@ -2142,6 +2205,8 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
                 dst[i] = src
             self.lq[i] = m["lq"]
             self.cq[i] = m["cq"]
+
+        _fill_images(len(metas), fill_one)
 
     @property
     def upload_ac_bytes(self) -> int:

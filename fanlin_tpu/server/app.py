@@ -360,11 +360,12 @@ def apply_tpu_flags(cfg: config_mod.Config) -> None:
     from ..engine.native_codecs import set_webp_method
     from ..ops.fused import (set_dct_floor, set_fast_mode, set_fold,
                              set_host_fallback, set_nc_upload,
-                             set_spectral)
+                             set_pack_threads, set_spectral)
 
     if cfg.tpu.fast:
         set_fast_mode(True)
     set_nc_upload(cfg.tpu.nc_upload)
+    set_pack_threads(cfg.tpu.pack_threads)
     set_webp_method(cfg.tpu.webp_method)
     if cfg.tpu.fast_decode:
         set_fold(True)

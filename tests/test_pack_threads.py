@@ -1,0 +1,160 @@
+"""Per-image assembly build parallelism (tpu.pack_threads).
+
+The fill/pack loops in BatchAssembly / CoefBatchAssembly /
+CmykCoefBatchAssembly write disjoint batch slices per image, so a
+multi-core host may run them in a thread pool. The staged arrays must
+be element-identical to the serial build — any divergence means an
+index mix-up or shared state in the pack path (reference behavior
+rule: batching is an implementation detail, an image's bytes never
+depend on how its batch was built).
+"""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import native_codecs
+from fanlin_tpu.ops import fused
+from fanlin_tpu.spec.query import parse_query
+
+from conftest import make_test_image
+
+GOLD = "tests/golden/lenna_src.jpg"
+
+_STAGED = ("x", "ydc", "cbdc", "crdc", "kdc", "lq", "cq",
+           "flags", "fill", "box", "av", "ah", "bv", "bh")
+_STAGED_TUPLES = ("y_arrays", "cb_arrays", "cr_arrays", "k_arrays")
+
+
+@pytest.fixture
+def pack_pool():
+    """Force a 4-thread pack pool for the test body (auto resolves to
+    serial on the 1-core CI rig), restore serial after."""
+    fused.set_pack_threads(4)
+    assert fused._pack_pool() is not None
+    yield
+    fused.set_pack_threads(1)
+    assert fused._pack_pool() is None
+
+
+def _staged(asm):
+    out = {}
+    for name in _STAGED:
+        v = getattr(asm, name, None)
+        if v is not None:
+            out[name] = np.asarray(v).copy()
+    for name in _STAGED_TUPLES:
+        for j, a in enumerate(getattr(asm, name, ()) or ()):
+            out[f"{name}[{j}]"] = np.asarray(a).copy()
+    return out
+
+
+def _assert_same_build(make_asm):
+    fused.set_pack_threads(1)
+    serial = _staged(make_asm())
+    fused.set_pack_threads(4)
+    parallel = _staged(make_asm())
+    assert serial.keys() == parallel.keys()
+    for name in serial:
+        np.testing.assert_array_equal(
+            serial[name], parallel[name], err_msg=name
+        )
+
+
+def test_pixel_assembly_parallel_build_identical(pack_pool):
+    imgs = [make_test_image(200, 150, seed=s) for s in range(5)]
+    # mixed alpha: image 2 carries a real alpha plane
+    rgba = np.dstack([imgs[2], np.full((150, 200), 99, np.uint8)])
+    imgs[2] = rgba
+    plans = [
+        fused.plan_image(im.shape[1], im.shape[0],
+                         parse_query(f"w=9{i}&h=7{i}"),
+                         opaque=(im.shape[2] == 3))
+        for i, im in enumerate(imgs)
+    ]
+    _assert_same_build(lambda: fused.BatchAssembly(plans, imgs))
+
+
+@pytest.mark.skipif(not native_codecs.available(),
+                    reason="native codec core not built")
+def test_coef_assembly_parallel_build_identical(pack_pool):
+    with open(GOLD, "rb") as f:
+        lenna = f.read()
+    datas = [lenna]
+    for s in (1, 2, 3):
+        buf = io.BytesIO()
+        Image.fromarray(make_test_image(512, 512, seed=s)).save(
+            buf, format="JPEG", quality=92, subsampling=0
+        )
+        datas.append(buf.getvalue())
+    metas = [native_codecs.read_jpeg_coeffs(d) for d in datas]
+    assert all(m is not None for m in metas)
+    plans = [
+        fused.plan_image(m["w"], m["h"], parse_query("w=300&h=200"),
+                         opaque=True)
+        for m in metas
+    ]
+
+    def build():
+        # fresh meta dicts each build: the nc counts cache is per-meta
+        return fused.CoefBatchAssembly(plans, [dict(m) for m in metas])
+
+    _assert_same_build(build)
+    # the bench source must still ride an nc rung when packed parallel
+    fused.set_pack_threads(4)
+    assert fused.CoefBatchAssembly(
+        plans, [dict(m) for m in metas]
+    ).pack_modes[0].startswith("nc")
+
+
+@pytest.mark.skipif(not native_codecs.available(),
+                    reason="native codec core not built")
+def test_cmyk_assembly_parallel_build_identical(pack_pool):
+    datas = []
+    for s in (4, 5):
+        buf = io.BytesIO()
+        Image.fromarray(make_test_image(120, 88, seed=s)).convert(
+            "CMYK"
+        ).save(buf, format="JPEG", quality=90)
+        datas.append(buf.getvalue())
+    metas = [native_codecs.read_jpeg_coeffs4(d) for d in datas]
+    if any(m is None for m in metas):
+        pytest.skip("4-component coefficient reader unavailable")
+    # any LUT satisfies the assembly precondition; the staged pack
+    # arrays under comparison don't depend on its contents
+    fused.set_cmyk_lut(np.zeros((5, 5, 5, 5, 3), dtype=np.uint8))
+    plans = [
+        fused.plan_image(m["w"], m["h"], parse_query("w=50&h=40"),
+                         opaque=True)
+        for m in metas
+    ]
+    try:
+        _assert_same_build(
+            lambda: fused.CmykCoefBatchAssembly(
+                plans, [dict(m) for m in metas]
+            )
+        )
+    finally:
+        fused.set_cmyk_lut(None)
+
+
+def test_pack_threads_config():
+    from fanlin_tpu.config import ConfigError, TpuConfig
+
+    assert TpuConfig.from_obj({}).pack_threads == 0
+    assert TpuConfig.from_obj({"pack_threads": 3}).pack_threads == 3
+    with pytest.raises(ConfigError):
+        TpuConfig.from_obj({"pack_threads": 65})
+    with pytest.raises(ConfigError):
+        TpuConfig.from_obj({"pack_threads": -1})
+
+
+def test_fill_images_propagates_exceptions(pack_pool):
+    def boom(i):
+        if i == 3:
+            raise ValueError("bad image")
+
+    with pytest.raises(ValueError, match="bad image"):
+        fused._fill_images(5, boom)
