@@ -234,7 +234,16 @@ class TpuConfig:
     def from_obj(cls, obj: dict) -> "TpuConfig":
         cfg = cls()
         if "batch_window_ms" in obj:
-            cfg.batch_window_ms = float(obj["batch_window_ms"])
+            v = obj["batch_window_ms"]
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ConfigError(
+                    "invalid type for `batch_window_ms`: expected number"
+                )
+            if not 0 <= float(v) <= 60000:
+                raise ConfigError(
+                    "`batch_window_ms` out of range (0..60000)"
+                )
+            cfg.batch_window_ms = float(v)
         if "max_batch" in obj:
             cfg.max_batch = _as_uint(obj["max_batch"], "max_batch")
         if "codec_threads" in obj:
@@ -285,7 +294,14 @@ class TpuConfig:
         if "max_queue" in obj:
             cfg.max_queue = _as_uint(obj["max_queue"], "max_queue")
         if "device_stall_s" in obj:
-            cfg.device_stall_s = float(obj["device_stall_s"])
+            v = obj["device_stall_s"]
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ConfigError(
+                    "invalid type for `device_stall_s`: expected number"
+                )
+            if not 0 <= float(v) <= 3600:
+                raise ConfigError("`device_stall_s` out of range (0..3600)")
+            cfg.device_stall_s = float(v)
         if "profile_dir" in obj:
             cfg.profile_dir = _as_str(obj["profile_dir"], "profile_dir")
         if "response_cache_mb" in obj:

@@ -112,6 +112,29 @@ def _safe_fail(fut: Future, exc: BaseException) -> None:
         pass
 
 
+class _PermitOnce:
+    """Exactly-once release of one pipeline permit. A stalled device
+    call's permit is force-released when its batch fails over (the
+    stuck thread may hold it for the whole outage, starving the
+    post-recovery pipeline); if the stuck call later returns, its own
+    release must become a no-op — BoundedSemaphore raises on
+    over-release."""
+
+    __slots__ = ("_sem", "_done", "_lock")
+
+    def __init__(self, sem):
+        self._sem = sem
+        self._done = False
+        self._lock = threading.Lock()
+
+    def release(self) -> None:
+        with self._lock:
+            if self._done:
+                return
+            self._done = True
+        self._sem.release()
+
+
 def _group_key(plan: fused.ImagePlan, kind: str) -> Tuple:
     if kind.startswith(("coef", "cmyk")):
         # coefficient-source programs (incl. 4-component CMYK/YCCK)
@@ -248,6 +271,14 @@ class MicroBatcher:
         self._probe_asm = None  # last stalled assembly, reused as probe
         self._probing = False
         self._last_probe = 0.0
+        # batches queued on the device executor but not yet started:
+        # a wedge declaration fails them over (the executor's single
+        # thread is stuck — queued tasks would never run)
+        self._pending_device: Dict[int, tuple] = {}
+        self._pending_token = 0
+        # executors quarantined by past wedge declarations; close()
+        # drains and joins them within its budget
+        self._abandoned: list = []
         self._scheduler = threading.Thread(
             target=self._flush_loop, name="fanlin-batch-flush", daemon=True
         )
@@ -321,11 +352,41 @@ class MicroBatcher:
                 flush_now = self._groups.pop(key)[1]
         if flush_now is not None:
             self.stats["full_flushes"] += 1
-            # while wedged, don't queue flushes behind the stuck
-            # device thread — _run_batch routes them to the mirror
-            pool = self._host if self._wedged else self._device
-            pool.submit(self._run_batch, flush_now)
+            self._dispatch(flush_now)
         return fut
+
+    def _dispatch(self, group) -> None:
+        """Queue a batch on the right lane. While wedged, batches go
+        straight to the mirror (never behind the stuck device thread).
+        Device-lane submissions are tracked until they complete so a
+        wedge declaration can fail over batches still QUEUED behind a
+        device thread that blocked during the detection window — the
+        executor is single-thread, so those tasks would otherwise
+        never start and their requests would hang for the outage."""
+        with self._lock:
+            if self._wedged:
+                tok = None
+            else:
+                self._pending_token += 1
+                tok = self._pending_token
+                dev = self._device
+        if tok is None:
+            self._host.submit(self._run_batch, group)
+            return
+        fut = dev.submit(self._run_batch, group)
+        with self._lock:
+            # a wedge declared between the check and the submit must
+            # not strand the task on the quarantined executor's queue
+            raced = self._wedged and dev is not self._device
+            if not raced:
+                self._pending_device[tok] = (fut, group)
+        if raced:
+            if fut.cancel():
+                self._host.submit(self._run_batch, group)
+            return
+        fut.add_done_callback(
+            lambda _f, tok=tok: self._pending_device.pop(tok, None)
+        )
 
     def _flush_loop(self) -> None:
         """Single scheduler: sleep until the earliest group deadline,
@@ -350,17 +411,57 @@ class MicroBatcher:
                 )
                 if not due:
                     self._wake.wait(timeout=timeout)
-            pool = self._host if self._wedged else self._device
             for group in due:
-                pool.submit(self._run_batch, group)
+                self._dispatch(group)
 
     # -- device-stall failover ----------------------------------------------
 
-    def _watch_add(self, asm, futures) -> int:
+    def _declare_wedged(self, probe_asm=None) -> None:
+        """Mark the device wedged and QUARANTINE the device-side
+        executors: each has one worker thread, and a wedge means that
+        thread is blocked inside a dead XLA call — tasks queued behind
+        it would never start, and post-recovery batches would queue
+        behind the corpse, stall, and re-wedge (an oscillation where
+        every device-routed request eats a stall timeout). Fresh
+        executors keep the device lane serviceable the moment recovery
+        is signalled; batches still queued on the old device executor
+        fail over to the mirror here; the quarantined executors are
+        drained/joined best-effort at close(). Caller must NOT hold
+        self._lock."""
+        with self._lock:
+            if probe_asm is not None:
+                self._probe_asm = probe_asm
+            pending, old = [], []
+            if not self._wedged:
+                self._wedged = True
+                self.stats["device_wedged"] = 1
+                old = [self._device, self._collector]
+                self._abandoned += old
+                self._device = ThreadPoolExecutor(
+                    1, thread_name_prefix="fanlin-device"
+                )
+                self._collector = ThreadPoolExecutor(
+                    1, thread_name_prefix="fanlin-collect"
+                )
+                pending = list(self._pending_device.values())
+                self._pending_device.clear()
+        for fut, group in pending:
+            # _run_batch's wedged branch mirrors them (and counts the
+            # host_fallback) exactly like a fresh wedged-time submit
+            if fut.cancel():
+                self._host.submit(self._run_batch, group)
+        for ex in old:
+            # wakes the worker when its stuck call eventually returns
+            # so the quarantined thread exits instead of idling forever
+            ex.shutdown(wait=False)
+
+    def _watch_add(self, asm, futures, releaser) -> int:
         with self._lock:
             self._watch_token += 1
             token = self._watch_token
-            self._watch[token] = [time.monotonic(), asm, futures, False]
+            self._watch[token] = [
+                time.monotonic(), asm, futures, False, releaser
+            ]
         return token
 
     def _watch_done(self, token: int, roundtrip_ok: bool) -> None:
@@ -397,16 +498,16 @@ class MicroBatcher:
                     ent[3] = True
                     stale.append(ent)
                     self.stats["device_stalls"] += 1
-                    self._probe_asm = ent[1]
-                    if not self._wedged:
-                        self._wedged = True
-                        self.stats["device_wedged"] = 1
-                # while wedged, re-try the device periodically with ONE
-                # background probe (a stuck collect that eventually
-                # RAISES would otherwise never clear the wedge); a probe
-                # hanging on the still-dead device simply returns — and
-                # recovers the batcher — whenever the device comes back
-                probe = None
+            if stale:
+                self._declare_wedged(probe_asm=stale[-1][1])
+            # while wedged, re-try the device periodically with ONE
+            # bounded background probe (a stuck collect that eventually
+            # RAISES would otherwise never clear the wedge; a probe
+            # that itself hangs is abandoned after the stall budget so
+            # the next one can run — hung calls on a dead link may
+            # never return even after the link recovers)
+            probe = None
+            with self._lock:
                 if (self._wedged and not self._probing
                         and self._probe_asm is not None
                         and now - self._last_probe >= self.device_stall_s):
@@ -424,12 +525,29 @@ class MicroBatcher:
                     "unreachable?) — serving from the host mirror until "
                     "it returns", self.device_stall_s,
                 )
+                # the stuck call holds a pipeline permit it won't give
+                # back within any useful horizon — free the depth for
+                # the post-recovery pipeline (its own release becomes
+                # a no-op)
+                ent[4].release()
+                self.stats["host_fallbacks"] += 1
                 self._host.submit(self._run_host, ent[1], ent[2])
 
     def _probe_device(self, asm) -> None:
+        from ..utils.bounded import bounded_call
+
         try:
-            asm.run()
-            ok = True
+            # bounded: a probe hanging on the dead link must not hold
+            # _probing forever (that would block every FUTURE probe —
+            # and hung XLA calls may never return even after the link
+            # recovers). On timeout the inner daemon thread is leaked
+            # (at most one per stall period) and the next probe decides.
+            ok = bounded_call(
+                lambda: (asm.run(), True)[1],
+                max(self.device_stall_s, 2.0),
+                False,
+                "device recovery probe",
+            )
         except Exception:
             ok = False  # still bad; the watchdog probes again later
         finally:
@@ -590,10 +708,7 @@ class MicroBatcher:
             if not self._inflight.acquire(timeout=timeout):
                 with self._lock:
                     self.stats["device_stalls"] += 1
-                    self._probe_asm = asm
-                    if not self._wedged:
-                        self._wedged = True
-                        self.stats["device_wedged"] = 1
+                self._declare_wedged(probe_asm=asm)
                 _logger.error(
                     "pipeline permits stuck > %.0fs (device collects "
                     "not returning) — serving from the host mirror",
@@ -602,7 +717,8 @@ class MicroBatcher:
                 self.stats["host_fallbacks"] += 1
                 self._run_host(asm, futures)
                 return
-            token = (self._watch_add(asm, futures)
+            releaser = _PermitOnce(self._inflight)
+            token = (self._watch_add(asm, futures, releaser)
                      if self.device_stall_s > 0 and self._host_fallback
                      else None)
             try:
@@ -610,16 +726,17 @@ class MicroBatcher:
             except BaseException:
                 if token is not None:
                     self._watch_done(token, roundtrip_ok=False)
-                self._inflight.release()
+                releaser.release()
                 raise
             self._collector.submit(
-                self._collect_batch, asm, out, futures, token
+                self._collect_batch, asm, out, futures, token, releaser
             )
         except Exception as e:
             for f in futures:
                 _safe_fail(f, e)
 
-    def _collect_batch(self, asm, out, futures, token=None) -> None:
+    def _collect_batch(self, asm, out, futures, token=None,
+                       releaser=None) -> None:
         """Collect-side half: blocks on the device result while the
         device thread stages/dispatches the next batch."""
         try:
@@ -631,7 +748,10 @@ class MicroBatcher:
                 _safe_fail(f, e)
             return
         finally:
-            self._inflight.release()
+            if releaser is not None:
+                releaser.release()
+            else:
+                self._inflight.release()
         if token is not None:
             # a completed round trip is the recovery signal after a
             # stall (the stuck call returning means the device is back)
@@ -687,9 +807,14 @@ class MicroBatcher:
             pending = [entry[1] for entry in self._groups.values()]
             self._groups.clear()
         for group in pending:
-            self._device.submit(self._run_batch, group)
+            # _dispatch routes by wedge state: on a wedged close these
+            # last groups must reach the mirror, not the stuck thread
+            self._dispatch(group)
         clean = True
-        for ex in (self._device, self._collector, self._host):
+        with self._lock:
+            executors = [self._device, self._collector, self._host]
+            executors += self._abandoned
+        for ex in executors:
             # shutdown(wait=True) has no timeout; release the queue
             # and join the (named, non-daemon) workers ourselves
             ex.shutdown(wait=False)

@@ -214,10 +214,179 @@ def test_close_clean_when_healthy():
     assert batcher.close() is True
 
 
+def test_queued_batches_fail_over_on_wedge(monkeypatch):
+    """Batches QUEUED on the device executor behind a thread that
+    blocked during the detection window must fail over when the wedge
+    is declared — the executor is single-thread, so they would
+    otherwise never start and their requests would hang for the whole
+    outage (round-5 review finding #1)."""
+    img = _rgba(make_test_image(163, 101))
+    plan = fused.plan_image(163, 101, parse_query("w=79&h=53"))
+    warm_asm = fused.make_assembly([plan], [img], ["rgb"])
+    warm_asm.run()
+    assert fused.is_warm(warm_asm.program_key())
+
+    relay_back = threading.Event()
+    stuck = threading.Event()
+    real_submit = fused.BatchAssembly.submit
+    hang_once = [True]
+
+    def wedged_submit(self):
+        # the first device call blocks in dispatch (device_put against
+        # a dead link) — while it blocks, later flushes queue behind it
+        if hang_once[0]:
+            hang_once[0] = False
+            stuck.set()
+            assert relay_back.wait(30.0)
+        return real_submit(self)
+
+    monkeypatch.setattr(fused.BatchAssembly, "submit", wedged_submit)
+    monkeypatch.setattr(
+        fused.BatchAssembly, "run",
+        lambda self: relay_back.wait(30.0) and None,
+    )
+
+    batcher = MicroBatcher(max_batch=1, window_ms=1.0,
+                           host_fallback=True, device_stall_s=0.4)
+    try:
+        f1 = batcher.submit(plan, img)
+        assert stuck.wait(10.0)
+        # these flush while the device thread is blocked, BEFORE the
+        # wedge is declared — they land on the device executor's queue
+        queued = [batcher.submit(plan, img) for _ in range(3)]
+        results = [f.result(timeout=10.0) for f in queued]
+        assert all(getattr(f, "fanlin_host_mirror", False) for f in queued)
+        assert all(r.shape == results[0].shape for r in results)
+        r1 = f1.result(timeout=10.0)  # the stuck batch itself
+        assert r1.shape == results[0].shape
+    finally:
+        relay_back.set()
+        batcher.close()
+
+
+def test_recovery_uses_fresh_executors(monkeypatch):
+    """A stuck collect that NEVER returns must not poison the pipeline
+    past recovery: the quarantined executors are replaced and the
+    stuck call's permit force-released, so once the probe recovers the
+    device, the next batch rides the device immediately (round-5
+    review findings #2/#3 — the old single collector thread stayed
+    occupied by the corpse and every post-recovery batch re-wedged;
+    pipeline_depth=1 makes the permit leak fatal too)."""
+    img = _rgba(make_test_image(167, 97))
+    plan = fused.plan_image(167, 97, parse_query("w=83&h=47"))
+    warm_asm = fused.make_assembly([plan], [img], ["rgb"])
+    expected = warm_asm.run()[0]
+    assert fused.is_warm(warm_asm.program_key())
+
+    relay_back = threading.Event()
+    never = threading.Event()  # the stuck collect's call never returns
+    real_collect = fused.BatchAssembly.collect
+    real_run = fused.BatchAssembly.run
+    hang_once = [True]
+    probe_calls = [0]
+
+    def wedged_collect(self, out):
+        if hang_once[0]:
+            hang_once[0] = False
+            never.wait(120.0)
+            raise RuntimeError("abandoned")
+        return real_collect(self, out)
+
+    def probe_run(self):
+        probe_calls[0] += 1
+        if not relay_back.is_set():
+            # a HUNG probe: blocks well past the probe bound — it must
+            # be abandoned so later probes still fire
+            relay_back.wait(120.0)
+            raise RuntimeError("abandoned probe")
+        return real_run(self)
+
+    monkeypatch.setattr(fused.BatchAssembly, "collect", wedged_collect)
+    monkeypatch.setattr(fused.BatchAssembly, "run", probe_run)
+
+    batcher = MicroBatcher(max_batch=2, window_ms=1.0,
+                           host_fallback=True, device_stall_s=0.3,
+                           pipeline_depth=1)
+    try:
+        f1 = batcher.submit(plan, img)
+        f1.result(timeout=10.0)
+        assert getattr(f1, "fanlin_host_mirror", False)
+        assert _wait(lambda: batcher.stats["device_wedged"] == 1)
+        # let at least one probe hang and get abandoned (bound ~2 s)
+        assert _wait(lambda: probe_calls[0] >= 1, timeout=10.0)
+        relay_back.set()
+        assert _wait(lambda: batcher.stats["device_wedged"] == 0,
+                     timeout=20.0), (
+            "probe never recovered (hung probe blocked later probes?)"
+        )
+        # the decisive assertion: the post-recovery batch must ride
+        # the DEVICE (fresh collector + released permit), not re-wedge
+        f2 = batcher.submit(plan, img)
+        r2 = f2.result(timeout=30.0)
+        assert not getattr(f2, "fanlin_host_mirror", False)
+        assert np.array_equal(np.asarray(r2), np.asarray(expected))
+    finally:
+        relay_back.set()
+        never.set()
+        batcher.close()
+
+
+def test_wedged_close_drains_pending_to_mirror(monkeypatch):
+    """close() on a wedged batcher must route still-pending groups to
+    the mirror — submitting them to the stuck device thread leaves
+    their futures unresolved through the close budget (round-5 review
+    finding #6)."""
+    img = _rgba(make_test_image(173, 91))
+    plan = fused.plan_image(173, 91, parse_query("w=87&h=43"))
+    warm_asm = fused.make_assembly([plan], [img], ["rgb"])
+    warm_asm.run()
+    assert fused.is_warm(warm_asm.program_key())
+
+    relay_back = threading.Event()
+    real_collect = fused.BatchAssembly.collect
+
+    def wedged_collect(self, out):
+        assert relay_back.wait(60.0)
+        return real_collect(self, out)
+
+    monkeypatch.setattr(fused.BatchAssembly, "collect", wedged_collect)
+    monkeypatch.setattr(
+        fused.BatchAssembly, "run",
+        lambda self: relay_back.wait(60.0) and None,
+    )
+
+    batcher = MicroBatcher(max_batch=8, window_ms=1.0,
+                           host_fallback=True, device_stall_s=0.3)
+    try:
+        f1 = batcher.submit(plan, img)
+        f1.result(timeout=10.0)
+        assert _wait(lambda: batcher.stats["device_wedged"] == 1)
+        # widen the window so f2 sits in _groups until close() drains it
+        batcher.window_s = 100.0
+        f2 = batcher.submit(plan, img)
+        assert batcher.close() is False  # stuck thread -> unclean
+        r2 = f2.result(timeout=10.0)
+        assert getattr(f2, "fanlin_host_mirror", False)
+        assert r2.shape[2] in (3, 4)
+    finally:
+        relay_back.set()
+
+
 def test_device_stall_config_knob():
     cfg = TpuConfig.from_obj({"device_stall_s": 7.5})
     assert cfg.device_stall_s == 7.5
     assert TpuConfig().device_stall_s == 30.0
+    import pytest
+
+    from fanlin_tpu.config import ConfigError
+    with pytest.raises(ConfigError):
+        TpuConfig.from_obj({"device_stall_s": "30s"})
+    with pytest.raises(ConfigError):
+        TpuConfig.from_obj({"device_stall_s": True})
+    with pytest.raises(ConfigError):
+        TpuConfig.from_obj({"device_stall_s": -1})
+    with pytest.raises(ConfigError):
+        TpuConfig.from_obj({"batch_window_ms": "2ms"})
     # 0 disables: constructing the batcher spawns no NEW watchdog
     # thread (an earlier test's daemon watchdog may still be draining)
     before = sum(t.name == "fanlin-stallwatch"
