@@ -802,23 +802,48 @@ def _dwa_expand(payload: bytes, chans, w: int, rows: int) -> bytes:
         raise ExrError("exr dwa dc size mismatch")
     dc = np.frombuffer(dcraw, "<u2")
 
-    # LOSSY planes come out in classification-processing order: CSC
-    # triples transform (slot0, slot1, slot2) = (Y, BY, RY) back to
-    # the channels carrying csc indices 0/1/2
-    planes_nl = _dwa_lossy_planes(dc, acb, len(lossy), pw, ph)
+    # LOSSY planes decode in libOpenEXR's DECODER-UNIT order, not flat
+    # channel order: each complete csc set (channels carrying csc
+    # indices 0/1/2 under one name prefix) is ONE 3-component decoder,
+    # every remaining LOSSY_DCT channel is a 1-component decoder, csc
+    # sets first (by first-member channel index), then singles in
+    # channel order. The AC and DC streams are consumed SEQUENTIALLY
+    # per unit; within a unit the AC interleaves components per block
+    # and the DC is planar per component (verified against real
+    # libOpenEXR on R/G/B + a standalone lossy "BY" channel — a flat
+    # interleave over all lossy channels decodes that file to
+    # garbage). CSC units store (Y, BY, RY) in csc-index slots.
+    csc_groups: dict = {}
+    for i in lossy:
+        if schemes[i][1] >= 0:
+            name = chans[i][0]
+            prefix = name.rsplit(".", 1)[0] if "." in name else ""
+            csc_groups.setdefault(prefix, {})[schemes[i][1]] = i
+    in_set: set = set()
+    units = []
+    for m in csc_groups.values():
+        if len(m) == 3:
+            units.append((min(m.values()), [m[0], m[1], m[2]]))
+            in_set.update(m.values())
+    units.sort()
+    unit_idxs = [idxs for _, idxs in units]
+    unit_idxs += [[i] for i in lossy if i not in in_set]
     chan_plane = {}
-    csc_set = {schemes[i][1]: i for i in lossy if schemes[i][1] >= 0}
-    if len(csc_set) == 3:
-        yy, by, ry = planes_nl[:3]
-        chan_plane[csc_set[0]] = yy + 1.5747 * ry
-        chan_plane[csc_set[1]] = yy - 0.1873 * by - 0.4682 * ry
-        chan_plane[csc_set[2]] = yy + 1.8556 * by
-        rest = [i for i in lossy if schemes[i][1] < 0]
-        for k, i in enumerate(rest):
-            chan_plane[i] = planes_nl[3 + k]
-    else:
-        for k, i in enumerate(lossy):
-            chan_plane[i] = planes_nl[k]
+    pos = 0  # consumed blocks, shared by the AC and DC streams
+    for idxs in unit_idxs:
+        k = len(idxs)
+        planes_nl = _dwa_lossy_planes(
+            dc[pos * nb : (pos + k) * nb],
+            acb[pos * nb : (pos + k) * nb], k, pw, ph,
+        )
+        pos += k
+        if k == 3:
+            yy, by, ry = planes_nl
+            chan_plane[idxs[0]] = yy + 1.5747 * ry
+            chan_plane[idxs[1]] = yy - 0.1873 * by - 0.4682 * ry
+            chan_plane[idxs[2]] = yy + 1.8556 * by
+        else:
+            chan_plane[idxs[0]] = planes_nl[0]
     if _DWA_TOLINEAR is None:
         _DWA_TOLINEAR = _dwa_tolinear()
     for i in list(chan_plane):

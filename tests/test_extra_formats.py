@@ -305,6 +305,11 @@ def test_exr_real_openexr_conformance(name):
 @pytest.mark.parametrize("name", [
     "scan_dwaa", "scan_dwab", "tile_dwaa", "float_dwaa",
     "rgbz_dwaa",  # lossy RGB + an UNKNOWN (zlib-verbatim) Z channel
+    # a STANDALONE lossy "BY" channel sorting before the csc set:
+    # pins the decoder-unit stream order (csc triple's planes first,
+    # then singles) — a flat interleave over all four lossy channels
+    # decodes this to garbage (round-5 review finding)
+    "mix_dwaa",
 ])
 def test_exr_dwa_conformance(name):
     """DWAA/DWAB decode — BEYOND the reference (its exr crate 1.73

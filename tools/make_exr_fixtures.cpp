@@ -359,6 +359,60 @@ int main(int argc, char** argv) {
     std::printf("wrote rgbz_dwaa\n");
   }
 
+  // DWA with a STANDALONE lossy channel that sorts BEFORE the csc
+  // set: "BY" classifies LOSSY_DCT without a csc index and lands
+  // first in channel order (B < BY < G < R). Pins the decoder-unit
+  // stream order (csc set's 3 components first, then singles) — a
+  // flat interleave over all four lossy channels decodes this file
+  // to garbage (round-5 review finding).
+  {
+    std::string path = dir + "/mix_dwaa.exr";
+    {
+      Header hdr(W, H);
+      hdr.compression() = DWAA_COMPRESSION;
+      hdr.channels().insert("R", Channel(HALF));
+      hdr.channels().insert("G", Channel(HALF));
+      hdr.channels().insert("B", Channel(HALF));
+      hdr.channels().insert("BY", Channel(HALF));
+      std::vector<half> rgb(W * H * 3);
+      std::vector<half> by(W * H);
+      for (int y = 0; y < H; ++y)
+        for (int x = 0; x < W; ++x) {
+          for (int c = 0; c < 3; ++c)
+            rgb[(y * W + x) * 3 + c] = half(srcByte(y, x, c) / 255.0f);
+          by[y * W + x] = half(srcByte(y, x, 1) / 510.0f);
+        }
+      OutputFile out(path.c_str(), hdr);
+      FrameBuffer fb;
+      fb.insert("R", Slice(HALF, (char*)&rgb[0], 6, 6 * W));
+      fb.insert("G", Slice(HALF, (char*)&rgb[1], 6, 6 * W));
+      fb.insert("B", Slice(HALF, (char*)&rgb[2], 6, 6 * W));
+      fb.insert("BY", Slice(HALF, (char*)by.data(), 2, 2 * W));
+      out.setFrameBuffer(fb);
+      out.writePixels(H);
+    }
+    // RgbaInputFile would treat the "BY" channel as a luminance/
+    // chroma layout — read back through the generic interface
+    {
+      InputFile in(path.c_str());
+      std::vector<half> rr(W * H), rg(W * H), rb(W * H);
+      FrameBuffer fb;
+      fb.insert("R", Slice(HALF, (char*)rr.data(), 2, 2 * W));
+      fb.insert("G", Slice(HALF, (char*)rg.data(), 2, 2 * W));
+      fb.insert("B", Slice(HALF, (char*)rb.data(), 2, 2 * W));
+      in.setFrameBuffer(fb);
+      in.readPixels(0, H - 1);
+      FILE* f = std::fopen((dir + "/mix_dwaa.expected.f16").c_str(),
+                           "wb");
+      for (int i = 0; i < W * H; ++i) {
+        uint16_t bits[3] = {rr[i].bits(), rg[i].bits(), rb[i].bits()};
+        std::fwrite(bits, 2, 3, f);
+      }
+      std::fclose(f);
+    }
+    std::printf("wrote mix_dwaa\n");
+  }
+
   // FLOAT channels (ImfOutputFile; RgbaOutputFile is HALF-only):
   // zip + pxr24 (pxr24 truncates FLOAT mantissas to 24 bits — the
   // expected dump is the read-back, not the source)
