@@ -310,6 +310,9 @@ def test_exr_real_openexr_conformance(name):
     # then singles) — a flat interleave over all four lossy channels
     # decodes this to garbage (round-5 review finding)
     "mix_dwaa",
+    # TWO csc sets (left.R/G/B layer + base) + a standalone lossy Y:
+    # pins the multi-set unit order
+    "layer_dwaa",
 ])
 def test_exr_dwa_conformance(name):
     """DWAA/DWAB decode — BEYOND the reference (its exr crate 1.73

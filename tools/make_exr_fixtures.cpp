@@ -413,6 +413,51 @@ int main(int argc, char** argv) {
     std::printf("wrote mix_dwaa\n");
   }
 
+  // DWA with TWO csc sets (a layered file: left.R/G/B + base R/G/B)
+  // plus a standalone lossy Y — pins the multi-set decoder-unit
+  // order (sets by first-member channel index, then singles)
+  {
+    std::string path = dir + "/layer_dwaa.exr";
+    const char* names[7] = {"R", "G", "B",
+                            "left.R", "left.G", "left.B", "Y"};
+    {
+      Header hdr(W, H);
+      hdr.compression() = DWAA_COMPRESSION;
+      std::vector<std::vector<half>> d(7, std::vector<half>(W * H));
+      for (int c = 0; c < 7; ++c) {
+        hdr.channels().insert(names[c], Channel(HALF));
+        for (int y = 0; y < H; ++y)
+          for (int x = 0; x < W; ++x)
+            d[c][y * W + x] =
+                half(srcByte(y, x + 5 * c, c % 3) / 255.0f);
+      }
+      OutputFile out(path.c_str(), hdr);
+      FrameBuffer fb;
+      for (int c = 0; c < 7; ++c)
+        fb.insert(names[c], Slice(HALF, (char*)d[c].data(), 2, 2 * W));
+      out.setFrameBuffer(fb);
+      out.writePixels(H);
+    }
+    {
+      InputFile in(path.c_str());
+      std::vector<half> rr(W * H), rg(W * H), rb(W * H);
+      FrameBuffer fb;
+      fb.insert("R", Slice(HALF, (char*)rr.data(), 2, 2 * W));
+      fb.insert("G", Slice(HALF, (char*)rg.data(), 2, 2 * W));
+      fb.insert("B", Slice(HALF, (char*)rb.data(), 2, 2 * W));
+      in.setFrameBuffer(fb);
+      in.readPixels(0, H - 1);
+      FILE* f = std::fopen((dir + "/layer_dwaa.expected.f16").c_str(),
+                           "wb");
+      for (int i = 0; i < W * H; ++i) {
+        uint16_t bits[3] = {rr[i].bits(), rg[i].bits(), rb[i].bits()};
+        std::fwrite(bits, 2, 3, f);
+      }
+      std::fclose(f);
+    }
+    std::printf("wrote layer_dwaa\n");
+  }
+
   // FLOAT channels (ImfOutputFile; RgbaOutputFile is HALF-only):
   // zip + pxr24 (pxr24 truncates FLOAT mantissas to 24 bits — the
   // expected dump is the read-back, not the source)
