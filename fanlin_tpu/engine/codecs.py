@@ -273,14 +273,14 @@ def encode(img: np.ndarray, fmt: str, quality: int, mode: str) -> bytes:
     'RGB', 'RGBA') tracked by the processor."""
     buf = io.BytesIO()
     if fmt == PNG:
-        # quality -> compression tier (handler.rs:264-273)
-        if quality < 50:
-            level = 9  # CompressionType::Best
-        elif quality < 85:
-            level = 6  # Default
-        else:
-            level = 1  # Fast
-        _to_pil(img, mode).save(buf, format="PNG", compress_level=level)
+        # quality -> compression tier: ONE definition shared with the
+        # device PNG sink (png_writer), so the PIL fallback and the
+        # sink path can never desynchronize
+        from .png_writer import level_for_quality
+
+        _to_pil(img, mode).save(
+            buf, format="PNG", compress_level=level_for_quality(quality)
+        )
     elif fmt == JPEG:
         q = min(max(quality, 1), 100)
         m = {"LA": "L", "RGBA": "RGB", "PA": "RGB"}.get(mode, mode)

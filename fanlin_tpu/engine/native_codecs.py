@@ -182,6 +182,13 @@ def available() -> bool:
     return _load() is not None
 
 
+def has_webp_yuv420() -> bool:
+    """True when the built lib carries the device-YUV WebP front-end
+    (the processor gates the webp420 sink on this)."""
+    lib = _load()
+    return lib is not None and hasattr(lib, "fc_encode_webp_yuv420")
+
+
 def decode_jpeg(data: bytes) -> Optional[Tuple[np.ndarray, bool]]:
     """-> ((H, W, 3) RGB or (H, W, 1) luma array, is_gray), or None to
     fall back (unbuilt lib, CMYK/YCCK input, or decode error)."""

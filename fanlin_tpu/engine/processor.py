@@ -265,10 +265,7 @@ class Engine:
         ):
             from . import native_codecs
 
-            if (native_codecs.available()
-                    and native_codecs._load() is not None
-                    and hasattr(native_codecs._load(),
-                                "fc_encode_webp_yuv420")):
+            if native_codecs.has_webp_yuv420():
                 sink = "webp420"
         if meta is not None:
             if meta.get("cmyk"):
@@ -354,7 +351,10 @@ class Engine:
         if params.grayscale():
             return "LA" if has_alpha else "L"
         if has_alpha:
-            return "RGBA"
+            # a gray+alpha source stays LumaA (the image crate keeps
+            # ImageLumaA8 through the transform chain — collapsing to
+            # RGBA wrote the wrong PNG color type for LA sources)
+            return "LA" if is_gray else "RGBA"
         if is_gray:
             return "L"
         return "RGB"

@@ -121,6 +121,33 @@ def test_grayscale_jpeg_is_luma(engine):
         assert im.mode == "L"  # Luma8 output like DynamicImage::grayscale
 
 
+def test_gray_alpha_png_stays_la(engine):
+    """An LA (gray+alpha) PNG source keeps the LumaA pixel model
+    through the chain — the image crate holds ImageLumaA8 and writes
+    PNG color type 4, not RGBA (round-5 review: has_alpha checked
+    before is_gray collapsed LA sources to RGBA)."""
+    import numpy as np
+
+    from conftest import make_test_image
+
+    la = np.dstack([
+        make_test_image(48, 40)[:, :, 0],
+        np.full((40, 48), 180, np.uint8),
+    ])
+    buf = io.BytesIO()
+    Image.fromarray(la, "LA").save(buf, format="PNG")
+    mime, out = engine.process_image(
+        buf.getvalue(), parse_query("w=24&h=20"), Format()
+    )
+    assert mime == "image/png"
+    with Image.open(io.BytesIO(out)) as im:
+        assert im.mode == "LA"
+        assert im.size == (24, 20)
+        arr = np.asarray(im.convert("LA"))
+    # constant alpha survives the resample exactly
+    assert (arr[:, :, 1] == 180).all()
+
+
 def test_text_file_is_error(engine):
     with pytest.raises(ProcessError):
         engine.process_image(b"this is not an image\n", parse_query("w=100&h=100"), Format())
