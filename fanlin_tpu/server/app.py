@@ -184,12 +184,17 @@ async def stats_handler(request: web.Request) -> web.Response:
     state: State = request.app[STATE_KEY]
     batcher = getattr(state.engine.runner, "batcher", None)
     batcher_stats = dict(batcher.stats) if batcher is not None else None
+    remote = None
     if batcher_stats is None:
-        # multi-worker gateway: the batcher lives in the device
-        # service — fetch its counters over the unix socket
+        # multi-worker gateway: the batcher AND the program caches
+        # live in the device service — fetch its payload over the
+        # unix socket (this worker's own fused caches are empty by
+        # design and would report zeros forever)
         fetch = getattr(state.engine.runner, "batcher_stats", None)
         if fetch is not None:
-            batcher_stats = await asyncio.to_thread(fetch)
+            remote = await asyncio.to_thread(fetch)
+            if remote is not None:
+                batcher_stats = remote.get("batcher")
     body = {
         "programs_cached": fused.get_program.cache_info().currsize
         + fused.get_coef_program.cache_info().currsize
@@ -209,6 +214,12 @@ async def stats_handler(request: web.Request) -> web.Response:
             "folded_matrices": fused._FOLDED_CACHE.stats(),
         },
     }
+    if remote is not None:
+        body["programs_cached"] = remote.get("programs_cached", 0)
+        body["programs_warm"] = remote.get("programs_warm", 0)
+        # device-side plan/matrix caches replace this worker's empty
+        # ones; the response cache stays worker-local
+        body["caches"].update(remote.get("caches", {}))
     return web.Response(
         text=json.dumps(body), content_type="application/json"
     )
@@ -282,6 +293,13 @@ def make_timeout_middleware(timeout: float):
 
     @web.middleware
     async def timeout_middleware(request: web.Request, handler):
+        if request.path == "/profile":
+            # additive debug route: a capture legitimately runs up to
+            # 60 s. Cancelling the wait would 408 the client while the
+            # jax trace thread (uninterruptible) keeps running with
+            # the single-flight guard already released — a second
+            # /profile would then start_trace into an active trace.
+            return await handler(request)
         # publish the absolute deadline: engine worker threads inherit
         # it via asyncio.to_thread's context copy, and the batcher
         # sheds entries whose deadline passed before paying device

@@ -66,6 +66,10 @@ _HDR = struct.Struct(">Q")
 # the parent dies) and logs a warning once past this threshold so a
 # genuinely wedged service is visible
 _HELLO_WARN_S = 300.0
+# extra time past the request deadline for the device service to
+# deliver its own RequestExpired/error reply before the worker cuts
+# the connection (RemoteRunner.run)
+_REPLY_GRACE_S = 2.0
 
 
 def _send(sock: socket.socket, obj) -> None:
@@ -112,11 +116,31 @@ class RemoteRunner:
 
             raise RequestExpired("request abandoned before dispatch")
         keys = [p.cache_key for p in plans]
-        req = ("run", keys, images, kinds, REQUEST_DEADLINE.get())
-        with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
-            s.connect(self.path)
-            _send(s, req)
-            status, payload, host_mirror = _recv(s)
+        deadline = REQUEST_DEADLINE.get()
+        req = ("run", keys, images, kinds, deadline)
+        try:
+            with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+                if deadline is not None:
+                    # bound the wait by the request deadline (+grace
+                    # for the service's own RequestExpired reply to
+                    # arrive): a service that never answers — wedged
+                    # device with host_fallback off, SIGSTOPped
+                    # process — must not leak this worker thread
+                    # forever and wedge the SIGTERM drain
+                    s.settimeout(
+                        max(deadline - time.monotonic(), 0.1)
+                        + _REPLY_GRACE_S
+                    )
+                s.connect(self.path)
+                _send(s, req)
+                status, payload, host_mirror = _recv(s)
+        except socket.timeout:
+            from ..engine.batcher import RequestExpired
+
+            raise RequestExpired(
+                "device service did not answer before the request "
+                "deadline"
+            ) from None
         if status == "err":
             raise payload
         if host_mirror:
@@ -129,8 +153,9 @@ class RemoteRunner:
         return v
 
     def batcher_stats(self):
-        """The device service's batcher counters (for /stats); None
-        when the service is unreachable."""
+        """The device service's /stats payload ({"batcher": counters,
+        "programs_cached": ..., "programs_warm": ..., "caches": ...});
+        None when the service is unreachable."""
         try:
             with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
                 s.settimeout(2.0)
@@ -140,6 +165,28 @@ class RemoteRunner:
             return payload if status == "ok" else None
         except OSError:
             return None
+
+
+def _service_stats(service) -> dict:
+    """Device-service-side /stats payload: the batcher counters AND
+    the program/matrix cache counters — programs live in THIS
+    process; a gateway worker reading its own fused caches would
+    report zeros forever (round-5 review finding)."""
+    from ..ops import fused
+
+    return {
+        "batcher": dict(service.batcher.stats),
+        "programs_cached": fused.get_program.cache_info().currsize
+        + fused.get_coef_program.cache_info().currsize
+        + fused.get_folded_program.cache_info().currsize,
+        "programs_warm": len(fused._WARM_KEYS),
+        "caches": {
+            "plans": fused._PLAN_CACHE.stats(),
+            "uniform_matrices": fused._UNIFORM_CACHE.stats(),
+            "device_matrices": fused._DEVICE_MATRIX_CACHE.stats(),
+            "folded_matrices": fused._FOLDED_CACHE.stats(),
+        },
+    }
 
 
 class _ServiceHandler(socketserver.BaseRequestHandler):
@@ -153,7 +200,7 @@ class _ServiceHandler(socketserver.BaseRequestHandler):
             _send(self.request, ("cfg", service.worker_cfg))
             return
         if msg[0] == "stats":
-            _send(self.request, ("ok", dict(service.batcher.stats), False))
+            _send(self.request, ("ok", _service_stats(service), False))
             return
         if msg[0] == "warm":
             service.warm_shapes(msg[1])

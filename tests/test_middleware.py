@@ -144,3 +144,46 @@ def test_profile_endpoint_captures_trace(fixtures_dir, tmp_path):
     for root, _dirs, files in os.walk(prof):
         found.extend(files)
     assert found, "no trace files captured"
+
+
+def test_profile_exempt_from_request_timeout(fixtures_dir, tmp_path,
+                                             monkeypatch):
+    """A capture longer than the 10 s request timeout must complete
+    with 200, not get cancelled into a 408 while the uninterruptible
+    jax trace thread keeps running with the single-flight guard
+    released (round-5 review finding). Staged with a tiny timeout."""
+    import asyncio
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    import fanlin_tpu.server.app as app_mod
+    from fanlin_tpu.config import Config
+
+    monkeypatch.setattr(app_mod, "REQUEST_TIMEOUT_SECS", 0.3)
+    prof = str(tmp_path / "traces")
+    cfg = Config.from_str(
+        """
+{
+  "port": 0, "bind_addr": "127.0.0.1", "max_clients": 4,
+  "client": {"s3": {"aws_region": "x"},
+             "web": {"user_agent": "t", "timeout": 2}},
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "tpu": {"warmup": false, "profile_dir": "%s"}
+}
+""" % (fixtures_dir, prof)
+    )
+
+    async def go():
+        state = await app_mod.build_state(cfg)
+        client = TestClient(TestServer(app_mod.create_app(cfg, state)))
+        await client.start_server()
+        try:
+            resp = await client.get("/profile?seconds=1.0")
+            body = await resp.json()
+            return resp.status, body
+        finally:
+            await client.close()
+
+    status, body = asyncio.new_event_loop().run_until_complete(go())
+    assert status == 200
+    assert body["seconds"] == 1.0

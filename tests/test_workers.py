@@ -163,9 +163,16 @@ def test_workers_ping_and_stats():
         _get(port, "/baz/lenna_src.jpg?w=200&h=150")
         s, body, _ = _get(port, "/stats")
         assert s == 200
-        b = json.loads(body)["batcher"]
+        full = json.loads(body)
+        b = full["batcher"]
         assert b is not None and b["images"] >= 1
         assert "compile_failures" in b
+        # the program/plan caches must come from the DEVICE SERVICE —
+        # this worker's own fused caches are empty by design and used
+        # to report zeros forever (round-5 review finding). The plan
+        # was re-interned in the service before its batch ran, so its
+        # cache has entries even while a cold compile is still going.
+        assert full["caches"]["plans"]["entries"] >= 1
     finally:
         proc.send_signal(signal.SIGTERM)
         assert proc.wait(timeout=60) == 0
@@ -250,3 +257,67 @@ def test_service_warm_message_roundtrip(tmp_path):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_remote_runner_bounded_by_deadline(tmp_path, monkeypatch):
+    """A device service that accepts but never replies (wedged device
+    with host_fallback off, SIGSTOPped process) must not leak the
+    worker thread forever: RemoteRunner.run times out at the request
+    deadline (+reply grace) and raises RequestExpired — the gateway's
+    408, not an eternal hang that wedges the SIGTERM drain (round-5
+    review finding)."""
+    from fanlin_tpu.engine.batcher import REQUEST_DEADLINE, RequestExpired
+    from fanlin_tpu.server import workers as w
+
+    path = str(tmp_path / "dead.sock")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(4)
+    held = []
+
+    def _swallow():
+        while True:
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            held.append(conn)  # read nothing, reply never
+
+    t = threading.Thread(target=_swallow, daemon=True)
+    t.start()
+    monkeypatch.setattr(w, "_REPLY_GRACE_S", 0.3)
+    runner = w.RemoteRunner(path)
+
+    class _Plan:
+        cache_key = (8, 8, "w=4&h=4")
+
+    tok = REQUEST_DEADLINE.set(time.monotonic() + 0.4)
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(RequestExpired):
+            runner.run([_Plan()], [b"x"], ["rgb"])
+        took = time.monotonic() - t0
+        assert took < 5.0, f"timed out too slowly: {took:.1f}s"
+    finally:
+        REQUEST_DEADLINE.reset(tok)
+        srv.close()
+        for c in held:
+            c.close()
+
+
+def test_service_stats_payload():
+    """The 'stats' socket reply carries the device-service-side
+    program/cache counters, not just the batcher block."""
+    from fanlin_tpu.server import workers as w
+
+    class _B:
+        stats = {"batches": 3}
+
+    class _Svc:
+        batcher = _B()
+
+    payload = w._service_stats(_Svc())
+    assert payload["batcher"] == {"batches": 3}
+    assert "programs_cached" in payload and "programs_warm" in payload
+    assert {"plans", "uniform_matrices", "device_matrices",
+            "folded_matrices"} <= set(payload["caches"])
