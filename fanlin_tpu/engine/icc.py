@@ -139,6 +139,12 @@ def jpeg_num_components(data: bytes) -> Optional[int]:
             i += 1
             continue
         marker = data[i + 1]
+        if marker == 0xFF:
+            # T.81 B.1.1.2: any marker may be preceded by extra 0xFF
+            # fill bytes — treating the fill byte as a marker read a
+            # bogus segment length and skipped straight past the SOF
+            i += 1
+            continue
         if marker in (0x01,) or 0xD0 <= marker <= 0xD9:
             i += 2
             continue
@@ -198,22 +204,20 @@ def convert_jpeg_color_if_needed(
         return None
 
 
-_PROFILE_XFORMS: dict = {}
+# device transforms per profile hash: the same thread-safe budgeted
+# LRU the sampled LUTs ride (a hand-rolled dict-LRU here raced under
+# concurrent request threads — two evictors could pop the same key)
+_PROFILE_XFORMS = ByteLRU(max_bytes=32 * 1024 * 1024)
 
 
 def _device_transform_for(lut):
     """DeviceCmykTransform for a sampled per-profile LUT (cached by
     profile hash; holds one small device array per distinct profile)."""
     flat, n, key = lut
-    t = _PROFILE_XFORMS.pop((key, n), None)
+    t = _PROFILE_XFORMS.get((key, n))
     if t is None:
         from ..ops.cmyk_lut import DeviceCmykTransform
 
         t = DeviceCmykTransform(flat.reshape((n,) * 4 + (3,)))
-        while len(_PROFILE_XFORMS) >= 64:
-            # evict least-recently-used, not the whole cache: a
-            # >64-profile stream must not periodically rebuild the
-            # hot profiles' device LUTs mid-request
-            _PROFILE_XFORMS.pop(next(iter(_PROFILE_XFORMS)))
-    _PROFILE_XFORMS[(key, n)] = t  # (re-)insert at the MRU tail
+        _PROFILE_XFORMS.put((key, n), t, flat.nbytes)
     return t

@@ -158,14 +158,18 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
         return cls([plan] * b, [payload] * b, kind)
 
     def _warm_dct_fallback(plan, payload, b, src):
-        """The overflow ladder's int8 rung is its own program: warm it
-        so a device_dct deployment's first saturating batch re-runs on
+        """The overflow ladder's wider rungs are their own programs:
+        warm every rung ABOVE the configured floor up to int8, so a
+        device_dct deployment's first saturating batch re-runs on
         DEVICE instead of the host mirror (fused collect's cold-rung
-        rule)."""
-        asm = _build(plan, payload, b, src, "dct")
-        asm.dct_pack = 1
-        asm.collect(asm.submit())
-        fused.mark_warm(asm.program_key() + (("dct_pack", 1),))
+        rule). With tpu.dct_pack_floor=-1 the first escalation lands
+        on rung 0 — a hard-coded rung 1 left exactly that rung cold
+        (round-5 review)."""
+        for rung in range(fused._DCT_PACK["floor"] + 1, 2):
+            asm = _build(plan, payload, b, src, "dct")
+            asm.dct_pack = rung
+            asm.collect(asm.submit())
+            fused.mark_warm(asm.program_key() + (("dct_pack", rung),))
 
     def run_one(job):
         plan, img, b, src, kind, flavor = job
@@ -191,6 +195,8 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
             if kind == "dct":
                 _warm_dct_fallback(plan, img, b, src)
 
+    if not jobs:
+        return 0
     # compile in parallel — remote/XLA compile services overlap requests
     with ThreadPoolExecutor(min(len(jobs), 8)) as pool:
         list(pool.map(run_one, jobs))

@@ -714,7 +714,10 @@ def _folded_padded(plan: ImagePlan, sh: int, sw: int, true_h: int,
     nbytes = sum(m.nbytes for m in mats) + sum(
         m.nbytes
         for m in {id(m): m for m in lows + (lows2 or ())}.values()
-    ) + sum(n.nbytes for n in {id(n): n for n in norms2}.values())
+    ) + sum(
+        n.nbytes
+        for n in {id(n): n for n in norms2 + norms2_sink}.values()
+    )
     _FOLDED_CACHE.put(key, (plan, value), nbytes)
     return value
 
@@ -1860,6 +1863,13 @@ class CoefBatchAssembly(BatchAssembly):
                 return "zero"
             if all(f[2] or f[3] for f in group) and any(
                 f[0] == "i8" for f in group
+            ) and not any(
+                # a wide ('v') partner keeps the joint wire mode at
+                # i8v after clipping (post_mode leaves it), so the
+                # clip would spend quality for ZERO byte savings —
+                # the i4h prices below only hold when every plane in
+                # the group actually narrows (round-5 review)
+                f[0].endswith("v") for f in group
             ) and sum(p[3] for p in prices) < lossless:
                 return "clip"
             return "none"

@@ -160,6 +160,22 @@ def _np_chain(planes, av, ah, flags, fill, box, bv, bh, uniform):
     return out.astype(np.uint8)
 
 
+def _h2v2_up(c: np.ndarray) -> np.ndarray:
+    """libjpeg h2v2 fancy upsample of a (B, ch, cw) plane to
+    (B, 2ch, 2cw) — ONE definition for both the YCbCr and the CMYK
+    mirror decode (the two inline twins could drift under a rounding
+    fix applied to one)."""
+    b, ch, cw = c.shape
+    up = np.concatenate([c[:, :1], c[:, :-1]], axis=1)
+    dn = np.concatenate([c[:, 1:], c[:, -1:]], axis=1)
+    colsum = np.stack([3 * c + up, 3 * c + dn], axis=2).reshape(b, 2 * ch, cw)
+    left = np.concatenate([colsum[:, :, :1], colsum[:, :, :-1]], axis=2)
+    right = np.concatenate([colsum[:, :, 1:], colsum[:, :, -1:]], axis=2)
+    even = (3 * colsum + left + 8) >> 4
+    odd = (3 * colsum + right + 7) >> 4
+    return np.stack([even, odd], axis=3).reshape(b, 2 * ch, 2 * cw)
+
+
 def _np_ycbcr420(out_u8):
     """numpy mirror of fused._ycbcr420_tail."""
     f32 = np.float32
@@ -303,16 +319,7 @@ def _np_decode420(asm):
             dc, ac_planar.astype(np.int32), q, xp=np
         ).astype(np.int64)
 
-    def upsample(c):
-        b, ch, cw = c.shape
-        up = np.concatenate([c[:, :1], c[:, :-1]], axis=1)
-        dn = np.concatenate([c[:, 1:], c[:, -1:]], axis=1)
-        colsum = np.stack([3 * c + up, 3 * c + dn], axis=2).reshape(b, 2 * ch, cw)
-        left = np.concatenate([colsum[:, :, :1], colsum[:, :, :-1]], axis=2)
-        right = np.concatenate([colsum[:, :, 1:], colsum[:, :, -1:]], axis=2)
-        even = (3 * colsum + left + 8) >> 4
-        odd = (3 * colsum + right + 7) >> 4
-        return np.stack([even, odd], axis=3).reshape(b, 2 * ch, 2 * cw)
+    upsample = _h2v2_up
 
     th, tw = asm.true_h, asm.true_w
     yp = idct(asm.ydc, yac, asm.lq)[:, :th, :tw]
@@ -391,23 +398,8 @@ def _np_decode_cmyk(asm):
         if csv == 2:
             ch, cw = (th + 1) // 2, (tw + 1) // 2
 
-            def ups(c):
-                b, chh, cww = c.shape
-                up = np.concatenate([c[:, :1], c[:, :-1]], axis=1)
-                dn = np.concatenate([c[:, 1:], c[:, -1:]], axis=1)
-                colsum = np.stack([3 * c + up, 3 * c + dn],
-                                  axis=2).reshape(b, 2 * chh, cww)
-                left = np.concatenate(
-                    [colsum[:, :, :1], colsum[:, :, :-1]], axis=2)
-                right = np.concatenate(
-                    [colsum[:, :, 1:], colsum[:, :, -1:]], axis=2)
-                even = (3 * colsum + left + 8) >> 4
-                odd = (3 * colsum + right + 7) >> 4
-                return np.stack([even, odd], axis=3).reshape(
-                    b, 2 * chh, 2 * cww)
-
-            cb = ups(cb[:, :ch, :cw])[:, :th, :tw]
-            cr = ups(cr[:, :ch, :cw])[:, :th, :tw]
+            cb = _h2v2_up(cb[:, :ch, :cw])[:, :th, :tw]
+            cr = _h2v2_up(cr[:, :ch, :cw])[:, :th, :tw]
         else:
             cb = cb[:, :th, :tw]
             cr = cr[:, :th, :tw]

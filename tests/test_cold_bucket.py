@@ -403,3 +403,27 @@ def test_warmup_covers_dct_fallback_rung():
                               jpegdct=True, quality=75)
     assert fused.is_warm(asm.program_key())
     assert fused.is_warm(asm.program_key() + (("dct_pack", 1),))
+
+
+def test_warmup_covers_dct_floor_escalation_rung():
+    """With tpu.dct_pack_floor=-1 the ladder's FIRST escalation from
+    the lo4 floor is rung 0 — warmup must compile it (and rung 1),
+    not a hard-coded rung 1 only (round-5 review: photographic
+    content saturates lo4 routinely, and the cold rung 0 sent every
+    such batch to the host mirror)."""
+    from fanlin_tpu.engine import warmup
+
+    fused.set_dct_floor(-1)
+    try:
+        shapes = ((160, 120, "w=43&h=27"),)
+        warmup.warm(shapes, batch=2, device_dct=True)
+        plan = fused.plan_image(160, 120, parse_query("w=43&h=27"),
+                                opaque=True)
+        asm = fused.BatchAssembly([plan] * 2,
+                                  [make_test_image(160, 120)] * 2,
+                                  jpegdct=True, quality=75)
+        assert fused.is_warm(asm.program_key())
+        assert fused.is_warm(asm.program_key() + (("dct_pack", 0),))
+        assert fused.is_warm(asm.program_key() + (("dct_pack", 1),))
+    finally:
+        fused.set_dct_floor(0)

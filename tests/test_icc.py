@@ -37,6 +37,20 @@ def test_jpeg_num_components():
     assert icc.jpeg_num_components(b"not a jpeg") is None
 
 
+def test_jpeg_num_components_with_fill_bytes():
+    """T.81 B.1.1.2: markers may be preceded by extra 0xFF fill bytes.
+    Treating the fill byte as a marker read a bogus segment length,
+    skipped past the SOF, and silently served CMYK JPEGs without color
+    management (round-5 review)."""
+    for data, want in ((_cmyk_jpeg(), 4),):
+        sof = data.find(b"\xff\xc0")
+        if sof < 0:
+            sof = data.find(b"\xff\xc2")
+        assert sof > 0
+        filled = data[:sof] + b"\xff\xff\xff" + data[sof:]
+        assert icc.jpeg_num_components(filled) == want
+
+
 def test_rgb_profile_is_not_a_cmyk_transform():
     from PIL import ImageCms
 
