@@ -371,9 +371,17 @@ class MicroBatcher:
                 tok = self._pending_token
                 dev = self._device
         if tok is None:
-            self._host.submit(self._run_batch, group)
+            self._submit_host(group)
             return
-        fut = dev.submit(self._run_batch, group)
+        try:
+            fut = dev.submit(self._run_batch, group)
+        except RuntimeError:
+            # _declare_wedged (or close) shut this executor down between
+            # our wedge check and the submit — an unguarded raise here
+            # would kill the flush-scheduler thread and strand every
+            # future in the group; the mirror lane owns the batch now
+            self._submit_host(group)
+            return
         with self._lock:
             # a wedge declared between the check and the submit must
             # not strand the task on the quarantined executor's queue
@@ -382,11 +390,23 @@ class MicroBatcher:
                 self._pending_device[tok] = (fut, group)
         if raced:
             if fut.cancel():
-                self._host.submit(self._run_batch, group)
+                self._submit_host(group)
             return
         fut.add_done_callback(
             lambda _f, tok=tok: self._pending_device.pop(tok, None)
         )
+
+    def _submit_host(self, group) -> None:
+        """Mirror-lane submit that can never kill its caller: if the
+        host executor is ALSO shut down (a close() whose 5 s scheduler
+        join timed out while a dispatch was in flight), fail the
+        group's futures so their requests 500 instead of hanging."""
+        try:
+            self._host.submit(self._run_batch, group)
+        except RuntimeError:
+            for entry in group:
+                if not entry[2].done():
+                    entry[2].set_exception(RuntimeError("batcher closed"))
 
     def _flush_loop(self) -> None:
         """Single scheduler: sleep until the earliest group deadline,
@@ -449,7 +469,7 @@ class MicroBatcher:
             # _run_batch's wedged branch mirrors them (and counts the
             # host_fallback) exactly like a fresh wedged-time submit
             if fut.cancel():
-                self._host.submit(self._run_batch, group)
+                self._submit_host(group)
         for ex in old:
             # wakes the worker when its stuck call eventually returns
             # so the quarantined thread exits instead of idling forever

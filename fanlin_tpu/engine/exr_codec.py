@@ -49,7 +49,6 @@ _NONE, _RLE, _ZIPS, _ZIP, _PIZ, _PXR24 = 0, 1, 2, 3, 4, 5
 _B44, _B44A, _DWAA, _DWAB = 6, 7, 8, 9
 _BLOCK = {_NONE: 1, _RLE: 1, _ZIPS: 1, _ZIP: 16, _PIZ: 32, _PXR24: 16,
           _B44: 32, _B44A: 32, _DWAA: 32, _DWAB: 256}
-_ZIP_BLOCK = _BLOCK  # legacy alias
 
 _HALF, _FLOAT, _UINT = 1, 2, 0
 

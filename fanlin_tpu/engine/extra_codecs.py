@@ -46,6 +46,10 @@ def decode_qoi(data: bytes) -> np.ndarray:
     if w == 0 or h == 0 or channels not in (3, 4) or data[13] > 1:
         raise ExtraCodecError("invalid qoi header")
     n = w * h
+    if n > 100_000_000:
+        # same pixel cap as decode_hdr / exr: a 22-byte file must not
+        # be able to force a multi-GB allocation from header dims alone
+        raise ExtraCodecError("qoi dimensions too large")
     out = np.empty((n, 4), dtype=np.uint8)
     index = [(0, 0, 0, 0)] * 64
     r, g, b, a = 0, 0, 0, 255

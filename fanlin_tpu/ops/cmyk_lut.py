@@ -107,4 +107,7 @@ class DeviceCmykTransform:
         """(H, W, 4) u8 CMYK -> (H, W, 3) u8 sRGB, on device."""
         h, w = cmyk.shape[:2]
         fn = _lut_program(self.n, h, w)
-        return np.asarray(fn(cmyk, self._lut_flat))
+        # explicit device_put: the direct jit-argument upload path is
+        # ~50x slower than device_put on relay-attached deployments
+        # (CLAUDE.md transfer rule), and this is a per-request transfer
+        return np.asarray(fn(jax.device_put(cmyk), self._lut_flat))

@@ -515,8 +515,16 @@ async def build_state(cfg: config_mod.Config, runner=None,
         if cfg.tpu.device_icc and isinstance(runner, BatchingRunner):
             # multi-worker gateways keep the host lcms2 CMYK path
             # (byte-identical, PARITY; the sampled-LUT device path
-            # would need jax in the worker process)
-            state.engine.enable_device_icc()
+            # would need jax in the worker process). Bounded: the LUT
+            # upload (jax.device_put) blocks FOREVER on a wedged link
+            # — a dead relay must not keep the gateway from binding;
+            # the host lcms2 path is the byte-identical fallback.
+            from ..utils.bounded import bounded_call
+
+            bounded_call(
+                state.engine.enable_device_icc,
+                cfg.tpu.device_stall_s, None, "device ICC LUT upload",
+            )
     if cfg.use_embedded_profile:
         state.enable_embedded_profile_utilization()
     return state

@@ -221,13 +221,6 @@ int fc_encode_webp(const uint8_t* pixels, int width, int height,
 // y is (h x w); u/v are (ceil(h/2) x ceil(w/2)), tightly packed.
 #include <webp/mux_types.h>
 
-static int fc_webp_mem_write(const uint8_t* data, size_t data_size,
-                             const WebPPicture* picture) {
-  WebPMemoryWriter* const w = (WebPMemoryWriter*)picture->custom_ptr;
-  return WebPMemoryWrite(data, data_size, picture);
-  (void)w;
-}
-
 int fc_encode_webp_yuv420(const uint8_t* y, const uint8_t* u,
                           const uint8_t* v, int width, int height,
                           int quality, uint8_t** out, size_t* out_len) {
@@ -258,7 +251,7 @@ int fc_encode_webp_yuv420(const uint8_t* y, const uint8_t* u,
   }
   WebPMemoryWriter writer;
   WebPMemoryWriterInit(&writer);
-  pic.writer = fc_webp_mem_write;
+  pic.writer = WebPMemoryWrite;
   pic.custom_ptr = &writer;
   const int ok = WebPEncode(&config, &pic);
   WebPPictureFree(&pic);

@@ -126,3 +126,59 @@ def test_build_state_cpu_backend_still_gates_decode(fixtures_dir):
 
     state = asyncio.new_event_loop().run_until_complete(go())
     assert state.engine.device_decode is False
+
+
+def test_build_state_survives_hung_device_icc(fixtures_dir, monkeypatch):
+    """tpu.device_icc uploads the sampled CMYK LUT at boot
+    (jax.device_put) — on a wedged link that blocks FOREVER and kept
+    the gateway from binding (observed live, round-5 session 6). The
+    upload must ride bounded_call: boot completes within the bound and
+    CMYK serving falls back to the byte-identical host lcms2 path."""
+    import os
+
+    import pytest
+
+    ref_profile = "/root/reference/profiles/default.icc"
+    if not os.path.exists(ref_profile):
+        pytest.skip("reference CMYK profile not present")
+
+    from fanlin_tpu.ops import cmyk_lut
+    from fanlin_tpu.server.app import build_state
+
+    relay_back = threading.Event()
+
+    def hung_init(self, lut):
+        relay_back.wait(60.0)
+        raise RuntimeError("relay down")
+
+    monkeypatch.setattr(cmyk_lut.DeviceCmykTransform, "__init__", hung_init)
+
+    cfg = Config.from_str(
+        """
+{
+  "port": 0, "bind_addr": "127.0.0.1", "max_clients": 4,
+  "client": {"s3": {"aws_region": "x"},
+             "web": {"user_agent": "t", "timeout": 2}},
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "profile_path": "%s",
+  "tpu": {"warmup": false, "batch_window_ms": 1.0,
+          "data_parallel": true, "device_icc": true,
+          "device_stall_s": 0.3}
+}
+"""
+        % (fixtures_dir, ref_profile)
+    )
+
+    async def go():
+        t0 = time.monotonic()
+        state = await build_state(cfg)
+        return time.monotonic() - t0, state
+
+    try:
+        boot_s, state = asyncio.new_event_loop().run_until_complete(go())
+    finally:
+        relay_back.set()
+    assert boot_s < 10.0, f"boot took {boot_s:.1f}s with a hung LUT upload"
+    # the device transform never materialized; host lcms2 remains
+    assert state.engine.device_cmyk is None
+    assert state.engine.cmyk2rgb is not None

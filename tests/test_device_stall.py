@@ -399,3 +399,55 @@ def test_device_stall_config_knob():
         assert after == before
     finally:
         b.close()
+
+
+def test_dispatch_survives_executor_shutdown_race():
+    """_dispatch reads the device executor under the lock but submits
+    outside it — _declare_wedged (or close) can shut that executor
+    down in between, and dev.submit then raises RuntimeError. An
+    unguarded raise killed the flush-scheduler thread, after which
+    partially-filled groups never timer-flushed (round-5 device-core
+    review). The submit must fall over to the mirror lane and the
+    scheduler must stay alive for subsequent requests."""
+    img = _rgba(make_test_image(151, 103))
+    plan = fused.plan_image(151, 103, parse_query("w=71&h=41"))
+    batcher = MicroBatcher(max_batch=4, window_ms=5.0,
+                           host_fallback=True, device_stall_s=30.0)
+    try:
+        # simulate the race window: the executor _dispatch is about to
+        # use is already shut down, but the batcher is NOT wedged
+        batcher._device.shutdown(wait=False)
+        f1 = batcher.submit(plan, img)  # timer flush -> _dispatch raise
+        r1 = f1.result(timeout=15.0)
+        assert r1.shape == (41, 71, 3)
+        assert batcher._scheduler.is_alive()
+        # restore a live executor; the lane must serve normally again
+        from concurrent.futures import ThreadPoolExecutor
+        with batcher._lock:
+            batcher._device = ThreadPoolExecutor(
+                1, thread_name_prefix="fanlin-device")
+        f2 = batcher.submit(plan, img)
+        assert f2.result(timeout=15.0).shape == (41, 71, 3)
+    finally:
+        batcher.close()
+
+
+def test_submit_host_fails_futures_when_host_lane_closed():
+    """Last-resort guard: if the HOST executor is also shut down (a
+    close() whose scheduler join timed out mid-dispatch), the group's
+    futures must fail instead of hanging their requests forever."""
+    from concurrent.futures import Future
+
+    batcher = MicroBatcher(max_batch=4, window_ms=5.0,
+                           host_fallback=True, device_stall_s=30.0)
+    try:
+        batcher._host.shutdown(wait=False)
+        fut = Future()
+        batcher._submit_host([(None, None, fut, "rgb", None, None, 0.0)])
+        try:
+            fut.result(timeout=5.0)
+            raise AssertionError("future should have failed")
+        except RuntimeError as e:
+            assert "closed" in str(e)
+    finally:
+        batcher.close()

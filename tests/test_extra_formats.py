@@ -511,3 +511,20 @@ def test_hdr_old_style_repeat_markers_and_flat_fast_path():
     for x in range(4, 8):
         np.testing.assert_array_equal(out[0, x], out[1, x])
     assert not np.array_equal(out[0, 0], out[0, 4])
+
+
+def test_qoi_header_dimension_bomb_is_rejected():
+    """A 22-byte QOI body must not be able to force a multi-GB
+    allocation from header dims alone (round-5 device-core review):
+    the pixel cap matches decode_hdr's, and the error is an
+    ExtraCodecError so the normal decode-failure path handles it."""
+    import struct
+
+    import pytest
+
+    from fanlin_tpu.engine import extra_codecs
+
+    data = (b"qoif" + struct.pack(">II", 0xFFFF, 0xFFFF)
+            + bytes([4, 0]) + b"\x00" * 8)
+    with pytest.raises(extra_codecs.ExtraCodecError):
+        extra_codecs.decode_qoi(data)
