@@ -219,5 +219,9 @@ def _device_transform_for(lut):
         from ..ops.cmyk_lut import DeviceCmykTransform
 
         t = DeviceCmykTransform(flat.reshape((n,) * 4 + (3,)))
-        _PROFILE_XFORMS.put((key, n), t, flat.nbytes)
+        # charge what the entry actually holds: the transform keeps a
+        # float32 device array, 4x the sampled uint8 bytes — charging
+        # flat.nbytes would let the 32 MB budget admit ~128 MB of
+        # device-resident LUTs before evicting
+        _PROFILE_XFORMS.put((key, n), t, 4 * flat.nbytes)
     return t

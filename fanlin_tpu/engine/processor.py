@@ -83,19 +83,30 @@ class Engine:
         # (ops.cmyk_lut); enabled via enable_device_icc()
         self.device_cmyk = None
 
-    def enable_device_icc(self, n: int = 17) -> None:
+    def enable_device_icc(self, n: int = 17, unless=None) -> None:
         """Sample the default lcms2 transform into a device LUT
         (SURVEY.md §7 step 8 lowering; host lcms2 stays the fallback
         and the ground truth for embedded profiles). Also installs the
         LUT for the CMYK coefficient path (fused.set_cmyk_lut), so
         4-component JPEGs take the device decode instead of the 4 B/px
-        host-decode pixel path."""
+        host-decode pixel path.
+
+        `unless` (a zero-arg predicate) is checked AFTER the device
+        upload, right before installing: boot runs this under
+        bounded_call on a possibly-wedged accelerator link, and an
+        abandoned call that un-wedges minutes later must NOT flip the
+        serving path — the gateway already committed to host lcms2
+        (byte-identical), and cached/pinned CMYK responses would
+        diverge from later ones."""
         if self.cmyk2rgb is None:
             return
         from ..ops import cmyk_lut, fused as fused_mod
 
         lut = cmyk_lut.sample_lut(self.cmyk2rgb.convert, n)
-        self.device_cmyk = cmyk_lut.DeviceCmykTransform(lut)
+        xform = cmyk_lut.DeviceCmykTransform(lut)  # device upload: can hang
+        if unless is not None and unless():
+            return
+        self.device_cmyk = xform
         fused_mod.set_cmyk_lut(lut)
 
     def _try_cmyk_coef(self, data: bytes, orientation: int):

@@ -1009,6 +1009,26 @@ def _device_cached(arr: np.ndarray, sharding=None):
 _UNIFORM_CACHE = ByteLRU(max_bytes=96 * 1024 * 1024)
 
 
+def cache_stats() -> dict:
+    """Program + matrix cache counters for /stats. ONE definition:
+    both the single-process stats handler (server/app.py) and the
+    multi-worker device service (server/workers.py) report these —
+    a second hand-maintained copy silently drifts the next time a
+    cache is added (round-5 review)."""
+    return {
+        "programs_cached": get_program.cache_info().currsize
+        + get_coef_program.cache_info().currsize
+        + get_folded_program.cache_info().currsize,
+        "programs_warm": len(_WARM_KEYS),
+        "caches": {
+            "plans": _PLAN_CACHE.stats(),
+            "uniform_matrices": _UNIFORM_CACHE.stats(),
+            "device_matrices": _DEVICE_MATRIX_CACHE.stats(),
+            "folded_matrices": _FOLDED_CACHE.stats(),
+        },
+    }
+
+
 def _uniform_padded(plan: ImagePlan, sh: int = None, sw: int = None):
     """(av, ah, bv, bh) padded to the plan's buckets, cached. sh/sw
     override the source bucket (coefficient-source batches use the

@@ -195,11 +195,10 @@ async def stats_handler(request: web.Request) -> web.Response:
             remote = await asyncio.to_thread(fetch)
             if remote is not None:
                 batcher_stats = remote.get("batcher")
+    cache_stats = fused.cache_stats()
     body = {
-        "programs_cached": fused.get_program.cache_info().currsize
-        + fused.get_coef_program.cache_info().currsize
-        + fused.get_folded_program.cache_info().currsize,
-        "programs_warm": len(fused._WARM_KEYS),
+        "programs_cached": cache_stats["programs_cached"],
+        "programs_warm": cache_stats["programs_warm"],
         "engine": dict(getattr(state.engine, "stats", {})),
         "batcher": batcher_stats,
         "caches": {
@@ -208,10 +207,7 @@ async def stats_handler(request: web.Request) -> web.Response:
                 if getattr(state, "response_cache", None) is not None
                 else None
             ),
-            "plans": fused._PLAN_CACHE.stats(),
-            "uniform_matrices": fused._UNIFORM_CACHE.stats(),
-            "device_matrices": fused._DEVICE_MATRIX_CACHE.stats(),
-            "folded_matrices": fused._FOLDED_CACHE.stats(),
+            **cache_stats["caches"],
         },
     }
     if remote is not None:
@@ -286,19 +282,24 @@ async def trace_middleware(request: web.Request, handler):
     return response
 
 
-def make_timeout_middleware(timeout: float):
+def make_timeout_middleware(timeout: float, profile_route: bool = False):
     import threading
 
     from ..engine.batcher import REQUEST_CANCEL, REQUEST_DEADLINE
 
     @web.middleware
     async def timeout_middleware(request: web.Request, handler):
-        if request.path == "/profile":
+        if (profile_route and request.path == "/profile"
+                and request.method == "GET"):
             # additive debug route: a capture legitimately runs up to
             # 60 s. Cancelling the wait would 408 the client while the
             # jax trace thread (uninterruptible) keeps running with
             # the single-flight guard already released — a second
             # /profile would then start_trace into an active trace.
+            # Gated on the route actually being registered: without
+            # tpu.profile_dir (or for non-GET methods) /profile falls
+            # through to the wildcard image route, which must keep the
+            # timeout, deadline and cancel wiring like any other path.
             return await handler(request)
         # publish the absolute deadline: engine worker threads inherit
         # it via asyncio.to_thread's context copy, and the batcher
@@ -337,7 +338,10 @@ def create_app(cfg: config_mod.Config, state: State) -> web.Application:
     app = web.Application(
         middlewares=[
             trace_middleware,
-            make_timeout_middleware(REQUEST_TIMEOUT_SECS),
+            make_timeout_middleware(
+                REQUEST_TIMEOUT_SECS,
+                profile_route=bool(cfg.tpu.profile_dir),
+            ),
             make_concurrency_middleware(cfg.max_clients),
         ],
         client_max_size=1024**3,
@@ -519,11 +523,19 @@ async def build_state(cfg: config_mod.Config, runner=None,
             # upload (jax.device_put) blocks FOREVER on a wedged link
             # — a dead relay must not keep the gateway from binding;
             # the host lcms2 path is the byte-identical fallback.
+            import threading
+
             from ..utils.bounded import bounded_call
 
+            # the abandon event gates the INSTALL: if the upload
+            # un-wedges after the timeout, the leaked thread must not
+            # flip the CMYK path (and output bytes) mid-run
+            abandoned = threading.Event()
             bounded_call(
-                state.engine.enable_device_icc,
+                lambda: state.engine.enable_device_icc(
+                    unless=abandoned.is_set),
                 cfg.tpu.device_stall_s, None, "device ICC LUT upload",
+                abandon=abandoned,
             )
     if cfg.use_embedded_profile:
         state.enable_embedded_profile_utilization()

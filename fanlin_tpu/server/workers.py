@@ -77,15 +77,26 @@ def _send(sock: socket.socket, obj) -> None:
     sock.sendall(_HDR.pack(len(data)) + data)
 
 
-def _recv(sock: socket.socket):
-    hdr = _recvn(sock, _HDR.size)
+def _recv(sock: socket.socket, deadline: float = None):
+    hdr = _recvn(sock, _HDR.size, deadline)
     (n,) = _HDR.unpack(hdr)
-    return pickle.loads(_recvn(sock, n))
+    return pickle.loads(_recvn(sock, n, deadline))
 
 
-def _recvn(sock: socket.socket, n: int) -> bytes:
+def _recvn(sock: socket.socket, n: int, deadline: float = None) -> bytes:
+    """Read exactly n bytes. `deadline` (time.monotonic terms) bounds
+    the WHOLE read, not each chunk: socket timeouts are per-operation,
+    so without re-arming, a peer dribbling a multi-MB reply one chunk
+    per timeout window would hold the calling thread for
+    N_chunks x timeout — far past the request deadline the caller
+    promised to respect (round-5 review)."""
     parts = []
     while n:
+        if deadline is not None:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                raise socket.timeout("reply deadline exceeded")
+            sock.settimeout(remaining)
         chunk = sock.recv(min(n, 1 << 20))
         if not chunk:
             raise ConnectionError("device service closed the connection")
@@ -120,20 +131,25 @@ class RemoteRunner:
         req = ("run", keys, images, kinds, deadline)
         try:
             with socket.socket(socket.AF_UNIX, socket.SOCK_STREAM) as s:
+                reply_deadline = None
                 if deadline is not None:
                     # bound the wait by the request deadline (+grace
                     # for the service's own RequestExpired reply to
                     # arrive): a service that never answers — wedged
                     # device with host_fallback off, SIGSTOPped
                     # process — must not leak this worker thread
-                    # forever and wedge the SIGTERM drain
-                    s.settimeout(
-                        max(deadline - time.monotonic(), 0.1)
+                    # forever and wedge the SIGTERM drain. The bound
+                    # is END-TO-END (one absolute deadline threaded
+                    # through every recv), not per socket op.
+                    reply_deadline = (
+                        time.monotonic()
+                        + max(deadline - time.monotonic(), 0.1)
                         + _REPLY_GRACE_S
                     )
+                    s.settimeout(reply_deadline - time.monotonic())
                 s.connect(self.path)
                 _send(s, req)
-                status, payload, host_mirror = _recv(s)
+                status, payload, host_mirror = _recv(s, reply_deadline)
         except socket.timeout:
             from ..engine.batcher import RequestExpired
 
@@ -171,22 +187,13 @@ def _service_stats(service) -> dict:
     """Device-service-side /stats payload: the batcher counters AND
     the program/matrix cache counters — programs live in THIS
     process; a gateway worker reading its own fused caches would
-    report zeros forever (round-5 review finding)."""
+    report zeros forever (round-5 review finding). The cache block
+    comes from fused.cache_stats(), the same single definition the
+    single-process stats handler reads."""
     from ..ops import fused
 
-    return {
-        "batcher": dict(service.batcher.stats),
-        "programs_cached": fused.get_program.cache_info().currsize
-        + fused.get_coef_program.cache_info().currsize
-        + fused.get_folded_program.cache_info().currsize,
-        "programs_warm": len(fused._WARM_KEYS),
-        "caches": {
-            "plans": fused._PLAN_CACHE.stats(),
-            "uniform_matrices": fused._UNIFORM_CACHE.stats(),
-            "device_matrices": fused._DEVICE_MATRIX_CACHE.stats(),
-            "folded_matrices": fused._FOLDED_CACHE.stats(),
-        },
-    }
+    return {"batcher": dict(service.batcher.stats),
+            **fused.cache_stats()}
 
 
 class _ServiceHandler(socketserver.BaseRequestHandler):

@@ -19,10 +19,18 @@ _SENTINEL = object()
 
 
 def bounded_call(fn: Callable[[], Any], timeout: float, default: Any,
-                 what: str) -> Any:
+                 what: str,
+                 abandon: "threading.Event | None" = None) -> Any:
     """Run fn() on a daemon thread and wait up to `timeout` seconds;
     on timeout (or exception) log and return `default`. timeout <= 0
-    means call inline (unbounded — the pre-failover behavior)."""
+    means call inline (unbounded — the pre-failover behavior).
+
+    `abandon` (if given) is set BEFORE returning on timeout: the
+    leaked thread keeps running (a hung accelerator call cannot be
+    interrupted), so fn must check it before applying side effects —
+    otherwise a call that un-wedges minutes later would mutate state
+    the caller already declared abandoned (e.g. flipping the CMYK
+    path, and output bytes, mid-run)."""
     if timeout is None or timeout <= 0:
         return fn()
     box = {"v": _SENTINEL}
@@ -40,6 +48,8 @@ def bounded_call(fn: Callable[[], Any], timeout: float, default: Any,
     threading.Thread(target=_run, daemon=True,
                      name="fanlin-bounded").start()
     if not done.wait(timeout):
+        if abandon is not None:
+            abandon.set()
         log.error(
             "%s not responding after %.0fs (accelerator link down?) — "
             "continuing; the batcher serves from the host mirror until "

@@ -182,3 +182,67 @@ def test_build_state_survives_hung_device_icc(fixtures_dir, monkeypatch):
     # the device transform never materialized; host lcms2 remains
     assert state.engine.device_cmyk is None
     assert state.engine.cmyk2rgb is not None
+
+
+def test_late_unwedge_does_not_flip_cmyk_path(fixtures_dir, monkeypatch):
+    """The abandoned bounded_call's daemon thread keeps running — if
+    the hung LUT upload un-wedges minutes after boot, it must NOT
+    install the device path: the gateway already committed to host
+    lcms2, and cached CMYK responses would diverge from later ones
+    (round-5 review finding)."""
+    import os
+
+    import pytest
+
+    ref_profile = "/root/reference/profiles/default.icc"
+    if not os.path.exists(ref_profile):
+        pytest.skip("reference CMYK profile not present")
+
+    from fanlin_tpu.ops import cmyk_lut, fused
+    from fanlin_tpu.server.app import build_state
+
+    relay_back = threading.Event()
+    upload_done = threading.Event()
+
+    def hung_then_ok(self, lut):
+        relay_back.wait(60.0)  # wedged past the boot bound...
+        self.n = lut.shape[0]  # ...then the device answers after all
+        self._lut_flat = None
+        upload_done.set()
+
+    monkeypatch.setattr(cmyk_lut.DeviceCmykTransform, "__init__",
+                        hung_then_ok)
+
+    cfg = Config.from_str(
+        """
+{
+  "port": 0, "bind_addr": "127.0.0.1", "max_clients": 4,
+  "client": {"s3": {"aws_region": "x"},
+             "web": {"user_agent": "t", "timeout": 2}},
+  "providers": [{"path": "baz", "src": "file://localhost%s"}],
+  "profile_path": "%s",
+  "tpu": {"warmup": false, "batch_window_ms": 1.0,
+          "data_parallel": true, "device_icc": true,
+          "device_stall_s": 0.3}
+}
+"""
+        % (fixtures_dir, ref_profile)
+    )
+
+    lut_before = fused._CMYK_LUT["flat"]  # may be non-None from other tests
+    try:
+        state = asyncio.new_event_loop().run_until_complete(
+            build_state(cfg))
+        assert state.engine.device_cmyk is None  # boot abandoned the upload
+        relay_back.set()  # link comes back; the leaked thread finishes
+        assert upload_done.wait(10.0), "leaked upload thread never finished"
+        time.sleep(0.2)  # give the thread time to (wrongly) install
+        assert state.engine.device_cmyk is None, (
+            "late un-wedge flipped the CMYK path mid-run"
+        )
+        assert fused._CMYK_LUT["flat"] is lut_before, (
+            "late un-wedge installed the coefficient-path LUT mid-run"
+        )
+    finally:
+        relay_back.set()
+        fused._CMYK_LUT["flat"] = lut_before

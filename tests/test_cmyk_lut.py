@@ -201,6 +201,28 @@ def test_cmyk_embedded_lut_cached_by_profile_hash():
     assert icc.embedded_device_lut(b"not an icc profile") is None
 
 
+def test_profile_xform_lru_charges_device_bytes():
+    """The per-profile transform LRU must charge what the entry holds:
+    a float32 device array 4x the sampled uint8 bytes — charging the
+    u8 size would let the 32 MB budget admit ~128 MB of
+    device-resident LUTs before evicting (round-5 review finding)."""
+    _data, prof = _embedded_src()
+    lut = icc.embedded_device_lut(prof)
+    assert lut is not None
+    flat, n, key = lut
+    # force a fresh insert (the key may be cached from earlier tests)
+    with icc._PROFILE_XFORMS._lock:
+        ent = icc._PROFILE_XFORMS._data.pop((key, n), None)
+        if ent is not None:
+            icc._PROFILE_XFORMS.bytes -= ent[1]
+    before = icc._PROFILE_XFORMS.bytes
+    icc._device_transform_for(lut)
+    charged = icc._PROFILE_XFORMS.bytes - before
+    assert charged == 4 * flat.nbytes, (
+        f"charged {charged}, device entry holds {4 * flat.nbytes}"
+    )
+
+
 def test_cmyk_embedded_broken_profile_falls_back_to_default():
     """A CMYK JPEG with an unparseable embedded profile rides the
     default-profile LUT — like the reference's with_icc_profile

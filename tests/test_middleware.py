@@ -31,6 +31,49 @@ def test_timeout_returns_408():
     assert asyncio.new_event_loop().run_until_complete(go()) == 408
 
 
+def _profile_status(profile_route: bool, method: str = "GET") -> int:
+    async def go():
+        async def slow(_req):
+            await asyncio.sleep(1.0)
+            return web.Response(text="late")
+
+        app = web.Application(middlewares=[
+            make_timeout_middleware(0.05, profile_route=profile_route)
+        ])
+        app.router.add_route("*", "/{tail:.*}", slow)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            resp = await client.request(method, "/profile")
+            return resp.status
+        finally:
+            await client.close()
+
+    return asyncio.new_event_loop().run_until_complete(go())
+
+
+def test_profile_timeout_exemption_requires_registered_route():
+    """Without tpu.profile_dir there is no profile route: GET /profile
+    is just an image path served by the wildcard handler and must keep
+    the timeout/deadline wiring like any other request (round-5 review
+    — the unconditional exemption let it run unbounded while holding a
+    concurrency slot)."""
+    assert _profile_status(profile_route=False) == 408
+
+
+def test_profile_timeout_exemption_is_get_only():
+    """The profile route is add_get-only: a POST /profile falls to the
+    wildcard image route even when the route is registered, so the
+    exemption must not apply to it."""
+    assert _profile_status(profile_route=True, method="POST") == 408
+
+
+def test_profile_timeout_exemption_applies_when_registered():
+    """With the route registered, a long capture (up to 60 s) must NOT
+    be cancelled at the request timeout."""
+    assert _profile_status(profile_route=True) == 200
+
+
 def test_concurrency_cap_queues_not_rejects():
     async def go():
         active = {"n": 0, "max": 0}

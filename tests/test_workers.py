@@ -305,6 +305,62 @@ def test_remote_runner_bounded_by_deadline(tmp_path, monkeypatch):
             c.close()
 
 
+def test_remote_runner_deadline_is_end_to_end(tmp_path, monkeypatch):
+    """The reply bound is one absolute deadline, not a per-socket-op
+    timeout: a service that is alive but DRIBBLING the reply (loaded
+    host trickling a multi-MB pickle chunk by chunk) makes progress on
+    every recv, so a per-op timeout would never fire and the worker
+    thread would be held for N_chunks x timeout — far past the request
+    deadline (round-5 review finding)."""
+    from fanlin_tpu.engine.batcher import REQUEST_DEADLINE, RequestExpired
+    from fanlin_tpu.server import workers as w
+
+    path = str(tmp_path / "dribble.sock")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(4)
+    stop = threading.Event()
+
+    def _dribble():
+        try:
+            conn, _ = srv.accept()
+        except OSError:
+            return
+        with conn:
+            # read the request, then announce a large reply and trickle
+            # it one byte at a time — each byte resets a per-op timeout
+            try:
+                w._recv(conn)
+                conn.sendall(w._HDR.pack(1 << 20))
+                while not stop.is_set():
+                    conn.sendall(b"x")
+                    time.sleep(0.1)
+            except OSError:
+                pass
+
+    t = threading.Thread(target=_dribble, daemon=True)
+    t.start()
+    monkeypatch.setattr(w, "_REPLY_GRACE_S", 0.3)
+    runner = w.RemoteRunner(path)
+
+    class _Plan:
+        cache_key = (8, 8, "w=4&h=4")
+
+    tok = REQUEST_DEADLINE.set(time.monotonic() + 0.4)
+    try:
+        t0 = time.monotonic()
+        with pytest.raises(RequestExpired):
+            runner.run([_Plan()], [b"x"], ["rgb"])
+        took = time.monotonic() - t0
+        # ~0.7 s budget (deadline + grace); a per-op timeout would
+        # dribble on indefinitely
+        assert took < 3.0, f"deadline not end-to-end: {took:.1f}s"
+    finally:
+        REQUEST_DEADLINE.reset(tok)
+        stop.set()
+        srv.close()
+
+
 def test_service_stats_payload():
     """The 'stats' socket reply carries the device-service-side
     program/cache counters, not just the batcher block."""
