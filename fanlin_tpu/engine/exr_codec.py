@@ -821,7 +821,10 @@ def _dwa_expand(payload: bytes, chans, w: int, rows: int) -> bytes:
     in_set: set = set()
     units = []
     for m in csc_groups.values():
-        if len(m) == 3:
+        # a complete set means csc indices exactly {0, 1, 2} — crafted
+        # rules can carry any 4-bit index (a {0, 1, 3} group would
+        # KeyError below); incomplete/bogus sets decode as singles
+        if sorted(m) == [0, 1, 2]:
             units.append((min(m.values()), [m[0], m[1], m[2]]))
             in_set.update(m.values())
     units.sort()
@@ -937,7 +940,7 @@ def decode_exr(data: bytes) -> np.ndarray:
         return _decode_exr(data)
     except ExrError:
         raise
-    except (struct.error, zlib.error, ValueError, IndexError,
+    except (struct.error, zlib.error, ValueError, IndexError, KeyError,
             OverflowError, MemoryError) as e:
         raise ExrError(f"corrupt exr: {e}") from e
 
@@ -990,6 +993,10 @@ def _parse_header(data: bytes, pos: int):
         _type, pos = _read_cstr(data, pos)
         size, = struct.unpack_from("<i", data, pos)
         pos += 4
+        if size < 0:
+            # a negative size would move pos BACKWARD — crafted headers
+            # can make the attribute loop a fixpoint (infinite loop)
+            raise ExrError("bad exr attribute size")
         attrs[name] = data[pos : pos + size]
         pos += size
     return attrs, pos

@@ -355,6 +355,85 @@ def test_exr_piz_corruption_fuzz():
             pass
 
 
+def test_exr_negative_attr_size_rejected():
+    """A crafted header attribute with a NEGATIVE size moves the parse
+    position backward — with name "a", type "b", size -8 the attribute
+    loop is an exact fixpoint, i.e. an infinite loop no exception
+    handler ever sees (found by review; a ~20-byte body could pin a
+    worker thread forever). Must raise ExrError, and promptly."""
+    import struct
+    import threading
+
+    from fanlin_tpu.engine import exr_codec
+
+    data = (exr_codec.MAGIC + struct.pack("<i", 2)
+            + b"a\x00b\x00" + struct.pack("<i", -8))
+    result = {}
+
+    def run():
+        try:
+            exr_codec.decode_exr(data)
+            result["r"] = "decoded"
+        except exr_codec.ExrError:
+            result["r"] = "exrerror"
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(10)
+    assert result.get("r") == "exrerror"  # empty dict == it hung
+
+
+def _build_dwa_csc_fixture(csc_b: int) -> bytes:
+    """Minimal hand-built 8x8 RGB DWAA file whose v2 channel rules map
+    B to csc index `csc_b` (3 = a bogus 4-bit index real encoders never
+    write — crafted input territory)."""
+    import struct
+    import zlib
+
+    from fanlin_tpu.engine import exr_codec
+
+    def attr(name, typ, val):
+        return name + b"\0" + typ + b"\0" + struct.pack("<i", len(val)) + val
+
+    def chan(name):
+        return name + b"\0" + struct.pack("<iB3x2i", 1, 0, 1, 1)  # HALF
+
+    chans = chan(b"R") + chan(b"G") + chan(b"B") + b"\0"
+    hdr = (attr(b"channels", b"chlist", chans)
+           + attr(b"compression", b"compression", b"\x08")  # DWAA
+           + attr(b"dataWindow", b"box2i", struct.pack("<4i", 0, 0, 7, 7))
+           + attr(b"lineOrder", b"lineOrder", b"\x00")
+           + b"\0")
+
+    def rule(name, csc):
+        # cstr + u16: type<<8 | (cscIdx+1)<<4 | scheme<<2 (LOSSY_DCT)
+        return name + b"\0" + struct.pack(
+            "<H", (1 << 8) | ((csc + 1) << 4) | (1 << 2))
+
+    rules = rule(b"R", 0) + rule(b"G", 1) + rule(b"B", csc_b)
+    rules = struct.pack("<H", len(rules) + 2) + rules
+    ac = zlib.compress(b"\x00\xff" * 3)  # one 0xFF00 end marker per block
+    dc = zlib.compress(exr_codec._zip_filter(b"\x00" * 6))
+    pay = struct.pack("<11q", 2, 0, 0, len(ac), len(dc), 0, 0, 0, 3, 3, 1)
+    pay += rules + ac + dc
+    assert len(pay) < 8 * 8 * 3 * 2  # must take the compressed branch
+    head = exr_codec.MAGIC + struct.pack("<i", 2) + hdr
+    return (head + struct.pack("<Q", len(head) + 8)
+            + struct.pack("<ii", 0, len(pay)) + pay)
+
+
+def test_exr_dwa_bogus_csc_index_decodes():
+    """DWA v2 rules carry a 4-bit csc index; a crafted {0, 1, 3} group
+    used to KeyError out of the csc-set assembly (KeyError was not in
+    decode_exr's typed-error net). Such groups now decode as single-
+    channel units; the well-formed {0, 1, 2} twin pins the builder."""
+    from fanlin_tpu.engine import exr_codec
+
+    for csc_b in (2, 3):
+        out = exr_codec.decode_exr(_build_dwa_csc_fixture(csc_b))
+        assert out.shape == (8, 8, 3) and out.dtype == np.uint8
+
+
 def test_exr_piz_native_huf_matches_pure():
     """The native fc_exr_huf entropy stage must be byte-equivalent to
     the validated pure-python decoder on every PIZ fixture (the
