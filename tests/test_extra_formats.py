@@ -355,6 +355,57 @@ def test_exr_piz_corruption_fuzz():
             pass
 
 
+def test_exr_corpus_corruption_fuzz():
+    """Every fixture family (all compressions, tiled, multi-part, UINT,
+    DWA) under byte flips and truncations: decode must return or raise
+    ExrError — never a raw error and never a hang. Flips concentrate on
+    the first 600 bytes (header/offset-table territory, where the
+    structural parse lives — the negative-attribute-size fixpoint below
+    is exactly this class); the whole sweep runs on a watchdog thread
+    so a regression fails the test instead of wedging the suite."""
+    import threading
+
+    from fanlin_tpu.engine import exr_codec
+
+    corpus = sorted(
+        f for f in os.listdir(_EXR_GOLDEN) if f.endswith(".exr"))
+    assert len(corpus) >= 30
+    rng = np.random.default_rng(7)
+    failures = []
+
+    def sweep():
+        for name in corpus:
+            with open(os.path.join(_EXR_GOLDEN, name), "rb") as f:
+                data = bytearray(f.read())
+            spots = np.concatenate([
+                rng.integers(8, min(600, len(data)), 8),
+                rng.integers(8, len(data), 4),
+            ])
+            for i in spots:
+                orig = data[i]
+                data[i] = (orig + 1 + rng.integers(0, 255)) % 256
+                try:
+                    exr_codec.decode_exr(bytes(data))
+                except exr_codec.ExrError:
+                    pass
+                except Exception as e:  # noqa: BLE001 — the assertion
+                    failures.append((name, int(i), type(e).__name__))
+                data[i] = orig
+            for n in rng.integers(0, len(data), 3):
+                try:
+                    exr_codec.decode_exr(bytes(data[:n]))
+                except exr_codec.ExrError:
+                    pass
+                except Exception as e:  # noqa: BLE001
+                    failures.append((name, f"trunc {n}", type(e).__name__))
+
+    t = threading.Thread(target=sweep, daemon=True)
+    t.start()
+    t.join(120)
+    assert not t.is_alive(), "corruption sweep hung (infinite parse loop?)"
+    assert not failures, failures[:10]
+
+
 def test_exr_negative_attr_size_rejected():
     """A crafted header attribute with a NEGATIVE size moves the parse
     position backward — with name "a", type "b", size -8 the attribute
