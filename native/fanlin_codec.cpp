@@ -1051,6 +1051,11 @@ int fc_nc_pack(const int16_t* grid, int gh, int gw, int ph, int pw,
     const int nu = rects[r * 5 + 2] - rects[r * 5 + 1];
     const int nv = rects[r * 5 + 4] - rects[r * 5 + 3];
     if (nu <= 0 || nv <= 0) return -1;
+    // rect coordinates index the 8x8 block — out-of-range values would
+    // read past each 64-entry block in the tier-store loops below
+    if (rects[r * 5 + 1] < 0 || rects[r * 5 + 2] > 8 ||
+        rects[r * 5 + 3] < 0 || rects[r * 5 + 4] > 8)
+      return -1;
     const int w = pw / 8 * nv;
     int rowstride;
     if (bits == 8) rowstride = w;

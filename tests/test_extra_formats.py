@@ -406,6 +406,51 @@ def test_exr_corpus_corruption_fuzz():
     assert not failures, failures[:10]
 
 
+def test_exr_corruption_fuzz_pure_huf_fallback():
+    """The entropy-bearing families again with the pure-python huf
+    decoder pinned (the fallback when the native core isn't built) —
+    its bounds behavior must match fc_exr_huf's under corruption."""
+    import threading
+
+    from fanlin_tpu.engine import exr_codec
+
+    corpus = sorted(f for f in os.listdir(_EXR_GOLDEN)
+                    if f.endswith(".exr") and ("piz" in f or "dwa" in f))
+    assert len(corpus) >= 10
+    rng = np.random.default_rng(11)
+    failures = []
+
+    def sweep():
+        for name in corpus:
+            with open(os.path.join(_EXR_GOLDEN, name), "rb") as f:
+                data = bytearray(f.read())
+            spots = np.concatenate([
+                rng.integers(8, min(600, len(data)), 6),
+                rng.integers(8, len(data), 4),
+            ])
+            for i in spots:
+                orig = data[i]
+                data[i] = (orig + 1 + rng.integers(0, 255)) % 256
+                try:
+                    exr_codec.decode_exr(bytes(data))
+                except exr_codec.ExrError:
+                    pass
+                except Exception as e:  # noqa: BLE001
+                    failures.append((name, int(i), type(e).__name__))
+                data[i] = orig
+
+    old = exr_codec._NATIVE_HUF
+    exr_codec._NATIVE_HUF = False
+    try:
+        t = threading.Thread(target=sweep, daemon=True)
+        t.start()
+        t.join(120)
+    finally:
+        exr_codec._NATIVE_HUF = old
+    assert not t.is_alive(), "pure-huf sweep hung"
+    assert not failures, failures[:10]
+
+
 def test_exr_negative_attr_size_rejected():
     """A crafted header attribute with a NEGATIVE size moves the parse
     position backward — with name "a", type "b", size -8 the attribute
