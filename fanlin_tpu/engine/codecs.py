@@ -30,7 +30,37 @@ from typing import List, Optional, Tuple
 import numpy as np
 from PIL import Image
 
-Image.MAX_IMAGE_PIXELS = None  # the gateway enforces its own size caps
+Image.MAX_IMAGE_PIXELS = None  # replaced by the reference-parity alloc gate
+
+# Decode allocation cap, mirroring the reference's image-crate limits:
+# ImageReader::into_decoder applies Limits::default() — max_alloc
+# 512 MiB (image 0.25, reference src/handler.rs:205) — so a corrupt or
+# malicious source whose header claims enormous dimensions errors
+# (-> 500 + fallback) instead of forcing a multi-GB host allocation.
+# GIF is the one deliberate exemption: the reference decodes GIF with
+# Limits::no_limits() (handler.rs:319), so decode_gif_frames stays
+# uncapped.
+MAX_DECODE_ALLOC = 512 * 1024 * 1024
+
+# bytes/px of the DECODE buffer per PIL mode (the crate's limit meters
+# the decoder's output buffer, not later conversions)
+_MODE_BPP = {
+    "1": 1, "L": 1, "P": 1, "LA": 2, "La": 2, "PA": 2,
+    "I;16": 2, "I;16B": 2, "I;16L": 2, "I;16N": 2,
+    "RGB": 3, "YCbCr": 3, "LAB": 3, "HSV": 3,
+}
+
+
+def _check_decode_alloc(size, mode: str) -> None:
+    """Raise CodecError when decoding would allocate more than the
+    reference's 512 MiB limit (image crate Limits::default())."""
+    w, h = size
+    bpp = _MODE_BPP.get(mode, 4)  # RGBA/CMYK/I/F and unknown: 4
+    if w * h * bpp > MAX_DECODE_ALLOC:
+        raise CodecError(
+            f"image decode allocation {w}x{h} {mode} exceeds the "
+            f"512 MiB limit"
+        )
 
 JPEG = "jpeg"
 PNG = "png"
@@ -211,6 +241,7 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
         return arr, has_alpha, False
     try:
         with Image.open(io.BytesIO(data)) as im:
+            _check_decode_alloc(im.size, im.mode)
             im.load()
             mode = im.mode
             has_alpha = mode in ("RGBA", "LA", "PA") or (

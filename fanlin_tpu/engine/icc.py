@@ -27,6 +27,8 @@ from typing import Optional
 import numpy as np
 from PIL import Image, ImageCms
 
+from . import codecs
+
 _NOCACHE = 0x0040  # cmsFLAGS_NOCACHE, reference handler.rs:480
 
 
@@ -179,6 +181,11 @@ def convert_jpeg_color_if_needed(
         return None
     try:
         with Image.open(io.BytesIO(data)) as im:
+            # reference-parity decode alloc limit (codecs.MAX_DECODE_ALLOC;
+            # image crate Limits::default(), handler.rs:205). CodecError
+            # must NOT be swallowed into the None fallback below — the
+            # normal decode path would just re-hit the same gate.
+            codecs._check_decode_alloc(im.size, im.mode)
             im.load()
             if im.mode != "CMYK":
                 return None
@@ -200,6 +207,8 @@ def convert_jpeg_color_if_needed(
             if conv is None:
                 return None
             return conv.convert(im)
+    except codecs.CodecError:
+        raise
     except Exception:
         return None
 

@@ -181,7 +181,12 @@ class Engine:
         if fmt == codecs.JPEG:
             meta = self._try_cmyk_coef(data, orientation)
             if meta is None:
-                converted = self._convert_jpeg_color_if_needed(data)
+                try:
+                    converted = self._convert_jpeg_color_if_needed(data)
+                except codecs.CodecError as e:
+                    # the decode-alloc gate (codecs.MAX_DECODE_ALLOC)
+                    # fires inside the ICC load for oversized CMYK
+                    raise ProcessError(str(e)) from e
 
         # Device decode back half: plain YCbCr JPEGs with no ICC
         # conversion upload entropy-decoded coefficients (int8 AC +

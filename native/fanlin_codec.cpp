@@ -36,6 +36,14 @@ static void fc_error_exit(j_common_ptr cinfo) {
   longjmp(err->jump, 1);
 }
 
+// Decode allocation cap, mirroring the reference's image-crate
+// default limits (Limits::default() max_alloc = 512 MiB, image 0.25;
+// reference src/handler.rs:205): header-claimed dimensions that would
+// force a multi-GB buffer bail out before allocating. Python-side
+// gates (engine/codecs.py MAX_DECODE_ALLOC) enforce the same number
+// on the PIL paths.
+static const double FC_MAX_DECODE_ALLOC = 512.0 * 1024.0 * 1024.0;
+
 // Decode a JPEG to packed RGB8 (or Y8 for grayscale sources when
 // force_rgb == 0). Returns 0 on success. CMYK/YCCK inputs are
 // rejected (return 2) so the caller can route them through the ICC
@@ -68,6 +76,12 @@ int fc_decode_jpeg(const uint8_t* data, size_t len, int force_rgb,
     cinfo.out_color_space = JCS_GRAYSCALE;
   } else {
     cinfo.out_color_space = JCS_RGB;
+  }
+  const int out_c = cinfo.out_color_space == JCS_GRAYSCALE ? 1 : 3;
+  if (static_cast<double>(cinfo.image_width) * cinfo.image_height * out_c >
+      FC_MAX_DECODE_ALLOC) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
   }
   jpeg_start_decompress(&cinfo);
   const int w = cinfo.output_width;
@@ -583,6 +597,21 @@ int fc_read_jpeg_coeffs(const uint8_t* data, size_t len, int16_t** out,
     }
     *subsamp = is420 ? 420 : (is422 ? 422 : (is440 ? 440 : 444));
   }
+  {
+    // coefficient blob estimate (int16/sample, block-padded dims):
+    // luma w*h + two chroma planes at the subsampling ratio
+    const double wp = cinfo.image_width + 15.0;
+    const double hp = cinfo.image_height + 15.0;
+    const double scale =
+        *subsamp == 400 ? 1.0
+        : *subsamp == 420 ? 1.5
+        : *subsamp == 444 ? 3.0
+                          : 2.0;  // 422 / 440
+    if (wp * hp * scale * sizeof(int16_t) > FC_MAX_DECODE_ALLOC) {
+      jpeg_destroy_decompress(&cinfo);
+      return 2;  // caller routes to the (gated) pixel path
+    }
+  }
   jvirt_barray_ptr* coef_arrays = jpeg_read_coefficients(&cinfo);
   if (coef_arrays == nullptr) {
     jpeg_destroy_decompress(&cinfo);
@@ -688,6 +717,17 @@ int fc_read_jpeg_coeffs4(const uint8_t* data, size_t len, int16_t** out,
   }
   *subsamp = full ? 444 : 420;
   *is_ycck = ycck;
+  {
+    // 4-component blob estimate (int16, block-padded): CMYK 4:4:4 =
+    // four full planes; YCCK "420" = Y + K full + two quarter chroma
+    const double wp = cinfo.image_width + 15.0;
+    const double hp = cinfo.image_height + 15.0;
+    const double scale = full ? 4.0 : 2.5;
+    if (wp * hp * scale * sizeof(int16_t) > FC_MAX_DECODE_ALLOC) {
+      jpeg_destroy_decompress(&cinfo);
+      return 2;  // caller routes to the (gated) host ICC pixel path
+    }
+  }
   jvirt_barray_ptr* coef_arrays = jpeg_read_coefficients(&cinfo);
   if (coef_arrays == nullptr) {
     jpeg_destroy_decompress(&cinfo);

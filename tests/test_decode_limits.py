@@ -1,0 +1,127 @@
+"""Decode allocation limits (reference parity: the image crate's
+Limits::default() caps decoder allocations at 512 MiB — image 0.25,
+applied by ImageReader::into_decoder at reference src/handler.rs:205 —
+while GIF is decoded with Limits::no_limits(), handler.rs:319).
+
+A corrupt or malicious source whose header claims enormous dimensions
+must error (-> 500 + fallback at the gateway) QUICKLY, not force a
+multi-GB host allocation. Every decode surface is gated: the PIL
+branch (codecs._check_decode_alloc), the native JPEG pixel and
+coefficient readers (FC_MAX_DECODE_ALLOC in fanlin_codec.cpp), and
+the host ICC CMYK load (engine/icc.py)."""
+
+import io
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import codecs
+from fanlin_tpu.engine.processor import ProcessError
+
+
+def _small_jpeg(mode="RGB", size=(64, 48), **save_kw):
+    buf = io.BytesIO()
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, (size[1], size[0], 3), dtype=np.uint8)
+    im = Image.fromarray(arr, "RGB")
+    if mode != "RGB":
+        im = im.convert(mode)
+    im.save(buf, format="JPEG", quality=90, **save_kw)
+    return buf.getvalue()
+
+
+def _patch_sof_dims(jpeg: bytes, w: int, h: int) -> bytes:
+    """Rewrite the SOF0/SOF2 height/width fields."""
+    data = bytearray(jpeg)
+    i = 2
+    while i + 4 <= len(data):
+        assert data[i] == 0xFF, "lost marker sync"
+        marker = data[i + 1]
+        seglen = (data[i + 2] << 8) | data[i + 3]
+        if marker in (0xC0, 0xC1, 0xC2):
+            struct.pack_into(">HH", data, i + 5, h, w)
+            return bytes(data)
+        i += 2 + seglen
+    raise AssertionError("no SOF marker found")
+
+
+def _patch_png_dims(png: bytes, w: int, h: int) -> bytes:
+    """Rewrite IHDR dims and fix the chunk CRC."""
+    data = bytearray(png)
+    assert data[12:16] == b"IHDR"
+    struct.pack_into(">II", data, 16, w, h)
+    crc = zlib.crc32(bytes(data[12:29])) & 0xFFFFFFFF
+    struct.pack_into(">I", data, 29, crc)
+    return bytes(data)
+
+
+def test_jpeg_dimension_bomb_rejected():
+    bomb = _patch_sof_dims(_small_jpeg(), 30000, 30000)  # 2.7 GB RGB
+    with pytest.raises(codecs.CodecError, match="512 MiB"):
+        codecs.decode(bomb)
+
+
+def test_jpeg_bomb_native_paths_bail_before_alloc():
+    from fanlin_tpu.engine import native_codecs
+
+    if not native_codecs.available():
+        pytest.skip("native codec core not built")
+    bomb = _patch_sof_dims(_small_jpeg(), 30000, 30000)
+    assert native_codecs.decode_jpeg(bomb) is None
+    assert native_codecs.read_jpeg_coeffs(bomb) is None
+
+
+def test_cmyk_jpeg_bomb_rejected():
+    bomb = _patch_sof_dims(_small_jpeg(mode="CMYK"), 30000, 30000)
+    with pytest.raises(codecs.CodecError, match="512 MiB"):
+        codecs.decode(bomb)
+    from fanlin_tpu.engine import native_codecs
+
+    if native_codecs.available():
+        assert native_codecs.read_jpeg_coeffs4(bomb) is None
+
+
+def test_png_dimension_bomb_rejected():
+    buf = io.BytesIO()
+    Image.new("RGBA", (32, 32)).save(buf, format="PNG")
+    bomb = _patch_png_dims(buf.getvalue(), 20000, 20000)  # 1.6 GB RGBA
+    with pytest.raises(codecs.CodecError, match="512 MiB"):
+        codecs.decode(bomb)
+
+
+def test_bmp_dimension_bomb_rejected():
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 32)).save(buf, format="BMP")
+    data = bytearray(buf.getvalue())
+    struct.pack_into("<ii", data, 18, 50000, 50000)  # 7.5 GB RGB
+    with pytest.raises(codecs.CodecError, match="512 MiB"):
+        codecs.decode(bytes(data))
+
+
+def test_processor_maps_bomb_to_process_error():
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.spec.content import extract_accepted_image_formats
+    from fanlin_tpu.spec.query import parse_query
+
+    engine = Engine()
+    bomb = _patch_sof_dims(_small_jpeg(), 30000, 30000)
+    with pytest.raises(ProcessError, match="512 MiB"):
+        engine.process_image(
+            bomb, parse_query("w=20&h=20"),
+            extract_accepted_image_formats([]),
+        )
+
+
+def test_gate_passes_reference_scale_images():
+    """Boundary sanity: the largest sources the reference's own limit
+    admits (512 MiB / 3 B/px RGB ~ 178 Mpx) still pass the gate; just
+    above it trips."""
+    codecs._check_decode_alloc((13000, 13000), "RGB")  # 507 MB: fine
+    with pytest.raises(codecs.CodecError):
+        codecs._check_decode_alloc((13400, 13400), "RGB")  # 539 MB
+    codecs._check_decode_alloc((11585, 11585), "RGBA")  # just under
+    with pytest.raises(codecs.CodecError):
+        codecs._check_decode_alloc((20000, 20000), "CMYK")
