@@ -252,6 +252,9 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
             arr = np.asarray(out, dtype=np.uint8)
             if arr.ndim != 3 or arr.shape[2] not in (3, 4):
                 raise CodecError(f"unexpected decode shape {arr.shape}")
+            if arr.shape[0] == 0 or arr.shape[1] == 0:
+                # zero-dim sources break geometry planning downstream
+                raise CodecError("zero-dimension image")
             return arr, has_alpha, is_gray
     except CodecError:
         raise

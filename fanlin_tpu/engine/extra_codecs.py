@@ -154,6 +154,10 @@ def decode_farbfeld(data: bytes) -> np.ndarray:
     if len(data) < 16 or data[:8] != b"farbfeld":
         raise ExtraCodecError("not a farbfeld file")
     w, h = struct.unpack(">II", data[8:16])
+    if w == 0 or h == 0:
+        # zero-dim images break downstream geometry planning; the
+        # image crate's ImageBuffer::from_raw rejects them too
+        raise ExtraCodecError("invalid farbfeld dimensions")
     need = 16 + w * h * 8
     if len(data) < need:
         raise ExtraCodecError("truncated farbfeld stream")

@@ -1,0 +1,246 @@
+"""Corruption fuzz over every host-side decode surface OUTSIDE the EXR
+family (tests/test_extra_formats.py owns the EXR sweeps): byte flips
+and truncations of valid fixtures must decode cleanly or raise the
+boundary error class — never leak a raw IndexError/KeyError/
+struct.error, never hang, and never kill the process (the native JPEG
+readers longjmp on libjpeg errors; this sweep is the canary).
+
+The contract mirrors the reference's: any decode failure is a process
+error -> 500 + fallback (reference src/main.rs:165-196), keyed on
+CodecError / ProcessError / SvgError at the module boundaries."""
+
+import io
+import threading
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import codecs, extra_codecs, svg
+from fanlin_tpu.engine.processor import ProcessError
+
+
+def _rgb(w, h, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+
+
+def _pil_bytes(fmt, mode="RGB", size=(64, 48), **kw):
+    buf = io.BytesIO()
+    im = Image.fromarray(_rgb(*size), "RGB")
+    if mode != "RGB":
+        im = im.convert(mode)
+    im.save(buf, format=fmt, **kw)
+    return buf.getvalue()
+
+
+def _fixtures():
+    fx = {
+        "jpeg": _pil_bytes("JPEG", quality=90),
+        "png": _pil_bytes("PNG", mode="RGBA"),
+        "webp": _pil_bytes("WEBP", quality=80),
+        "bmp": _pil_bytes("BMP"),
+        "tiff": _pil_bytes("TIFF"),
+        "ico": _pil_bytes("ICO", size=(32, 32)),
+        "pnm": _pil_bytes("PPM"),
+        "qoi": extra_codecs.encode_qoi(_rgb(48, 32)),
+        "farbfeld": extra_codecs.encode_farbfeld(_rgb(48, 32)),
+        "hdr": extra_codecs.encode_hdr(_rgb(48, 32)),
+    }
+    return fx
+
+
+def _sweep(data, call, allowed, rng, n_head=24, n_any=12, n_trunc=8,
+           tag=""):
+    """Flip bytes (head-weighted: that's header/structure territory)
+    and truncate; collect anything escaping `allowed`."""
+    failures = []
+    d = bytearray(data)
+    head = min(200, len(d))
+    spots = list(rng.integers(0, head, n_head)) + list(
+        rng.integers(0, len(d), n_any)
+    )
+    for i in spots:
+        orig = d[i]
+        d[i] = (orig + 1 + rng.integers(0, 255)) % 256
+        try:
+            call(bytes(d))
+        except allowed:
+            pass
+        except Exception as e:  # noqa: BLE001 — the assertion
+            failures.append((tag, int(i), type(e).__name__, str(e)[:100]))
+        d[i] = orig
+    for n in rng.integers(0, len(d), n_trunc):
+        try:
+            call(bytes(d[:n]))
+        except allowed:
+            pass
+        except Exception as e:  # noqa: BLE001
+            failures.append((tag, f"trunc{n}", type(e).__name__,
+                             str(e)[:100]))
+    return failures
+
+
+def _run_watchdogged(fn, budget_s):
+    out = {}
+
+    def run():
+        out["failures"] = fn()
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(budget_s)
+    assert not t.is_alive(), "sweep hung (infinite parse loop?)"
+    return out["failures"]
+
+
+def test_decode_corruption_fuzz_all_formats():
+    """codecs.decode must return or raise CodecError for every format
+    family it dispatches."""
+    rng = np.random.default_rng(17)
+    fx = _fixtures()
+
+    def sweep():
+        failures = []
+        for name, data in fx.items():
+            failures += _sweep(
+                data, codecs.decode, (codecs.CodecError,), rng, tag=name
+            )
+        return failures
+
+    failures = _run_watchdogged(sweep, 180)
+    assert not failures, failures[:10]
+
+
+def test_zero_dimension_sources_rejected():
+    """Zero-dim headers (one flipped byte away from valid) must raise
+    CodecError, not leak a 0-size array into geometry planning (where
+    resize ratios divide by the source dims)."""
+    import struct
+
+    ff = bytearray(extra_codecs.encode_farbfeld(_rgb(48, 32)))
+    struct.pack_into(">I", ff, 8, 0)  # width = 0
+    with pytest.raises(codecs.CodecError, match="dimensions"):
+        codecs.decode(bytes(ff))
+    with pytest.raises(codecs.CodecError):
+        # BMP headers carry no checksum: dims are one pack_into away
+        bmp = bytearray(_pil_bytes("BMP"))
+        struct.pack_into("<ii", bmp, 18, 0, 32)
+        codecs.decode(bytes(bmp))
+
+
+def test_gif_corruption_fuzz():
+    buf = io.BytesIO()
+    frames = [Image.fromarray(_rgb(40, 30, seed=s), "RGB") for s in (1, 2)]
+    frames[0].save(buf, format="GIF", save_all=True,
+                   append_images=frames[1:], loop=0, duration=50)
+    data = buf.getvalue()
+    rng = np.random.default_rng(19)
+
+    def sweep():
+        return _sweep(
+            data, codecs.decode_gif_frames, (codecs.CodecError,), rng,
+            n_head=30, n_any=16, tag="gif",
+        )
+
+    failures = _run_watchdogged(sweep, 120)
+    assert not failures, failures[:10]
+
+
+def test_svg_corruption_fuzz():
+    data = (
+        b'<?xml version="1.0"?>\n'
+        b'<svg xmlns="http://www.w3.org/2000/svg" width="40" height="30">'
+        b'<rect x="1" y="1" width="20" height="10" fill="#abc"/></svg>'
+    )
+    rng = np.random.default_rng(23)
+
+    def sweep():
+        return _sweep(
+            data, svg.process_unknown_format, (svg.SvgError,), rng,
+            n_head=40, n_any=20, tag="svg",
+        )
+
+    failures = _run_watchdogged(sweep, 60)
+    assert not failures, failures[:10]
+
+
+def test_jpeg_coef_host_path_fuzz():
+    """The coefficient serving path's host half under corruption:
+    entropy read -> viability gate -> pack build -> numpy mirror
+    execute. Corrupt streams must either fail the native read (meta
+    None), fail viability, or produce a well-shaped output — pack
+    planning must not raise on any coefficient content libjpeg lets
+    through."""
+    from fanlin_tpu.engine import native_codecs
+    from fanlin_tpu.ops import fused, hostexec, jpeg_decode
+    from fanlin_tpu.spec.query import parse_query
+
+    if not native_codecs.available():
+        pytest.skip("native codec core not built")
+
+    params = parse_query("w=24&h=20")
+    fixtures = {
+        "q90": _pil_bytes("JPEG", quality=90),
+        "q92_444": _pil_bytes("JPEG", quality=92, subsampling=0),
+        "gray": _pil_bytes("JPEG", mode="L", quality=85),
+    }
+    rng = np.random.default_rng(29)
+
+    def drive(data):
+        meta = native_codecs.read_jpeg_coeffs(data)
+        if meta is None or not jpeg_decode.upload_viable(meta):
+            return
+        plan = fused.plan_image(meta["w"], meta["h"], params, opaque=True)
+        asm = fused.CoefBatchAssembly([plan], [meta])
+        out = hostexec.run_host(asm)[0]
+        assert out.shape == (plan.out_h, plan.out_w, out.shape[2])
+
+    def sweep():
+        failures = []
+        for name, data in fixtures.items():
+            failures += _sweep(
+                data, drive, (), rng, n_head=16, n_any=16, n_trunc=6,
+                tag=name,
+            )
+        return failures
+
+    failures = _run_watchdogged(sweep, 240)
+    assert not failures, failures[:10]
+
+
+def test_processor_corruption_fuzz():
+    """Full process_image on corrupt bytes: ProcessError or a valid
+    (mime, bytes) response — nothing else. Device compute rides the
+    numpy host mirror so the sweep is compile-free."""
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.ops import fused, hostexec
+    from fanlin_tpu.spec.content import extract_accepted_image_formats
+    from fanlin_tpu.spec.query import parse_query
+
+    class _HostRunner:
+        def run(self, plans, images, kinds=None):
+            asm = fused.make_assembly(plans, images, kinds or ["rgb"])
+            return hostexec.run_host(asm)
+
+    engine = Engine(runner=_HostRunner())
+    params = parse_query("w=20&h=20")
+    accept = extract_accepted_image_formats([])
+    rng = np.random.default_rng(31)
+    fx = _fixtures()
+
+    def drive(data):
+        mime, out = engine.process_image(data, params, accept)
+        assert isinstance(mime, str) and len(out) > 0
+
+    def sweep():
+        failures = []
+        for name in ("jpeg", "png", "webp", "qoi", "farbfeld", "hdr"):
+            failures += _sweep(
+                fx[name], drive, (ProcessError,), rng,
+                n_head=10, n_any=6, n_trunc=4, tag=name,
+            )
+        return failures
+
+    failures = _run_watchdogged(sweep, 240)
+    assert not failures, failures[:10]
