@@ -151,7 +151,12 @@ class S3Client:
             ) as resp:
                 if 200 <= resp.status < 300:
                     return await resp.read()
-                body = await resp.text()
+                # error body: bounded read (a hostile origin must not
+                # stream gigabytes into an error branch) + tolerant
+                # decode (binary bodies would otherwise leak a raw
+                # UnicodeDecodeError past the ClientError net)
+                raw = await resp.content.read(64 * 1024)
+                body = raw.decode("utf-8", "replace")
                 if "<Code>NoSuchKey</Code>" in body:
                     return None  # reference s3.rs:62-64
                 raise S3Error(f"s3 GET {bucket}/{key} -> {resp.status}: {body[:200]}")

@@ -302,3 +302,48 @@ def test_percent_encoded_path_single_decode(e2e, fixtures_dir):
     # %20 decodes once to a space -> no such file -> 404 (fallback)
     resp, _ = loop.run_until_complete(go("/baz/name%20file.jpg"))
     assert resp.status == 404
+
+
+def test_s3_error_body_bounded_and_binary_safe():
+    """A hostile/broken S3 origin returning a huge binary error body
+    must surface as S3Error (-> 500 at the gateway), with the read
+    bounded to 64 KB — not stream the whole body or leak a raw
+    UnicodeDecodeError past the ClientError net."""
+    from fanlin_tpu.config import S3Config
+    from fanlin_tpu.infra.s3 import S3Client, S3Error
+
+    served = {"sent": 0}
+
+    async def evil(request: web.Request):
+        # 8 MB of invalid-UTF-8 binary junk on a 503
+        body = b"\xff\xfe\x00garbage" * (1024 * 1024)
+        served["sent"] = len(body)
+        return web.Response(status=503, body=body)
+
+    app = web.Application()
+    app.router.add_get("/{bucket}/{key:.*}", evil)
+
+    loop = asyncio.new_event_loop()
+    try:
+        async def go():
+            client = TestClient(TestServer(app))
+            await client.start_server()
+            srv = client.server
+            cfg = S3Config(
+                aws_region="test-region-1",
+                aws_endpoint_url=f"http://{srv.host}:{srv.port}",
+                aws_access_key_id="AAAAAAAAAAAAAAAAAAAA",
+                aws_secret_access_key="A" * 40,
+            )
+            s3 = S3Client(cfg)
+            try:
+                with pytest.raises(S3Error) as ei:
+                    await s3.get_object("local-test", "images/x.jpg")
+                assert "503" in str(ei.value)
+            finally:
+                await s3.close()
+                await client.close()
+
+        loop.run_until_complete(go())
+    finally:
+        loop.close()
