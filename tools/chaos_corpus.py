@@ -1,0 +1,117 @@
+#!/usr/bin/env python
+"""Build a chaos-soak corpus: valid sources across every decode
+family plus deterministic corrupted variants (bit flips, truncations,
+dimension bombs, junk). Pair with tools/loadgen.py's multi-URL mode
+to drive a live gateway with mixed traffic and assert it answers
+every request (200 for valid, 404/500-with-fallback for corrupt —
+reference error semantics, src/main.rs:165-196) without crashing,
+wedging, or leaking memory.
+
+Usage: python tools/chaos_corpus.py <outdir>
+Prints a JSON manifest {filename: expected_status} for the driver.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import pathlib
+import struct
+import sys
+
+import numpy as np
+from PIL import Image
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+from fanlin_tpu.engine import extra_codecs, exr_codec  # noqa: E402
+
+
+def _rgb(w, h, seed=7):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    # photographic-ish: smooth so encoders behave like real content
+    return (base // 2 + 64).astype(np.uint8)
+
+
+def _pil_bytes(fmt, size=(96, 64), mode="RGB", **kw):
+    buf = io.BytesIO()
+    im = Image.fromarray(_rgb(*size), "RGB")
+    if mode != "RGB":
+        im = im.convert(mode)
+    im.save(buf, format=fmt, **kw)
+    return buf.getvalue()
+
+
+def _flip(data: bytes, *spots) -> bytes:
+    d = bytearray(data)
+    for i in spots:
+        d[i % len(d)] ^= 0x5A
+    return bytes(d)
+
+
+def build(outdir: pathlib.Path) -> dict:
+    outdir.mkdir(parents=True, exist_ok=True)
+    golden = pathlib.Path(__file__).resolve().parent.parent / "tests/golden"
+
+    jpeg = (golden / "lenna_src.jpg").read_bytes()
+    png = (golden / "lenna_src.png").read_bytes()
+    gif = (golden / "lenna_src.gif").read_bytes()
+    webp = _pil_bytes("WEBP", quality=80)
+    qoi = extra_codecs.encode_qoi(_rgb(96, 64))
+    ff = extra_codecs.encode_farbfeld(_rgb(96, 64))
+    hdr = extra_codecs.encode_hdr(_rgb(96, 64))
+    exr = exr_codec.encode_exr(_rgb(96, 64), compression=exr_codec._ZIP)
+    svg = (b'<svg xmlns="http://www.w3.org/2000/svg" width="40" '
+           b'height="30"><rect width="20" height="10" fill="#abc"/></svg>')
+
+    # SOF dimension bomb (decode-alloc gate -> fast 500)
+    bomb = bytearray(jpeg)
+    i = 2
+    while i + 4 <= len(bomb):
+        if bomb[i + 1] in (0xC0, 0xC1, 0xC2):
+            struct.pack_into(">HH", bomb, i + 5, 30000, 30000)
+            break
+        i += 2 + ((bomb[i + 2] << 8) | bomb[i + 3])
+
+    zff = bytearray(ff)
+    struct.pack_into(">I", zff, 8, 0)  # zero-width farbfeld
+
+    # expected status for a TRANSFORM request (?w=64&h=48):
+    # corrupt-at-decode -> 500 (fallback body when configured);
+    # mid-bitstream flips that still decode -> 200. Flips chosen in
+    # structure territory so the outcome is deterministic.
+    manifest = {
+        "ok.jpg": (jpeg, 200),
+        "ok.png": (png, 200),
+        "ok.gif": (gif, 200),
+        "ok.webp": (webp, 200),
+        "ok.qoi": (qoi, 200),
+        "ok.ff": (ff, 200),
+        "ok.hdr": (hdr, 200),
+        "ok.exr": (exr, 200),
+        "ok.svg": (svg, 200),  # unknown-format validate+passthrough
+        "bomb.jpg": (bytes(bomb), 500),
+        # mid-scan truncation decodes: libjpeg emits the partial scan
+        # with a warning (the reference's decoder is tolerant too)
+        "trunc.jpg": (jpeg[: len(jpeg) // 3], 200),
+        "head.jpg": (jpeg[:200], 500),  # cut before SOS: real error
+        "flip.png": (_flip(png, 20, 21, 22), 500),  # IHDR crc break
+        "trunc.gif": (gif[: len(gif) // 4], 200),  # placeholder frames
+        "zero.ff": (bytes(zff), 500),
+        "trunc.qoi": (qoi[: len(qoi) // 2], 500),
+        "flip.hdr": (_flip(hdr, 3), 500),  # header magic break -> svg 500
+        "trunc.exr": (exr[: len(exr) // 2], 500),
+        "junk.bin": (b"\x00\x01\x02 not an image " * 64, 500),
+        "bad.svg": (svg[:-6], 500),  # unterminated -> SvgError
+    }
+    expected = {}
+    for name, (data, status) in manifest.items():
+        (outdir / name).write_bytes(data)
+        expected[name] = status
+    return expected
+
+
+if __name__ == "__main__":
+    out = pathlib.Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/chaos")
+    print(json.dumps(build(out)))

@@ -8,6 +8,13 @@ shape as the reference's published vegeta tables (BASELINE.md).
 Usage:
   python tools/loadgen.py --url 'http://127.0.0.1:3000/baz/lenna.jpg?w=300&h=200' \
       --rate 500 --duration 30
+
+`--url` may repeat for mixed-traffic (chaos) runs — requests pick a
+URL uniformly at random and the report adds a per-status histogram,
+so runs that EXPECT 4xx/5xx (corrupt-source fixtures) can assert the
+gateway answered every request with a terminated response instead of
+lumping those into one failure count. Transport errors (connection
+drop, client timeout) stay separate: those are the real failures.
 """
 
 from __future__ import annotations
@@ -15,33 +22,39 @@ from __future__ import annotations
 import argparse
 import asyncio
 import json
+import random
 import time
 
 import aiohttp
 
 
-async def run(url: str, rate: float, duration: float, accept: str | None):
+async def run(urls: list[str], rate: float, duration: float,
+              accept: str | None):
     interval = 1.0 / rate
     deadline = time.perf_counter() + duration
     latencies: list[float] = []
+    all_lat: list[float] = []
     sizes: list[int] = []
+    statuses: dict[int, int] = {}
     failures = 0
     headers = {"Accept": accept} if accept else {}
     connector = aiohttp.TCPConnector(limit=0)
+    rng = random.Random(0)
     async with aiohttp.ClientSession(connector=connector) as session:
         tasks = []
 
         async def one():
             nonlocal failures
+            url = urls[0] if len(urls) == 1 else rng.choice(urls)
             t0 = time.perf_counter()
             try:
                 async with session.get(url, headers=headers) as resp:
                     body = await resp.read()
+                    statuses[resp.status] = statuses.get(resp.status, 0) + 1
+                    all_lat.append(time.perf_counter() - t0)
                     if resp.status == 200:
-                        latencies.append(time.perf_counter() - t0)
+                        latencies.append(all_lat[-1])
                         sizes.append(len(body))
-                    else:
-                        failures += 1
             except Exception:
                 failures += 1
 
@@ -60,28 +73,35 @@ async def run(url: str, rate: float, duration: float, accept: str | None):
             return float("nan")
         return latencies[min(int(len(latencies) * p), len(latencies) - 1)] * 1000
 
-    total = len(latencies) + failures
-    print(
-        json.dumps(
-            {
-                "requests": total,
-                "success_rate": round(len(latencies) / max(total, 1), 4),
-                "rate_rps": round(total / duration, 1),
-                "latency_ms": {
-                    "mean": round(sum(latencies) / max(len(latencies), 1) * 1000, 2),
-                    "p50": round(pct(0.50), 2),
-                    "p99": round(pct(0.99), 2),
-                    "max": round((latencies[-1] * 1000) if latencies else 0, 2),
-                },
-                "mean_bytes_out": int(sum(sizes) / max(len(sizes), 1)),
-            }
-        )
-    )
+    total = len(all_lat) + failures
+    report = {
+        "requests": total,
+        "success_rate": round(len(latencies) / max(total, 1), 4),
+        "rate_rps": round(total / duration, 1),
+        "latency_ms": {
+            "mean": round(sum(latencies) / max(len(latencies), 1) * 1000, 2),
+            "p50": round(pct(0.50), 2),
+            "p99": round(pct(0.99), 2),
+            "max": round((latencies[-1] * 1000) if latencies else 0, 2),
+        },
+        "mean_bytes_out": int(sum(sizes) / max(len(sizes), 1)),
+    }
+    if len(statuses) > 1 or failures:
+        report["statuses"] = {str(k): statuses[k] for k in sorted(statuses)}
+        report["transport_failures"] = failures
+        all_lat.sort()
+        report["all_latency_ms"] = {
+            "p50": round(all_lat[len(all_lat) // 2] * 1000, 2)
+            if all_lat else float("nan"),
+            "max": round(all_lat[-1] * 1000, 2) if all_lat else 0,
+        }
+    print(json.dumps(report))
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--url", required=True)
+    ap.add_argument("--url", required=True, action="append",
+                    help="repeatable; multiple URLs -> uniform random mix")
     ap.add_argument("--rate", type=float, default=50.0)
     ap.add_argument("--duration", type=float, default=30.0)
     ap.add_argument("--accept", default=None)
