@@ -1,0 +1,82 @@
+"""The chaos corpus (tools/chaos_corpus.py) pinned at the engine
+boundary: every corpus file's transform outcome must match its
+manifest — valid sources return (mime, bytes), corrupt ones raise
+ProcessError (-> 500 + fallback at the gateway, reference
+src/main.rs:165-196) — and as_is never decodes, so even the
+dimension bomb passes through untouched."""
+
+import numpy as np
+import pytest
+
+from fanlin_tpu.engine import Engine
+from fanlin_tpu.engine.processor import ProcessError
+from fanlin_tpu.ops import fused, hostexec
+from fanlin_tpu.spec.content import extract_accepted_image_formats
+from fanlin_tpu.spec.query import parse_query
+
+
+class _HostRunner:
+    def run(self, plans, images, kinds=None):
+        return hostexec.run_host(
+            fused.make_assembly(plans, images, kinds or ["rgb"])
+        )
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    from tools.chaos_corpus import build
+
+    out = tmp_path_factory.mktemp("chaos")
+    return out, build(out)
+
+
+def test_manifest_outcomes(corpus):
+    outdir, manifest = corpus
+    engine = Engine(runner=_HostRunner())
+    params = parse_query("w=64&h=48")
+    accept = extract_accepted_image_formats([])
+    for name, want in manifest.items():
+        data = (outdir / name).read_bytes()
+        if want == 200:
+            mime, out = engine.process_image(data, params, accept)
+            assert isinstance(mime, str) and len(out) > 0, name
+        else:
+            with pytest.raises(ProcessError):
+                engine.process_image(data, params, accept)
+
+
+def test_as_is_never_decodes(corpus):
+    """Corrupt bytes with no transform params pass through raw with a
+    sniffed mime — even the dimension bomb (reference handler.rs:198-
+    201: as_is short-circuits before any decode)."""
+    outdir, manifest = corpus
+    engine = Engine(runner=_HostRunner())
+    params = parse_query("")
+    accept = extract_accepted_image_formats([])
+    for name in ("bomb.jpg", "trunc.jpg", "head.jpg", "flip.png",
+                 "zero.ff", "trunc.exr"):
+        data = (outdir / name).read_bytes()
+        mime, out = engine.process_image(data, params, accept)
+        assert out == data, name
+
+
+def test_corrupt_error_path_is_cheap(corpus):
+    """Corrupt-source rejection must stay milliseconds (the gate fires
+    before any allocation or device work) — a regression here turns
+    hostile traffic into a CPU DoS."""
+    import time
+
+    outdir, manifest = corpus
+    engine = Engine(runner=_HostRunner())
+    params = parse_query("w=64&h=48")
+    accept = extract_accepted_image_formats([])
+    worst = 0.0
+    for name, want in manifest.items():
+        if want != 500:
+            continue
+        data = (outdir / name).read_bytes()
+        t0 = time.perf_counter()
+        with pytest.raises(ProcessError):
+            engine.process_image(data, params, accept)
+        worst = max(worst, time.perf_counter() - t0)
+    assert worst < 0.5, worst
