@@ -32,6 +32,7 @@ import subprocess
 import sys
 import tempfile
 import time
+import urllib.error
 import urllib.request
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -118,6 +119,71 @@ def export_golden(port: int, export_dir: str, golden_dir: str, report):
     with open(os.path.join(export_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=2)
     report["golden_export"] = manifest
+
+
+# Corrupt-input status parity (session 7): the chaos corpus driven
+# against the REAL binary. "assert" rows must status-match (clear
+# errors on both sides: dimension bombs hit the crate's
+# Limits::default() 512 MiB alloc cap exactly like our decode gate;
+# junk/malformed-SVG fail both validators). "report" rows record the
+# measured statuses without failing the run — decoder TOLERANCE to
+# truncation/bit damage legitimately differs per family (libjpeg
+# emits partial scans where another decoder may error), and the
+# artifact is the measurement itself.
+CORRUPT_MODE = {
+    "bomb.jpg": "assert",
+    "head.jpg": "assert",
+    "junk.bin": "assert",
+    "bad.svg": "assert",
+    "zero.ff": "report",   # the crate may lack farbfeld-by-extension
+    "trunc.jpg": "report",
+    "flip.png": "report",
+    "trunc.gif": "report",
+    "trunc.qoi": "report",
+    "flip.hdr": "report",
+    "trunc.exr": "report",
+    "ok.svg": "assert",    # valid SVG: 200 passthrough on both sides
+}
+
+
+def fetch_status(port: int, path: str) -> int:
+    req = urllib.request.Request(f"http://127.0.0.1:{port}{path}")
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status
+    except urllib.error.HTTPError as e:
+        return e.code
+
+
+def corrupt_status_rows(port: int, imgdir: str, engine, report) -> None:
+    """Write the chaos corpus into the shared imgdir and compare
+    transform-request statuses: real binary vs this engine."""
+    import pathlib
+
+    from fanlin_tpu.spec.content import Format
+    from fanlin_tpu.spec.query import parse_query
+    from fanlin_tpu.engine.processor import ProcessError
+    from tools.chaos_corpus import build
+
+    build(pathlib.Path(imgdir))
+    params = parse_query("w=64&h=48")
+    for name, mode in CORRUPT_MODE.items():
+        rust = fetch_status(port, f"/baz/{name}?w=64&h=48")
+        try:
+            engine.process_image(
+                (pathlib.Path(imgdir) / name).read_bytes(), params,
+                Format())
+            ours = 200
+        except ProcessError:
+            ours = 500
+        except Exception as e:  # noqa: BLE001 — a leak IS a failure
+            ours = f"leak:{type(e).__name__}"
+        row = {"name": f"corrupt_{name}", "mode": mode,
+               "rust_status": rust, "our_status": ours}
+        if mode == "assert" and rust != ours:
+            row["error"] = "status mismatch"
+            report["passed"] = False
+        report["rows"].append(row)
 
 
 def wait_ping(port: int, timeout: float = 30.0) -> None:
@@ -261,6 +327,8 @@ def main() -> int:
                 if db < min_db:
                     report["passed"] = False
             report["rows"].append(row)
+
+        corrupt_status_rows(args.port, imgdir, engine, report)
 
         if args.export_golden:
             export_golden(args.port, args.export_golden,
