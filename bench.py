@@ -81,8 +81,8 @@ def _host_mirror_rate(seconds: float = 8.0) -> float:
             img, _, _ = codecs.decode(data)
             imgs.append(img)
         if plan is None:
-            plan = fused.plan_image(imgs[0].shape[0], imgs[0].shape[1],
-                                    params)
+            h, w = imgs[0].shape[:2]
+            plan = fused.plan_image(w, h, params)
         asm = fused.make_assembly([plan] * batch, imgs, ["rgb"] * batch)
         outs = hostexec.run_host(asm)
         for o in outs:

@@ -319,6 +319,16 @@ class MicroBatcher:
                       "device_stalls": 0,
                       "device_wedged": 0}
 
+    def device_available(self) -> bool:
+        """False while the device is wedged (stall watchdog fired and
+        no recovery probe has succeeded). The processor consults this
+        to prefer the PIXEL source path during an outage: the host
+        mirror prices a coefficient batch ~2.2x a pixel batch (numpy
+        iDCT vs native libjpeg decode, BENCH_NOTES session 7), and the
+        two paths are byte-identical, so the flip is free."""
+        with self._lock:
+            return not self._wedged
+
     # -- submission --------------------------------------------------------
 
     def submit(self, plan: fused.ImagePlan, image: np.ndarray,
@@ -435,6 +445,37 @@ class MicroBatcher:
                 self._dispatch(group)
 
     # -- device-stall failover ----------------------------------------------
+
+    class _LinkProbe:
+        """Compile-free recovery probe for a boot-time wedge: a
+        device_put round trip proves the accelerator link moves bytes
+        again without waiting minutes for a remote compile. Quacks
+        like an assembly for _probe_device."""
+
+        def run(self):
+            import jax
+            import numpy as np
+
+            x = jax.device_put(np.ones(64, np.float32))
+            np.asarray(x)
+            return []
+
+    def mark_boot_wedged(self) -> None:
+        """Declare the device wedged from BOOT (the bounded backend
+        probe timed out — the accelerator link is dead at startup).
+        Without this, a dead-at-boot link never trips the stall
+        watchdog (that needs a WARM batch to stall), so
+        device_available() stayed True and the processor kept feeding
+        the mirror coefficient batches at ~2.2x the pixel price
+        (observed live, session 7). The recovery probe is a transfer
+        round trip, not a program run: no compiled program exists yet."""
+        if not (self.device_stall_s > 0 and self._host_fallback):
+            return  # failover machinery (watchdog + probes) disabled
+        self._declare_wedged(probe_asm=self._LinkProbe())
+        _logger.error(
+            "accelerator link unresponsive at boot — serving from the "
+            "host mirror (pixel path) until a recovery probe succeeds"
+        )
 
     def _declare_wedged(self, probe_asm=None) -> None:
         """Mark the device wedged and QUARANTINE the device-side
@@ -884,3 +925,6 @@ class BatchingRunner:
         v = getattr(self._tls, "host_mirror", False)
         self._tls.host_mirror = False
         return v
+
+    def device_available(self) -> bool:
+        return self.batcher.device_available()

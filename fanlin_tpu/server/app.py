@@ -490,6 +490,11 @@ async def build_state(cfg: config_mod.Config, runner=None,
         device_decode = cfg.tpu.device_decode and backend != "cpu"
         if cfg.tpu.device_decode and not device_decode:
             log.info("device_decode disabled on the cpu backend")
+        if backend == "unknown" and isinstance(runner, BatchingRunner):
+            # link dead at BOOT: wedge the batcher now so the engine
+            # prefers the cheaper pixel path and recovery probes run —
+            # the stall watchdog alone needs a WARM batch to trip
+            runner.batcher.mark_boot_wedged()
     engine = Engine(runner=runner,
                     device_dct=cfg.tpu.device_dct,
                     device_decode=device_decode)

@@ -168,6 +168,26 @@ class RemoteRunner:
         self._tls.host_mirror = False
         return v
 
+    _AVAIL_TTL_S = 1.0
+
+    def device_available(self) -> bool:
+        """The device service's wedge gauge, cached ~1 s: the engine
+        consults this per request to pick the coefficient vs pixel
+        source path, and wedge transitions are second-scale. Staleness
+        only mis-prices the mirror briefly — bytes are identical on
+        both paths. Unreachable service -> last known (the request
+        itself will surface the failure)."""
+        now = time.monotonic()
+        cached = getattr(self, "_avail", None)
+        if cached is not None and now - cached[0] < self._AVAIL_TTL_S:
+            return cached[1]
+        st = self.batcher_stats()
+        v = cached[1] if cached is not None else True
+        if st is not None:
+            v = not st.get("batcher", {}).get("device_wedged", 0)
+        self._avail = (now, v)
+        return v
+
     def batcher_stats(self):
         """The device service's /stats payload ({"batcher": counters,
         "programs_cached": ..., "programs_warm": ..., "caches": ...});
@@ -282,6 +302,10 @@ class DeviceService:
                                cfg.tpu.device_stall_s, "unknown",
                                "jax backend init")
         device_decode = cfg.tpu.device_decode and backend != "cpu"
+        if backend == "unknown":
+            # link dead at boot: wedge now (mirror + pixel path) so
+            # recovery probes run; workers see it via device_available
+            self.batcher.mark_boot_wedged()
         # what the workers need to know about the device they can't see
         self.worker_cfg = {"device_decode": device_decode}
         self._warmup_on = bool(cfg.tpu.warmup)

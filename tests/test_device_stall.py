@@ -451,3 +451,117 @@ def test_submit_host_fails_futures_when_host_lane_closed():
             assert "closed" in str(e)
     finally:
         batcher.close()
+
+
+def test_wedged_engine_prefers_pixel_source_path():
+    """While wedged, the processor must route JPEG sources to the
+    PIXEL path (the host mirror prices a coefficient batch ~2.2x a
+    pixel batch for byte-identical output) and resume the coefficient
+    upload on recovery — runner.device_available() is the signal."""
+    import io
+
+    from PIL import Image
+
+    from fanlin_tpu.engine import native_codecs
+    from fanlin_tpu.engine.processor import Engine
+    from fanlin_tpu.ops import hostexec
+    from fanlin_tpu.spec.content import extract_accepted_image_formats
+
+    if not native_codecs.available():
+        import pytest
+
+        pytest.skip("native codec core not built")
+
+    class ToggleRunner:
+        """Host-mirror runner with a switchable availability signal."""
+
+        def __init__(self):
+            self.up = True
+
+        def run(self, plans, images, kinds=None):
+            return hostexec.run_host(
+                fused.make_assembly(plans, images, kinds or ["rgb"])
+            )
+
+        def device_available(self):
+            return self.up
+
+    runner = ToggleRunner()
+    engine = Engine(runner=runner)
+    buf = io.BytesIO()
+    Image.fromarray(make_test_image(97, 71)).save(
+        buf, format="JPEG", quality=88
+    )
+    data = buf.getvalue()
+    q = parse_query("w=40&h=30")
+    accept = extract_accepted_image_formats([])
+
+    _, healthy = engine.process_image(data, q, accept)
+    assert engine.stats["coef_src"] == 1 and engine.stats["pixel_src"] == 0
+
+    runner.up = False  # wedge: pixel path, identical bytes
+    _, wedged = engine.process_image(data, q, accept)
+    assert engine.stats["pixel_src"] == 1
+    assert wedged == healthy
+
+    runner.up = True  # recovery: coefficient path resumes
+    engine.process_image(data, q, accept)
+    assert engine.stats["coef_src"] == 2
+
+
+def test_boot_wedge_serves_mirror_and_probe_recovers():
+    """A dead accelerator link at BOOT (bounded backend probe timed
+    out) wedges the batcher immediately: device_available() False,
+    batches mirror-served — and the compile-free link probe (a
+    device_put round trip; instant on the test CPU backend) recovers
+    it without any warm program existing."""
+    mb = MicroBatcher(4, 5.0, host_fallback=True, device_stall_s=0.3)
+    try:
+        mb.mark_boot_wedged()
+        assert not mb.device_available()
+        assert mb.stats["device_wedged"] == 1
+
+        img = _rgba(make_test_image(61, 47))
+        plan = fused.plan_image(61, 47, parse_query("w=30&h=20"))
+        out = mb.submit(plan, img, "rgb").result(timeout=30)
+        assert out.shape[:2] == (20, 30)
+        assert mb.stats["host_fallbacks"] >= 1
+
+        # the watchdog's _LinkProbe succeeds on the CPU backend
+        assert _wait(mb.device_available, timeout=15.0), "no recovery"
+        assert mb.stats["device_wedged"] == 0
+    finally:
+        mb.close()
+
+
+def test_boot_wedge_noop_when_failover_disabled():
+    """Without the failover machinery (no watchdog, no probes) a boot
+    wedge could never recover — mark_boot_wedged must be a no-op."""
+    mb = MicroBatcher(4, 5.0, host_fallback=False, device_stall_s=0.3)
+    try:
+        mb.mark_boot_wedged()
+        assert mb.device_available()
+    finally:
+        mb.close()
+
+
+def test_remote_runner_device_available_ttl(monkeypatch):
+    """The worker-side signal is the service's wedge gauge behind a
+    ~1 s cache; an unreachable service keeps the last known value."""
+    from fanlin_tpu.server.workers import RemoteRunner
+
+    r = RemoteRunner("/nonexistent")
+    calls = {"n": 0}
+
+    def fake_stats():
+        calls["n"] += 1
+        return {"batcher": {"device_wedged": 1}}
+
+    monkeypatch.setattr(r, "batcher_stats", fake_stats)
+    assert r.device_available() is False
+    assert r.device_available() is False  # cached
+    assert calls["n"] == 1
+
+    monkeypatch.setattr(r, "batcher_stats", lambda: None)
+    r._avail = (0.0, False)  # expire the cache
+    assert r.device_available() is False  # unreachable -> last known
