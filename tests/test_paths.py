@@ -101,3 +101,46 @@ def test_router_longest_prefix_wins():
     assert router.at("/other/x.jpg").src.endswith("/root")
     assert router.at("/a/b/").src.endswith("/one")  # p="b/" under provider "a"
     assert router.at("/") is None
+
+
+def test_clean_path_containment_property_fuzz():
+    """Property fuzz of the traversal defense: for arbitrary
+    adversarial request paths (encoded dots, doubled separators,
+    unicode, nested encodings), the cleaned path must never be
+    absolute, never start with "../", and — the actual security
+    property — the joined origin path must never resolve to a FILE
+    above the provider base. TRAILING ".." segments survive (exact
+    reference parity: the fixpoint collapses every "/../", so a
+    surviving ".." has nothing after it), and those resolve to an
+    ancestor DIRECTORY — the file client errors reading a directory
+    (-> 500, same as the reference's fs read), and no file content
+    above the base is ever reachable."""
+    import os
+    import random
+
+    from fanlin_tpu.utils.paths import PathError, clean_path
+
+    rng = random.Random(42)
+    pieces = ["..", ".", "", "a", "bb", "..%2f", "%2e%2e", "%2e",
+              "%2f", "..%2F..", "%252e%252e", "a..b", "...", "..a",
+              "é", "%c3%a9", "baz", "/"]
+    base = "/srv/images"
+    for trial in range(4000):
+        n = rng.randint(1, 8)
+        raw = "/" + "/".join(rng.choice(pieces) for _ in range(n))
+        prefix = rng.choice(["", "baz", "/baz", "baz/"])
+        try:
+            out = clean_path(raw, prefix)
+        except PathError:
+            continue  # invalid utf-8 after decode: rejected is fine
+        assert not out.startswith("/"), (raw, prefix, out)
+        assert not out.startswith("../"), (raw, prefix, out)
+        resolved = os.path.normpath(os.path.join(base, out))
+        inside = resolved == base or resolved.startswith(base + os.sep)
+        # above the base is tolerable ONLY as an ancestor directory
+        # reached via trailing ".." (unreadable -> 500 on both sides)
+        ancestor_dir = (
+            os.path.commonpath([resolved, base]) == resolved
+            and out.split("/")[-1] == ".."
+        )
+        assert inside or ancestor_dir, (raw, prefix, out, resolved)
