@@ -29,6 +29,14 @@ import time
 
 import numpy as np
 
+if os.environ.get("SCEN_PLATFORM"):
+    # escape hatch for a wedged accelerator link: SCEN_PLATFORM=cpu
+    # rebinds jax before any device touch (the env var JAX_PLATFORMS
+    # is too late on rigs whose sitecustomize pre-imports jax)
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["SCEN_PLATFORM"])
+
 
 def _source_images():
     from PIL import Image
