@@ -699,7 +699,12 @@ class MicroBatcher:
                 # timeout must never fire for this)
                 with self._lock:
                     spawn = (
-                        key not in self._compiling
+                        # a wedged link hangs every compile: don't leak
+                        # one stuck warm thread per program key during
+                        # an outage — the first post-recovery batch
+                        # spawns the compile instead
+                        not self._wedged
+                        and key not in self._compiling
                         and self._compile_failures.get(key, 0)
                         < COMPILE_FAILURE_LIMIT
                     )

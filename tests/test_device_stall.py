@@ -565,3 +565,29 @@ def test_remote_runner_device_available_ttl(monkeypatch):
     monkeypatch.setattr(r, "batcher_stats", lambda: None)
     r._avail = (0.0, False)  # expire the cache
     assert r.device_available() is False  # unreachable -> last known
+
+
+def test_wedged_cold_bucket_spawns_no_compile_thread():
+    """While wedged, cold-bucket batches must serve from the mirror
+    WITHOUT spawning a background compile (each would hang on the dead
+    link — one leaked stuck thread per program key); the first
+    post-recovery batch pays the compile instead."""
+    mb = MicroBatcher(4, 5.0, host_fallback=True, device_stall_s=30.0)
+    try:
+        mb._declare_wedged()  # wedge with no probe_asm: stays wedged
+        img = _rgba(make_test_image(59, 43))
+        plan = fused.plan_image(59, 43, parse_query("w=31&h=23"))
+        out = mb.submit(plan, img, "rgb").result(timeout=30)
+        assert out.shape[:2] == (23, 31)
+        assert not mb._compiling, "compile spawned while wedged"
+        assert not mb._warm_threads
+
+        with mb._lock:
+            mb._wedged = False  # simulate recovery
+            mb.stats["device_wedged"] = 0
+        out2 = mb.submit(plan, img, "rgb").result(timeout=30)
+        assert (out2 == out).all()
+        assert _wait(lambda: not mb._compiling, timeout=30), (
+            "post-recovery compile never ran/cleared")
+    finally:
+        mb.close()
