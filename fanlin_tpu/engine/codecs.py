@@ -239,6 +239,24 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
         if not has_alpha:
             arr = np.ascontiguousarray(arr[:, :, :3])
         return arr, has_alpha, False
+    if data[:2] in (b"P7", b"P5", b"P6"):
+        # PNM corners PIL gets wrong: PAM (P7, unsupported) and 16-bit
+        # P5/P6 (maxval > 255: clipped/garbage) — the image crate
+        # decodes both (extra_codecs); 8-bit PNM falls through to PIL
+        from . import extra_codecs
+
+        try:
+            if data[:2] == b"P7":
+                arr, has_alpha, is_gray = extra_codecs.decode_pam(data)
+                return np.ascontiguousarray(arr), has_alpha, is_gray
+            if extra_codecs.pnm_wide_header(data) is not None:
+                arr = extra_codecs.decode_pnm_wide(data)
+                is_gray = arr.shape[2] == 1
+                if is_gray:
+                    arr = np.repeat(arr, 3, axis=2)
+                return np.ascontiguousarray(arr), False, is_gray
+        except extra_codecs.ExtraCodecError as e:
+            raise CodecError(str(e)) from e
     try:
         with Image.open(io.BytesIO(data)) as im:
             _check_decode_alloc(im.size, im.mode)

@@ -178,6 +178,130 @@ def encode_farbfeld(img: np.ndarray) -> bytes:
 
 
 # ----------------------------------------------------------------------------
+# PNM corners PIL gets wrong (round 5 session 7): P7 PAM (PIL cannot
+# open it at all — the image crate's pnm decoder accepts it,
+# reference handler.rs:192-196 sniffs it like any source) and 16-bit
+# P5/P6 (maxval > 255: PIL yields clipped mode-I for P5 and byte
+# garbage for P6, where the crate scales to 8-bit). 8-bit P1-P6 stay
+# on PIL (it matches). 16->8 bit uses round(v * 255 / maxval) — the
+# DynamicImage NumCast scaling convention.
+# ----------------------------------------------------------------------------
+
+
+def _pnm_tokens(data: bytes, pos: int, n: int):
+    """Read n whitespace-separated ASCII tokens (with # comments)
+    starting at pos; -> (values, next_pos)."""
+    vals = []
+    while len(vals) < n:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(data) and data[pos : pos + 1] == b"#":
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                raise ExtraCodecError("truncated pnm header")
+            pos = nl + 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ExtraCodecError("truncated pnm header")
+        try:
+            vals.append(int(data[start:pos]))
+        except ValueError as e:
+            raise ExtraCodecError(f"bad pnm header token: {e}") from e
+    return vals, pos
+
+
+def pnm_wide_header(data: bytes):
+    """(w, h, maxval, sample_pos) for a P5/P6 whose maxval > 255,
+    else None (PIL handles 8-bit PNM correctly)."""
+    if data[:2] not in (b"P5", b"P6"):
+        return None
+    try:
+        (w, h, maxval), pos = _pnm_tokens(data, 2, 3)
+    except ExtraCodecError:
+        return None  # let PIL produce the parity error message
+    if maxval <= 255:
+        return None
+    return w, h, maxval, pos + 1  # single whitespace after maxval
+
+
+def decode_pnm_wide(data: bytes) -> np.ndarray:
+    """16-bit P5/P6 -> (H, W, 1|3) uint8, scaled from maxval."""
+    hdr = pnm_wide_header(data)
+    if hdr is None:
+        raise ExtraCodecError("not a wide pnm")
+    w, h, maxval, pos = hdr
+    ch = 1 if data[:2] == b"P5" else 3
+    if w <= 0 or h <= 0 or maxval > 65535 or w * h > 100_000_000:
+        raise ExtraCodecError("bad pnm dimensions")
+    n = w * h * ch
+    if len(data) < pos + 2 * n:
+        raise ExtraCodecError("truncated pnm stream")
+    px = np.frombuffer(data, dtype=">u2", count=n, offset=pos)
+    out = (px.astype(np.float32) * (255.0 / maxval)).round()
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+_PAM_DEPTH_OK = {1, 2, 3, 4}
+
+
+def decode_pam(data: bytes) -> tuple:
+    """P7 PAM -> ((H, W, C) uint8, has_alpha, is_gray). Header is
+    KEY [value] lines up to ENDHDR; samples are raw, big-endian u16
+    when maxval > 255."""
+    if data[:3] != b"P7\n":
+        raise ExtraCodecError("not a pam file")
+    pos = 3
+    fields = {}
+    for _ in range(256):  # header lines are few; bound crafted input
+        nl = data.find(b"\n", pos)
+        if nl < 0:
+            raise ExtraCodecError("truncated pam header")
+        line = data[pos:nl].strip()
+        pos = nl + 1
+        if not line or line.startswith(b"#"):
+            continue
+        parts = line.split(None, 1)
+        key = parts[0].upper()
+        if key == b"ENDHDR":
+            break
+        fields[key] = parts[1] if len(parts) > 1 else b""
+    else:
+        raise ExtraCodecError("oversized pam header")
+    try:
+        w = int(fields[b"WIDTH"])
+        h = int(fields[b"HEIGHT"])
+        depth = int(fields[b"DEPTH"])
+        maxval = int(fields[b"MAXVAL"])
+    except (KeyError, ValueError) as e:
+        raise ExtraCodecError(f"bad pam header: {e}") from e
+    if (w <= 0 or h <= 0 or depth not in _PAM_DEPTH_OK
+            or not 1 <= maxval <= 65535 or w * h > 100_000_000):
+        raise ExtraCodecError("bad pam geometry")
+    n = w * h * depth
+    if maxval > 255:
+        if len(data) < pos + 2 * n:
+            raise ExtraCodecError("truncated pam stream")
+        px = np.frombuffer(data, dtype=">u2", count=n, offset=pos)
+    else:
+        if len(data) < pos + n:
+            raise ExtraCodecError("truncated pam stream")
+        px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
+    arr = (px.astype(np.float32) * (255.0 / maxval)).round().astype(
+        np.uint8).reshape(h, w, depth)
+    has_alpha = depth in (2, 4)
+    is_gray = depth in (1, 2)
+    if depth == 1:
+        arr = np.repeat(arr, 3, axis=2)
+    elif depth == 2:
+        y, a = arr[:, :, :1], arr[:, :, 1:]
+        arr = np.concatenate([np.repeat(y, 3, axis=2), a], axis=2)
+    return arr, has_alpha, is_gray
+
+
+# ----------------------------------------------------------------------------
 # Radiance HDR (.hdr / RGBE) — VERDICT r4 missing #2: the reference
 # decodes HDR via the image crate and re-encodes through the generic
 # write_to branch (reference src/handler.rs:306); transform requests

@@ -46,6 +46,10 @@ def _fixtures():
         "qoi": extra_codecs.encode_qoi(_rgb(48, 32)),
         "farbfeld": extra_codecs.encode_farbfeld(_rgb(48, 32)),
         "hdr": extra_codecs.encode_hdr(_rgb(48, 32)),
+        "pam": (b"P7\nWIDTH 48\nHEIGHT 32\nDEPTH 3\nMAXVAL 255\n"
+                b"TUPLTYPE RGB\nENDHDR\n" + _rgb(48, 32).tobytes()),
+        "pnm16": (b"P6\n48 32\n65535\n"
+                  + _rgb(48, 32).astype(">u2").tobytes()),
     }
     return fx
 

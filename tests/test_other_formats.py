@@ -54,3 +54,77 @@ def test_webp_source_roundtrip():
     # webp source stays webp without negotiation (format preserved)
     assert mime == "image/webp"
     assert out[:4] == b"RIFF"
+
+
+def _pam(w, h, depth, maxval, samples, tupltype=b"RGB"):
+    hdr = (b"P7\nWIDTH %d\nHEIGHT %d\nDEPTH %d\nMAXVAL %d\n"
+           b"TUPLTYPE %s\nENDHDR\n" % (w, h, depth, maxval, tupltype))
+    return hdr + samples
+
+
+def test_pam_decode_parity():
+    """P7 PAM sources decode (the image crate's pnm decoder accepts
+    them; PIL cannot open PAM at all — transform requests used to
+    500)."""
+    import numpy as np
+
+    from fanlin_tpu.engine import codecs
+
+    rgb = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(6, 8, 3)
+    arr, has_alpha, is_gray = codecs.decode(
+        _pam(8, 6, 3, 255, rgb.tobytes())
+    )
+    assert np.array_equal(arr, rgb) and not has_alpha and not is_gray
+
+    # grayscale+alpha, 16-bit: scaled round(v*255/maxval), alpha kept
+    ga = (np.arange(8 * 6 * 2, dtype=np.uint64) * 400).astype(">u2")
+    arr, has_alpha, is_gray = codecs.decode(
+        _pam(8, 6, 2, 65535, ga.tobytes(), b"GRAYSCALE_ALPHA")
+    )
+    assert arr.shape == (6, 8, 4) and has_alpha and is_gray
+    want = np.round(ga.astype(np.float64) * 255 / 65535).reshape(6, 8, 2)
+    assert np.array_equal(arr[..., 0], want[..., 0].astype(np.uint8))
+    assert np.array_equal(arr[..., 3], want[..., 1].astype(np.uint8))
+    assert np.array_equal(arr[..., 0], arr[..., 1])  # y replicated
+
+
+def test_pnm_16bit_decode_scaled():
+    """P5/P6 with maxval > 255: PIL yields clipped mode-I (P5) or
+    byte garbage (P6); the image crate scales to 8-bit — so do we."""
+    import numpy as np
+
+    from fanlin_tpu.engine import codecs
+
+    vals = (np.arange(8 * 6 * 3, dtype=np.uint64) * 450).astype(">u2")
+    arr, _, is_gray = codecs.decode(b"P6\n8 6\n65535\n" + vals.tobytes())
+    want = np.round(vals.astype(np.float64) * 255 / 65535).astype(
+        np.uint8).reshape(6, 8, 3)
+    assert np.array_equal(arr, want) and not is_gray
+
+    g = (np.arange(8 * 6, dtype=np.uint64) * 20).astype(">u2")
+    arr, _, is_gray = codecs.decode(b"P5\n8 6\n1023\n" + g.tobytes())
+    assert is_gray and arr.shape == (6, 8, 3)
+    want = np.round(g.astype(np.float64) * 255 / 1023).astype(np.uint8)
+    assert np.array_equal(arr[..., 0].ravel(), want)
+
+    # 8-bit PNM stays on the (correct) PIL path
+    arr, _, _ = codecs.decode(b"P6\n2 2\n255\n" + bytes(range(12)))
+    assert arr.shape == (2, 2, 3)
+
+
+def test_pam_transform_request_200():
+    import numpy as np
+
+    from fanlin_tpu.engine import Engine
+    from fanlin_tpu.spec.content import extract_accepted_image_formats
+    from fanlin_tpu.spec.query import parse_query
+
+    rng = np.random.default_rng(4)
+    rgba = rng.integers(0, 256, (40, 50, 4), dtype=np.uint8)
+    data = _pam(50, 40, 4, 255, rgba.tobytes(), b"RGB_ALPHA")
+    engine = Engine()
+    mime, out = engine.process_image(
+        data, parse_query("w=25&h=20"),
+        extract_accepted_image_formats([]),
+    )
+    assert mime == "image/x-portable-anymap" and len(out) > 0
