@@ -266,6 +266,16 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
                 mode == "P" and "transparency" in im.info
             )
             is_gray = mode in ("L", "LA", "I", "I;16", "1")
+            if mode.startswith("I;16"):
+                # 16-bit grayscale (PNG/TIFF): PIL's convert("RGB")
+                # CLIPS at 255 (everything bright goes white); the
+                # image crate scales Luma16 -> Luma8. Same scaling as
+                # the wide-PNM path (extra_codecs).
+                a16 = np.asarray(im, dtype=np.uint16)
+                y = np.round(
+                    a16.astype(np.float32) * (255.0 / 65535.0)
+                ).astype(np.uint8)
+                return np.repeat(y[:, :, None], 3, axis=2), False, True
             out = im.convert("RGBA") if has_alpha else im.convert("RGB")
             arr = np.asarray(out, dtype=np.uint8)
             if arr.ndim != 3 or arr.shape[2] not in (3, 4):

@@ -128,3 +128,28 @@ def test_pam_transform_request_200():
         extract_accepted_image_formats([]),
     )
     assert mime == "image/x-portable-anymap" and len(out) > 0
+
+
+def test_16bit_gray_png_tiff_scaled_not_clipped():
+    """I;16 sources (16-bit grayscale PNG/TIFF): PIL's convert("RGB")
+    clips at 255 — everything bright went white; the image crate
+    scales Luma16 -> Luma8 (round(v*255/65535)). 16-bit RGB PNG stays
+    on PIL's high-byte read (<=1 LSB from the crate's /257 scaling,
+    PARITY known-diffs)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from fanlin_tpu.engine import codecs
+
+    g16 = (np.arange(8 * 6, dtype=np.uint64) * 1000).astype(
+        np.uint16).reshape(6, 8)
+    want = np.round(g16.astype(np.float64) * 255 / 65535).astype(np.uint8)
+    for fmt in ("PNG", "TIFF"):
+        buf = io.BytesIO()
+        Image.fromarray(g16).convert("I;16").save(buf, format=fmt)
+        arr, has_alpha, is_gray = codecs.decode(buf.getvalue())
+        assert is_gray and not has_alpha, fmt
+        assert np.array_equal(arr[..., 0], want), fmt
+        assert np.array_equal(arr[..., 0], arr[..., 2]), fmt
