@@ -276,6 +276,15 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
                     a16.astype(np.float32) * (255.0 / 65535.0)
                 ).astype(np.uint8)
                 return np.repeat(y[:, :, None], 3, axis=2), False, True
+            if mode == "F":
+                # float grayscale (TIFF): PIL's convert("RGB")
+                # truncates to int first (0..1 data becomes 0/1 black);
+                # map like the float->u8 paths elsewhere (HDR/EXR):
+                # round(clamp(v, 0, 1) * 255)
+                af = np.asarray(im, dtype=np.float32)
+                y = np.round(np.clip(af, 0.0, 1.0) * 255.0).astype(
+                    np.uint8)
+                return np.repeat(y[:, :, None], 3, axis=2), False, True
             out = im.convert("RGBA") if has_alpha else im.convert("RGB")
             arr = np.asarray(out, dtype=np.uint8)
             if arr.ndim != 3 or arr.shape[2] not in (3, 4):

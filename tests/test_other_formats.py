@@ -153,3 +153,23 @@ def test_16bit_gray_png_tiff_scaled_not_clipped():
         assert is_gray and not has_alpha, fmt
         assert np.array_equal(arr[..., 0], want), fmt
         assert np.array_equal(arr[..., 0], arr[..., 2]), fmt
+
+
+def test_float_tiff_maps_like_hdr():
+    """F-mode (float32) TIFF: PIL's convert("RGB") int-truncates 0..1
+    data to 0/1 black; map round(clamp(v,0,1)*255) like every other
+    float->u8 path (HDR/EXR)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from fanlin_tpu.engine import codecs
+
+    f = (np.arange(8 * 6, dtype=np.float32) / 47.0).reshape(6, 8)
+    buf = io.BytesIO()
+    Image.fromarray(f, mode="F").save(buf, format="TIFF")
+    arr, has_alpha, is_gray = codecs.decode(buf.getvalue())
+    want = np.round(np.clip(f, 0, 1) * 255).astype(np.uint8)
+    assert is_gray and not has_alpha
+    assert np.array_equal(arr[..., 0], want)
