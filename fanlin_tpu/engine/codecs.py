@@ -260,6 +260,10 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
     try:
         with Image.open(io.BytesIO(data)) as im:
             _check_decode_alloc(im.size, im.mode)
+            if 0 in im.size:
+                # zero-dim sources break geometry planning downstream;
+                # checked pre-load so every mode branch below is covered
+                raise CodecError("zero-dimension image")
             im.load()
             mode = im.mode
             has_alpha = mode in ("RGBA", "LA", "PA") or (
