@@ -395,7 +395,16 @@ def encode(img: np.ndarray, fmt: str, quality: int, mode: str) -> bytes:
     elif fmt == TIFF:
         _to_pil(img, mode).save(buf, format="TIFF")
     elif fmt == PNM:
-        # image's generic write_to(Pnm) emits binary PPM/PGM
+        # image's generic write_to(Pnm) emits binary PGM/PPM — and
+        # P7 PAM for alpha-bearing pixel types (PNM has no alpha)
+        if mode in ("RGBA", "LA", "PA"):
+            from . import extra_codecs
+
+            # a transport-pruned (3-plane, known-255-alpha) array is
+            # re-expanded so the PAM carries the alpha channel the
+            # output pixel type declares (known-diff #4 invariant)
+            rgba = np.asarray(_to_pil(img, "RGBA"), dtype=np.uint8)
+            return extra_codecs.encode_pam(rgba, gray_alpha=mode == "LA")
         m = "L" if mode in ("L", "LA") else "RGB"
         _to_pil(img, m).save(buf, format="PPM")
     elif fmt == QOI:

@@ -301,6 +301,22 @@ def decode_pam(data: bytes) -> tuple:
     return arr, has_alpha, is_gray
 
 
+def encode_pam(img: np.ndarray, gray_alpha: bool = False) -> bytes:
+    """(H, W, 4) uint8 RGBA -> P7 PAM bytes. The image crate's pnm
+    encoder emits PAM for alpha-bearing pixel types (PNM proper has no
+    alpha); gray_alpha collapses to GRAYSCALE_ALPHA like LumaA8."""
+    h, w = img.shape[:2]
+    if gray_alpha:
+        samples = np.ascontiguousarray(img[:, :, (0, 3)])
+        depth, tupl = 2, b"GRAYSCALE_ALPHA"
+    else:
+        samples = np.ascontiguousarray(img)
+        depth, tupl = 4, b"RGB_ALPHA"
+    return (b"P7\nWIDTH %d\nHEIGHT %d\nDEPTH %d\nMAXVAL 255\n"
+            b"TUPLTYPE %s\nENDHDR\n" % (w, h, depth, tupl)
+            ) + samples.tobytes()
+
+
 # ----------------------------------------------------------------------------
 # Radiance HDR (.hdr / RGBE) — VERDICT r4 missing #2: the reference
 # decodes HDR via the image crate and re-encodes through the generic

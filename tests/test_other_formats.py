@@ -173,3 +173,28 @@ def test_float_tiff_maps_like_hdr():
     want = np.round(np.clip(f, 0, 1) * 255).astype(np.uint8)
     assert is_gray and not has_alpha
     assert np.array_equal(arr[..., 0], want)
+
+
+def test_alpha_pnm_output_is_pam():
+    """Alpha-bearing PNM outputs re-encode as P7 PAM (the image
+    crate's pnm encoder has no alpha-less fallback — PNM proper can't
+    carry alpha), round-tripping the alpha channel."""
+    import numpy as np
+
+    from fanlin_tpu.engine import Engine, codecs
+    from fanlin_tpu.spec.content import extract_accepted_image_formats
+    from fanlin_tpu.spec.query import parse_query
+
+    rng = np.random.default_rng(6)
+    rgba = rng.integers(0, 256, (40, 50, 4), dtype=np.uint8)
+    rgba[..., 3] = np.clip(rgba[..., 3], 10, 240)  # real alpha variation
+    data = _pam(50, 40, 4, 255, rgba.tobytes(), b"RGB_ALPHA")
+    engine = Engine()
+    mime, out = engine.process_image(
+        data, parse_query("w=25&h=20"),
+        extract_accepted_image_formats([]),
+    )
+    assert out[:3] == b"P7\n"
+    back, has_alpha, _ = codecs.decode(out)
+    assert has_alpha and back.shape == (20, 25, 4)
+    assert back[..., 3].min() > 0  # alpha survived the round trip
