@@ -280,6 +280,20 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
                     a16.astype(np.float32) * (255.0 / 65535.0)
                 ).astype(np.uint8)
                 return np.repeat(y[:, :, None], 3, axis=2), False, True
+            if mode == "I":
+                # 32-bit integer grayscale (TIFF): convert("RGB")
+                # clips at 255 like the I;16 case above (any bright
+                # source goes all white). Real-world mode-I content is
+                # 16-bit data in a 32-bit container, so clamp to the
+                # 16-bit range and scale like I;16. (The image crate
+                # has no 32-bit integer pixel type either; recorded
+                # with known-diff #11's bit-depth family.)
+                a32 = np.asarray(im, dtype=np.int32)
+                y = np.round(
+                    np.clip(a32, 0, 65535).astype(np.float32)
+                    * (255.0 / 65535.0)
+                ).astype(np.uint8)
+                return np.repeat(y[:, :, None], 3, axis=2), False, True
             if mode == "F":
                 # float grayscale (TIFF): PIL's convert("RGB")
                 # truncates to int first (0..1 data becomes 0/1 black);
@@ -293,9 +307,6 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
             arr = np.asarray(out, dtype=np.uint8)
             if arr.ndim != 3 or arr.shape[2] not in (3, 4):
                 raise CodecError(f"unexpected decode shape {arr.shape}")
-            if arr.shape[0] == 0 or arr.shape[1] == 0:
-                # zero-dim sources break geometry planning downstream
-                raise CodecError("zero-dimension image")
             return arr, has_alpha, is_gray
     except CodecError:
         raise

@@ -234,17 +234,37 @@ def decode_pnm_wide(data: bytes) -> np.ndarray:
         raise ExtraCodecError("not a wide pnm")
     w, h, maxval, pos = hdr
     ch = 1 if data[:2] == b"P5" else 3
-    if w <= 0 or h <= 0 or maxval > 65535 or w * h > 100_000_000:
+    if w <= 0 or h <= 0 or maxval > 65535:
         raise ExtraCodecError("bad pnm dimensions")
     n = w * h * ch
+    if 2 * n > _MAX_DECODE_BYTES:
+        raise ExtraCodecError("pnm decode exceeds the 512 MiB limit")
     if len(data) < pos + 2 * n:
         raise ExtraCodecError("truncated pnm stream")
     px = np.frombuffer(data, dtype=">u2", count=n, offset=pos)
-    out = (px.astype(np.float32) * (255.0 / maxval)).round()
-    return out.astype(np.uint8).reshape(h, w, ch)
+    return _scale_to_u8(px, maxval).reshape(h, w, ch)
 
 
 _PAM_DEPTH_OK = {1, 2, 3, 4}
+
+# decode-buffer cap, same number as codecs.MAX_DECODE_ALLOC (the
+# image crate's Limits::default() 512 MiB; lazy-imported there to
+# avoid a module cycle — codecs imports this module inside functions)
+_MAX_DECODE_BYTES = 512 * 1024 * 1024
+
+
+def _scale_to_u8(px: np.ndarray, maxval: int) -> np.ndarray:
+    """Scale integer samples to u8 by round(v * 255 / maxval), in
+    slabs so the float32 temporaries stay bounded (a gate-passing
+    16-bit stream can hold 256M samples — a 1 GiB f32 copy if done
+    in one shot)."""
+    out = np.empty(px.shape[0], dtype=np.uint8)
+    scale = 255.0 / maxval
+    step = 1 << 22
+    for s in range(0, px.shape[0], step):
+        e = min(s + step, px.shape[0])
+        out[s:e] = (px[s:e].astype(np.float32) * scale).round()
+    return out
 
 
 def decode_pam(data: bytes) -> tuple:
@@ -278,19 +298,19 @@ def decode_pam(data: bytes) -> tuple:
     except (KeyError, ValueError) as e:
         raise ExtraCodecError(f"bad pam header: {e}") from e
     if (w <= 0 or h <= 0 or depth not in _PAM_DEPTH_OK
-            or not 1 <= maxval <= 65535 or w * h > 100_000_000):
+            or not 1 <= maxval <= 65535):
         raise ExtraCodecError("bad pam geometry")
     n = w * h * depth
+    sample_bytes = 2 if maxval > 255 else 1
+    if n * sample_bytes > _MAX_DECODE_BYTES:
+        raise ExtraCodecError("pam decode exceeds the 512 MiB limit")
+    if len(data) < pos + sample_bytes * n:
+        raise ExtraCodecError("truncated pam stream")
     if maxval > 255:
-        if len(data) < pos + 2 * n:
-            raise ExtraCodecError("truncated pam stream")
         px = np.frombuffer(data, dtype=">u2", count=n, offset=pos)
     else:
-        if len(data) < pos + n:
-            raise ExtraCodecError("truncated pam stream")
         px = np.frombuffer(data, dtype=np.uint8, count=n, offset=pos)
-    arr = (px.astype(np.float32) * (255.0 / maxval)).round().astype(
-        np.uint8).reshape(h, w, depth)
+    arr = _scale_to_u8(px, maxval).reshape(h, w, depth)
     has_alpha = depth in (2, 4)
     is_gray = depth in (1, 2)
     if depth == 1:

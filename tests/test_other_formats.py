@@ -155,6 +155,32 @@ def test_16bit_gray_png_tiff_scaled_not_clipped():
         assert np.array_equal(arr[..., 0], arr[..., 2]), fmt
 
 
+def test_int32_gray_tiff_scaled_not_clipped():
+    """Mode-I (32-bit integer grayscale) TIFF: PIL's convert("RGB")
+    clips at 255 like I;16. Real-world mode-I content is 16-bit data
+    in a 32-bit container — clamp to the 16-bit range and scale
+    (PARITY known-diff #11's bit-depth family)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from fanlin_tpu.engine import codecs
+
+    a32 = (np.arange(8 * 6, dtype=np.int32) * 1500).reshape(6, 8)
+    a32[0, 0] = 70000   # above the 16-bit clamp
+    a32[0, 1] = -5      # below it
+    buf = io.BytesIO()
+    Image.fromarray(a32).save(buf, format="TIFF")
+    arr, has_alpha, is_gray = codecs.decode(buf.getvalue())
+    want = np.round(
+        np.clip(a32, 0, 65535).astype(np.float64) * 255 / 65535
+    ).astype(np.uint8)
+    assert is_gray and not has_alpha
+    assert np.array_equal(arr[..., 0], want)
+    assert np.array_equal(arr[..., 0], arr[..., 2])
+
+
 def test_float_tiff_maps_like_hdr():
     """F-mode (float32) TIFF: PIL's convert("RGB") int-truncates 0..1
     data to 0/1 black; map round(clamp(v,0,1)*255) like every other
