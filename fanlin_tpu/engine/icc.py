@@ -162,7 +162,7 @@ def jpeg_num_components(data: bytes) -> Optional[int]:
 
 def convert_jpeg_color_if_needed(
     data: bytes, default: Optional[CMYK2RGB], use_embedded_profile: bool,
-    device_transform=None,
+    device_transform=None, device_up: bool = True,
 ) -> Optional[np.ndarray]:
     """(H, W, 3) uint8 RGB when the JPEG is CMYK/YCCK and a transform
     applies; None otherwise (falls back to the normal decode path).
@@ -174,7 +174,14 @@ def convert_jpeg_color_if_needed(
     ALSO evaluate through their own sampled per-profile LUTs
     (embedded_device_lut) — keeping the pixel path byte-identical to
     the CMYK coefficient path, which carries the same LUT (round 5).
-    Without device_icc, embedded profiles run exact host lcms2."""
+    Without device_icc, embedded profiles run exact host lcms2.
+
+    device_up=False (wedged accelerator link, batcher failover):
+    LUT-bearing deployments must NOT touch the device — a direct
+    jax.device_put on a wedged link blocks forever outside the
+    batcher's watchdog — so the same LUT evaluates through its host
+    twin (DeviceCmykTransform.convert_host; the caller tags the
+    response cold, PARITY known-diff #6's +-1 LSB window)."""
     if not use_embedded_profile and default is None:
         return None
     if jpeg_num_components(data) != 4:
@@ -196,14 +203,16 @@ def convert_jpeg_color_if_needed(
                     lut = embedded_device_lut(embedded)
                     if lut is not None:
                         t = _device_transform_for(lut)
-                        return t.convert(np.asarray(im, dtype=np.uint8))
+                        px = np.asarray(im, dtype=np.uint8)
+                        return (t.convert(px) if device_up
+                                else t.convert_host(px))
                 conv = CMYK2RGB.with_icc_profile(embedded)
             if conv is None:
                 conv = default
                 if conv is not None and device_transform is not None:
-                    return device_transform.convert(
-                        np.asarray(im, dtype=np.uint8)
-                    )
+                    px = np.asarray(im, dtype=np.uint8)
+                    return (device_transform.convert(px) if device_up
+                            else device_transform.convert_host(px))
             if conv is None:
                 return None
             return conv.convert(im)

@@ -106,7 +106,8 @@ class Engine:
         from ..ops import cmyk_lut, fused as fused_mod
 
         lut = cmyk_lut.sample_lut(self.cmyk2rgb.convert, n)
-        xform = cmyk_lut.DeviceCmykTransform(lut)  # device upload: can hang
+        xform = cmyk_lut.DeviceCmykTransform(lut)
+        xform.upload()  # device upload: can hang on a wedged link
         if unless is not None and unless():
             return
         self.device_cmyk = xform
@@ -192,11 +193,18 @@ class Engine:
             avail = getattr(self.runner, "device_available", None)
             if avail is not None:
                 device_up = avail()
-            meta = self._try_cmyk_coef(data, orientation) if device_up \
-                else None
+            # CMYK keeps the coefficient path even while wedged: the
+            # host mirror serves those batches byte-identically,
+            # whereas flipping to the pixel source would re-run the
+            # color transform and the pixel ICC path used to make a
+            # DIRECT device call (jax.device_put outside the batcher's
+            # watchdog) that blocks forever on a dead link.
+            meta = self._try_cmyk_coef(data, orientation)
             if meta is None:
                 try:
-                    converted = self._convert_jpeg_color_if_needed(data)
+                    converted = self._convert_jpeg_color_if_needed(
+                        data, device_up
+                    )
                 except codecs.CodecError as e:
                     # the decode-alloc gate (codecs.MAX_DECODE_ALLOC)
                     # fires inside the ICC load for oversized CMYK
@@ -432,13 +440,19 @@ class Engine:
 
     # -- color management hook (full impl in engine.icc) -------------------
 
-    def _convert_jpeg_color_if_needed(self, data: bytes) -> Optional[np.ndarray]:
+    def _convert_jpeg_color_if_needed(
+        self, data: bytes, device_up: bool = True
+    ) -> Optional[np.ndarray]:
         """CMYK/YCCK JPEG -> RGB via ICC (reference handler.rs:398-466).
-        Returns (H, W, 3) uint8, or None when not applicable."""
+        Returns (H, W, 3) uint8, or None when not applicable.
+        device_up=False keeps LUT-bearing conversions off the device
+        (host twin; the wedged pixel batch downstream is mirror-served
+        and tags the response cold)."""
         if not self.use_embedded_profile and self.cmyk2rgb is None:
             return None
         from . import icc
 
         return icc.convert_jpeg_color_if_needed(
-            data, self.cmyk2rgb, self.use_embedded_profile, self.device_cmyk
+            data, self.cmyk2rgb, self.use_embedded_profile,
+            self.device_cmyk, device_up
         )

@@ -12,6 +12,7 @@ the ground truth (and as the host fallback for small images).
 from __future__ import annotations
 
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -90,24 +91,51 @@ def lut_planes(c, m, y, k, lut_flat, n: int, xp=jnp):
 
 
 class DeviceCmykTransform:
-    """Evaluate a sampled ICC LUT on device."""
+    """Evaluate a sampled ICC LUT on device.
+
+    The device upload is LAZY (first convert(), or an explicit
+    upload() inside the caller's bounded_call): construction happens
+    per-request for embedded profiles (icc._device_transform_for),
+    and an eager jax.device_put there would hang the request thread
+    forever on a wedged accelerator link. convert_host() is the
+    byte-tracking host twin (lut_planes xp=np, the same math the
+    batcher's host mirror runs) for serving while the device is down.
+    """
 
     def __init__(self, lut: np.ndarray):
         self.n = lut.shape[0]
-        self._lut_flat = jax.device_put(
+        self._lut_np = np.ascontiguousarray(
             lut.reshape(-1, 3).astype(np.float32)
         )
+        self._lut_flat = None
+        self._upload_lock = threading.Lock()
 
     @classmethod
     def from_converter(cls, cmyk2rgb, n: int = 17):
         """cmyk2rgb: engine.icc.CMYK2RGB."""
         return cls(sample_lut(cmyk2rgb.convert, n))
 
+    def upload(self) -> None:
+        """Push the LUT to device (idempotent). Callers on possibly
+        wedged links must wrap this in utils.bounded.bounded_call."""
+        with self._upload_lock:
+            if self._lut_flat is None:
+                self._lut_flat = jax.device_put(self._lut_np)
+
     def convert(self, cmyk: np.ndarray) -> np.ndarray:
         """(H, W, 4) u8 CMYK -> (H, W, 3) u8 sRGB, on device."""
+        self.upload()
         h, w = cmyk.shape[:2]
         fn = _lut_program(self.n, h, w)
         # explicit device_put: the direct jit-argument upload path is
         # ~50x slower than device_put on relay-attached deployments
         # (CLAUDE.md transfer rule), and this is a per-request transfer
         return np.asarray(fn(jax.device_put(cmyk), self._lut_flat))
+
+    def convert_host(self, cmyk: np.ndarray) -> np.ndarray:
+        """Host-twin convert: same lut_planes math the batcher's numpy
+        mirror runs for the coefficient path, no device touch. Used
+        while the device is wedged (responses are tagged cold)."""
+        c, m, y, k = (cmyk[..., i] for i in range(4))
+        r, g, b = lut_planes(c, m, y, k, self._lut_np, self.n, xp=np)
+        return np.stack([r, g, b], axis=-1).astype(np.uint8)

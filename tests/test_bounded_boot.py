@@ -147,11 +147,11 @@ def test_build_state_survives_hung_device_icc(fixtures_dir, monkeypatch):
 
     relay_back = threading.Event()
 
-    def hung_init(self, lut):
+    def hung_upload(self):
         relay_back.wait(60.0)
         raise RuntimeError("relay down")
 
-    monkeypatch.setattr(cmyk_lut.DeviceCmykTransform, "__init__", hung_init)
+    monkeypatch.setattr(cmyk_lut.DeviceCmykTransform, "upload", hung_upload)
 
     cfg = Config.from_str(
         """
@@ -204,13 +204,11 @@ def test_late_unwedge_does_not_flip_cmyk_path(fixtures_dir, monkeypatch):
     relay_back = threading.Event()
     upload_done = threading.Event()
 
-    def hung_then_ok(self, lut):
+    def hung_then_ok(self):
         relay_back.wait(60.0)  # wedged past the boot bound...
-        self.n = lut.shape[0]  # ...then the device answers after all
-        self._lut_flat = None
-        upload_done.set()
+        upload_done.set()      # ...then the device answers after all
 
-    monkeypatch.setattr(cmyk_lut.DeviceCmykTransform, "__init__",
+    monkeypatch.setattr(cmyk_lut.DeviceCmykTransform, "upload",
                         hung_then_ok)
 
     cfg = Config.from_str(

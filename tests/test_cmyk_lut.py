@@ -314,3 +314,55 @@ def test_cmyk_kinds_group_separately():
     p = fused.plan_image(120, 88, parse_query("w=60&h=44"), opaque=True)
     assert _group_key(p, "cmyk444") != _group_key(p, "cmyk420y")
     assert _group_key(p, "cmyk444") != _group_key(p, "coef444")
+
+
+def test_convert_host_twin_matches_device():
+    """convert_host (the wedged-link serving twin) runs the same
+    lut_planes math as the device program — identical on the CPU test
+    platform (on a real accelerator the window is PARITY known-diff
+    #6's +-1 LSB)."""
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    dev = cmyk_lut.DeviceCmykTransform.from_converter(conv, n=17)
+    rng = np.random.default_rng(11)
+    cmyk = rng.integers(0, 256, (40, 56, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(dev.convert(cmyk), dev.convert_host(cmyk))
+
+
+def test_wedged_icc_pixel_path_never_touches_device(monkeypatch):
+    """device_up=False (batcher wedged): LUT-bearing ICC conversions
+    must evaluate through the host twin — a direct device upload
+    outside the batcher's watchdog blocks forever on a dead link.
+    Covers both the embedded-profile LUT and the default-profile
+    transform."""
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    dxf = cmyk_lut.DeviceCmykTransform.from_converter(conv, n=17)
+
+    emb, _prof = _embedded_src()
+    import io as _io
+
+    from tests.conftest import make_test_image
+
+    buf = _io.BytesIO()
+    Image.fromarray(make_test_image(64, 64)).convert("CMYK").save(
+        buf, format="JPEG", quality=95
+    )
+    plain = buf.getvalue()
+
+    healthy = {
+        "emb": icc.convert_jpeg_color_if_needed(emb, conv, True, dxf),
+        "plain": icc.convert_jpeg_color_if_needed(plain, conv, False, dxf),
+    }
+
+    def no_device(self):
+        raise AssertionError("device touched while wedged")
+
+    monkeypatch.setattr(cmyk_lut.DeviceCmykTransform, "upload", no_device)
+    wedged = {
+        "emb": icc.convert_jpeg_color_if_needed(
+            emb, conv, True, dxf, device_up=False),
+        "plain": icc.convert_jpeg_color_if_needed(
+            plain, conv, False, dxf, device_up=False),
+    }
+    for k in healthy:
+        assert wedged[k] is not None, k
+        np.testing.assert_array_equal(healthy[k], wedged[k], err_msg=k)
