@@ -86,7 +86,10 @@ async def run(urls: list[str], rate: float, duration: float,
         },
         "mean_bytes_out": int(sum(sizes) / max(len(sizes), 1)),
     }
-    if len(statuses) > 1 or failures:
+    # any non-200 traffic gets the histogram — a chaos run where EVERY
+    # response is the same non-200 status must not drop the keys the
+    # chaos mode exists to report
+    if len(statuses) > 1 or failures or (statuses and 200 not in statuses):
         report["statuses"] = {str(k): statuses[k] for k in sorted(statuses)}
         report["transport_failures"] = failures
         all_lat.sort()

@@ -147,12 +147,17 @@ CORRUPT_MODE = {
 
 
 def fetch_status(port: int, path: str) -> int:
+    """Status code, or -1 when the binary is unreachable (crashed or
+    refusing) — a failed report row beats aborting the whole parity
+    run with a traceback before the report JSON is written."""
     req = urllib.request.Request(f"http://127.0.0.1:{port}{path}")
     try:
         with urllib.request.urlopen(req, timeout=30) as r:
             return r.status
     except urllib.error.HTTPError as e:
         return e.code
+    except (urllib.error.URLError, OSError):
+        return -1
 
 
 def corrupt_status_rows(port: int, imgdir: str, engine, report) -> None:
