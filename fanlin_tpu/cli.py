@@ -51,7 +51,9 @@ async def serve(cfg: config_mod.Config) -> None:
         )
         threading.Thread(
             target=lambda: warmup_mod.warm(
-                shapes, device_dct=cfg.tpu.device_dct
+                shapes, device_dct=cfg.tpu.device_dct,
+                device_ok=getattr(state.engine.runner,
+                                  "device_available", None),
             ),
             name="fanlin-warmup", daemon=True,
         ).start()

@@ -11,6 +11,7 @@ restarts."""
 from __future__ import annotations
 
 import logging
+import threading
 import time
 from typing import Iterable, Tuple
 
@@ -104,14 +105,32 @@ def _synthetic_meta(src_w: int, src_h: int) -> dict:
 
 
 def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
-         batch: int = 8, device_dct: bool = False) -> int:
+         batch: int = 8, device_dct: bool = False,
+         device_ok=None) -> int:
     """Compile fused programs for each (src_w, src_h, query) shape.
     device_dct=True additionally warms the jpegdct (device DCT +
     int4-packed download) tail variants the engine will route to.
-    Returns the number of programs compiled."""
-    from concurrent.futures import ThreadPoolExecutor
+    Returns the number of programs compiled.
 
+    device_ok (e.g. runner.device_available) gates every device touch:
+    while it returns False (wedged accelerator link) warmup DEFERS —
+    polling until the batcher's recovery probe brings the link back —
+    instead of feeding compile jobs into calls that block forever.
+    Stuck-compile threads must also never block interpreter exit
+    (observed live: a link dead at boot left ThreadPoolExecutor
+    workers wedged in device_put, and concurrent.futures' atexit hook
+    joins its workers forever — SIGTERM became a hang), so the
+    compile pool is hand-rolled daemon threads."""
     from . import native_codecs
+
+    if device_ok is not None and not device_ok():
+        log.warning(
+            "device wedged at warmup start — deferring program warmup "
+            "until the accelerator link recovers"
+        )
+        while not device_ok():
+            time.sleep(5.0)
+        log.info("accelerator link recovered — starting deferred warmup")
 
     t0 = time.perf_counter()
     jobs = []
@@ -197,8 +216,53 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
 
     if not jobs:
         return 0
-    # compile in parallel — remote/XLA compile services overlap requests
-    with ThreadPoolExecutor(min(len(jobs), 8)) as pool:
-        list(pool.map(run_one, jobs))
-    log.info("warmed %d programs in %.1fs", len(jobs), time.perf_counter() - t0)
-    return len(jobs)
+    # compile in parallel — remote/XLA compile services overlap
+    # requests. Daemon threads, NOT a ThreadPoolExecutor: workers
+    # stuck in a device call on a dead link must not be joined at
+    # interpreter exit (concurrent.futures' atexit hook would turn
+    # SIGTERM into a hang).
+    import queue as queue_mod
+
+    q: "queue_mod.Queue" = queue_mod.Queue()
+    for job in jobs:
+        q.put(job)
+    done = [0]
+    done_lock = threading.Lock()
+
+    def _drain():
+        while True:
+            # a wedge DURING warmup: stop feeding jobs into calls that
+            # block forever (threads already inside one leak — daemon,
+            # so exit stays clean — and the batcher mirror-serves)
+            if device_ok is not None and not device_ok():
+                return
+            try:
+                job = q.get_nowait()
+            except queue_mod.Empty:
+                return
+            try:
+                run_one(job)
+            except Exception as e:
+                log.warning("warmup job failed: %s", e)
+                continue
+            with done_lock:
+                done[0] += 1
+
+    threads = [
+        threading.Thread(target=_drain, daemon=True,
+                         name=f"fanlin-warm-{i}")
+        for i in range(min(len(jobs), 8))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if done[0] < len(jobs):
+        log.warning(
+            "warmup stopped early: %d of %d programs compiled "
+            "(device wedged or job failures)", done[0], len(jobs),
+        )
+    else:
+        log.info("warmed %d programs in %.1fs", len(jobs),
+                 time.perf_counter() - t0)
+    return done[0]

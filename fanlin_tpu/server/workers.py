@@ -341,9 +341,11 @@ class DeviceService:
             return
         from ..engine import warmup as warmup_mod
 
+        device_ok = getattr(getattr(self, "batcher", None),
+                            "device_available", None)
         threading.Thread(
             target=lambda: warmup_mod.warm(
-                fresh, device_dct=self._device_dct),
+                fresh, device_dct=self._device_dct, device_ok=device_ok),
             name="fanlin-warmup", daemon=True,
         ).start()
 

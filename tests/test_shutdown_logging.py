@@ -218,3 +218,66 @@ def test_sigterm_completes_inflight_request_and_exits_zero(tmp_path):
         if proc.poll() is None:
             proc.kill()
         origin.shutdown()
+
+
+def test_sigterm_exits_promptly_with_wedged_warmup(tmp_path):
+    """A link dead at BOOT with tpu.warmup on: warmup must DEFER (no
+    device touches while wedged) and SIGTERM must still exit 0 within
+    the close budget. Regression: warmup used to feed its compile
+    jobs straight into device_put calls that block forever on a dead
+    link, and concurrent.futures' atexit hook joined those pool
+    workers forever — SIGTERM became a hang (round-5 live find on the
+    wedged relay)."""
+    port = _free_port()
+    imgdir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "golden")
+    cfg = json.dumps({
+        "port": port, "bind_addr": "127.0.0.1", "max_clients": 4,
+        "client": {"s3": {"aws_region": "x"},
+                   "web": {"user_agent": "t", "timeout": 2}},
+        "providers": [
+            {"path": "p", "src": f"file://localhost/{imgdir}"}
+        ],
+        "tpu": {"warmup": True, "device_stall_s": 1.0},
+    })
+    # simulate the dead relay: backend init and every device transfer
+    # block forever (daemon threads, like hung XLA calls); cpu
+    # platform so nothing REAL hangs underneath
+    boot = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "import threading\n"
+        "_hang = lambda *a, **k: threading.Event().wait()\n"
+        "jax.default_backend = _hang\n"
+        "jax.device_put = _hang\n"
+        "import sys; from fanlin_tpu.cli import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", boot, "-j", cfg],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        deadline = time.monotonic() + 90
+        pre_banner = []
+        for line in proc.stdout:
+            pre_banner.append(line)
+            if "listening on" in line:
+                break
+            if time.monotonic() > deadline:
+                raise AssertionError("server never came up")
+        # wedged-mode serving still answers (host mirror / pixel path)
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/p/lenna_src.jpg?w=64&h=48",
+            timeout=30,
+        ) as resp:
+            assert resp.status == 200
+        time.sleep(1.0)  # let warmup reach its defer loop / any hang
+        proc.send_signal(signal.SIGTERM)
+        assert proc.wait(timeout=30) == 0
+        tail = ("".join(pre_banner) + proc.stdout.read()
+                + proc.stderr.read())
+        assert "deferring program warmup" in tail
+    finally:
+        if proc.poll() is None:
+            proc.kill()

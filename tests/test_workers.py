@@ -207,7 +207,8 @@ def test_warm_shapes_dedups_across_workers(monkeypatch):
     calls = []
     monkeypatch.setattr(
         warmup_mod, "warm",
-        lambda shapes, device_dct=False: calls.append(tuple(shapes)),
+        lambda shapes, device_dct=False, device_ok=None:
+            calls.append(tuple(shapes)),
     )
     svc = workers_mod.DeviceService.__new__(workers_mod.DeviceService)
     svc._warmup_on = True
