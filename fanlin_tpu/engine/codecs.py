@@ -249,8 +249,9 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
             if data[:2] == b"P7":
                 arr, has_alpha, is_gray = extra_codecs.decode_pam(data)
                 return np.ascontiguousarray(arr), has_alpha, is_gray
-            if extra_codecs.pnm_wide_header(data) is not None:
-                arr = extra_codecs.decode_pnm_wide(data)
+            hdr = extra_codecs.pnm_wide_header(data)
+            if hdr is not None:
+                arr = extra_codecs.decode_pnm_wide(data, hdr)
                 is_gray = arr.shape[2] == 1
                 if is_gray:
                     arr = np.repeat(arr, 3, axis=2)
@@ -270,38 +271,47 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
                 mode == "P" and "transparency" in im.info
             )
             is_gray = mode in ("L", "LA", "I", "I;16", "1")
+            # Wide-grayscale branches scale through extra_codecs'
+            # slabbed scaler: a one-shot float32 copy of a
+            # gate-passing I;16 source is ~1 GiB — the very
+            # allocation class the 512 MiB gate exists to stop.
             if mode.startswith("I;16"):
                 # 16-bit grayscale (PNG/TIFF): PIL's convert("RGB")
                 # CLIPS at 255 (everything bright goes white); the
                 # image crate scales Luma16 -> Luma8. Same scaling as
                 # the wide-PNM path (extra_codecs).
+                from . import extra_codecs
+
                 a16 = np.asarray(im, dtype=np.uint16)
-                y = np.round(
-                    a16.astype(np.float32) * (255.0 / 65535.0)
-                ).astype(np.uint8)
+                y = extra_codecs._scale_to_u8(
+                    a16.ravel(), 65535).reshape(a16.shape)
                 return np.repeat(y[:, :, None], 3, axis=2), False, True
             if mode == "I":
                 # 32-bit integer grayscale (TIFF): convert("RGB")
                 # clips at 255 like the I;16 case above (any bright
                 # source goes all white). Real-world mode-I content is
                 # 16-bit data in a 32-bit container, so clamp to the
-                # 16-bit range and scale like I;16. (The image crate
-                # has no 32-bit integer pixel type either; recorded
-                # with known-diff #11's bit-depth family.)
+                # 16-bit range and scale like I;16 (the scaler's u8
+                # clamp maps out-of-range values to 0/255, exactly
+                # clip(v, 0, 65535) scaled). (The image crate has no
+                # 32-bit integer pixel type either; recorded with
+                # known-diff #11's bit-depth family.)
+                from . import extra_codecs
+
                 a32 = np.asarray(im, dtype=np.int32)
-                y = np.round(
-                    np.clip(a32, 0, 65535).astype(np.float32)
-                    * (255.0 / 65535.0)
-                ).astype(np.uint8)
+                y = extra_codecs._scale_to_u8(
+                    a32.ravel(), 65535).reshape(a32.shape)
                 return np.repeat(y[:, :, None], 3, axis=2), False, True
             if mode == "F":
                 # float grayscale (TIFF): PIL's convert("RGB")
                 # truncates to int first (0..1 data becomes 0/1 black);
                 # map like the float->u8 paths elsewhere (HDR/EXR):
-                # round(clamp(v, 0, 1) * 255)
+                # round(clamp(v, 0, 1) * 255) — maxval=1 in the scaler
+                from . import extra_codecs
+
                 af = np.asarray(im, dtype=np.float32)
-                y = np.round(np.clip(af, 0.0, 1.0) * 255.0).astype(
-                    np.uint8)
+                y = extra_codecs._scale_to_u8(
+                    af.ravel(), 1).reshape(af.shape)
                 return np.repeat(y[:, :, None], 3, axis=2), False, True
             out = im.convert("RGBA") if has_alpha else im.convert("RGB")
             arr = np.asarray(out, dtype=np.uint8)

@@ -227,9 +227,13 @@ def pnm_wide_header(data: bytes):
     return w, h, maxval, pos + 1  # single whitespace after maxval
 
 
-def decode_pnm_wide(data: bytes) -> np.ndarray:
-    """16-bit P5/P6 -> (H, W, 1|3) uint8, scaled from maxval."""
-    hdr = pnm_wide_header(data)
+def decode_pnm_wide(data: bytes, hdr=None) -> np.ndarray:
+    """16-bit P5/P6 -> (H, W, 1|3) uint8, scaled from maxval.
+    hdr: an already-parsed pnm_wide_header result (the dispatcher in
+    codecs.decode parses it to pick the branch — no need to tokenize
+    the header twice)."""
+    if hdr is None:
+        hdr = pnm_wide_header(data)
     if hdr is None:
         raise ExtraCodecError("not a wide pnm")
     w, h, maxval, pos = hdr
@@ -247,23 +251,27 @@ def decode_pnm_wide(data: bytes) -> np.ndarray:
 
 _PAM_DEPTH_OK = {1, 2, 3, 4}
 
-# decode-buffer cap, same number as codecs.MAX_DECODE_ALLOC (the
-# image crate's Limits::default() 512 MiB; lazy-imported there to
-# avoid a module cycle — codecs imports this module inside functions)
-_MAX_DECODE_BYTES = 512 * 1024 * 1024
+# decode-buffer cap: codecs.MAX_DECODE_ALLOC (the image crate's
+# Limits::default() 512 MiB). Importing codecs here is cycle-free —
+# codecs imports this module only lazily inside functions.
+from .codecs import MAX_DECODE_ALLOC as _MAX_DECODE_BYTES  # noqa: E402
 
 
 def _scale_to_u8(px: np.ndarray, maxval: int) -> np.ndarray:
     """Scale integer samples to u8 by round(v * 255 / maxval), in
     slabs so the float32 temporaries stay bounded (a gate-passing
     16-bit stream can hold 256M samples — a 1 GiB f32 copy if done
-    in one shot)."""
+    in one shot). Samples ABOVE the declared maxval (sloppy or
+    hostile writers) clamp to 255 — the unclamped float->u8
+    assignment would WRAP them (e.g. maxval=256, sample=257 -> 0)."""
     out = np.empty(px.shape[0], dtype=np.uint8)
     scale = 255.0 / maxval
     step = 1 << 22
     for s in range(0, px.shape[0], step):
         e = min(s + step, px.shape[0])
-        out[s:e] = (px[s:e].astype(np.float32) * scale).round()
+        out[s:e] = np.clip(
+            (px[s:e].astype(np.float32) * scale).round(), 0.0, 255.0
+        )
     return out
 
 

@@ -33,6 +33,9 @@ DEFAULT_SHAPES: Tuple[Tuple[int, int, str], ...] = (
 # fallback images (each geometry fans out into many program variants)
 MAX_DERIVED_GEOMETRIES = 4
 
+# how often deferred warmup re-checks device_ok while wedged
+_DEFER_POLL_S = 5.0
+
 
 def shapes_from_state(state, configured: Tuple = ()) -> Tuple:
     """The warmup lattice for a deployment. Explicitly configured
@@ -122,15 +125,6 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
     joins its workers forever — SIGTERM became a hang), so the
     compile pool is hand-rolled daemon threads."""
     from . import native_codecs
-
-    if device_ok is not None and not device_ok():
-        log.warning(
-            "device wedged at warmup start — deferring program warmup "
-            "until the accelerator link recovers"
-        )
-        while not device_ok():
-            time.sleep(5.0)
-        log.info("accelerator link recovered — starting deferred warmup")
 
     t0 = time.perf_counter()
     jobs = []
@@ -248,19 +242,38 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
             with done_lock:
                 done[0] += 1
 
-    threads = [
-        threading.Thread(target=_drain, daemon=True,
-                         name=f"fanlin-warm-{i}")
-        for i in range(min(len(jobs), 8))
-    ]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    # Defer-and-resume loop: while wedged, wait for the batcher's
+    # recovery probe to flip device_ok instead of feeding jobs into
+    # device calls that block forever; a wedge DURING the drain parks
+    # the remaining queue and resumes on recovery (abandoning it
+    # would leave those buckets cold forever — and in worker mode the
+    # service's dedup set would never re-offer the shapes).
+    while True:
+        if device_ok is not None and not device_ok():
+            log.warning(
+                "device wedged — deferring program warmup until the "
+                "accelerator link recovers"
+            )
+            while not device_ok():
+                time.sleep(_DEFER_POLL_S)
+            log.info(
+                "accelerator link recovered — resuming deferred warmup"
+            )
+        threads = [
+            threading.Thread(target=_drain, daemon=True,
+                             name=f"fanlin-warm-{i}")
+            for i in range(min(len(jobs), 8))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if q.empty() or device_ok is None:
+            break
     if done[0] < len(jobs):
         log.warning(
-            "warmup stopped early: %d of %d programs compiled "
-            "(device wedged or job failures)", done[0], len(jobs),
+            "warmup finished with failures: %d of %d programs "
+            "compiled", done[0], len(jobs),
         )
     else:
         log.info("warmed %d programs in %.1fs", len(jobs),

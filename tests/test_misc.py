@@ -159,3 +159,41 @@ def test_stats_endpoint(fixtures_dir):
     assert status == 200
     assert body["batcher"]["images"] >= 1
     assert body["programs_cached"] >= 1
+
+
+def test_warmup_defers_and_resumes_across_wedges(monkeypatch):
+    """warm() with a device_ok gate: a wedge DURING the drain parks
+    the remaining jobs and RESUMES them after recovery (abandoning
+    the queue left those buckets cold forever, and worker-mode's
+    shape dedup would never re-offer them); every job still compiles
+    exactly once."""
+    import threading as _threading
+
+    from fanlin_tpu.engine import warmup
+    from fanlin_tpu.ops import fused
+
+    monkeypatch.setattr(warmup, "_DEFER_POLL_S", 0.01)
+    flags = {"up": True}
+    ran = []
+    lock = _threading.Lock()
+
+    class _Stub:
+        def __init__(self, plans, payloads, kind=None, **kw):
+            pass
+
+        def run(self):
+            with lock:
+                ran.append(1)
+                if len(ran) == 1:
+                    # wedge mid-drain; recover shortly after
+                    flags["up"] = False
+                    _threading.Timer(
+                        0.2, lambda: flags.update(up=True)
+                    ).start()
+            return []
+
+    monkeypatch.setattr(fused, "BatchAssembly", _Stub)
+    monkeypatch.setattr(fused, "CoefBatchAssembly", _Stub)
+    n = warmup.warm(shapes=((64, 64, "w=32&h=32"),), batch=2,
+                    device_ok=lambda: flags["up"])
+    assert n == len(ran) and n > 1  # every job compiled, none dropped

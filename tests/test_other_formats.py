@@ -224,3 +224,23 @@ def test_alpha_pnm_output_is_pam():
     back, has_alpha, _ = codecs.decode(out)
     assert has_alpha and back.shape == (20, 25, 4)
     assert back[..., 3].min() > 0  # alpha survived the round trip
+
+
+def test_pnm_samples_above_maxval_clamp_not_wrap():
+    """Samples above the declared maxval (sloppy or hostile writers):
+    the scaled value clamps to 255 — the unclamped float->u8
+    assignment WRAPPED it (maxval=256, sample=257 scaled to 256.0 ->
+    u8 0: bright pixels went black)."""
+    import numpy as np
+
+    from fanlin_tpu.engine import codecs
+
+    vals = np.array([257, 255, 0], dtype=">u2")
+    arr, _, _ = codecs.decode(b"P5\n3 1\n256\n" + vals.tobytes())
+    assert arr[..., 0].ravel().tolist() == [255, 254, 0]
+
+    # PAM: maxval 100, sample 200 -> clamped 255 (not 254-wrapped)
+    pam = (b"P7\nWIDTH 2\nHEIGHT 1\nDEPTH 1\nMAXVAL 100\n"
+           b"TUPLTYPE GRAYSCALE\nENDHDR\n" + bytes([200, 100]))
+    arr, _, _ = codecs.decode(pam)
+    assert arr[..., 0].ravel().tolist() == [255, 255]

@@ -65,13 +65,20 @@ def build(outdir: pathlib.Path) -> dict:
     svg = (b'<svg xmlns="http://www.w3.org/2000/svg" width="40" '
            b'height="30"><rect width="20" height="10" fill="#abc"/></svg>')
 
-    # SOF dimension bomb (decode-alloc gate -> fast 500)
+    # SOF dimension bomb (decode-alloc gate -> fast 500). Proper
+    # marker walk: require the 0xFF prefix and stop at SOS — the
+    # segment length of an SOS covers only its header, so stepping
+    # past it would read entropy bytes as marker/length pairs and
+    # could patch "dimensions" into the middle of the scan.
     bomb = bytearray(jpeg)
     i = 2
-    while i + 4 <= len(bomb):
-        if bomb[i + 1] in (0xC0, 0xC1, 0xC2):
+    while i + 4 <= len(bomb) and bomb[i] == 0xFF:
+        marker = bomb[i + 1]
+        if marker in (0xC0, 0xC1, 0xC2):
             struct.pack_into(">HH", bomb, i + 5, 30000, 30000)
             break
+        if marker == 0xDA:  # SOS: entropy data follows
+            raise RuntimeError("no SOF before SOS in lenna_src.jpg?")
         i += 2 + ((bomb[i + 2] << 8) | bomb[i + 3])
 
     zff = bytearray(ff)
