@@ -366,3 +366,60 @@ def test_wedged_icc_pixel_path_never_touches_device(monkeypatch):
     for k in healthy:
         assert wedged[k] is not None, k
         np.testing.assert_array_equal(healthy[k], wedged[k], err_msg=k)
+
+
+def test_wedged_engine_cmyk_pixel_path_serves_host_twin(monkeypatch):
+    """Engine-level wedged CMYK: an EXIF-rotated embedded-profile
+    CMYK JPEG can't ride the coefficient path (coefficient rotation
+    is 3-component only), so with device_icc on it lands on the pixel
+    ICC path — which used to make a DIRECT device call that blocks
+    forever on a dead link. While runner.device_available() is False
+    the same LUT must evaluate through convert_host with no device
+    touch, byte-identical (CPU test platform) to the healthy pass."""
+    import io
+
+    from fanlin_tpu.engine.processor import Engine
+    from fanlin_tpu.ops import fused, hostexec
+    from fanlin_tpu.spec.content import Format
+    from fanlin_tpu.spec.query import parse_query
+    from tests.conftest import make_test_image
+
+    conv = icc.CMYK2RGB.from_file(REF_PROFILE)
+    with open(REF_PROFILE, "rb") as f:
+        prof = f.read()
+    buf = io.BytesIO()
+    exif = Image.Exif()
+    exif[274] = 6  # EXIF orientation: rotate 90 CW
+    Image.fromarray(make_test_image(64, 48)).convert("CMYK").save(
+        buf, format="JPEG", quality=95, icc_profile=prof, exif=exif
+    )
+    data = buf.getvalue()
+
+    class ToggleRunner:
+        def __init__(self):
+            self.up = True
+
+        def run(self, plans, images, kinds=None):
+            return hostexec.run_host(
+                fused.make_assembly(plans, images, kinds or ["rgb"])
+            )
+
+        def device_available(self):
+            return self.up
+
+    runner = ToggleRunner()
+    engine = Engine(runner=runner, cmyk2rgb=conv,
+                    use_embedded_profile=True)
+    engine.enable_device_icc()
+    q = parse_query("w=24&h=32")
+    _, healthy = engine.process_image(data, q, Format())
+    assert engine.stats["pixel_src"] == 1  # rotated: no coef path
+
+    runner.up = False
+
+    def no_device(self):
+        raise AssertionError("device touched while wedged")
+
+    monkeypatch.setattr(cmyk_lut.DeviceCmykTransform, "upload", no_device)
+    _, wedged = engine.process_image(data, q, Format())
+    assert wedged == healthy
