@@ -271,48 +271,28 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
                 mode == "P" and "transparency" in im.info
             )
             is_gray = mode in ("L", "LA", "I", "I;16", "1")
-            # Wide-grayscale branches scale through extra_codecs'
-            # slabbed scaler: a one-shot float32 copy of a
-            # gate-passing I;16 source is ~1 GiB — the very
-            # allocation class the 512 MiB gate exists to stop.
-            if mode.startswith("I;16"):
-                # 16-bit grayscale (PNG/TIFF): PIL's convert("RGB")
-                # CLIPS at 255 (everything bright goes white); the
-                # image crate scales Luma16 -> Luma8. Same scaling as
-                # the wide-PNM path (extra_codecs).
+            # Wide-grayscale modes PIL mangles (clips I;16/I at 255,
+            # int-truncates F) scale through extra_codecs' shared
+            # slabbed scaler — one-shot float32 copies of a
+            # gate-passing I;16 source are ~1 GiB, the allocation
+            # class the 512 MiB gate exists to stop. The scaler's u8
+            # clamp maps out-of-range samples to 0/255, so mode I
+            # (32-bit container, real content is 16-bit) is exactly
+            # clip(v, 0, 65535) scaled, and mode F is
+            # round(clamp(v, 0, 1)*255) like the HDR/EXR float paths.
+            # The image crate scales Luma16 the same way and has no
+            # 32-bit-integer pixel type either (known-diff #11).
+            _wide_gray = {"I;16": (np.uint16, 65535),
+                          "I": (np.int32, 65535),
+                          "F": (np.float32, 1)}.get(
+                "I;16" if mode.startswith("I;16") else mode)
+            if _wide_gray is not None:
                 from . import extra_codecs
 
-                a16 = np.asarray(im, dtype=np.uint16)
-                y = extra_codecs._scale_to_u8(
-                    a16.ravel(), 65535).reshape(a16.shape)
-                return np.repeat(y[:, :, None], 3, axis=2), False, True
-            if mode == "I":
-                # 32-bit integer grayscale (TIFF): convert("RGB")
-                # clips at 255 like the I;16 case above (any bright
-                # source goes all white). Real-world mode-I content is
-                # 16-bit data in a 32-bit container, so clamp to the
-                # 16-bit range and scale like I;16 (the scaler's u8
-                # clamp maps out-of-range values to 0/255, exactly
-                # clip(v, 0, 65535) scaled). (The image crate has no
-                # 32-bit integer pixel type either; recorded with
-                # known-diff #11's bit-depth family.)
-                from . import extra_codecs
-
-                a32 = np.asarray(im, dtype=np.int32)
-                y = extra_codecs._scale_to_u8(
-                    a32.ravel(), 65535).reshape(a32.shape)
-                return np.repeat(y[:, :, None], 3, axis=2), False, True
-            if mode == "F":
-                # float grayscale (TIFF): PIL's convert("RGB")
-                # truncates to int first (0..1 data becomes 0/1 black);
-                # map like the float->u8 paths elsewhere (HDR/EXR):
-                # round(clamp(v, 0, 1) * 255) — maxval=1 in the scaler
-                from . import extra_codecs
-
-                af = np.asarray(im, dtype=np.float32)
-                y = extra_codecs._scale_to_u8(
-                    af.ravel(), 1).reshape(af.shape)
-                return np.repeat(y[:, :, None], 3, axis=2), False, True
+                dt, maxval = _wide_gray
+                rgb = extra_codecs.gray_to_rgb_u8(
+                    np.asarray(im, dtype=dt), maxval)
+                return rgb, False, True
             out = im.convert("RGBA") if has_alpha else im.convert("RGB")
             arr = np.asarray(out, dtype=np.uint8)
             if arr.ndim != 3 or arr.shape[2] not in (3, 4):

@@ -275,6 +275,14 @@ def _scale_to_u8(px: np.ndarray, maxval: int) -> np.ndarray:
     return out
 
 
+def gray_to_rgb_u8(a: np.ndarray, maxval: int) -> np.ndarray:
+    """2-D wide-integer/float grayscale -> (H, W, 3) u8 through the
+    slabbed scaler (the shared policy for every scaled-gray decode
+    branch: I;16 / mode-I / F in codecs.decode and the PNM paths)."""
+    y = _scale_to_u8(np.ravel(a), maxval).reshape(a.shape)
+    return np.repeat(y[:, :, None], 3, axis=2)
+
+
 def decode_pam(data: bytes) -> tuple:
     """P7 PAM -> ((H, W, C) uint8, has_alpha, is_gray). Header is
     KEY [value] lines up to ENDHDR; samples are raw, big-endian u16

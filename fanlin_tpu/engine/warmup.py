@@ -219,7 +219,7 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
 
     q: "queue_mod.Queue" = queue_mod.Queue()
     for job in jobs:
-        q.put(job)
+        q.put((0, job))  # (attempts, job)
     done = [0]
     done_lock = threading.Lock()
 
@@ -231,13 +231,21 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
             if device_ok is not None and not device_ok():
                 return
             try:
-                job = q.get_nowait()
+                attempts, job = q.get_nowait()
             except queue_mod.Empty:
                 return
             try:
                 run_one(job)
             except Exception as e:
-                log.warning("warmup job failed: %s", e)
+                # failures that coincide with a wedge (fast transport
+                # errors rather than hangs) are almost surely
+                # wedge-induced — re-queue for the post-recovery
+                # resume instead of leaving that bucket cold forever
+                if (device_ok is not None and not device_ok()
+                        and attempts < 3):
+                    q.put((attempts + 1, job))
+                else:
+                    log.warning("warmup job failed: %s", e)
                 continue
             with done_lock:
                 done[0] += 1
@@ -266,8 +274,24 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
         ]
         for t in threads:
             t.start()
-        for t in threads:
-            t.join()
+        # Wedge-aware join: a drain thread stuck INSIDE a hung device
+        # call never returns, and an unbounded join here would park
+        # the whole defer-and-resume loop behind it forever. Wait with
+        # a timeout; bail to the defer branch when the gate drops, and
+        # stop waiting for a straggler stuck past any sane compile
+        # time once the queue is empty — stuck threads leak (daemon;
+        # their consumed job is tallied as failed at the end).
+        straggler_deadline = None
+        while any(t.is_alive() for t in threads):
+            if device_ok is not None and not device_ok():
+                break
+            if q.empty():
+                if straggler_deadline is None:
+                    straggler_deadline = time.monotonic() + 600.0
+                elif time.monotonic() > straggler_deadline:
+                    break
+            threads[0].join(timeout=0.2)
+            threads = [t for t in threads if t.is_alive()]
         if q.empty() or device_ok is None:
             break
     if done[0] < len(jobs):

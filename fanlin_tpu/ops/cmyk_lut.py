@@ -117,10 +117,18 @@ class DeviceCmykTransform:
 
     def upload(self) -> None:
         """Push the LUT to device (idempotent). Callers on possibly
-        wedged links must wrap this in utils.bounded.bounded_call."""
+        wedged links must wrap this in utils.bounded.bounded_call.
+        The device_put runs OUTSIDE the lock: it can block forever on
+        a wedged link, and a blocked holder would turn every
+        post-recovery convert() on this (cached, per-profile)
+        transform into a permanent sink waiting on the lock. Two
+        concurrent uploads just race to publish the same tiny array."""
+        if self._lut_flat is not None:
+            return
+        val = jax.device_put(self._lut_np)
         with self._upload_lock:
             if self._lut_flat is None:
-                self._lut_flat = jax.device_put(self._lut_np)
+                self._lut_flat = val
 
     def convert(self, cmyk: np.ndarray) -> np.ndarray:
         """(H, W, 4) u8 CMYK -> (H, W, 3) u8 sRGB, on device."""

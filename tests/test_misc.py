@@ -197,3 +197,44 @@ def test_warmup_defers_and_resumes_across_wedges(monkeypatch):
     n = warmup.warm(shapes=((64, 64, "w=32&h=32"),), batch=2,
                     device_ok=lambda: flags["up"])
     assert n == len(ran) and n > 1  # every job compiled, none dropped
+
+
+def test_warmup_resumes_past_a_thread_stuck_in_a_device_call(monkeypatch):
+    """The harder wedge: a drain thread blocks INSIDE a hung device
+    call and never returns. warm() must not park behind an unbounded
+    join on it — after recovery the remaining queue still compiles;
+    only the stuck job is lost (tallied as a failure)."""
+    import threading as _threading
+
+    from fanlin_tpu.engine import warmup
+    from fanlin_tpu.ops import fused
+
+    monkeypatch.setattr(warmup, "_DEFER_POLL_S", 0.01)
+    flags = {"up": True}
+    ran = []
+    lock = _threading.Lock()
+    stuck_forever = _threading.Event()
+
+    class _Stub:
+        def __init__(self, plans, payloads, kind=None, **kw):
+            pass
+
+        def run(self):
+            with lock:
+                first = not ran
+                ran.append(1)
+                if first:
+                    flags["up"] = False
+                    _threading.Timer(
+                        0.2, lambda: flags.update(up=True)
+                    ).start()
+            if first:
+                stuck_forever.wait(30)  # a hung device call
+            return []
+
+    monkeypatch.setattr(fused, "BatchAssembly", _Stub)
+    monkeypatch.setattr(fused, "CoefBatchAssembly", _Stub)
+    n = warmup.warm(shapes=((64, 64, "w=32&h=32"),), batch=2,
+                    device_ok=lambda: flags["up"])
+    stuck_forever.set()  # unhang the leaked thread before teardown
+    assert n == len(ran) - 1 and n > 0  # all but the stuck job compiled

@@ -258,14 +258,22 @@ def test_sigterm_exits_promptly_with_wedged_warmup(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     try:
-        deadline = time.monotonic() + 90
+        # read the banner from a helper thread: this test targets a
+        # boot-hang regression, and a blocking readline here would
+        # turn that regression into a silent suite hang instead of a
+        # failure at the deadline
         pre_banner = []
-        for line in proc.stdout:
-            pre_banner.append(line)
-            if "listening on" in line:
-                break
-            if time.monotonic() > deadline:
-                raise AssertionError("server never came up")
+        banner = threading.Event()
+
+        def _read_banner():
+            for line in proc.stdout:
+                pre_banner.append(line)
+                if "listening on" in line:
+                    banner.set()
+                    return
+
+        threading.Thread(target=_read_banner, daemon=True).start()
+        assert banner.wait(90), "server never came up"
         # wedged-mode serving still answers (host mirror / pixel path)
         with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/p/lenna_src.jpg?w=64&h=48",
