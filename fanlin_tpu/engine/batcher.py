@@ -317,6 +317,9 @@ class MicroBatcher:
                       # and a 0/1 gauge while the device is wedged
                       # (batches serve from the host mirror)
                       "device_stalls": 0,
+                      # device calls that RAISED (vs stalled) and were
+                      # mirror-served instead of failing the batch
+                      "device_errors": 0,
                       "device_wedged": 0}
 
     def device_available(self) -> bool:
@@ -798,6 +801,18 @@ class MicroBatcher:
                 self._collect_batch, asm, out, futures, token, releaser
             )
         except Exception as e:
+            if self._host_fallback:
+                # device submit/staging failed — same mirror failover
+                # as a failing collect (see _collect_batch)
+                _logger.error(
+                    "device submit failed (%s) — serving the batch "
+                    "from the host mirror", e,
+                )
+                with self._lock:
+                    self.stats["device_errors"] += 1
+                self.stats["host_fallbacks"] += 1
+                self._run_host(asm, futures)
+                return
             for f in futures:
                 _safe_fail(f, e)
 
@@ -810,6 +825,23 @@ class MicroBatcher:
         except Exception as e:
             if token is not None:
                 self._watch_done(token, roundtrip_ok=False)
+            if self._host_fallback:
+                # a RAISING device call (transient relay tear-down,
+                # transfer error) — unlike a stalling one — used to
+                # fail the whole batch's requests while the armed
+                # mirror could serve them: same degraded contract as
+                # the stall path (mirror bytes are tagged cold; a
+                # deterministic per-batch error just fails again in
+                # the mirror and surfaces from there)
+                _logger.error(
+                    "device collect failed (%s) — serving the batch "
+                    "from the host mirror", e,
+                )
+                with self._lock:
+                    self.stats["device_errors"] += 1
+                self.stats["host_fallbacks"] += 1
+                self._run_host(asm, futures)
+                return
             for f in futures:
                 _safe_fail(f, e)
             return

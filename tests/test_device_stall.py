@@ -591,3 +591,80 @@ def test_wedged_cold_bucket_spawns_no_compile_thread():
             "post-recovery compile never ran/cleared")
     finally:
         mb.close()
+
+
+def test_flapping_link_soak(monkeypatch):
+    """Randomized composition of every wedge behavior under
+    concurrent load: device collects that stall past the bound, stall
+    briefly, raise, or succeed — flapping for the whole soak — must
+    never lose or deadlock a request, and every response stays within
+    the mirror's +-1 LSB window. Single scenarios are pinned above;
+    this guards their INTERACTIONS (quarantine + re-probe + permit
+    force-release + queued-batch cancel churning against each other)."""
+    import random
+
+    img = _rgba(make_test_image(149, 97))
+    q = parse_query("w=67&h=53")
+    plan = fused.plan_image(149, 97, q)
+
+    warm_asm = fused.make_assembly([plan], [img], ["rgb"])
+    expected = np.asarray(warm_asm.run()[0]).astype(np.int16)
+    assert fused.is_warm(warm_asm.program_key())
+
+    rng = random.Random(11)
+    healthy = threading.Event()  # set -> stop injecting faults
+    real_collect = fused.BatchAssembly.collect
+
+    def flaky_collect(self, out):
+        if not healthy.is_set():
+            roll = rng.random()  # rng is not thread-safe-critical here
+            if roll < 0.25:
+                time.sleep(0.7)   # past the stall bound: wedge
+            elif roll < 0.40:
+                time.sleep(0.15)  # slow but inside the bound
+            elif roll < 0.50:
+                raise RuntimeError("relay tear-down")
+        return real_collect(self, out)
+
+    monkeypatch.setattr(fused.BatchAssembly, "collect", flaky_collect)
+
+    batcher = MicroBatcher(max_batch=2, window_ms=1.0,
+                           host_fallback=True, device_stall_s=0.3)
+    errors = []
+    lock = threading.Lock()
+
+    def submitter(n):
+        for _ in range(n):
+            f = batcher.submit(plan, img)
+            try:
+                r = np.asarray(f.result(timeout=20.0)).astype(np.int16)
+            except Exception as e:
+                with lock:
+                    errors.append(repr(e))
+                continue
+            d = int(np.abs(r - expected).max())
+            if d > 1:
+                with lock:
+                    errors.append(f"diff {d}")
+
+    try:
+        threads = [threading.Thread(target=submitter, args=(30,))
+                   for _ in range(3)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not any(t.is_alive() for t in threads), "submitter hung"
+        assert not errors, errors[:5]
+
+        # calm the link; the wedge (if any) must clear and the device
+        # path must serve bit-exact again
+        healthy.set()
+        assert _wait(lambda: batcher.stats["device_wedged"] == 0,
+                     timeout=30.0), "wedge never cleared once healthy"
+        f = batcher.submit(plan, img)
+        r = np.asarray(f.result(timeout=30.0)).astype(np.int16)
+        assert np.array_equal(r, expected)
+    finally:
+        healthy.set()
+        batcher.close()
