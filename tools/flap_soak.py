@@ -1,0 +1,130 @@
+"""Flapping-accelerator-link soak: randomized stall/raise/recover
+injection against a live MicroBatcher under concurrent load.
+
+The single-scenario wedge tests live in tests/test_device_stall.py
+(incl. a short seeded version of this soak); this tool runs the same
+composition longer and harder for release validation:
+
+    python tools/flap_soak.py --requests 1600 --threads 4
+
+Invariants checked: every request resolves (no loss, no deadlock),
+every response within the mirror's +-1 LSB window, the device path is
+bit-exact again after the flapping stops, close() returns clean.
+Prints one JSON summary line; exit 1 on any violation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import random
+import sys
+import threading
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=1600)
+    ap.add_argument("--threads", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--stall-s", type=float, default=0.3)
+    ap.add_argument("--p-wedge", type=float, default=0.20,
+                    help="P(collect sleeps past the stall bound)")
+    ap.add_argument("--p-slow", type=float, default=0.15)
+    ap.add_argument("--p-raise", type=float, default=0.10)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from fanlin_tpu.engine.batcher import MicroBatcher
+    from fanlin_tpu.ops import fused
+    from fanlin_tpu.spec.query import parse_query
+
+    rng0 = np.random.default_rng(3)
+    img = rng0.integers(0, 256, (103, 151, 4), dtype=np.uint8)
+    img[..., 3] = 255
+    plan = fused.plan_image(151, 103, parse_query("w=73&h=61"))
+    warm = fused.make_assembly([plan], [img], ["rgb"])
+    expected = np.asarray(warm.run()[0]).astype(np.int16)
+
+    rng = random.Random(args.seed)
+    real_collect = fused.BatchAssembly.collect
+    flapping = threading.Event()
+    flapping.set()
+
+    def flaky(self, out):
+        if flapping.is_set():
+            roll = rng.random()
+            if roll < args.p_wedge:
+                time.sleep(args.stall_s * 2.3)
+            elif roll < args.p_wedge + args.p_slow:
+                time.sleep(args.stall_s * 0.4)
+            elif roll < args.p_wedge + args.p_slow + args.p_raise:
+                raise RuntimeError("injected relay tear-down")
+        return real_collect(self, out)
+
+    fused.BatchAssembly.collect = flaky
+    b = MicroBatcher(max_batch=4, window_ms=1.0, host_fallback=True,
+                     device_stall_s=args.stall_s)
+    errors: list = []
+    done = [0]
+    lock = threading.Lock()
+    per = args.requests // args.threads
+
+    def submitter():
+        for _ in range(per):
+            f = b.submit(plan, img)
+            try:
+                r = np.asarray(f.result(timeout=60.0)).astype(np.int16)
+                d = int(np.abs(r - expected).max())
+                if d > 1:
+                    with lock:
+                        errors.append(f"diff {d}")
+            except Exception as e:  # noqa: BLE001 — the assertion
+                with lock:
+                    errors.append(repr(e))
+            with lock:
+                done[0] += 1
+
+    t0 = time.time()
+    ts = [threading.Thread(target=submitter) for _ in range(args.threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=900)
+    hung = any(t.is_alive() for t in ts)
+
+    flapping.clear()
+    for _ in range(100):
+        if b.stats["device_wedged"] == 0:
+            break
+        time.sleep(0.2)
+    recovered_exact = False
+    try:
+        r = np.asarray(b.submit(plan, img).result(timeout=60))
+        recovered_exact = bool(np.array_equal(r.astype(np.int16), expected))
+    except Exception as e:  # noqa: BLE001
+        errors.append(f"post-recovery: {e!r}")
+    fused.BatchAssembly.collect = real_collect
+    closed = b.close()
+
+    ok = (not hung and not errors and recovered_exact and closed
+          and done[0] == per * args.threads)
+    print(json.dumps({
+        "ok": ok, "requests": done[0], "secs": round(time.time() - t0, 1),
+        "hung": hung, "errors": errors[:5], "error_count": len(errors),
+        "recovered_bit_exact": recovered_exact, "close_clean": closed,
+        "stats": {k: b.stats[k] for k in (
+            "batches", "device_stalls", "device_errors",
+            "host_fallbacks", "device_wedged")},
+    }))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, ".")
+    sys.exit(main())
