@@ -673,6 +673,7 @@ class MicroBatcher:
                 self.stats["backlog"] = max(
                     self.stats["backlog"] - len(group), 0)
         futures = [g[2] for g in group]
+        asm = releaser = token = None
         try:
             group = self._live_entries(group)
             if not group:
@@ -801,16 +802,28 @@ class MicroBatcher:
                 self._collect_batch, asm, out, futures, token, releaser
             )
         except Exception as e:
-            if self._host_fallback:
+            # a permit/token acquired on this path must not outlive it:
+            # a raising self._collector.submit (quarantine/close race)
+            # reaches here holding both, and leaking the permit starves
+            # the pipeline after pipeline_depth such failures. Both
+            # releases are idempotent (asm.submit's own handler may
+            # have run already).
+            if token is not None:
+                self._watch_done(token, roundtrip_ok=False)
+            if releaser is not None:
+                releaser.release()
+            if self._host_fallback and asm is not None:
                 # device submit/staging failed — same mirror failover
-                # as a failing collect (see _collect_batch)
+                # as a failing collect (see _collect_batch). asm is
+                # None when make_assembly itself failed: nothing the
+                # mirror could run — fail the futures fast instead.
                 _logger.error(
                     "device submit failed (%s) — serving the batch "
                     "from the host mirror", e,
                 )
                 with self._lock:
                     self.stats["device_errors"] += 1
-                self.stats["host_fallbacks"] += 1
+                    self.stats["host_fallbacks"] += 1
                 self._run_host(asm, futures)
                 return
             for f in futures:
@@ -839,7 +852,7 @@ class MicroBatcher:
                 )
                 with self._lock:
                     self.stats["device_errors"] += 1
-                self.stats["host_fallbacks"] += 1
+                    self.stats["host_fallbacks"] += 1
                 self._run_host(asm, futures)
                 return
             for f in futures:

@@ -290,6 +290,11 @@ def warm(shapes: Iterable[Tuple[int, int, str]] = DEFAULT_SHAPES,
                     straggler_deadline = time.monotonic() + 600.0
                 elif time.monotonic() > straggler_deadline:
                     break
+            else:
+                # a failed job was re-queued: the straggler budget
+                # restarts when the queue next drains, else a stale
+                # deadline fires the moment a worker picks it up
+                straggler_deadline = None
             threads[0].join(timeout=0.2)
             threads = [t for t in threads if t.is_alive()]
         if q.empty() or device_ok is None:

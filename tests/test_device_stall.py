@@ -668,3 +668,72 @@ def test_flapping_link_soak(monkeypatch):
     finally:
         healthy.set()
         batcher.close()
+
+
+def test_make_assembly_failure_fails_fast_with_fallback_armed(monkeypatch):
+    """An exception BEFORE asm exists (make_assembly itself) must fail
+    the futures immediately — the mirror-failover branch has nothing to
+    run. Regression: the handler referenced the unbound `asm` and the
+    UnboundLocalError escaped, leaving the futures to hang until the
+    request timeout."""
+    img = _rgba(make_test_image(151, 101))
+    q = parse_query("w=73&h=53")
+    plan = fused.plan_image(151, 101, q)
+
+    def broken_make_assembly(*a, **k):
+        raise RuntimeError("synthetic staging failure")
+
+    monkeypatch.setattr(fused, "make_assembly", broken_make_assembly)
+    batcher = MicroBatcher(max_batch=2, window_ms=1.0,
+                           host_fallback=True, device_stall_s=0.5)
+    try:
+        f = batcher.submit(plan, img)
+        t0 = time.monotonic()
+        try:
+            f.result(timeout=5.0)
+            raise AssertionError("expected the staging failure")
+        except RuntimeError as e:
+            assert "synthetic staging failure" in str(e)
+        assert time.monotonic() - t0 < 2.0, "failure was not fast"
+        # no permit may leak on this path
+        assert batcher._inflight._value == batcher.pipeline_depth
+    finally:
+        batcher.close()
+
+
+def test_collector_submit_failure_releases_permit_and_mirrors():
+    """A raising _collector.submit (quarantine/close race) must release
+    the pipeline permit and watch token before mirror-serving, or
+    pipeline_depth such failures starve the device thread forever."""
+    img = _rgba(make_test_image(153, 99))
+    q = parse_query("w=69&h=51")
+    plan = fused.plan_image(153, 99, q)
+    warm_asm = fused.make_assembly([plan], [img], ["rgb"])
+    expected = warm_asm.run()[0]
+    assert fused.is_warm(warm_asm.program_key())
+
+    class DeadExecutor:
+        def submit(self, *a, **k):
+            raise RuntimeError("cannot schedule new futures after shutdown")
+
+        def shutdown(self, *a, **k):
+            pass
+
+    batcher = MicroBatcher(max_batch=1, window_ms=1.0,
+                           host_fallback=True, device_stall_s=30.0)
+    batcher._collector = DeadExecutor()
+    try:
+        # one failure per batch, repeated past pipeline_depth: every
+        # one must mirror-serve and give its permit back
+        for _ in range(batcher.pipeline_depth + 2):
+            f = batcher.submit(plan, img)
+            r = np.asarray(f.result(timeout=10.0))
+            assert getattr(f, "fanlin_host_mirror", False)
+            assert r.shape == np.asarray(expected).shape
+        assert batcher.stats["device_errors"] >= batcher.pipeline_depth + 2
+        assert _wait(
+            lambda: batcher._inflight._value == batcher.pipeline_depth)
+        # the watch table must not accumulate dead tokens either
+        assert not batcher._watch
+    finally:
+        batcher.close()
