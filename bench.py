@@ -73,13 +73,13 @@ def _host_mirror_rate(seconds: float = 8.0) -> float:
     params = parse_query("w=300&h=200")
     batch = 16
     plan = None
-    n = 0
-    t0 = time.time()
-    while time.time() - t0 < seconds:
+
+    def one_batch():
         imgs = []
         for _ in range(batch):
             img, _, _ = codecs.decode(data)
             imgs.append(img)
+        nonlocal plan
         if plan is None:
             h, w = imgs[0].shape[:2]
             plan = fused.plan_image(w, h, params)
@@ -87,8 +87,50 @@ def _host_mirror_rate(seconds: float = 8.0) -> float:
         outs = hostexec.run_host(asm)
         for o in outs:
             codecs.encode(o, codecs.JPEG, 75, "RGBA")
+
+    # one unmeasured batch first: imports, the native-lib dlopen and
+    # any lazy table builds land here, not in the short timed window
+    one_batch()
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        one_batch()
         n += batch
     return n / (time.time() - t0)
+
+
+def _degraded_exit(err: str) -> None:
+    """Print the honest dead-relay JSON (peak of any completed device
+    passes, else the measured host-mirror failover rate) and exit 3.
+    Shared by the stall watchdog and the fast boot probe; must run on
+    a thread no hung jax RPC can block."""
+    rates = _wd["pass_rates"] or []
+    result = {
+        "metric": _wd["metric"],
+        "value": round(max(rates), 1) if rates else 0.0,
+        "unit": "images/sec",
+        "vs_baseline": round(max(rates) / BASELINE_RPS, 2)
+        if rates else 0.0,
+        "error": err,
+        "pass_rates": rates or None,
+        "windows": _wd["windows"] or None,
+    }
+    if (not rates
+            and os.environ.get("BENCH_MIRROR_PROBE", "1") == "1"):
+        # no device pass ever completed: measure the degraded
+        # mode the server actually serves in (host mirror) so
+        # a dead relay still yields a real, clearly-labeled
+        # number instead of 0
+        try:
+            mirror = _host_mirror_rate()
+            result["value"] = round(mirror, 1)
+            result["vs_baseline"] = round(mirror / BASELINE_RPS, 2)
+            result["mode"] = "host_mirror_failover"
+            result["metric"] += "_hostmirror"
+        except Exception as e:  # keep the honest-zero fallback
+            result["mirror_probe_error"] = repr(e)
+    print(json.dumps(result), flush=True)
+    os._exit(3)
 
 
 def _start_watchdog() -> None:
@@ -104,36 +146,10 @@ def _start_watchdog() -> None:
             idle = time.time() - _wd["t"]
             if idle < stall:
                 continue
-            rates = _wd["pass_rates"] or []
-            err = ("watchdog: no progress for %ds at phase '%s' — "
-                   "TPU relay unreachable or wedged"
-                   % (int(idle), _wd["phase"]))
-            result = {
-                "metric": _wd["metric"],
-                "value": round(max(rates), 1) if rates else 0.0,
-                "unit": "images/sec",
-                "vs_baseline": round(max(rates) / BASELINE_RPS, 2)
-                if rates else 0.0,
-                "error": err,
-                "pass_rates": rates or None,
-                "windows": _wd["windows"] or None,
-            }
-            if (not rates
-                    and os.environ.get("BENCH_MIRROR_PROBE", "1") == "1"):
-                # no device pass ever completed: measure the degraded
-                # mode the server actually serves in (host mirror) so
-                # a dead relay still yields a real, clearly-labeled
-                # number instead of 0
-                try:
-                    mirror = _host_mirror_rate()
-                    result["value"] = round(mirror, 1)
-                    result["vs_baseline"] = round(mirror / BASELINE_RPS, 2)
-                    result["mode"] = "host_mirror_failover"
-                    result["metric"] += "_hostmirror"
-                except Exception as e:  # keep the honest-zero fallback
-                    result["mirror_probe_error"] = repr(e)
-            print(json.dumps(result), flush=True)
-            os._exit(3)
+            _degraded_exit(
+                "watchdog: no progress for %ds at phase '%s' — "
+                "TPU relay unreachable or wedged"
+                % (int(idle), _wd["phase"]))
 
     threading.Thread(target=_watch, daemon=True).start()
 
@@ -212,6 +228,28 @@ def main() -> None:
         metric += "_synthsrc"
     _wd["metric"] = metric
     _beat("source loaded")
+
+    # Fast boot probe: a relay dead at START should yield the honest
+    # degraded JSON in ~4 min, not after the 30-min stall watchdog.
+    # 240 s matches the fastwin watcher's probe budget — healthy
+    # backend init + one device_put over the relay finishes well
+    # inside it; only compiles take longer, and none is issued here.
+    # Placed after metric/source setup so the degraded line carries
+    # the full workload tag.
+    probe_s = float(os.environ.get("BENCH_BOOT_PROBE_SECS", "240"))
+    if probe_s > 0:
+        from fanlin_tpu.utils.bounded import bounded_call
+
+        _beat("boot probe")
+        got = bounded_call(
+            lambda: float(np.asarray(
+                jax.device_put(np.ones(8, np.float32))).sum()),
+            probe_s, None, "bench boot probe (device_put)")
+        if got != 8.0:
+            _degraded_exit(
+                "boot probe: device_put unanswered after %.0fs — "
+                "TPU relay dead at bench start" % probe_s)
+        _beat("boot probe ok")
 
     plan = fused.plan_image(512, 512, params)
     pool = ThreadPoolExecutor(threads)
