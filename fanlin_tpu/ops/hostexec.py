@@ -51,7 +51,18 @@ def _windowed_apply(m: np.ndarray, x: np.ndarray, axis: int) -> np.ndarray:
     rest = xm.shape[1:]
     xf = np.ascontiguousarray(xm.reshape(s, -1), dtype=np.float32)
     out = np.empty((o, xf.shape[1]), np.float32)
-    step = 192
+    # Chunk size trades FLOPs against GEMM arithmetic intensity. The
+    # column window a chunk of `step` consecutive output rows touches
+    # is ~step*(s/o) + k, and chunk FLOPs scale with it — so big fixed
+    # chunks go near-dense exactly on downscales (512->200 rows at
+    # step=192 spanned ~497 of 512 columns; the windowing saved
+    # nothing on the headline workload). But tiny chunks starve BLAS:
+    # intensity ~ 2*M*K/(4*(M+K)) collapses at small K, and a 512->
+    # 1618 upscale ran 5x SLOWER at step=25 than 192 despite 4x fewer
+    # FLOPs. Measured sweet spot across downscale / upscale / narrow
+    # and wide blur bands: hold the window K near ~56 columns.
+    r = s / o
+    step = int(np.clip(round((56.0 - k) / r), 16, 192))
     for i0 in range(0, o, step):
         i1 = min(i0 + step, o)
         c0 = int(first[i0:i1].min())
