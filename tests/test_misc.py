@@ -47,6 +47,43 @@ def test_warmup_compiles():
     assert n >= 2
 
 
+def test_warmup_requeues_wedge_failures_and_resumes(monkeypatch):
+    """A job that fails WHILE the device gate is down is almost surely
+    wedge-induced: it must re-queue and compile after recovery, not be
+    tallied failed and leave its bucket cold forever. Also exercises
+    the defer/resume loop end to end (drain park -> poll -> resume)."""
+    import threading
+    import time
+
+    from fanlin_tpu.engine import native_codecs, warmup
+    from fanlin_tpu.ops import fused
+
+    # pix-only variants (2 jobs) keep the compile fan-out small
+    monkeypatch.setattr(native_codecs, "available", lambda: False)
+    monkeypatch.setattr(warmup, "_DEFER_POLL_S", 0.05)
+
+    wedged = [False]
+    raise_once = [True]
+    real_run = fused.BatchAssembly.run
+
+    def flaky_run(self):
+        if raise_once[0]:
+            raise_once[0] = False
+            wedged[0] = True  # the failure IS the wedge signal
+            raise RuntimeError("synthetic wedge-induced compile failure")
+        return real_run(self)
+
+    monkeypatch.setattr(fused.BatchAssembly, "run", flaky_run)
+    t = threading.Timer(0.4, lambda: wedged.__setitem__(0, False))
+    t.start()
+    try:
+        n = warmup.warm(shapes=((64, 64, "w=32&h=32"),), batch=2,
+                        device_ok=lambda: not wedged[0])
+    finally:
+        t.cancel()
+    assert n == 2, "re-queued job never compiled after recovery"
+
+
 def test_warmup_shapes_derive_from_fallback_images():
     """Without explicit tpu.warmup_shapes, the lattice derives source
     geometries from the preloaded fallback images (VERDICT r3 item 9),
