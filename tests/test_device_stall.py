@@ -614,6 +614,7 @@ def test_flapping_link_soak(monkeypatch):
     rng = random.Random(11)
     healthy = threading.Event()  # set -> stop injecting faults
     real_collect = fused.BatchAssembly.collect
+    real_submit = fused.BatchAssembly.submit
 
     def flaky_collect(self, out):
         if not healthy.is_set():
@@ -626,7 +627,16 @@ def test_flapping_link_soak(monkeypatch):
                 raise RuntimeError("relay tear-down")
         return real_collect(self, out)
 
+    def flaky_submit(self):
+        # staging/dispatch can ALSO raise on a flapping link (transfer
+        # error before any collect exists) — rides the device-thread
+        # mirror failover, a different code path than collect's
+        if not healthy.is_set() and rng.random() < 0.10:
+            raise RuntimeError("relay transfer error at submit")
+        return real_submit(self)
+
     monkeypatch.setattr(fused.BatchAssembly, "collect", flaky_collect)
+    monkeypatch.setattr(fused.BatchAssembly, "submit", flaky_submit)
 
     batcher = MicroBatcher(max_batch=2, window_ms=1.0,
                            host_fallback=True, device_stall_s=0.3)

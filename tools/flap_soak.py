@@ -33,6 +33,9 @@ def main() -> int:
                     help="P(collect sleeps past the stall bound)")
     ap.add_argument("--p-slow", type=float, default=0.15)
     ap.add_argument("--p-raise", type=float, default=0.10)
+    ap.add_argument("--p-submit-raise", type=float, default=0.05,
+                    help="P(staging/dispatch raises before any collect "
+                         "exists — the device-thread failover path)")
     args = ap.parse_args()
 
     import jax
@@ -53,6 +56,7 @@ def main() -> int:
 
     rng = random.Random(args.seed)
     real_collect = fused.BatchAssembly.collect
+    real_submit = fused.BatchAssembly.submit
     flapping = threading.Event()
     flapping.set()
 
@@ -67,7 +71,13 @@ def main() -> int:
                 raise RuntimeError("injected relay tear-down")
         return real_collect(self, out)
 
+    def flaky_submit(self):
+        if flapping.is_set() and rng.random() < args.p_submit_raise:
+            raise RuntimeError("injected relay transfer error at submit")
+        return real_submit(self)
+
     fused.BatchAssembly.collect = flaky
+    fused.BatchAssembly.submit = flaky_submit
     b = MicroBatcher(max_batch=4, window_ms=1.0, host_fallback=True,
                      device_stall_s=args.stall_s)
     errors: list = []
@@ -110,6 +120,7 @@ def main() -> int:
     except Exception as e:  # noqa: BLE001
         errors.append(f"post-recovery: {e!r}")
     fused.BatchAssembly.collect = real_collect
+    fused.BatchAssembly.submit = real_submit
     closed = b.close()
 
     ok = (not hung and not errors and recovered_exact and closed
