@@ -503,11 +503,21 @@ def serve_multiworker(cfg) -> int:
             pid, status = os.waitpid(-1, os.WNOHANG)
         except ChildProcessError:
             break
-        if pid:
+        if pid and pid in children:
             children.remove(pid)
             died += 1
             log.error("worker %d exited with code %d", pid,
                       os.waitstatus_to_exitcode(status))
+        elif pid:
+            # waitpid(-1) sees EVERY child of this process, and the
+            # service side can spawn non-worker children (the native
+            # codec's first-use `make` build rides subprocess.run).
+            # Reaping one here is harmless — Popen treats the lost
+            # wait as ECHILD -> returncode 0 — but counting it as a
+            # dead gateway worker (or children.remove crashing the
+            # supervisor, which pdeathsig then turns into a full
+            # gateway outage) is not.
+            log.debug("reaped non-worker child %d", pid)
         else:
             time.sleep(0.2)
     # graceful drain: signal the workers, wait for them (they finish
