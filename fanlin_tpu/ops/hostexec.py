@@ -21,55 +21,75 @@ import numpy as np
 from . import fused
 
 
-def _windowed_apply(m: np.ndarray, x: np.ndarray, axis: int) -> np.ndarray:
-    """y = m @ x along `axis`, exploiting the per-row support window.
-
-    Every matrix the mirror applies — Lanczos/triangle resample rows
-    (support ~6-10 taps), gaussian blur rows (2*sigma band), blockdiag
-    iDCT rows (8 taps) — has CONTIGUOUS nonzeros. The dense einsum
-    paid the full O*S*rest anyway — seconds of the single host core
-    for a 2000-wide blurred output (VERDICT r2 item 4). Gathering the
-    k-tap window per output row costs O*k*rest instead (k = widest
-    row support), using the matrix's own weights, so results match the
-    dense apply to f32 accumulation order. Returns the contracted
-    axis FIRST (like tensordot); callers moveaxis it back."""
+def _win_meta(m: np.ndarray):
+    """(first, last, k): per-output-row support window bounds and the
+    widest window. Every matrix the mirror applies — Lanczos/triangle
+    resample rows (support ~6-10 taps), gaussian blur rows (2*sigma
+    band), blockdiag iDCT rows (8 taps) — has CONTIGUOUS nonzeros."""
     o, s = m.shape
     nz = m != 0
     any_rows = nz.any(axis=1)
     first = np.where(any_rows, nz.argmax(axis=1), 0)
     last = np.where(any_rows, s - 1 - nz[:, ::-1].argmax(axis=1), 0)
     k = int((last - first + 1).max(initial=1))
+    return first, last, k
+
+
+def _win_step(k: int, o: int, s: int) -> int:
+    """Chunk size trades FLOPs against GEMM arithmetic intensity. The
+    column window a chunk of `step` consecutive output rows touches
+    is ~step*(s/o) + k, and chunk FLOPs scale with it — so big fixed
+    chunks go near-dense exactly on downscales (512->200 rows at
+    step=192 spanned ~497 of 512 columns; the windowing saved
+    nothing on the headline workload). But tiny chunks starve BLAS:
+    intensity ~ 2*M*K/(4*(M+K)) collapses at small K, and a 512->
+    1618 upscale ran 5x SLOWER at step=25 than 192 despite 4x fewer
+    FLOPs. Measured sweet spot across downscale / upscale / narrow
+    and wide blur bands: hold the window K near ~56 columns."""
+    return int(np.clip(round((56.0 - k) / (s / o)), 16, 192))
+
+
+def _apply_rows(m: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """y[..., i, :] = sum_s m[i, s] * x[..., s, :] — contract x's
+    second-to-last axis, windowed chunks as batched GEMMs. The
+    moveaxis-to-front + reshape formulation this replaces copied the
+    whole operand TWICE per chain (58 ms/batch on the headline
+    workload); matmul broadcasting contracts in place."""
+    o, s = m.shape
+    mf = np.ascontiguousarray(m, dtype=np.float32)
+    xf = x if x.dtype == np.float32 else x.astype(np.float32)
+    first, last, k = _win_meta(m)
     if k * 4 >= s or s < 64:
-        return np.tensordot(
-            m.astype(np.float32), x.astype(np.float32), axes=([1], [axis])
-        )
-    # BLAS-tiled: chunks of output rows hit a bounded column window,
-    # so each chunk is a small dense sgemm (full BLAS efficiency; the
-    # elementwise-gather formulation measured memory-bound and LOST
-    # to the dense matmul it was replacing)
-    xm = np.moveaxis(x, axis, 0)
-    rest = xm.shape[1:]
-    xf = np.ascontiguousarray(xm.reshape(s, -1), dtype=np.float32)
-    out = np.empty((o, xf.shape[1]), np.float32)
-    # Chunk size trades FLOPs against GEMM arithmetic intensity. The
-    # column window a chunk of `step` consecutive output rows touches
-    # is ~step*(s/o) + k, and chunk FLOPs scale with it — so big fixed
-    # chunks go near-dense exactly on downscales (512->200 rows at
-    # step=192 spanned ~497 of 512 columns; the windowing saved
-    # nothing on the headline workload). But tiny chunks starve BLAS:
-    # intensity ~ 2*M*K/(4*(M+K)) collapses at small K, and a 512->
-    # 1618 upscale ran 5x SLOWER at step=25 than 192 despite 4x fewer
-    # FLOPs. Measured sweet spot across downscale / upscale / narrow
-    # and wide blur bands: hold the window K near ~56 columns.
-    r = s / o
-    step = int(np.clip(round((56.0 - k) / r), 16, 192))
+        return np.matmul(mf, xf)
+    out = np.empty(xf.shape[:-2] + (o, xf.shape[-1]), np.float32)
+    step = _win_step(k, o, s)
     for i0 in range(0, o, step):
         i1 = min(i0 + step, o)
         c0 = int(first[i0:i1].min())
         c1 = int(last[i0:i1].max()) + 1
-        np.dot(np.ascontiguousarray(m[i0:i1, c0:c1], dtype=np.float32),
-               xf[c0:c1], out=out[i0:i1])
-    return out.reshape((o,) + rest)
+        np.matmul(mf[i0:i1, c0:c1], xf[..., c0:c1, :],
+                  out=out[..., i0:i1, :])
+    return out
+
+
+def _apply_cols(m: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """y[..., i] = sum_s x[..., s] * m[i, s] — contract x's last axis
+    (x @ m.T), windowed chunks as batched GEMMs."""
+    o, s = m.shape
+    mt = np.ascontiguousarray(m.T, dtype=np.float32)
+    xf = x if x.dtype == np.float32 else x.astype(np.float32)
+    first, last, k = _win_meta(m)
+    if k * 4 >= s or s < 64:
+        return np.matmul(xf, mt)
+    out = np.empty(xf.shape[:-1] + (o,), np.float32)
+    step = _win_step(k, o, s)
+    for i0 in range(0, o, step):
+        i1 = min(i0 + step, o)
+        c0 = int(first[i0:i1].min())
+        c1 = int(last[i0:i1].max()) + 1
+        np.matmul(xf[..., c0:c1], mt[c0:c1, i0:i1],
+                  out=out[..., i0:i1])
+    return out
 
 
 def _np_blur(bv: np.ndarray, bh: np.ndarray, out: np.ndarray,
@@ -79,13 +99,11 @@ def _np_blur(bv: np.ndarray, bh: np.ndarray, out: np.ndarray,
     windowed otherwise."""
     f32 = np.float32
     if uniform:
-        t = np.moveaxis(_windowed_apply(bv, out, 2), 0, 2)
-        t = np.moveaxis(_windowed_apply(bh, t, 3), 0, 3)
+        t = _apply_cols(bh, _apply_rows(bv, out))
     else:
         t = np.empty_like(out, dtype=f32)
         for i in range(out.shape[0]):
-            s = np.moveaxis(_windowed_apply(bv[i], out[i], 1), 0, 1)
-            t[i] = np.moveaxis(_windowed_apply(bh[i], s, 2), 0, 2)
+            t[i] = _apply_cols(bh[i], _apply_rows(bv[i], out[i]))
     return np.floor(np.clip(t, 0.0, 255.0) + f32(0.5))
 
 
@@ -118,13 +136,11 @@ def _np_chain(planes, av, ah, flags, fill, box, bv, bh, uniform):
         y = np.stack([r1, g1, b1] + ([a] if a is not None else []), axis=1)
 
     if uniform:
-        t = np.moveaxis(_windowed_apply(av, y, 2), 0, 2)
-        t = np.moveaxis(_windowed_apply(ah, t, 3), 0, 3)
+        t = _apply_cols(ah, _apply_rows(av, y))
     else:
         t = np.empty((y.shape[0], y.shape[1], av.shape[1], ah.shape[1]), f32)
         for i in range(y.shape[0]):  # per-image matrices, per-image windows
-            s_ = np.moveaxis(_windowed_apply(av[i], y[i], 1), 0, 1)
-            t[i] = np.moveaxis(_windowed_apply(ah[i], s_, 2), 0, 2)
+            t[i] = _apply_cols(ah[i], _apply_rows(av[i], y[i]))
     fg = np.floor(np.clip(t, 0.0, 255.0) + f32(0.5))
 
     bsz, c, oh, ow = fg.shape

@@ -292,13 +292,15 @@ def test_host_fallback_cost_bounded_on_extreme_geometry():
 
 
 def test_windowed_apply_matches_dense():
-    """The windowed BLAS apply must reproduce the dense product for
-    every matrix family the mirror uses."""
+    """The windowed batched-GEMM applies must reproduce the dense
+    product for every matrix family the mirror uses, on both
+    contraction sides (rows: axis -2; cols: axis -1)."""
     from fanlin_tpu.ops import filters
     from fanlin_tpu.ops.jpeg_decode import _idct_blockdiag
 
     rng = np.random.default_rng(1)
-    x = rng.standard_normal((384, 5, 97)).astype(np.float32)
+    x = rng.standard_normal((5, 384, 97)).astype(np.float32)
+    xt = np.ascontiguousarray(np.swapaxes(x, 1, 2))  # (5, 97, 384)
     for m in (
         filters.gaussian_matrix(384, 11.0),          # banded
         filters.resample_matrix(384, 384, filters.LANCZOS3),
@@ -307,9 +309,13 @@ def test_windowed_apply_matches_dense():
         np.pad(filters.resample_matrix(384, 100, filters.LANCZOS3),
                ((30, 50), (0, 0))),
     ):
-        dense = np.tensordot(m.astype(np.float32), x, axes=([1], [0]))
-        win = hostexec._windowed_apply(m, x, 0)
-        assert np.abs(dense - win).max() < 1e-3, m.shape
+        mf = m.astype(np.float32)
+        dense_r = np.einsum("os,bsw->bow", mf, x, optimize=True)
+        win_r = hostexec._apply_rows(m, x)
+        assert np.abs(dense_r - win_r).max() < 1e-3, m.shape
+        dense_c = np.einsum("bhs,os->bho", xt, mf, optimize=True)
+        win_c = hostexec._apply_cols(m, xt)
+        assert np.abs(dense_c - win_c).max() < 1e-3, m.shape
 
 
 def test_configured_warmup_shapes_become_warm():
