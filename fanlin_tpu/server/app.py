@@ -319,6 +319,14 @@ def make_timeout_middleware(timeout: float, profile_route: bool = False):
         except asyncio.TimeoutError:
             cancel_ev.set()
             return web.Response(status=408)  # tower Timeout -> 408
+        except asyncio.CancelledError:
+            # client disconnect: aiohttp cancels the handler task, but
+            # engine work already handed to worker threads/the batcher
+            # can't be interrupted by that — fire the same cancel event
+            # the 408 path uses so queued entries are shed before
+            # paying device time for a response nobody reads
+            cancel_ev.set()
+            raise
 
     return timeout_middleware
 

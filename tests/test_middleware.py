@@ -31,6 +31,49 @@ def test_timeout_returns_408():
     assert asyncio.new_event_loop().run_until_complete(go()) == 408
 
 
+def test_client_disconnect_fires_cancel_event():
+    """aiohttp cancels the handler task when the client disconnects;
+    the middleware must fire the request's cancel event (like the 408
+    path does) so the batcher sheds the queued entry instead of
+    computing a response nobody reads."""
+    async def go():
+        from fanlin_tpu.engine.batcher import REQUEST_CANCEL
+
+        seen = {}
+        started = asyncio.Event()
+
+        async def slow(_req):
+            seen["ev"] = REQUEST_CANCEL.get()
+            started.set()
+            await asyncio.sleep(30.0)
+            return web.Response(text="late")
+
+        mw = make_timeout_middleware(60.0)
+        app = web.Application(middlewares=[mw])
+        app.router.add_get("/", slow)
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            req_task = asyncio.ensure_future(client.get("/"))
+            await started.wait()
+            # simulate the disconnect: cancel like aiohttp's protocol
+            # does when the connection drops mid-handler
+            req_task.cancel()
+            try:
+                await req_task
+            except asyncio.CancelledError:
+                pass
+            for _ in range(100):
+                if seen["ev"].is_set():
+                    break
+                await asyncio.sleep(0.02)
+            return seen["ev"].is_set()
+        finally:
+            await client.close()
+
+    assert asyncio.new_event_loop().run_until_complete(go())
+
+
 def _profile_status(profile_route: bool, method: str = "GET") -> int:
     async def go():
         async def slow(_req):
