@@ -104,7 +104,11 @@ def _np_blur(bv: np.ndarray, bh: np.ndarray, out: np.ndarray,
         t = np.empty_like(out, dtype=f32)
         for i in range(out.shape[0]):
             t[i] = _apply_cols(bh[i], _apply_rows(bv[i], out[i]))
-    return np.floor(np.clip(t, 0.0, 255.0) + f32(0.5))
+    # t is owned (freshly allocated by the applies): mutate in place —
+    # the out-of-place chain allocated two 19 MB temporaries per batch
+    np.clip(t, 0.0, 255.0, out=t)
+    t += f32(0.5)
+    return np.floor(t, out=t)
 
 
 def _np_chain(planes, av, ah, flags, fill, box, bv, bh, uniform):
@@ -141,7 +145,9 @@ def _np_chain(planes, av, ah, flags, fill, box, bv, bh, uniform):
         t = np.empty((y.shape[0], y.shape[1], av.shape[1], ah.shape[1]), f32)
         for i in range(y.shape[0]):  # per-image matrices, per-image windows
             t[i] = _apply_cols(ah[i], _apply_rows(av[i], y[i]))
-    fg = np.floor(np.clip(t, 0.0, 255.0) + f32(0.5))
+    np.clip(t, 0.0, 255.0, out=t)  # t is owned by this function
+    t += f32(0.5)
+    fg = np.floor(t, out=t)
 
     bsz, c, oh, ow = fg.shape
     if not flags[:, 2].any():
