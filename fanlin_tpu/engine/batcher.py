@@ -57,6 +57,11 @@ _logger = logging.getLogger("fanlin_tpu.engine.batcher")
 # error would otherwise burn a thread + device time on every batch).
 COMPILE_FAILURE_LIMIT = 3
 
+# Recovery-probe backoff ceiling while a wedge persists: every hung
+# probe abandons an uninterruptible thread, so a long outage must not
+# probe at the stall cadence forever (see _probe_device).
+_PROBE_MAX_INTERVAL_S = 300.0
+
 # Absolute time.monotonic() deadline for the CURRENT request, set by
 # the gateway's timeout middleware and propagated into engine worker
 # threads by asyncio.to_thread's context copy. None = no deadline.
@@ -271,6 +276,16 @@ class MicroBatcher:
         self._probe_asm = None  # last stalled assembly, reused as probe
         self._probing = False
         self._last_probe = 0.0
+        # Every probe that times out on a dead link abandons a thread
+        # stuck in an uninterruptible device call. Probing at a fixed
+        # stall-period cadence leaked one such thread per period
+        # (measured live: ~9 MB RSS / 30 min at an 8 s period; a day
+        # of outage is thousands of threads) — back off exponentially
+        # up to _PROBE_MAX_INTERVAL_S while the wedge persists, reset
+        # on recovery or a fresh wedge. _probe_threads counts the
+        # still-stuck abandoned probes for /stats visibility.
+        self._probe_interval = max(float(device_stall_s), 2.0)
+        self._probe_threads = 0
         # batches queued on the device executor but not yet started:
         # a wedge declaration fails them over (the executor's single
         # thread is stuck — queued tasks would never run)
@@ -320,7 +335,11 @@ class MicroBatcher:
                       # device calls that RAISED (vs stalled) and were
                       # mirror-served instead of failing the batch
                       "device_errors": 0,
-                      "device_wedged": 0}
+                      "device_wedged": 0,
+                      # abandoned recovery probes still stuck in a
+                      # device call (each pins a daemon thread until
+                      # the link lets it return)
+                      "probe_threads": 0}
 
     def device_available(self) -> bool:
         """False while the device is wedged (stall watchdog fired and
@@ -499,6 +518,9 @@ class MicroBatcher:
             if not self._wedged:
                 self._wedged = True
                 self.stats["device_wedged"] = 1
+                # a fresh outage probes fast again; only CONSECUTIVE
+                # hung probes within one wedge back the interval off
+                self._probe_interval = max(self.device_stall_s, 2.0)
                 old = [self._device, self._collector]
                 self._abandoned += old
                 self._device = ThreadPoolExecutor(
@@ -537,6 +559,7 @@ class MicroBatcher:
             if recovered:
                 self._wedged = False
                 self.stats["device_wedged"] = 0
+                self._probe_interval = max(self.device_stall_s, 2.0)
         if recovered:
             _logger.warning(
                 "device recovered after a stall; resuming device serving"
@@ -574,7 +597,7 @@ class MicroBatcher:
             with self._lock:
                 if (self._wedged and not self._probing
                         and self._probe_asm is not None
-                        and now - self._last_probe >= self.device_stall_s):
+                        and now - self._last_probe >= self._probe_interval):
                     self._probing = True
                     self._last_probe = now
                     probe = self._probe_asm
@@ -598,34 +621,61 @@ class MicroBatcher:
                 self._host.submit(self._run_host, ent[1], ent[2])
 
     def _probe_device(self, asm) -> None:
-        from ..utils.bounded import bounded_call
+        """One bounded recovery attempt. The device call runs on its
+        own daemon thread; if it hangs past the stall budget it is
+        abandoned (uninterruptible) — but it STILL flips the wedge if
+        it ever completes successfully, because a completed probe
+        round trip is a genuine recovery signal no matter how late.
+        Consecutive hung probes back the probe interval off
+        exponentially (up to _PROBE_MAX_INTERVAL_S): a fixed cadence
+        leaked one stuck thread per stall period for the whole outage
+        (measured live: ~9 MB RSS / 30 min at an 8 s period). A probe
+        that RETURNS quickly with an error keeps the fast cadence —
+        only hangs leak."""
+        done = threading.Event()
+        outcome = {"ok": False}
 
-        try:
-            # bounded: a probe hanging on the dead link must not hold
-            # _probing forever (that would block every FUTURE probe —
-            # and hung XLA calls may never return even after the link
-            # recovers). On timeout the inner daemon thread is leaked
-            # (at most one per stall period) and the next probe decides.
-            ok = bounded_call(
-                lambda: (asm.run(), True)[1],
-                max(self.device_stall_s, 2.0),
-                False,
-                "device recovery probe",
-            )
-        except Exception:
-            ok = False  # still bad; the watchdog probes again later
-        finally:
-            with self._lock:
-                self._probing = False
-        if ok:
-            with self._lock:
-                recovered = self._wedged
+        def _run():
+            try:
+                asm.run()
+                outcome["ok"] = True
+            except Exception:
+                pass
+            finally:
+                with self._lock:
+                    self._probe_threads -= 1
+                    self.stats["probe_threads"] = self._probe_threads
+                    recovered = outcome["ok"] and self._wedged
+                    if recovered:
+                        self._wedged = False
+                        self.stats["device_wedged"] = 0
+                        self._probe_interval = max(self.device_stall_s, 2.0)
+                done.set()
                 if recovered:
-                    self._wedged = False
-                    self.stats["device_wedged"] = 0
-            if recovered:
-                _logger.warning(
-                    "device probe succeeded; resuming device serving"
+                    _logger.warning(
+                        "device probe succeeded; resuming device serving"
+                    )
+
+        with self._lock:
+            self._probe_threads += 1
+            self.stats["probe_threads"] = self._probe_threads
+        threading.Thread(
+            target=_run, name="fanlin-deviceprobe-run", daemon=True,
+        ).start()
+        finished = done.wait(max(self.device_stall_s, 2.0))
+        with self._lock:
+            self._probing = False
+            if not finished:
+                _logger.error(
+                    "device recovery probe not responding after %.0fs "
+                    "(accelerator link down?) — abandoned (it still "
+                    "signals recovery if it ever completes); next probe "
+                    "in %.0fs",
+                    max(self.device_stall_s, 2.0),
+                    min(self._probe_interval * 2.0, _PROBE_MAX_INTERVAL_S),
+                )
+                self._probe_interval = min(
+                    self._probe_interval * 2.0, _PROBE_MAX_INTERVAL_S
                 )
 
     # -- device execution --------------------------------------------------

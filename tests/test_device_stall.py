@@ -747,3 +747,102 @@ def test_collector_submit_failure_releases_permit_and_mirrors():
         assert not batcher._watch
     finally:
         batcher.close()
+
+
+def test_abandoned_probe_late_success_recovers(monkeypatch):
+    """A recovery probe that hangs past the stall budget is abandoned
+    — but its eventual successful completion is still a genuine device
+    round trip and must clear the wedge (the old bounded_call probe
+    dropped the late result on the floor)."""
+    img = _rgba(make_test_image(141, 103))
+    q = parse_query("w=61&h=47")
+    plan = fused.plan_image(141, 103, q)
+    warm_asm = fused.make_assembly([plan], [img], ["rgb"])
+    expected = np.asarray(warm_asm.run()[0])
+    assert fused.is_warm(warm_asm.program_key())
+
+    probe_gate = threading.Event()
+    probe_started = threading.Event()
+    real_collect = fused.BatchAssembly.collect
+    real_run = fused.BatchAssembly.run
+    hang_once = [True]
+
+    def wedged_collect(self, out):
+        if hang_once[0]:
+            hang_once[0] = False
+            time.sleep(3.0)  # past device_stall_s: declares the wedge
+        return real_collect(self, out)
+
+    def gated_run(self):
+        probe_started.set()
+        assert probe_gate.wait(30.0)
+        return real_run(self)
+
+    monkeypatch.setattr(fused.BatchAssembly, "collect", wedged_collect)
+    monkeypatch.setattr(fused.BatchAssembly, "run", gated_run)
+
+    batcher = MicroBatcher(max_batch=2, window_ms=1.0,
+                           host_fallback=True, device_stall_s=0.3)
+    try:
+        f = batcher.submit(plan, img)
+        r = np.asarray(f.result(timeout=10.0))
+        assert r.shape == expected.shape
+        assert _wait(lambda: batcher.stats["device_wedged"] == 1)
+        # a probe spawns, hangs on the gate, and gets abandoned after
+        # the ~2 s probe budget (probe_threads stays pinned at >= 1)
+        assert probe_started.wait(10.0)
+        assert _wait(lambda: not batcher._probing, timeout=10.0)
+        assert batcher.stats["probe_threads"] >= 1
+        assert batcher.stats["device_wedged"] == 1
+        # the link "heals": the abandoned probe completes and must
+        # flip the gauge itself — no new probe needed
+        probe_gate.set()
+        assert _wait(lambda: batcher.stats["device_wedged"] == 0,
+                     timeout=15.0), "late probe completion never recovered"
+        assert _wait(lambda: batcher.stats["probe_threads"] == 0)
+    finally:
+        probe_gate.set()
+        batcher.close()
+
+
+def test_probe_backoff_on_hung_probes(monkeypatch):
+    """Consecutive hung probes must back the probe interval off (a
+    fixed cadence leaks one stuck thread per stall period for the
+    whole outage), and a fresh wedge must reset it."""
+    img = _rgba(make_test_image(139, 101))
+    q = parse_query("w=59&h=43")
+    plan = fused.plan_image(139, 101, q)
+    warm_asm = fused.make_assembly([plan], [img], ["rgb"])
+    warm_asm.run()
+    assert fused.is_warm(warm_asm.program_key())
+
+    probe_gate = threading.Event()
+    real_collect = fused.BatchAssembly.collect
+    hang_once = [True]
+
+    def wedged_collect(self, out):
+        if hang_once[0]:
+            hang_once[0] = False
+            time.sleep(3.0)
+        return real_collect(self, out)
+
+    def gated_run(self):
+        assert probe_gate.wait(30.0)
+        raise RuntimeError("still down")
+
+    monkeypatch.setattr(fused.BatchAssembly, "collect", wedged_collect)
+    monkeypatch.setattr(fused.BatchAssembly, "run", gated_run)
+
+    batcher = MicroBatcher(max_batch=2, window_ms=1.0,
+                           host_fallback=True, device_stall_s=0.3)
+    try:
+        base = batcher._probe_interval
+        f = batcher.submit(plan, img)
+        f.result(timeout=10.0)
+        assert _wait(lambda: batcher.stats["device_wedged"] == 1)
+        # first probe hangs on the gate -> abandoned -> interval doubles
+        assert _wait(lambda: batcher._probe_interval > base,
+                     timeout=15.0), "hung probe never backed off"
+    finally:
+        probe_gate.set()
+        batcher.close()
