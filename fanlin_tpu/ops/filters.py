@@ -32,7 +32,6 @@ up, to compiled XLA programs.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import numpy as np
@@ -121,14 +120,23 @@ _KERNELS = {
 }
 
 
-def _sample_weights(src: int, dst: int, kernel, support: float) -> np.ndarray:
-    """(dst, src) float32 weight matrix with image-crate sampling rules."""
-    w = np.zeros((dst, src), dtype=np.float32)
+def _sample_weights(src: int, dst: int, kernel, support: float,
+                    row0: int = 0, row1: int = None) -> np.ndarray:
+    """(row1-row0, src) float32 weight matrix rows [row0, row1) of the
+    full (dst, src) matrix, with image-crate sampling rules. Rows are
+    independent, so a crop window never materializes the rows it
+    throws away — resize_to_fill's intermediate `dst` scales with the
+    source ASPECT RATIO (a 10000x200 panorama at w=2000&h=1000&crop
+    puts the full matrix at 50000x10000 f32 = 2 GB; the 2000 kept
+    rows are 80 MB)."""
+    if row1 is None:
+        row1 = dst
+    w = np.zeros((row1 - row0, src), dtype=np.float32)
     ratio = np.float32(src) / np.float32(dst)
     sratio = max(ratio, np.float32(1.0))
     src_support = np.float32(support) * sratio
 
-    outx = np.arange(dst, dtype=np.float32)
+    outx = np.arange(row0, row1, dtype=np.float32)
     center = (outx + np.float32(0.5)) * ratio
     left = np.floor(center - src_support).astype(np.int64)
     left = np.clip(left, 0, src - 1)
@@ -136,7 +144,7 @@ def _sample_weights(src: int, dst: int, kernel, support: float) -> np.ndarray:
     right = np.clip(right, left + 1, src)
     inputx = center - np.float32(0.5)
 
-    for o in range(dst):
+    for o in range(row1 - row0):
         taps = np.arange(left[o], right[o], dtype=np.float32)
         ws = kernel((taps - inputx[o]) / sratio).astype(np.float32)
         total = np.float32(ws.sum(dtype=np.float32))
@@ -144,45 +152,61 @@ def _sample_weights(src: int, dst: int, kernel, support: float) -> np.ndarray:
     return w
 
 
-def _nearest_weights(src: int, dst: int) -> np.ndarray:
-    """One-hot (dst, src) selection matrix for FilterType::Nearest."""
-    w = np.zeros((dst, src), dtype=np.float32)
+def _nearest_weights(src: int, dst: int, row0: int = 0,
+                     row1: int = None) -> np.ndarray:
+    """One-hot selection rows [row0, row1) for FilterType::Nearest."""
+    if row1 is None:
+        row1 = dst
+    w = np.zeros((row1 - row0, src), dtype=np.float32)
     ratio = np.float32(src) / np.float32(dst)
-    outx = np.arange(dst, dtype=np.float32)
+    outx = np.arange(row0, row1, dtype=np.float32)
     idx = np.floor((outx + np.float32(0.5)) * ratio).astype(np.int64)
     idx = np.clip(idx, 0, src - 1)
-    w[np.arange(dst), idx] = 1.0
+    w[np.arange(row1 - row0), idx] = 1.0
     return w
 
 
-@functools.lru_cache(maxsize=4096)
+# Byte-budgeted like every other matrix cache (ops.fused's ByteLRUs):
+# a count-bounded lru_cache admits adversarial memory — matrices scale
+# with SOURCE dims (bounded only by the 512 MiB decode gate), so 4096
+# of them is an OOM, and entries here outliving their evicted plans
+# would defeat _PLAN_CACHE's budget.
+from ..utils.bytelru import ByteLRU  # noqa: E402
+
+_MATRIX_CACHE = ByteLRU(max_bytes=256 * 1024 * 1024)
+
+
 def resample_matrix(
     src: int, dst: int, filter_name: str, crop_off: int = 0, crop_len: int = 0
 ) -> np.ndarray:
     """1-D resample matrix; optionally only the cropped output window.
 
     crop_len > 0 folds resize_to_fill's center crop into the matrix:
-    rows [crop_off, crop_off+crop_len) of the full (dst, src) matrix.
+    rows [crop_off, crop_off+crop_len) of the full (dst, src) matrix
+    (built directly — the discarded rows are never allocated).
     A same-size resample is the identity (DynamicImage::resize's
     nothing-to-do fast path).
     """
-    if dst == src and crop_len == 0:
-        return np.eye(src, dtype=np.float32)
-    if filter_name == NEAREST:
-        full = _nearest_weights(src, dst) if dst != src else np.eye(src, dtype=np.float32)
+    key = ("r", src, dst, filter_name, crop_off, crop_len)
+    hit = _MATRIX_CACHE.get(key)
+    if hit is not None:
+        return hit
+    row0, row1 = (crop_off, crop_off + crop_len) if crop_len > 0 else (0, dst)
+    if dst == src:
+        if crop_len == 0:
+            m = np.eye(src, dtype=np.float32)
+        else:
+            m = np.zeros((crop_len, src), dtype=np.float32)
+            m[np.arange(crop_len), np.arange(row0, row1)] = 1.0
+    elif filter_name == NEAREST:
+        m = _nearest_weights(src, dst, row0, row1)
     else:
         kernel, support = _KERNELS[filter_name]
-        full = (
-            _sample_weights(src, dst, kernel, support)
-            if dst != src
-            else np.eye(src, dtype=np.float32)
-        )
-    if crop_len > 0:
-        return np.ascontiguousarray(full[crop_off : crop_off + crop_len])
-    return full
+        m = _sample_weights(src, dst, kernel, support, row0, row1)
+    _MATRIX_CACHE.put(key, m, m.nbytes)
+    return m
 
 
-@functools.lru_cache(maxsize=256)
 def gaussian_matrix(size: int, sigma: float) -> np.ndarray:
     """(size, size) same-size gaussian resample matrix (image crate blur).
 
@@ -192,6 +216,10 @@ def gaussian_matrix(size: int, sigma: float) -> np.ndarray:
     query.rs:59-62).
     """
     sigma = float(sigma) if sigma > 0 else 1.0
+    key = ("g", size, sigma)
+    hit = _MATRIX_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     def kernel(x: np.ndarray) -> np.ndarray:
         s = np.float32(sigma)
@@ -201,7 +229,9 @@ def gaussian_matrix(size: int, sigma: float) -> np.ndarray:
             * np.exp(-(x.astype(np.float32) ** 2) / (np.float32(2.0) * s * s))
         ).astype(np.float32)
 
-    return _sample_weights(size, size, kernel, 2.0 * sigma)
+    m = _sample_weights(size, size, kernel, 2.0 * sigma)
+    _MATRIX_CACHE.put(key, m, m.nbytes)
+    return m
 
 
 def luma_u8(rgb: np.ndarray) -> np.ndarray:
