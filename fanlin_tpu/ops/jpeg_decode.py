@@ -34,17 +34,26 @@ import numpy as np
 from .dct import _dct_matrix
 
 
-@functools.lru_cache(maxsize=64)
 def _idct_blockdiag(n: int) -> np.ndarray:
     """(n, n) block-diagonal matrix of 8x8 D^T blocks: multiplying a
     planar coefficient grid by it on both sides IS the blockwise iDCT,
     expressed as two big dense matmuls — the MXU-friendly layout (a
     batched 8-wide einsum over ~262k tiny blocks lowers to scalar-ish
-    code and measured ~300x slower on TPU)."""
+    code and measured ~300x slower on TPU). Cached in filters' shared
+    byte-budgeted matrix cache: n scales with SOURCE dims (bounded
+    only by the 512 MiB decode gate), so a count-bounded cache here
+    admitted gigabytes of big-source entries."""
+    from .filters import _MATRIX_CACHE
+
+    key = ("idct", n)
+    hit = _MATRIX_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = _dct_matrix()  # (u, x)
     m = np.zeros((n, n), dtype=np.float32)
     for i in range(n // 8):
         m[8 * i : 8 * i + 8, 8 * i : 8 * i + 8] = d.T
+    _MATRIX_CACHE.put(key, m, m.nbytes)
     return m
 
 
