@@ -199,6 +199,14 @@ class TpuConfig:
     # reference (which recomputes every request); origins are treated
     # as immutable, CDN-style. 0 = off (the parity default).
     response_cache_mb: int = 0
+    # byte budget (MB) for caching DECODED sources — coefficient metas
+    # and pixel arrays keyed by a content hash of the origin bytes —
+    # so a hot source served as several variants (srcset widths,
+    # quality/format splits) pays the host decode once; the response
+    # cache above only catches byte-identical requests. Additive over
+    # the reference (handler.rs decodes per request). 0 = off (the
+    # parity default).
+    source_cache_mb: int = 0
     # nested-corner (nc) lossless coefficient upload rung: trades
     # ~8 ms/img of extra host pack CPU for ~250 KB/img of wire on
     # dense q90+ 4:4:4 content. A clear win on narrow links (the
@@ -307,6 +315,10 @@ class TpuConfig:
         if "response_cache_mb" in obj:
             cfg.response_cache_mb = _as_uint(
                 obj["response_cache_mb"], "response_cache_mb"
+            )
+        if "source_cache_mb" in obj:
+            cfg.source_cache_mb = _as_uint(
+                obj["source_cache_mb"], "source_cache_mb"
             )
         if "nc_upload" in obj:
             cfg.nc_upload = _as_bool(obj["nc_upload"], "nc_upload")

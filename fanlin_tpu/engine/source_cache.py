@@ -1,0 +1,97 @@
+"""Decoded-source cache (`tpu.source_cache_mb`).
+
+CDN-miss traffic for one image commonly arrives as several variants
+(srcset widths, quality/format splits) within seconds; the reference
+re-decodes the source bytes for every one of them (handler.rs:185-309
+decodes per request — there is nothing between the origin fetch and
+`image::load_from_memory`). After round 5's host-pass work the decode
+IS the host-side floor of the coefficient path: libjpeg-turbo entropy
+decode measures ~5.1 ms/img on the q92 4:4:4 bench source while the
+whole packed apply runs ~7.6 (BENCH_NOTES §Round 5). A byte-budgeted
+LRU of DECODED sources — coefficient metas and pixel arrays, keyed by
+a content hash — removes that floor from every hot-source variant
+after the first, on both the healthy device path and the wedged host
+mirror. Additive over the reference, like `response_cache_mb`
+(which only catches byte-identical requests); 0 = off, the parity
+default.
+
+Sharing discipline (why handing one decode to many requests is safe):
+
+* Coefficient metas are never mutated downstream: `orient_meta` and
+  the spectral-thinning ladder copy-on-write (jpeg_decode.py:970,
+  fused.py's `dict(m)` in the thinning pass), and the per-plane nc
+  count memos validate grid identity before reuse
+  (jpeg_decode.nc_counts_cached). The cache pre-seeds the shared
+  `_nc_counts` memo dict so every variant of a hot source also
+  shares the one counts pass that mode selection, cap sizing and
+  `upload_viable` all consult.
+* Pixel entries are copied on BOTH sides of the cache (a ~0.1 ms
+  memcpy vs the multi-ms decode): the stored array can never alias
+  bytes a caller later writes, and a hit can never leak writes back.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..utils.bytelru import ByteLRU
+
+
+def content_key(data: bytes) -> bytes:
+    """16-byte content hash of the source bytes. blake2b rides
+    hashlib's C core (~1 GB/s): ~0.3 ms on a 300 KB source, against
+    the multi-ms decode it saves."""
+    return hashlib.blake2b(data, digest_size=16).digest()
+
+
+def _meta_nbytes(meta: dict) -> int:
+    return sum(
+        v.nbytes for v in meta.values() if isinstance(v, np.ndarray)
+    )
+
+
+class SourceCache:
+    """Byte-budgeted cache of decode results, shared across requests
+    and threads (ByteLRU locks internally; metas are copy-on-write
+    downstream, pixels are copied at both ends)."""
+
+    def __init__(self, max_mb: int):
+        self._lru = ByteLRU(max_bytes=int(max_mb) * 1024 * 1024)
+
+    # -- coefficient metas (read_jpeg_coeffs / read_jpeg_coeffs4) ------------
+
+    def get_meta(self, kind: str, key: bytes) -> Optional[dict]:
+        return self._lru.get((kind, key))
+
+    def put_meta(self, kind: str, key: bytes, meta: dict) -> None:
+        # seed the shared counts memo BEFORE the dict is shared: later
+        # shallow copies (LUT attach) then alias the same memo dict,
+        # so whichever variant runs first pays the counts pass for all
+        meta.setdefault("_nc_counts", {})
+        self._lru.put((kind, key), meta, _meta_nbytes(meta))
+
+    # -- pixel decodes (codecs.decode / the host ICC transform) --------------
+
+    def get_pixels(
+        self, kind: str, key: bytes
+    ) -> Optional[Tuple[np.ndarray, bool, bool]]:
+        hit = self._lru.get((kind, key))
+        if hit is None:
+            return None
+        img, has_alpha, is_gray = hit
+        return img.copy(), has_alpha, is_gray
+
+    def put_pixels(
+        self, kind: str, key: bytes, img: np.ndarray,
+        has_alpha: bool, is_gray: bool,
+    ) -> None:
+        stored = np.ascontiguousarray(img).copy()
+        stored.setflags(write=False)
+        self._lru.put((kind, key), (stored, has_alpha, is_gray),
+                      stored.nbytes)
+
+    def stats(self) -> dict:
+        return self._lru.stats()

@@ -207,6 +207,11 @@ async def stats_handler(request: web.Request) -> web.Response:
                 if getattr(state, "response_cache", None) is not None
                 else None
             ),
+            "sources": (
+                state.engine.source_cache.stats()
+                if getattr(state.engine, "source_cache", None) is not None
+                else None
+            ),
             **cache_stats["caches"],
         },
     }
@@ -523,6 +528,10 @@ async def build_state(cfg: config_mod.Config, runner=None,
         from ..utils.bytelru import ByteLRU
 
         state.response_cache = ByteLRU(cfg.tpu.response_cache_mb * 1024 * 1024)
+    if cfg.tpu.source_cache_mb:
+        from ..engine.source_cache import SourceCache
+
+        engine.source_cache = SourceCache(cfg.tpu.source_cache_mb)
     try:
         await state.with_fallback(cfg.fallback_path, cfg.providers)
     except Exception as err:

@@ -1,0 +1,165 @@
+"""Decoded-source cache (`tpu.source_cache_mb`): hot sources served
+as several variants pay the host decode once, with outputs
+byte-identical to an uncached engine on every source path
+(coefficient / pixel / EXIF-oriented / host-ICC CMYK)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from fanlin_tpu.engine import Engine
+from fanlin_tpu.engine.source_cache import SourceCache, content_key
+from fanlin_tpu.spec.content import Format
+from fanlin_tpu.spec.query import parse_query
+
+from conftest import make_test_image
+
+QUERIES = ["w=300&h=200", "w=120&h=90&blur=1", "w=160&h=100&grayscale=true"]
+
+
+def _jpeg_bytes(img=None, quality=92, **kw):
+    buf = io.BytesIO()
+    Image.fromarray(img if img is not None else make_test_image()).save(
+        buf, format="JPEG", quality=quality, **kw
+    )
+    return buf.getvalue()
+
+
+def _png_bytes(img=None):
+    buf = io.BytesIO()
+    Image.fromarray(img if img is not None else make_test_image()).save(
+        buf, format="PNG"
+    )
+    return buf.getvalue()
+
+
+def _cached_engine(mb=64, **kw):
+    e = Engine(**kw)
+    e.source_cache = SourceCache(mb)
+    return e
+
+
+def _serve_all(engine, data, queries=QUERIES):
+    return [
+        engine.process_image(data, parse_query(q), Format())[1]
+        for q in queries
+    ]
+
+
+def test_coef_path_identical_and_hits():
+    data = _jpeg_bytes()
+    plain, cached = Engine(), _cached_engine()
+    want = _serve_all(plain, data)
+    got = _serve_all(cached, data)
+    assert [len(w) for w in want] == [len(g) for g in got]
+    assert all(w == g for w, g in zip(want, got))
+    st = cached.source_cache.stats()
+    # the source decoded once; every later variant hit
+    assert st["hits"] >= len(QUERIES) - 1, st
+    assert cached.stats["coef_src"] == plain.stats["coef_src"]
+
+
+def test_pixel_path_identical_and_hits():
+    data = _png_bytes()
+    plain, cached = Engine(), _cached_engine()
+    want = _serve_all(plain, data)
+    got = _serve_all(cached, data)
+    assert all(w == g for w, g in zip(want, got))
+    st = cached.source_cache.stats()
+    assert st["hits"] >= len(QUERIES) - 1, st
+    assert cached.stats["pixel_src"] == plain.stats["pixel_src"] > 0
+
+
+def test_exif_oriented_source_identical():
+    pil = Image.fromarray(make_test_image(128, 96))
+    exif = pil.getexif()
+    exif[0x0112] = 6
+    buf = io.BytesIO()
+    pil.save(buf, format="JPEG", exif=exif, quality=95)
+    data = buf.getvalue()
+    plain, cached = Engine(), _cached_engine()
+    want = _serve_all(plain, data)
+    got = _serve_all(cached, data)
+    assert all(w == g for w, g in zip(want, got))
+    assert cached.source_cache.stats()["hits"] >= len(QUERIES) - 1
+
+
+def test_interleaved_sources_stay_isolated():
+    """Hits for one source never bleed into another, and repeated
+    serves through a warm cache keep producing the first answer."""
+    a = _jpeg_bytes(make_test_image(96, 64, seed=1))
+    b = _jpeg_bytes(make_test_image(96, 64, seed=2))
+    cached = _cached_engine()
+    first = {k: _serve_all(cached, d) for k, d in (("a", a), ("b", b))}
+    for _ in range(2):
+        assert _serve_all(cached, a) == first["a"]
+        assert _serve_all(cached, b) == first["b"]
+    assert a != b and first["a"] != first["b"]
+
+
+def test_pixel_entries_are_copies():
+    cache = SourceCache(16)
+    img = make_test_image(32, 32)
+    key = content_key(b"some-source")
+    cache.put_pixels("pix", key, img, False, False)
+    img[:] = 0  # caller mutates its buffer after the put
+    got, _, _ = cache.get_pixels("pix", key)
+    assert got.any(), "put must store an isolated copy"
+    got[:] = 0  # mutate the hit
+    again, _, _ = cache.get_pixels("pix", key)
+    assert again.any(), "get must hand out an isolated copy"
+
+
+def test_eviction_respects_budget():
+    cache = SourceCache(1)  # 1 MB
+    big = np.zeros((512, 512, 3), np.uint8)  # 768 KB each
+    cache.put_pixels("pix", b"a", big, False, False)
+    cache.put_pixels("pix", b"b", big, False, False)
+    st = cache.stats()
+    assert st["evictions"] >= 1
+    assert st["bytes"] <= st["max_bytes"]
+    assert cache.get_pixels("pix", b"a") is None  # LRU went first
+    assert cache.get_pixels("pix", b"b") is not None
+
+
+def test_lut_attach_never_mutates_cached_meta():
+    """The CMYK LUT attach copies the shared meta (the cached dict
+    must stay LUT-free: the LUT choice is per-request state)."""
+    ref_profile = "/root/reference/profiles/default.icc"
+    if not os.path.exists(ref_profile):
+        pytest.skip("reference CMYK profile not present")
+    from fanlin_tpu.engine import icc
+
+    conv = icc.CMYK2RGB.from_file(ref_profile)
+    if conv is None:
+        pytest.skip("lcms2 unavailable")
+    rng = np.random.default_rng(11)
+    cmyk = rng.integers(0, 256, (64, 96, 4), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(cmyk, "CMYK").save(buf, format="JPEG", quality=92)
+    data = buf.getvalue()
+
+    plain = Engine(cmyk2rgb=conv)
+    cached = _cached_engine(cmyk2rgb=conv)
+    want = _serve_all(plain, data)
+    got = _serve_all(cached, data)
+    assert all(w == g for w, g in zip(want, got))
+    # whichever path the engine chose (device LUT off -> host ICC
+    # pixels), the cached entries hold no per-request LUT attachment
+    key = content_key(data)
+    meta = cached.source_cache.get_meta("coef4", key)
+    if meta is not None:
+        assert "lut_flat" not in meta and "lut_key" not in meta
+
+
+def test_config_knob_parses():
+    from fanlin_tpu.config import ConfigError, TpuConfig
+
+    cfg = TpuConfig.from_obj({"source_cache_mb": 32})
+    assert cfg.source_cache_mb == 32
+    assert TpuConfig.from_obj({}).source_cache_mb == 0
+    with pytest.raises(ConfigError):
+        TpuConfig.from_obj({"source_cache_mb": "lots"})
