@@ -455,10 +455,21 @@ class Engine:
         Nearest filter; corrupt frames stay as 1x1 placeholders
         untouched by the transforms; frame delays are dropped and the
         result loops forever. webp/avif flags are ignored."""
-        try:
-            frames = codecs.decode_gif_frames(data)
-        except codecs.CodecError as e:
-            raise ProcessError(str(e)) from e
+        scache = self.source_cache
+        frames = None
+        skey = None
+        if scache is not None:
+            from . import source_cache as source_cache_mod
+
+            skey = source_cache_mod.content_key(data)
+            frames = scache.get_frames(skey)
+        if frames is None:
+            try:
+                frames = codecs.decode_gif_frames(data)
+            except codecs.CodecError as e:
+                raise ProcessError(str(e)) from e
+            if scache is not None:
+                scache.put_frames(skey, frames)
 
         placeholder_shape = (1, 1, 4)
         work_idx = [

@@ -93,5 +93,23 @@ class SourceCache:
         self._lru.put((kind, key), (stored, has_alpha, is_gray),
                       stored.nbytes)
 
+    # -- animated-GIF frame sets (codecs.decode_gif_frames) ------------------
+
+    def get_frames(self, key: bytes):
+        hit = self._lru.get(("gif", key))
+        if hit is None:
+            return None
+        return [f.copy() for f in hit]
+
+    def put_frames(self, key: bytes, frames) -> None:
+        stored = []
+        for f in frames:
+            c = np.ascontiguousarray(f).copy()
+            c.setflags(write=False)
+            stored.append(c)
+        self._lru.put(
+            ("gif", key), tuple(stored), sum(c.nbytes for c in stored)
+        )
+
     def stats(self) -> dict:
         return self._lru.stats()

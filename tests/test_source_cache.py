@@ -163,3 +163,16 @@ def test_config_knob_parses():
     assert TpuConfig.from_obj({}).source_cache_mb == 0
     with pytest.raises(ConfigError):
         TpuConfig.from_obj({"source_cache_mb": "lots"})
+
+
+def test_gif_frames_identical_and_hit():
+    data = open("tests/golden/lenna_src.gif", "rb").read()
+    plain, cached = Engine(), _cached_engine()
+    qs = ["w=100&h=80", "w=60&h=40"]
+    want = _serve_all(plain, data, qs)
+    got = _serve_all(cached, data, qs)
+    assert all(w == g for w, g in zip(want, got))
+    st = cached.source_cache.stats()
+    assert st["hits"] >= 1 and st["entries"] == 1, st
+    # a third serve through the warm cache stays byte-stable
+    assert _serve_all(cached, data, qs[:1]) == got[:1]
