@@ -62,6 +62,39 @@ COMPILE_FAILURE_LIMIT = 3
 # probe at the stall cadence forever (see _probe_device).
 _PROBE_MAX_INTERVAL_S = 300.0
 
+# Consecutive mirror-served 3-component coefficient batches after
+# which the engine should feed PIXEL sources instead: the numpy
+# mirror prices a coefficient batch ~2.2x a pixel batch for
+# byte-identical output (numpy iDCT vs native libjpeg decode —
+# BENCH_NOTES session 7). Session 7 flipped on WEDGE only; the same
+# mis-pricing holds whenever batches land on the mirror — e.g. a
+# healthy-looking link whose cold-bucket compiles take minutes (or
+# never finish), which a live relay demonstrated. One coefficient
+# request is let through every _COEF_PROBE_INTERVAL_S as a probe so
+# the upload resumes the moment its program warms.
+_COEF_MIRROR_STREAK_K = 2
+_COEF_PROBE_INTERVAL_S = 5.0
+
+# Soft-degrade (gray-failure failover): a device that is ALIVE but
+# slower than the host mirror — a sick relay/NIC, thermal throttle, a
+# contended shared accelerator — never trips the stall watchdog (every
+# call returns under device_stall_s) yet drags throughput far below
+# what the host could serve. Track EWMA cost per output megapixel on
+# both sides; after _DEGRADE_STREAK_M consecutive warm batches pricing
+# above _DEGRADE_FACTOR x the mirror's measured cost, route batches to
+# the mirror (tagged cold like every mirror serve) and let one batch
+# ride the device every _DEGRADE_PROBE_INTERVAL_S — the state exits
+# when a probe prices under _DEGRADE_EXIT_FACTOR x the mirror. On
+# healthy hardware the device is orders of magnitude under the
+# threshold and the state machine never engages. Observed live: a
+# slow-relay day served warm device batches at seconds each while the
+# mirror held ~24 ms — 40 rps traffic queued to 18% success.
+_DEGRADE_FACTOR = 3.0
+_DEGRADE_EXIT_FACTOR = 1.5
+_DEGRADE_STREAK_M = 3
+_DEGRADE_PROBE_INTERVAL_S = 10.0
+_COST_EWMA_ALPHA = 0.3
+
 # Absolute time.monotonic() deadline for the CURRENT request, set by
 # the gateway's timeout middleware and propagated into engine worker
 # threads by asyncio.to_thread's context copy. None = no deadline.
@@ -286,6 +319,15 @@ class MicroBatcher:
         # still-stuck abandoned probes for /stats visibility.
         self._probe_interval = max(float(device_stall_s), 2.0)
         self._probe_threads = 0
+        # mirror-served coef-batch streak (see _COEF_MIRROR_STREAK_K)
+        self._coef_mirror_streak = 0
+        self._last_coef_probe = 0.0
+        # soft-degrade state (see _DEGRADE_FACTOR block above)
+        self._dev_cost = None  # EWMA ms per output megapixel, device
+        self._mir_cost = None  # EWMA ms per output megapixel, mirror
+        self._dev_slow = 0
+        self._device_degraded = False
+        self._last_degrade_probe = 0.0
         # batches queued on the device executor but not yet started:
         # a wedge declaration fails them over (the executor's single
         # thread is stuck — queued tasks would never run)
@@ -339,7 +381,150 @@ class MicroBatcher:
                       # abandoned recovery probes still stuck in a
                       # device call (each pins a daemon thread until
                       # the link lets it return)
-                      "probe_threads": 0}
+                      "probe_threads": 0,
+                      # consecutive mirror-served coef batches (gauge;
+                      # >= _COEF_MIRROR_STREAK_K means the engine is
+                      # being steered to pixel sources)
+                      "coef_mirror_streak": 0,
+                      # soft-degrade telemetry: measured EWMA cost per
+                      # output megapixel on each side, the degraded
+                      # gauge, and how many batches were degrade-routed
+                      "device_ms_per_mpx": 0.0,
+                      "mirror_ms_per_mpx": 0.0,
+                      "device_degraded": 0,
+                      "degraded_batches": 0}
+
+    @staticmethod
+    def _is_coef3(asm) -> bool:
+        """3-component coefficient assembly — the only flavor the
+        engine can re-source as pixels (CMYK stays on coefficients:
+        the pixel ICC path is the expensive one there)."""
+        return (isinstance(asm, fused.CoefBatchAssembly)
+                and not isinstance(asm, fused.CmykCoefBatchAssembly))
+
+    def _note_coef_mirror(self) -> None:
+        """(under self._lock) A coefficient batch just landed on the
+        mirror: grow the streak and restart the probe countdown —
+        probes fire _COEF_PROBE_INTERVAL_S after the LAST failed
+        coefficient attempt, not on a free-running clock (otherwise
+        the first check after crossing the threshold always probes,
+        and a failed probe could be followed immediately by another)."""
+        self._coef_mirror_streak += 1
+        self.stats["coef_mirror_streak"] = self._coef_mirror_streak
+        self._last_coef_probe = time.monotonic()
+
+    def prefer_pixel_source(self) -> bool:
+        """True when a new 3-component JPEG request should decode to
+        pixels on the host instead of uploading coefficients: batches
+        are currently landing on the numpy mirror (wedged link, or
+        cold buckets whose compiles haven't finished), where a coef
+        batch costs ~2.2x a pixel batch for byte-identical output.
+        Lets one coefficient request through every few seconds as a
+        probe so the upload path resumes as soon as its program warms.
+        Bytes are identical on both paths — this only moves cost."""
+        if not self.device_available():
+            return True
+        with self._lock:
+            if self._coef_mirror_streak < _COEF_MIRROR_STREAK_K:
+                return False
+            now = time.monotonic()
+            if now - self._last_coef_probe >= _COEF_PROBE_INTERVAL_S:
+                self._last_coef_probe = now
+                return False
+            return True
+
+    @staticmethod
+    def _asm_mpx(asm) -> float:
+        """Output megapixels of a batch — the normalizer that makes
+        device and mirror costs comparable across geometries (a
+        per-image cost would false-trigger when the mirror happened to
+        serve only thumbnails while the device carried 2000x2000
+        blurs)."""
+        try:
+            return max(sum(p.out_h * p.out_w for p in asm.plans), 1) / 1e6
+        except Exception:
+            return 0.0
+
+    def _note_mirror_cost(self, asm, dur_s: float) -> None:
+        mpx = self._asm_mpx(asm)
+        if mpx <= 0.0:
+            return
+        cost = dur_s * 1000.0 / mpx
+        with self._lock:
+            self._mir_cost = (
+                cost if self._mir_cost is None
+                else _COST_EWMA_ALPHA * cost
+                + (1.0 - _COST_EWMA_ALPHA) * self._mir_cost
+            )
+            self.stats["mirror_ms_per_mpx"] = round(self._mir_cost, 2)
+
+    def _note_device_cost(self, asm, dur_s: float) -> None:
+        mpx = self._asm_mpx(asm)
+        if mpx <= 0.0:
+            return
+        cost = dur_s * 1000.0 / mpx
+        flip = None
+        with self._lock:
+            self._dev_cost = (
+                cost if self._dev_cost is None
+                else _COST_EWMA_ALPHA * cost
+                + (1.0 - _COST_EWMA_ALPHA) * self._dev_cost
+            )
+            self.stats["device_ms_per_mpx"] = round(self._dev_cost, 2)
+            mir = self._mir_cost
+            if mir is None:
+                return
+            if cost > _DEGRADE_FACTOR * mir:
+                self._dev_slow += 1
+                # flip only when the SMOOTHED cost agrees too: M
+                # consecutive slow samples filter tiny-batch flukes,
+                # the EWMA filters a single one-time spike (layout
+                # compile) still decaying through it
+                if (self._dev_slow >= _DEGRADE_STREAK_M
+                        and self._dev_cost > _DEGRADE_FACTOR * mir
+                        and not self._device_degraded):
+                    self._device_degraded = True
+                    self.stats["device_degraded"] = 1
+                    self._last_degrade_probe = time.monotonic()
+                    flip = ("enter", cost, mir)
+            else:
+                self._dev_slow = 0
+                if (self._device_degraded
+                        and cost <= _DEGRADE_EXIT_FACTOR * mir):
+                    self._device_degraded = False
+                    self.stats["device_degraded"] = 0
+                    flip = ("exit", cost, mir)
+        if flip is not None:
+            if flip[0] == "enter":
+                _logger.warning(
+                    "device degraded: %.0f ms/Mpx vs host mirror "
+                    "%.0f ms/Mpx for %d consecutive warm batches — "
+                    "routing batches to the mirror (tagged cold); one "
+                    "device probe every %.0fs",
+                    flip[1], flip[2], _DEGRADE_STREAK_M,
+                    _DEGRADE_PROBE_INTERVAL_S,
+                )
+            else:
+                _logger.warning(
+                    "device recovered: probe batch %.0f ms/Mpx vs "
+                    "mirror %.0f ms/Mpx — resuming device serving",
+                    flip[1], flip[2],
+                )
+
+    def _degraded_route_now(self) -> bool:
+        """True when this warm batch should be served by the mirror
+        because the device is in the soft-degraded state; lets one
+        batch through as a probe every _DEGRADE_PROBE_INTERVAL_S."""
+        if not self._host_fallback:
+            return False
+        with self._lock:
+            if not self._device_degraded:
+                return False
+            now = time.monotonic()
+            if now - self._last_degrade_probe >= _DEGRADE_PROBE_INTERVAL_S:
+                self._last_degrade_probe = now
+                return False
+            return True
 
     def device_available(self) -> bool:
         """False while the device is wedged (stall watchdog fired and
@@ -819,6 +1004,14 @@ class MicroBatcher:
                 self.stats["host_fallbacks"] += 1
                 self._run_host(asm, futures)
                 return
+            if self._degraded_route_now():
+                # device alive but measured slower than the host
+                # mirror (soft-degrade) — serve host-side; a probe
+                # batch rides the device on the probe interval
+                self.stats["host_fallbacks"] += 1
+                self.stats["degraded_batches"] += 1
+                self._run_host(asm, futures)
+                return
             # bound upload-ahead to the depth; permits held by STUCK
             # collects must not block the device thread forever, so the
             # wait is stall-bounded when the failover is armed
@@ -841,6 +1034,7 @@ class MicroBatcher:
             token = (self._watch_add(asm, futures, releaser)
                      if self.device_stall_s > 0 and self._host_fallback
                      else None)
+            t_sub = time.monotonic()
             try:
                 out = asm.submit()
             except BaseException:
@@ -849,7 +1043,8 @@ class MicroBatcher:
                 releaser.release()
                 raise
             self._collector.submit(
-                self._collect_batch, asm, out, futures, token, releaser
+                self._collect_batch, asm, out, futures, token, releaser,
+                t_sub,
             )
         except Exception as e:
             # a permit/token acquired on this path must not outlive it:
@@ -880,7 +1075,7 @@ class MicroBatcher:
                 _safe_fail(f, e)
 
     def _collect_batch(self, asm, out, futures, token=None,
-                       releaser=None) -> None:
+                       releaser=None, t_sub=None) -> None:
         """Collect-side half: blocks on the device result while the
         device thread stages/dispatches the next batch."""
         try:
@@ -921,18 +1116,44 @@ class MicroBatcher:
         # the host mirror inside collect() (cold wider rung) — those
         # responses must be tagged cold exactly like _run_host's
         mirror = getattr(asm, "mirror_served", False)
+        if not mirror and t_sub is not None:
+            # device-side cost sample (submit -> collect wall time;
+            # the ladder's in-collect mirror serves don't measure the
+            # device)
+            self._note_device_cost(asm, time.monotonic() - t_sub)
+        if self._is_coef3(asm):
+            with self._lock:
+                if mirror:
+                    self._note_coef_mirror()
+                else:
+                    # a coefficient batch rode the device: resume the
+                    # coefficient source path (prefer_pixel_source)
+                    self._coef_mirror_streak = 0
+                self.stats["coef_mirror_streak"] = self._coef_mirror_streak
         for f, r in zip(futures, results):
             _safe_result(f, r, mirror=mirror)
 
     def _run_host(self, asm, futures) -> None:
         from ..ops import hostexec
 
+        if asm is not None and self._is_coef3(asm):
+            with self._lock:
+                self._note_coef_mirror()
+        # thread CPU time, not wall: mirror serves run exactly when
+        # the host is most contended (cold phase under load, degraded
+        # soaks), and a wall-clock sample there prices the mirror at
+        # the CONTENDED cost — which froze the soft-degrade comparator
+        # at "mirror slower than the sick device" on a live slow-relay
+        # day. CPU time measures what the mirror could do given the
+        # core; the device side keeps wall time (the link IS its cost).
+        t0 = time.thread_time()
         try:
             results = hostexec.run_host(asm)
         except Exception as e:
             for f in futures:
                 _safe_fail(f, e)
             return
+        self._note_mirror_cost(asm, time.thread_time() - t0)
         for f, r in zip(futures, results):
             # mark mirror-served results: they can differ from the
             # device program by ±1 LSB (PARITY.md known-diff #6), so
@@ -1028,3 +1249,6 @@ class BatchingRunner:
 
     def device_available(self) -> bool:
         return self.batcher.device_available()
+
+    def prefer_pixel_source(self) -> bool:
+        return self.batcher.prefer_pixel_source()

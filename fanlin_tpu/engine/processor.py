@@ -207,11 +207,24 @@ class Engine:
         # native libjpeg decode) for byte-identical output — so prefer
         # the pixel source path during an outage and resume the
         # coefficient upload when the device comes back.
+        # ...and the same mis-pricing holds whenever coef batches land
+        # on the mirror at all — e.g. a live link whose cold-bucket
+        # compiles take minutes (observed on the relay): the batcher's
+        # prefer_pixel_source() covers both regimes (wedge OR
+        # mirror-served streak) and self-resumes via periodic coef
+        # probes once the program warms. Bytes are identical either
+        # way; only the host cost moves.
         device_up = True
+        coef_ok = True
         if fmt == codecs.JPEG:
             avail = getattr(self.runner, "device_available", None)
             if avail is not None:
                 device_up = avail()
+            prefer_pix = getattr(self.runner, "prefer_pixel_source", None)
+            if prefer_pix is not None:
+                coef_ok = not prefer_pix()
+            else:
+                coef_ok = device_up
             # CMYK keeps the coefficient path even while wedged: the
             # host mirror serves those batches byte-identically,
             # whereas flipping to the pixel source would re-run the
@@ -257,7 +270,7 @@ class Engine:
         if (
             meta is None
             and self.device_decode
-            and device_up
+            and coef_ok
             and fmt == codecs.JPEG
             and converted is None
         ):

@@ -183,10 +183,40 @@ class RemoteRunner:
             return cached[1]
         st = self.batcher_stats()
         v = cached[1] if cached is not None else True
+        streak = cached[2] if cached is not None else 0
         if st is not None:
-            v = not st.get("batcher", {}).get("device_wedged", 0)
-        self._avail = (now, v)
+            b = st.get("batcher", {})
+            v = not b.get("device_wedged", 0)
+            new = b.get("coef_mirror_streak", 0)
+            if new > streak:
+                # streak grew: restart this worker's probe countdown
+                # (probes fire an interval after the last observed
+                # failed coefficient attempt)
+                self._last_coef_probe = now
+            streak = new
+        self._avail = (now, v, streak)
         return v
+
+    def prefer_pixel_source(self) -> bool:
+        """The service batcher's mirror-streak gauge, same ~1 s cache
+        as device_available (the probe timing is per worker: each
+        worker lets one coefficient request through every few seconds
+        so the gauge can reset once the program warms)."""
+        from ..engine.batcher import (
+            _COEF_MIRROR_STREAK_K,
+            _COEF_PROBE_INTERVAL_S,
+        )
+
+        if not self.device_available():  # refreshes the cached gauge
+            return True
+        if self._avail[2] < _COEF_MIRROR_STREAK_K:
+            return False
+        now = time.monotonic()
+        last = getattr(self, "_last_coef_probe", 0.0)
+        if now - last >= _COEF_PROBE_INTERVAL_S:
+            self._last_coef_probe = now
+            return False
+        return True
 
     def batcher_stats(self):
         """The device service's /stats payload ({"batcher": counters,

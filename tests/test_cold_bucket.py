@@ -33,6 +33,12 @@ def _img(w=160, h=120, alpha=None):
     return np.dstack([base, np.full((h, w), alpha, np.uint8)])
 
 
+def _jpeg_bytes(img, quality=88):
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
 # -- host mirror numerics -----------------------------------------------------
 
 
@@ -433,3 +439,90 @@ def test_warmup_covers_dct_floor_escalation_rung():
         assert fused.is_warm(asm.program_key() + (("dct_pack", 1),))
     finally:
         fused.set_dct_floor(0)
+
+
+def test_cold_coef_buckets_steer_engine_to_pixels(monkeypatch):
+    """Generalized session-7 preference: when coefficient batches land
+    on the mirror WITHOUT a wedge (device up, cold-bucket compiles
+    stuck — observed live on the relay), the engine flips to the
+    cheaper pixel source after _COEF_MIRROR_STREAK_K mirror-served
+    coef batches, keeps probing the coefficient path on the probe
+    interval, and serves byte-identical responses on both paths."""
+    from fanlin_tpu.engine import batcher as batcher_mod
+
+    release = threading.Event()
+    real_run = fused.BatchAssembly.run
+
+    def stuck_run(self):
+        # stands in for a compile that never finishes while the test
+        # runs (the live relay showed exactly this: link up, compiles
+        # never landing); released at teardown so close() is clean
+        release.wait(30.0)
+        return real_run(self)
+
+    monkeypatch.setattr(fused.BatchAssembly, "run", stuck_run)
+    data = _jpeg_bytes(make_test_image(149, 101))
+    params = parse_query("w=70&h=50")
+    b = MicroBatcher(max_batch=4, window_ms=1.0, host_fallback=True,
+                     device_stall_s=2.0)
+    try:
+        engine = Engine(runner=BatchingRunner(b), device_jpeg=False)
+        outs = []
+        for _ in range(2):
+            outs.append(engine.process_image(data, params, Format())[1])
+        assert engine.stats == {"coef_src": 2, "pixel_src": 0}
+        assert b.stats["coef_mirror_streak"] == 2
+        assert b.prefer_pixel_source()
+        for _ in range(2):
+            outs.append(engine.process_image(data, params, Format())[1])
+        assert engine.stats["pixel_src"] == 2, engine.stats
+        # the flip never changes bytes (session-7 invariant, now
+        # pinned in the cold regime too)
+        assert len({o for o in outs}) == 1
+        # probe: with the interval elapsed, one coef request goes
+        # through (and re-lands on the mirror -> streak grows)
+        monkeypatch.setattr(batcher_mod, "_COEF_PROBE_INTERVAL_S", 0.0)
+        out = engine.process_image(data, params, Format())[1]
+        assert engine.stats["coef_src"] == 3
+        assert out == outs[0]
+        monkeypatch.setattr(batcher_mod, "_COEF_PROBE_INTERVAL_S", 3600.0)
+        engine.process_image(data, params, Format())
+        assert engine.stats["pixel_src"] == 3
+    finally:
+        monkeypatch.setattr(fused.BatchAssembly, "run", real_run)
+        release.set()
+        b.close()
+
+
+def test_coef_streak_resets_when_device_serves(monkeypatch):
+    """Once a coefficient batch actually rides the device (program
+    warmed), the streak resets and the engine resumes coefficients."""
+    data = _jpeg_bytes(make_test_image(149, 103))
+    params = parse_query("w=71&h=51")
+    b = MicroBatcher(max_batch=4, window_ms=1.0, host_fallback=True,
+                     device_stall_s=5.0)
+    try:
+        engine = Engine(runner=BatchingRunner(b), device_jpeg=False)
+        first = engine.process_image(data, params, Format())[1]
+        # wait for the background compile to land, then serve again:
+        # the batch rides the device and resets the streak
+        deadline = time.monotonic() + 20.0
+        while b.stats["coef_mirror_streak"] and time.monotonic() < deadline:
+            engine.process_image(data, params, Format())
+            time.sleep(0.1)
+        assert b.stats["coef_mirror_streak"] == 0
+        assert not b.prefer_pixel_source()
+        # coefficient source resumed after recovery (the interim may
+        # have flipped to pixels while the compile was in flight —
+        # that is the intended lifecycle, and the 5 s probe is what
+        # rode the freshly-warm program and reset the streak)
+        before = engine.stats["coef_src"]
+        out = engine.process_image(data, params, Format())[1]
+        assert engine.stats["coef_src"] == before + 1
+        # first was mirror-served (±1 LSB window vs the device,
+        # PARITY known-diff #6) — only shape/validity is comparable
+        with Image.open(io.BytesIO(out)) as im:
+            assert im.size == (71, 51)
+        assert first is not None
+    finally:
+        b.close()

@@ -563,8 +563,41 @@ def test_remote_runner_device_available_ttl(monkeypatch):
     assert calls["n"] == 1
 
     monkeypatch.setattr(r, "batcher_stats", lambda: None)
-    r._avail = (0.0, False)  # expire the cache
+    r._avail = (0.0, False, 0)  # expire the cache
     assert r.device_available() is False  # unreachable -> last known
+
+
+def test_remote_runner_prefer_pixel_gauge(monkeypatch):
+    """The worker-side pixel preference follows the service's
+    coef_mirror_streak gauge, with a per-worker probe interval."""
+    from fanlin_tpu.server.workers import RemoteRunner
+
+    r = RemoteRunner("/nonexistent")
+    monkeypatch.setattr(
+        r, "batcher_stats",
+        lambda: {"batcher": {"device_wedged": 0, "coef_mirror_streak": 2}},
+    )
+    # gauge above threshold: the first check is NOT a free probe (the
+    # countdown starts when the gauge rises)
+    assert r.prefer_pixel_source() is True
+    # probe interval elapsed -> one coefficient request goes through
+    r._last_coef_probe = -1e9
+    assert r.prefer_pixel_source() is False
+    assert r.prefer_pixel_source() is True  # countdown restarted
+    # streak cleared server-side -> coefficients resume
+    monkeypatch.setattr(
+        r, "batcher_stats",
+        lambda: {"batcher": {"device_wedged": 0, "coef_mirror_streak": 0}},
+    )
+    r._avail = (0.0, True, 2)  # expire the cache
+    assert r.prefer_pixel_source() is False
+    # wedge still wins regardless of streak
+    monkeypatch.setattr(
+        r, "batcher_stats",
+        lambda: {"batcher": {"device_wedged": 1, "coef_mirror_streak": 0}},
+    )
+    r._avail = (0.0, True, 0)
+    assert r.prefer_pixel_source() is True
 
 
 def test_wedged_cold_bucket_spawns_no_compile_thread():
@@ -846,3 +879,64 @@ def test_probe_backoff_on_hung_probes(monkeypatch):
     finally:
         probe_gate.set()
         batcher.close()
+
+
+def test_soft_degrade_routes_to_mirror_and_recovers(monkeypatch):
+    """Gray-failure failover: a device that is alive but measurably
+    slower than the host mirror (observed live: a slow-relay day
+    served warm batches at seconds each while the mirror held ~24 ms)
+    must flip to mirror serving after _DEGRADE_STREAK_M slow warm
+    batches, keep probing, and resume when a probe prices fast."""
+    from fanlin_tpu.engine import batcher as batcher_mod
+    from fanlin_tpu.engine.batcher import BatchingRunner
+
+    # geometry A: pre-warmed synchronously -> batches ride the device
+    img_a = _rgba(make_test_image(163, 107))
+    q_a = parse_query("w=81&h=61")
+    plan_a = fused.plan_image(163, 107, q_a)
+    fused.BatchAssembly([plan_a], [img_a]).run()  # warm the program
+
+    b = MicroBatcher(max_batch=2, window_ms=1.0, host_fallback=True,
+                     device_stall_s=30.0)
+    runner = BatchingRunner(b)
+    try:
+        # geometry B: cold bucket -> mirror serves it, seeding the
+        # mirror's measured ms/Mpx
+        img_b = _rgba(make_test_image(161, 109))
+        q_b = parse_query("w=83&h=63")
+        plan_b = fused.plan_image(161, 109, q_b)
+        runner.run([plan_b], [img_b])
+        assert b.stats["mirror_ms_per_mpx"] > 0
+
+        # no accidental probe timing during the slow phase
+        monkeypatch.setattr(batcher_mod, "_DEGRADE_PROBE_INTERVAL_S", 3600.0)
+        real_collect = fused.BatchAssembly.collect
+
+        def slow_collect(self, out):
+            time.sleep(0.4)  # a sick link: alive, just slow
+            return real_collect(self, out)
+
+        monkeypatch.setattr(fused.BatchAssembly, "collect", slow_collect)
+        for _ in range(batcher_mod._DEGRADE_STREAK_M):
+            runner.run([plan_a], [img_a])
+        assert b.stats["device_degraded"] == 1
+        assert b.stats["device_ms_per_mpx"] > b.stats["mirror_ms_per_mpx"]
+
+        # degraded: batches serve from the mirror (cold-tagged), fast
+        runner.run([plan_a], [img_a])
+        assert runner.consume_host_mirror_flag()
+        assert b.stats["degraded_batches"] == 1
+
+        # device heals; the next probe rides it and exits the state
+        monkeypatch.setattr(fused.BatchAssembly, "collect", real_collect)
+        monkeypatch.setattr(batcher_mod, "_DEGRADE_PROBE_INTERVAL_S", 0.0)
+        deadline = time.monotonic() + 10.0
+        while (b.stats["device_degraded"]
+               and time.monotonic() < deadline):
+            runner.run([plan_a], [img_a])
+        assert b.stats["device_degraded"] == 0
+        out = runner.run([plan_a], [img_a])
+        assert not runner.consume_host_mirror_flag()
+        assert out[0].shape[:2] == (61, 81)
+    finally:
+        b.close()
