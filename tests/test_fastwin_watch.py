@@ -1,0 +1,107 @@
+"""Pure-logic tests for tools/fastwin_watch.py (the fast-window bench
+watcher). The probe and bench launches are subprocesses; here we pin
+the decision logic around them: probe-output parsing, best-capture
+seeding from a prior instance's bank, and the degraded-line filter
+(a host-mirror failover value must never displace a device capture).
+"""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+import fastwin_watch  # noqa: E402
+
+
+def _run_main(monkeypatch, tmp_path, probes, benches, argv_extra=()):
+    """Drive main() with stubbed probe/bench, one loop turn per probe."""
+    probes = list(probes)
+    benches = list(benches)
+
+    monkeypatch.setattr(fastwin_watch, "probe_rt",
+                        lambda budget: probes.pop(0))
+    monkeypatch.setattr(fastwin_watch, "run_bench",
+                        lambda budget, outdir, tag: benches.pop(0))
+
+    # clock: advance PROBE_PERIOD_S per sleep; deadline after len(probes)
+    t = {"now": 1000.0}
+    monkeypatch.setattr(fastwin_watch.time, "time", lambda: t["now"])
+
+    def fake_sleep(s):
+        t["now"] += s
+
+    monkeypatch.setattr(fastwin_watch.time, "sleep", fake_sleep)
+    hours = len(probes) * fastwin_watch.PROBE_PERIOD_S / 3600.0
+    monkeypatch.setattr(
+        sys, "argv",
+        ["fastwin_watch.py", "--hours", str(hours * 0.999),
+         "--out", str(tmp_path), *argv_extra])
+    return fastwin_watch.main()
+
+
+def test_probe_parse_roundtrip(monkeypatch):
+    class Out:
+        stdout = "warmup noise\nPROBE_RT 0.042\n"
+
+    monkeypatch.setattr(fastwin_watch.subprocess, "run",
+                        lambda *a, **k: Out())
+    assert fastwin_watch.probe_rt(1.0) == pytest.approx(0.042)
+
+
+def test_probe_parse_no_marker(monkeypatch):
+    class Out:
+        stdout = "died before printing\n"
+
+    monkeypatch.setattr(fastwin_watch.subprocess, "run",
+                        lambda *a, **k: Out())
+    assert fastwin_watch.probe_rt(1.0) is None
+
+
+def test_banks_best_by_value(monkeypatch, tmp_path):
+    rc = _run_main(
+        monkeypatch, tmp_path,
+        probes=[0.05, 0.05, 5.0],
+        benches=[{"metric": "m", "value": 40.0},
+                 {"metric": "m", "value": 55.0}])
+    assert rc == 0
+    best = json.loads((tmp_path / "best.json").read_text())
+    assert best["value"] == 55.0
+
+
+def test_seeds_from_prior_bank(monkeypatch, tmp_path):
+    # a prior instance banked 65.5; a new instance capturing 40 must
+    # NOT overwrite it (the restart-regression bug this pins)
+    (tmp_path / "best.json").write_text(
+        json.dumps({"metric": "m", "value": 65.5}))
+    rc = _run_main(monkeypatch, tmp_path,
+                   probes=[0.05], benches=[{"metric": "m", "value": 40.0}])
+    assert rc == 0
+    best = json.loads((tmp_path / "best.json").read_text())
+    assert best["value"] == 65.5
+
+
+def test_degraded_line_never_banked(monkeypatch, tmp_path):
+    # host-mirror failover lines carry a real (host CPU) img/s that can
+    # exceed a device capture — they must be filtered, not banked
+    rc = _run_main(
+        monkeypatch, tmp_path,
+        probes=[0.05, 0.05],
+        benches=[
+            {"metric": "m_hostmirror", "value": 999.0,
+             "mode": "host_mirror_failover"},
+            {"metric": "m", "value": 30.0, "error": "relay wedged"},
+        ])
+    assert rc == 1  # nothing bankable
+    assert not (tmp_path / "best.json").exists()
+
+
+def test_slow_probe_never_triggers(monkeypatch, tmp_path):
+    called = []
+    monkeypatch.setattr(fastwin_watch, "run_bench",
+                        lambda *a: called.append(a))
+    rc = _run_main(monkeypatch, tmp_path, probes=[1.5, None], benches=[])
+    assert rc == 1
+    assert not called
