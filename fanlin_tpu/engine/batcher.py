@@ -277,7 +277,9 @@ class MicroBatcher:
         self._lock = threading.Lock()
         self._wake = threading.Condition(self._lock)
         # key -> (deadline,
-        #         [(plan, image, future, kind, req_deadline, cancel_ev)])
+        #         [(plan, image, future, kind, req_deadline, cancel_ev,
+        #           t_submitted)])  -- t_submitted feeds the queue-wait
+        #         stats; _live_entries/_run_batch index positionally
         self._groups: Dict[Tuple, Tuple[float, list]] = {}
         # key -> entries admitted but not yet picked up by the device
         # thread (the backlog max_queue bounds)
@@ -568,7 +570,8 @@ class MicroBatcher:
             if len(entry[1]) >= self.max_batch:
                 flush_now = self._groups.pop(key)[1]
         if flush_now is not None:
-            self.stats["full_flushes"] += 1
+            with self._lock:
+                self.stats["full_flushes"] += 1
             self._dispatch(flush_now)
         return fut
 
@@ -624,6 +627,19 @@ class MicroBatcher:
             for entry in group:
                 if not entry[2].done():
                     entry[2].set_exception(RuntimeError("batcher closed"))
+
+    def _mirror_async(self, asm, futures) -> None:
+        """Serve an assembled batch from the numpy mirror on the host
+        POOL, never inline: the caller is usually the single device
+        thread, and inline mirror serving would serialize degraded-mode
+        throughput on one core (the pool exists exactly for this) while
+        stalling the device lane behind host work. Falls back inline if
+        the pool is already shut down (close race) so futures never
+        strand."""
+        try:
+            self._host.submit(self._run_host, asm, futures)
+        except RuntimeError:
+            self._run_host(asm, futures)
 
     def _flush_loop(self) -> None:
         """Single scheduler: sleep until the earliest group deadline,
@@ -735,16 +751,25 @@ class MicroBatcher:
             ]
         return token
 
+    def _mark_recovered_locked(self) -> bool:
+        """Flip the wedge off; caller MUST hold self._lock. Returns
+        True when this call performed the flip (caller logs outside
+        the lock). ONE definition so recovery semantics can't drift
+        between the stuck-call return path (_watch_done) and the
+        background probe (_probe_device)."""
+        if not self._wedged:
+            return False
+        self._wedged = False
+        self.stats["device_wedged"] = 0
+        self._probe_interval = max(self.device_stall_s, 2.0)
+        return True
+
     def _watch_done(self, token: int, roundtrip_ok: bool) -> None:
         """Unregister a device call; a completed round trip while
         wedged means the device came back — resume device serving."""
         with self._lock:
             self._watch.pop(token, None)
-            recovered = roundtrip_ok and self._wedged
-            if recovered:
-                self._wedged = False
-                self.stats["device_wedged"] = 0
-                self._probe_interval = max(self.device_stall_s, 2.0)
+            recovered = roundtrip_ok and self._mark_recovered_locked()
         if recovered:
             _logger.warning(
                 "device recovered after a stall; resuming device serving"
@@ -802,8 +827,9 @@ class MicroBatcher:
                 # the post-recovery pipeline (its own release becomes
                 # a no-op)
                 ent[4].release()
-                self.stats["host_fallbacks"] += 1
-                self._host.submit(self._run_host, ent[1], ent[2])
+                with self._lock:
+                    self.stats["host_fallbacks"] += 1
+                self._mirror_async(ent[1], ent[2])
 
     def _probe_device(self, asm) -> None:
         """One bounded recovery attempt. The device call runs on its
@@ -830,11 +856,8 @@ class MicroBatcher:
                 with self._lock:
                     self._probe_threads -= 1
                     self.stats["probe_threads"] = self._probe_threads
-                    recovered = outcome["ok"] and self._wedged
-                    if recovered:
-                        self._wedged = False
-                        self.stats["device_wedged"] = 0
-                        self._probe_interval = max(self.device_stall_s, 2.0)
+                    recovered = (outcome["ok"]
+                                 and self._mark_recovered_locked())
                 done.set()
                 if recovered:
                     _logger.warning(
@@ -873,16 +896,17 @@ class MicroBatcher:
         device time for either."""
         now = time.monotonic()
         live = []
+        cancelled = expired = 0
         for entry in group:
             fut, req_deadline, cancel_ev = entry[2], entry[4], entry[5]
             if fut.cancelled():
                 continue
             if cancel_ev is not None and cancel_ev.is_set():
-                self.stats["shed_cancelled"] += 1
+                cancelled += 1
                 fut.cancel()
                 continue
             if req_deadline is not None and req_deadline <= now:
-                self.stats["shed_expired"] += 1
+                expired += 1
                 fut.set_exception(
                     RequestExpired(
                         "request deadline passed before device dispatch"
@@ -890,6 +914,13 @@ class MicroBatcher:
                 )
                 continue
             live.append(entry)
+        if cancelled or expired:
+            # _run_batch runs concurrently on the device thread and the
+            # host pool (wedged/degraded/close dispatch) — unlocked +=
+            # drops counts exactly when the shed stats matter
+            with self._lock:
+                self.stats["shed_cancelled"] += cancelled
+                self.stats["shed_expired"] += expired
         return live
 
     def _run_batch(self, group) -> None:
@@ -913,21 +944,25 @@ class MicroBatcher:
             group = self._live_entries(group)
             if not group:
                 return
-            self.stats["batches"] += 1
-            self.stats["images"] += len(group)
             now = time.monotonic()
-            for g in group:
-                wait_ms = (now - g[6]) * 1000.0
-                self.stats["queue_wait_ms_total"] += wait_ms
-                if wait_ms > self.stats["queue_wait_ms_peak"]:
-                    self.stats["queue_wait_ms_peak"] = wait_ms
+            with self._lock:
+                self.stats["batches"] += 1
+                self.stats["images"] += len(group)
+                for g in group:
+                    wait_ms = (now - g[6]) * 1000.0
+                    self.stats["queue_wait_ms_total"] += wait_ms
+                    if wait_ms > self.stats["queue_wait_ms_peak"]:
+                        self.stats["queue_wait_ms_peak"] = wait_ms
             plans = [g[0] for g in group]
             images = [g[1] for g in group]
             futures = [g[2] for g in group]
             kinds = [g[3] for g in group]
             asm = fused.make_assembly(plans, images, kinds, mesh=self._mesh)
-            for act in getattr(asm, "spectral", ()):
-                self.stats["spectral_" + act] += 1
+            spectral = getattr(asm, "spectral", ())
+            if spectral:
+                with self._lock:
+                    for act in spectral:
+                        self.stats["spectral_" + act] += 1
             key = asm.program_key()
             if self._host_fallback and not fused.is_warm(key):
                 # serve THIS batch from the numpy mirror (on the host
@@ -989,28 +1024,30 @@ class MicroBatcher:
                     ]
                     self._warm_threads.append(t)
                     t.start()
-                self.stats["host_fallbacks"] += 1
-                self._host.submit(self._run_host, asm, futures)
+                with self._lock:
+                    self.stats["host_fallbacks"] += 1
+                self._mirror_async(asm, futures)
                 return
-            # counted here — after the host-fallback branch — so the
-            # stat reflects bytes that actually cross the link
-            if hasattr(asm, "upload_ac_bytes"):
-                self.stats["upload_ac_bytes"] += asm.upload_ac_bytes
             with self._lock:
                 wedged = self._wedged
             if wedged:
                 # device wedged (stalled warm call) — don't queue more
-                # work behind the stuck thread; the mirror serves
-                self.stats["host_fallbacks"] += 1
-                self._run_host(asm, futures)
+                # work behind the stuck thread; the mirror serves (on
+                # the host POOL: this may be the single device thread)
+                with self._lock:
+                    self.stats["host_fallbacks"] += 1
+                self._mirror_async(asm, futures)
                 return
             if self._degraded_route_now():
                 # device alive but measured slower than the host
                 # mirror (soft-degrade) — serve host-side; a probe
-                # batch rides the device on the probe interval
-                self.stats["host_fallbacks"] += 1
-                self.stats["degraded_batches"] += 1
-                self._run_host(asm, futures)
+                # batch rides the device on the probe interval. Pool,
+                # not inline: inline on the device thread would cap
+                # degraded throughput at one core and stall the lane.
+                with self._lock:
+                    self.stats["host_fallbacks"] += 1
+                    self.stats["degraded_batches"] += 1
+                self._mirror_async(asm, futures)
                 return
             # bound upload-ahead to the depth; permits held by STUCK
             # collects must not block the device thread forever, so the
@@ -1027,8 +1064,9 @@ class MicroBatcher:
                     "not returning) — serving from the host mirror",
                     self.device_stall_s,
                 )
-                self.stats["host_fallbacks"] += 1
-                self._run_host(asm, futures)
+                with self._lock:
+                    self.stats["host_fallbacks"] += 1
+                self._mirror_async(asm, futures)
                 return
             releaser = _PermitOnce(self._inflight)
             token = (self._watch_add(asm, futures, releaser)
@@ -1042,11 +1080,17 @@ class MicroBatcher:
                     self._watch_done(token, roundtrip_ok=False)
                 releaser.release()
                 raise
+            # counted after a successful submit — past the mirror
+            # branches above — so the stat reflects bytes that actually
+            # crossed the link (wedged/degraded/failed batches never do)
+            if hasattr(asm, "upload_ac_bytes"):
+                with self._lock:
+                    self.stats["upload_ac_bytes"] += asm.upload_ac_bytes
             self._collector.submit(
                 self._collect_batch, asm, out, futures, token, releaser,
                 t_sub,
             )
-        except Exception as e:
+        except BaseException as e:
             # a permit/token acquired on this path must not outlive it:
             # a raising self._collector.submit (quarantine/close race)
             # reaches here holding both, and leaking the permit starves
@@ -1057,7 +1101,8 @@ class MicroBatcher:
                 self._watch_done(token, roundtrip_ok=False)
             if releaser is not None:
                 releaser.release()
-            if self._host_fallback and asm is not None:
+            if (isinstance(e, Exception) and self._host_fallback
+                    and asm is not None):
                 # device submit/staging failed — same mirror failover
                 # as a failing collect (see _collect_batch). asm is
                 # None when make_assembly itself failed: nothing the
@@ -1069,10 +1114,16 @@ class MicroBatcher:
                 with self._lock:
                     self.stats["device_errors"] += 1
                     self.stats["host_fallbacks"] += 1
-                self._run_host(asm, futures)
+                self._mirror_async(asm, futures)
                 return
             for f in futures:
                 _safe_fail(f, e)
+            if not isinstance(e, Exception):
+                # SystemExit/KeyboardInterrupt etc.: asm.submit's own
+                # handler re-raises these deliberately; resolving the
+                # futures first keeps BatchingRunner.run from blocking
+                # forever on a group whose executor task died
+                raise
 
     def _collect_batch(self, asm, out, futures, token=None,
                        releaser=None, t_sub=None) -> None:

@@ -209,6 +209,23 @@ def _h2v2_up(c: np.ndarray) -> np.ndarray:
     return np.stack([even, odd], axis=3).reshape(b, 2 * ch, 2 * cw)
 
 
+def _fancy_up1(c: np.ndarray, axis: int) -> np.ndarray:
+    """libjpeg 'fancy' 2x upsample along ONE axis of a (B, h, w) plane
+    (h2v1 / 4:2:2 when axis=2, h1v2 / 4:4:0 when axis=1) — ONE
+    definition for the same reason as _h2v2_up: the two inline twins
+    differed only by axis, and a rounding fix applied to the 4:2:2
+    path could silently miss 4:4:0."""
+    if axis == 1:
+        return _fancy_up1(c.swapaxes(1, 2), 2).swapaxes(1, 2)
+    near = np.concatenate([c[:, :, :1], c[:, :, :-1]], axis=2)
+    far = np.concatenate([c[:, :, 1:], c[:, :, -1:]], axis=2)
+    even = (3 * c + near + 1) >> 2
+    odd = (3 * c + far + 2) >> 2
+    return np.stack([even, odd], axis=3).reshape(
+        c.shape[0], c.shape[1], 2 * c.shape[2]
+    )
+
+
 def _np_ycbcr420(out_u8):
     """numpy mirror of fused._ycbcr420_tail."""
     f32 = np.float32
@@ -361,29 +378,17 @@ def _np_decode420(asm):
         cb = idct(asm.cbdc, cbac, asm.cq)[:, :th, :tw]
         cr = idct(asm.crdc, crac, asm.cq)[:, :th, :tw]
     elif subsamp == 422:
-        def ups_h(c):
-            left = np.concatenate([c[:, :, :1], c[:, :, :-1]], axis=2)
-            right = np.concatenate([c[:, :, 1:], c[:, :, -1:]], axis=2)
-            even = (3 * c + left + 1) >> 2
-            odd = (3 * c + right + 2) >> 2
-            return np.stack([even, odd], axis=3).reshape(
-                c.shape[0], c.shape[1], 2 * c.shape[2]
-            )
         cw = (tw + 1) // 2
-        cb = ups_h(idct(asm.cbdc, cbac, asm.cq)[:, :th, :cw])[:, :, :tw]
-        cr = ups_h(idct(asm.crdc, crac, asm.cq)[:, :th, :cw])[:, :, :tw]
+        cb = _fancy_up1(
+            idct(asm.cbdc, cbac, asm.cq)[:, :th, :cw], axis=2)[:, :, :tw]
+        cr = _fancy_up1(
+            idct(asm.crdc, crac, asm.cq)[:, :th, :cw], axis=2)[:, :, :tw]
     elif subsamp == 440:
-        def ups_v(c):
-            up = np.concatenate([c[:, :1], c[:, :-1]], axis=1)
-            dn = np.concatenate([c[:, 1:], c[:, -1:]], axis=1)
-            even = (3 * c + up + 1) >> 2
-            odd = (3 * c + dn + 2) >> 2
-            return np.stack([even, odd], axis=2).reshape(
-                c.shape[0], 2 * c.shape[1], c.shape[2]
-            )
         ch = (th + 1) // 2
-        cb = ups_v(idct(asm.cbdc, cbac, asm.cq)[:, :ch, :tw])[:, :th]
-        cr = ups_v(idct(asm.crdc, crac, asm.cq)[:, :ch, :tw])[:, :th]
+        cb = _fancy_up1(
+            idct(asm.cbdc, cbac, asm.cq)[:, :ch, :tw], axis=1)[:, :th]
+        cr = _fancy_up1(
+            idct(asm.crdc, crac, asm.cq)[:, :ch, :tw], axis=1)[:, :th]
     else:
         ch, cw = (th + 1) // 2, (tw + 1) // 2
         cb = upsample(idct(asm.cbdc, cbac, asm.cq)[:, :ch, :cw])[:, :th, :tw]

@@ -113,6 +113,16 @@ class RemoteRunner:
     def __init__(self, path: str):
         self.path = path
         self._tls = threading.local()
+        # gauge cache + probe gate shared across this worker's request
+        # threads; the single-process MicroBatcher guards the identical
+        # check-then-set logic with its lock — without one here a burst
+        # of concurrent requests after the probe interval would ALL
+        # pass as "the one probe" and ride the expensive coefficient
+        # mirror path at once (round-5 review finding)
+        self._gauge_lock = threading.Lock()
+        self._avail = None  # (t_fetched, available, coef_mirror_streak)
+        self._avail_refreshing = False
+        self._last_coef_probe = 0.0
 
     def run(self, plans, images, kinds=None):
         from ..engine.batcher import REQUEST_CANCEL, REQUEST_DEADLINE
@@ -178,24 +188,37 @@ class RemoteRunner:
         both paths. Unreachable service -> last known (the request
         itself will surface the failure)."""
         now = time.monotonic()
-        cached = getattr(self, "_avail", None)
-        if cached is not None and now - cached[0] < self._AVAIL_TTL_S:
-            return cached[1]
-        st = self.batcher_stats()
-        v = cached[1] if cached is not None else True
-        streak = cached[2] if cached is not None else 0
-        if st is not None:
-            b = st.get("batcher", {})
-            v = not b.get("device_wedged", 0)
-            new = b.get("coef_mirror_streak", 0)
-            if new > streak:
-                # streak grew: restart this worker's probe countdown
-                # (probes fire an interval after the last observed
-                # failed coefficient attempt)
-                self._last_coef_probe = now
-            streak = new
-        self._avail = (now, v, streak)
-        return v
+        with self._gauge_lock:
+            cached = self._avail
+            if cached is not None and now - cached[0] < self._AVAIL_TTL_S:
+                return cached[1]
+            if self._avail_refreshing and cached is not None:
+                # another request thread is already on the 2 s-capped
+                # stats round trip — serve the stale gauge instead of
+                # piling N redundant RPCs on TTL expiry
+                return cached[1]
+            self._avail_refreshing = True
+        try:
+            st = self.batcher_stats()
+        finally:
+            with self._gauge_lock:
+                self._avail_refreshing = False
+        with self._gauge_lock:
+            cached = self._avail
+            v = cached[1] if cached is not None else True
+            streak = cached[2] if cached is not None else 0
+            if st is not None:
+                b = st.get("batcher", {})
+                v = not b.get("device_wedged", 0)
+                new = b.get("coef_mirror_streak", 0)
+                if new > streak:
+                    # streak grew: restart this worker's probe countdown
+                    # (probes fire an interval after the last observed
+                    # failed coefficient attempt)
+                    self._last_coef_probe = now
+                streak = new
+            self._avail = (time.monotonic(), v, streak)
+            return v
 
     def prefer_pixel_source(self) -> bool:
         """The service batcher's mirror-streak gauge, same ~1 s cache
@@ -209,14 +232,18 @@ class RemoteRunner:
 
         if not self.device_available():  # refreshes the cached gauge
             return True
-        if self._avail[2] < _COEF_MIRROR_STREAK_K:
-            return False
         now = time.monotonic()
-        last = getattr(self, "_last_coef_probe", 0.0)
-        if now - last >= _COEF_PROBE_INTERVAL_S:
-            self._last_coef_probe = now
-            return False
-        return True
+        with self._gauge_lock:
+            avail = self._avail
+            if avail is None or avail[2] < _COEF_MIRROR_STREAK_K:
+                return False
+            # check-then-set under the lock: exactly ONE request gets
+            # to be the probe per interval (the unlocked version let a
+            # concurrent burst all through as "the one probe")
+            if now - self._last_coef_probe >= _COEF_PROBE_INTERVAL_S:
+                self._last_coef_probe = now
+                return False
+            return True
 
     def batcher_stats(self):
         """The device service's /stats payload ({"batcher": counters,
