@@ -277,13 +277,29 @@ class Engine:
             from . import native_codecs
             from ..ops import jpeg_decode
 
-            meta = scache.get_meta("coef", skey) if scache is not None else None
-            if meta is None:
+            # the cache key carries the orientation so hot EXIF-rotated
+            # sources pay the grid rotation (and its nc counts pass)
+            # once, not per variant — and the oriented grids are then
+            # byte-charged to the LRU like any other cached meta. A
+            # rotation that isn't grid-exact caches a pixel-only
+            # sentinel: the coefficient parse must not re-run per
+            # request just to re-discover the pixel fallback.
+            ckind = ("coef" if orientation == 1
+                     else "coef.o%d" % orientation)
+            cached = (scache.get_meta(ckind, skey)
+                      if scache is not None else None)
+            if cached is not None:
+                meta = None if cached.get("_pixel_only") else cached
+            else:
                 meta = native_codecs.read_jpeg_coeffs(data)
-                if meta is not None and scache is not None:
-                    scache.put_meta("coef", skey, meta)
-            if meta is not None and orientation != 1:
-                meta = jpeg_decode.orient_meta(meta, orientation)
+                if meta is not None and orientation != 1:
+                    meta = jpeg_decode.orient_meta(meta, orientation)
+                if scache is not None:
+                    scache.put_meta(
+                        ckind, skey,
+                        meta if meta is not None
+                        else {"_pixel_only": True},
+                    )
             if meta is not None and not jpeg_decode.upload_viable(meta):
                 # pathological overflow density (beyond the i8v
                 # sparse-correction cap): take the pixel path

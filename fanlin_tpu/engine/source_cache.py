@@ -18,13 +18,19 @@ default.
 Sharing discipline (why handing one decode to many requests is safe):
 
 * Coefficient metas are never mutated downstream: `orient_meta` and
-  the spectral-thinning ladder copy-on-write (jpeg_decode.py:970,
-  fused.py's `dict(m)` in the thinning pass), and the per-plane nc
-  count memos validate grid identity before reuse
+  the spectral-thinning ladder copy-on-write via
+  `jpeg_decode.fork_meta`, which also DETACHES the shared
+  `_nc_counts` memo (a plain dict copy would let a variant's
+  throwaway rotated/thinned grids evict the cached entries and pin
+  unbudgeted bytes inside this LRU), and the per-plane nc count
+  memos validate grid identity before reuse
   (jpeg_decode.nc_counts_cached). The cache pre-seeds the shared
   `_nc_counts` memo dict so every variant of a hot source also
   shares the one counts pass that mode selection, cap sizing and
-  `upload_viable` all consult.
+  `upload_viable` all consult. EXIF-oriented sources are cached
+  POST-rotation (the processor's kind string carries the
+  orientation), so the rotation and its counts pass also run once
+  per hot source.
 * Pixel entries are copied on BOTH sides of the cache (a ~0.1 ms
   memcpy vs the multi-ms decode): the stored array can never alias
   bytes a caller later writes, and a hit can never leak writes back.
@@ -88,7 +94,9 @@ class SourceCache:
         self, kind: str, key: bytes, img: np.ndarray,
         has_alpha: bool, is_gray: bool,
     ) -> None:
-        stored = np.ascontiguousarray(img).copy()
+        # one C-ordered copy (ascontiguousarray(...).copy() paid two
+        # memcpys for non-contiguous inputs like sliced GIF frames)
+        stored = np.array(img, order="C")
         stored.setflags(write=False)
         self._lru.put((kind, key), (stored, has_alpha, is_gray),
                       stored.nbytes)
@@ -104,7 +112,7 @@ class SourceCache:
     def put_frames(self, key: bytes, frames) -> None:
         stored = []
         for f in frames:
-            c = np.ascontiguousarray(f).copy()
+            c = np.array(f, order="C")  # one copy, see put_pixels
             c.setflags(write=False)
             stored.append(c)
         self._lru.put(

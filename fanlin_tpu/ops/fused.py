@@ -854,7 +854,6 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
               422: jpeg_decode.decode422_rgb,
               440: jpeg_decode.decode440_rgb,
               420: jpeg_decode.decode420_rgb}[subsamp]
-    cdiv = jpeg_decode.chroma_divisors(subsamp)
     ymode, cmode = pack
     n_y, n_c = _n_arrays(ymode), _n_arrays(cmode)
 
@@ -871,11 +870,9 @@ def get_coef_program(batch: int, true_h: int, true_w: int, out_h: int,
         rest = a[i:]
         av, ah, flags, fill, box = rest[:5]
         bv, bh = (rest[5], rest[6]) if len(rest) > 5 else (None, None)
-        yac = jpeg_decode.unpack_plane_args(ymode, y_arr, pad_h, pad_w)
-        cbac = jpeg_decode.unpack_plane_args(cmode, cb_arr, pad_h,
-                                             pad_w, cdiv)
-        crac = jpeg_decode.unpack_plane_args(cmode, cr_arr, pad_h,
-                                             pad_w, cdiv)
+        yac = jpeg_decode.unpack_plane_args(ymode, y_arr)
+        cbac = jpeg_decode.unpack_plane_args(cmode, cb_arr)
+        crac = jpeg_decode.unpack_plane_args(cmode, cr_arr)
         r, g, b = decode(
             ydc, yac, cbdc, cbac, crdc, crac, lq, cq,
             true_h, true_w, pad_h, pad_w,
@@ -932,7 +929,6 @@ def get_cmyk_coef_program(batch: int, true_h: int, true_w: int,
     ymode, cmode, kmode = pack
     n_y, n_c, n_k = (_n_arrays(ymode), _n_arrays(cmode),
                      _n_arrays(kmode))
-    cdiv = jpeg_decode.chroma_divisors(subsamp)
 
     def core(*a):
         i = 0
@@ -951,12 +947,10 @@ def get_cmyk_coef_program(batch: int, true_h: int, true_w: int,
         rest = a[i:]
         av, ah, flags, fill, box = rest[:5]
         bv, bh = (rest[5], rest[6]) if len(rest) > 5 else (None, None)
-        yac = jpeg_decode.unpack_plane_args(ymode, y_arr, pad_h, pad_w)
-        cbac = jpeg_decode.unpack_plane_args(cmode, cb_arr, pad_h,
-                                             pad_w, cdiv)
-        crac = jpeg_decode.unpack_plane_args(cmode, cr_arr, pad_h,
-                                             pad_w, cdiv)
-        kac = jpeg_decode.unpack_plane_args(kmode, k_arr, pad_h, pad_w)
+        yac = jpeg_decode.unpack_plane_args(ymode, y_arr)
+        cbac = jpeg_decode.unpack_plane_args(cmode, cb_arr)
+        crac = jpeg_decode.unpack_plane_args(cmode, cr_arr)
+        kac = jpeg_decode.unpack_plane_args(kmode, k_arr)
         c_p, m_p, y_p, k_p = jpeg_decode.decode_cmyk(
             ydc, yac, cbdc, cbac, crdc, crac, kdc, kac, lq, cq,
             true_h, true_w, pad_h, pad_w, subsamp, ycck,
@@ -1248,7 +1242,13 @@ class BatchAssembly:
             and not self.jpegdct
         )
 
-    def _device_args(self, dct_pack=None):
+    def _device_args(self, dct_pack=None, fn_only=False):
+        """(program, staged device args). fn_only=True skips every
+        device_put and returns (program, None): the argument list is
+        identical across dct_pack levels (the level only selects the
+        program's download tail), so the warm overflow-ladder re-run
+        reuses the device-resident args saved by submit() instead of
+        re-uploading the whole batch through the link."""
         if dct_pack is None:
             dct_pack = getattr(self, "dct_pack", _DCT_PACK["floor"])
         if self._pallas_eligible():
@@ -1263,6 +1263,8 @@ class BatchAssembly:
                 interpret=_jax.default_backend() != "tpu",
                 has_blur=self.has_blur,
             )
+            if fn_only:
+                return fn, None
             args = [self._put(self.flags, "dp"), self._put(self.fill, "dp"),
                     self._put(self.box, "dp"), self._cput(av), self._cput(ah)]
             if self.has_blur:
@@ -1275,6 +1277,8 @@ class BatchAssembly:
                              self.has_blur, True, (p0.out_h, p0.out_w),
                              self.c_out, self.jpeg420, _FAST["enabled"],
                              self.jpegdct, dct_pack)
+            if fn_only:
+                return fn, None
             av, ah, bv, bh = _uniform_padded(p0)
             args = [self._put(self.x, "dp", None, None, "sp"),
                     self._cput(av), self._cput(ah, None, "sp"),
@@ -1291,6 +1295,8 @@ class BatchAssembly:
                              self.has_blur, False, out_crop, self.c_out,
                              self.jpeg420, _FAST["enabled"], self.jpegdct,
                              dct_pack)
+            if fn_only:
+                return fn, None
             args = [self._put(self.x, "dp", None, None, "sp"),
                     self._put(self.av, "dp"),
                     self._put(self.ah, "dp", None, "sp"),
@@ -1343,7 +1349,18 @@ class BatchAssembly:
                              (1 if len(out) == 10 else 2))
                     wider_key = self.program_key() + (("dct_pack", level),)
                     if is_warm(wider_key) or not _HOST_FALLBACK["enabled"]:
-                        fn, args = self._device_args(dct_pack=level)
+                        # the wider program takes the SAME inputs (the
+                        # level only changes the download tail): reuse
+                        # the device-resident args from submit()
+                        # instead of re-uploading the whole batch —
+                        # saturating batches used to pay their upload
+                        # twice on the warm ladder path
+                        args = getattr(self, "_args", None)
+                        if args is None:
+                            fn, args = self._device_args(dct_pack=level)
+                        else:
+                            fn, _ = self._device_args(dct_pack=level,
+                                                      fn_only=True)
                         results = self.collect(fn(*args))
                         mark_warm(wider_key)
                         return results
@@ -2001,20 +2018,23 @@ class CoefBatchAssembly(BatchAssembly):
                 wide = cost[batch_modes[pi]]
                 if (act == "zero2" and mode != "zero"
                         and wide > cost["lo2v"]):
-                    new = dict(m) if new is None else new
+                    new = (jpeg_decode.fork_meta(m)
+                           if new is None else new)
                     new[key] = jpeg_decode.zero_high(m[key], 2)
                 elif (act == "zero" and mode not in ("zero", "lo8", "lo8v")
                         and wide > cost["lo8v"]):
-                    new = dict(m) if new is None else new
+                    new = (jpeg_decode.fork_meta(m)
+                           if new is None else new)
                     new[key] = jpeg_decode.zero_high(m[key])
                 elif (act == "clip" and mode == "i8"
                         and wide > cost["i4h"]):
-                    new = dict(m) if new is None else new
+                    new = (jpeg_decode.fork_meta(m)
+                           if new is None else new)
                     new[key] = jpeg_decode.clip_high_int4(m[key])
             out.append(new if new is not None else m)
         return out, (ymode, cmode)
 
-    def _device_args(self, dct_pack=None):
+    def _device_args(self, dct_pack=None, fn_only=False):
         from . import jpeg_decode
 
         if dct_pack is None:
@@ -2027,6 +2047,24 @@ class CoefBatchAssembly(BatchAssembly):
             if (self.jpeg420 or self.jpegdct or self.uniform)
             else None
         )
+        if self.fold:
+            fn = get_folded_program(self.b, self.true_h, self.true_w,
+                                    self.oh, self.ow, self.has_blur,
+                                    out_crop, self.c_out, self.jpeg420,
+                                    self.jpegdct, _FAST["enabled"],
+                                    dct_pack, self.pack_modes)
+        else:
+            fn = get_coef_program(self.b, self.true_h, self.true_w,
+                                  self.oh, self.ow, self.has_blur,
+                                  self.uniform, out_crop, self.c_out,
+                                  self.jpeg420, _FAST["enabled"],
+                                  self.jpegdct, dct_pack,
+                                  self.subsamp, self.pack_modes)
+        if fn_only:
+            # see BatchAssembly._device_args: the arg list is identical
+            # across dct_pack levels, so the warm ladder re-run reuses
+            # submit()'s device-resident args with the wider program
+            return fn, None
         # plane uploads: batch on dp; the wide axis of every AC array
         # (planar, nibble-packed, or low-corner) is a width slice, so
         # it shards on sp (contractions over it psum via GSPMD). The
@@ -2046,12 +2084,6 @@ class CoefBatchAssembly(BatchAssembly):
         args += [ac_put(a) for a in self.cr_arrays]
         args += [self._put(self.lq, "dp"), self._put(self.cq, "dp")]
         if self.fold:
-            fn = get_folded_program(self.b, self.true_h, self.true_w,
-                                    self.oh, self.ow, self.has_blur,
-                                    out_crop, self.c_out, self.jpeg420,
-                                    self.jpegdct, _FAST["enabled"],
-                                    dct_pack,
-                                    self.pack_modes)
             mats, lows, _, lows2, _ = _folded_padded(
                 p0, self.sh, self.sw, self.true_h, self.true_w,
                 self.subsamp)
@@ -2083,11 +2115,6 @@ class CoefBatchAssembly(BatchAssembly):
                 args = [self._cput(_f32_table(enc_lq)),
                         self._cput(_f32_table(enc_cq))] + args
             return fn, args
-        fn = get_coef_program(self.b, self.true_h, self.true_w, self.oh,
-                              self.ow, self.has_blur, self.uniform, out_crop,
-                              self.c_out, self.jpeg420, _FAST["enabled"],
-                              self.jpegdct, dct_pack,
-                              self.subsamp, self.pack_modes)
         if self.uniform:
             av, ah, bv, bh = _uniform_padded(p0, self.sh, self.sw)
             args += [self._cput(av), self._cput(ah, None, "sp"),
@@ -2262,7 +2289,7 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
                 self.c_out, self.jpeg420, self.jpegdct, mesh_key,
                 self.lut_n)
 
-    def _device_args(self, dct_pack=None):
+    def _device_args(self, dct_pack=None, fn_only=False):
         if dct_pack is None:
             dct_pack = getattr(self, "dct_pack", _DCT_PACK["floor"])
         p0 = self.plans[0]
@@ -2271,6 +2298,17 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
             if (self.jpeg420 or self.jpegdct or self.uniform)
             else None
         )
+        fn = get_cmyk_coef_program(self.b, self.true_h, self.true_w,
+                                   self.oh, self.ow, self.has_blur,
+                                   self.uniform, out_crop, self.c_out,
+                                   self.jpeg420, self.jpegdct, dct_pack,
+                                   self.subsamp, self.ycck,
+                                   self.lut_n, self.pack_modes3)
+        if fn_only:
+            # see BatchAssembly._device_args: the arg list is identical
+            # across dct_pack levels, so the warm ladder re-run reuses
+            # submit()'s device-resident args with the wider program
+            return fn, None
 
         def ac_put(a):
             if a.ndim == 3:
@@ -2289,12 +2327,6 @@ class CmykCoefBatchAssembly(CoefBatchAssembly):
         args += [self._put(self.kdc, "dp")]
         args += [ac_put(a) for a in self.k_arrays]
         args += [self._put(self.lq, "dp"), self._put(self.cq, "dp")]
-        fn = get_cmyk_coef_program(self.b, self.true_h, self.true_w,
-                                   self.oh, self.ow, self.has_blur,
-                                   self.uniform, out_crop, self.c_out,
-                                   self.jpeg420, self.jpegdct, dct_pack,
-                                   self.subsamp, self.ycck,
-                                   self.lut_n, self.pack_modes3)
         if self.uniform:
             av, ah, bv, bh = _uniform_padded(p0, self.sh, self.sw)
             args += [self._cput(av), self._cput(ah, None, "sp"),

@@ -876,15 +876,15 @@ def expand_low(low_i32, k: int, xp=jnp):
     return out.reshape(b, bh * 8, bw * 8)
 
 
-def unpack_plane_args(mode: str, arrays, pad_h: int, pad_w: int,
-                      chroma_div: tuple = (1, 1)):
+def unpack_plane_args(mode: str, arrays):
     """FULL (B, h, w) int32 planar AC plane (DC slots zero) from one
     plane's mode-specific device arrays, or None for "zero" (DC-only).
     The staged decode reconstructs every upload mode to the complete
     planar grid: its iDCT is the bit-exact islow butterfly (one
     rounding per pass), so low-corner content cannot be added as a
     separate pixel-space correction the way the old float path did.
-    arrays: the mode's device inputs; chroma_div scales the plane dims.
+    arrays: the mode's device inputs (all plane dims come from the
+    arrays themselves).
     """
     if mode.startswith("nc"):
         return nc_unpack_planar(mode, arrays)
@@ -1012,7 +1012,7 @@ def orient_meta(meta: dict, orientation: int):
             g = _grid_flip_h(g)
         return np.ascontiguousarray(g)
 
-    out = dict(meta)
+    out = fork_meta(meta, swapped=("y", "cb", "cr"))
     out["y"] = xform(meta["y"])
     out["cb"] = xform(meta["cb"])
     out["cr"] = xform(meta["cr"])
@@ -1435,13 +1435,32 @@ def _nc_selection_tables():
 _NC_SEL = None  # built lazily (module import order)
 
 
+def fork_meta(meta: dict, swapped=()) -> dict:
+    """Copy-on-write copy of a coefficient meta that DETACHES the
+    shared `_nc_counts` memo (entries for `swapped` plane keys are
+    dropped, the rest still identity-hit). A plain dict(meta) copy
+    shares the memo dict with a SourceCache-resident base meta, so a
+    variant that swaps a grid (orient_meta, spectral thinning) would
+    write its throwaway grids INTO the cached meta — evicting the base
+    entries (every later variant recounts) and pinning unbudgeted
+    rotated/thinned grids past the LRU's byte budget."""
+    out = dict(meta)
+    memo = meta.get("_nc_counts")
+    if memo is not None:
+        memo = dict(memo)
+        for k in swapped:
+            memo.pop(k, None)
+        out["_nc_counts"] = memo
+    return out
+
+
 def nc_counts_cached(meta: dict, key: str):
     """nc_grid_counts memoized inside the meta dict (one pass over the
     grid per plane, shared by mode selection, cap sizing and escape
     packing). The cache entry holds a reference to the counted array
     and validates identity, so meta copies that swap a grid
-    (orient_meta, spectral thinning) recompute instead of serving
-    stale counts."""
+    (orient_meta, spectral thinning — both fork the memo via
+    fork_meta) recompute instead of serving stale counts."""
     cache = meta.setdefault("_nc_counts", {})
     hit = cache.get(key)
     arr = meta[key]

@@ -208,3 +208,33 @@ def test_grayscale_rotated_rides_coefficient_path():
     b = Image.open(io.BytesIO(out_p)).convert("RGB")
     assert a.size == b.size
     assert _psnr(a, b) >= 45.0
+
+
+def test_orient_meta_detaches_counts_memo():
+    """orient_meta must never write into a shared `_nc_counts` memo:
+    with the decoded-source cache on, the base meta is cache-resident
+    and a plain dict copy would let every oriented variant (a) evict
+    the base counts entries — the memo's identity check then misses
+    forever — and (b) pin its throwaway rotated grids inside the
+    cached meta, unbudgeted (round-5 review finding)."""
+    from fanlin_tpu.engine import native_codecs
+    from fanlin_tpu.ops import jpeg_decode
+    from tests.conftest import make_test_image
+
+    data = _exif_jpeg(make_test_image(128, 96), 6)
+    meta = native_codecs.read_jpeg_coeffs(data)
+    assert meta is not None
+    meta.setdefault("_nc_counts", {})
+    jpeg_decode.nc_counts_cached(meta, "y")
+    base_entry = meta["_nc_counts"]["y"]
+    assert base_entry[0] is meta["y"]
+
+    out = jpeg_decode.orient_meta(meta, 6)
+    assert out is not None and out is not meta
+    assert out["_nc_counts"] is not meta["_nc_counts"]
+    # counting on the oriented copy fills ITS memo with ITS grids...
+    jpeg_decode.nc_counts_cached(out, "y")
+    assert out["_nc_counts"]["y"][0] is out["y"]
+    # ...and the base memo still identity-matches the base grid
+    assert meta["_nc_counts"]["y"] is base_entry
+    assert meta["_nc_counts"]["y"][0] is meta["y"]

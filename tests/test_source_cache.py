@@ -176,3 +176,51 @@ def test_gif_frames_identical_and_hit():
     assert st["hits"] >= 1 and st["entries"] == 1, st
     # a third serve through the warm cache stays byte-stable
     assert _serve_all(cached, data, qs[:1]) == got[:1]
+
+
+def test_oriented_meta_cached_post_rotation():
+    """EXIF-oriented hot sources cache the ORIENTED meta (kind carries
+    the orientation): the rotation and its counts pass run once per
+    source, the rotated grids are byte-charged to the LRU, and the
+    cached memo only ever references the cached meta's own grids."""
+    pil = Image.fromarray(make_test_image(128, 96))
+    exif = pil.getexif()
+    exif[0x0112] = 6
+    buf = io.BytesIO()
+    pil.save(buf, format="JPEG", exif=exif, quality=95)
+    data = buf.getvalue()
+    cached = _cached_engine(device_decode=True, device_jpeg=False)
+    _serve_all(cached, data)
+    _serve_all(cached, data)
+    meta = cached.source_cache.get_meta("coef.o6", content_key(data))
+    assert meta is not None, "oriented meta not cached"
+    # no unoriented entry competes for budget
+    assert cached.source_cache.get_meta("coef", content_key(data)) is None
+    memo = meta.get("_nc_counts", {})
+    for k in ("y", "cb", "cr"):
+        ent = memo.get(k)
+        if ent is not None:
+            assert ent[0] is meta[k], (
+                "memo pinned a grid that is not the cached meta's own "
+                "(%s)" % k
+            )
+
+
+def test_non_grid_exact_rotation_caches_pixel_sentinel():
+    """A rotation that isn't grid-exact (132 % 16 != 0 flip) must not
+    re-run the coefficient parse per request: the cache records a
+    pixel-only sentinel and later variants go straight to pixels."""
+    pil = Image.fromarray(make_test_image(132, 96))
+    exif = pil.getexif()
+    exif[0x0112] = 2  # flip-H on an unaligned width
+    buf = io.BytesIO()
+    pil.save(buf, format="JPEG", exif=exif, quality=95)
+    data = buf.getvalue()
+    plain = Engine(device_decode=True, device_jpeg=False)
+    cached = _cached_engine(device_decode=True, device_jpeg=False)
+    want = _serve_all(plain, data)
+    got = _serve_all(cached, data)
+    assert all(w == g for w, g in zip(want, got))
+    sentinel = cached.source_cache.get_meta("coef.o2", content_key(data))
+    assert sentinel is not None and sentinel.get("_pixel_only")
+    assert cached.stats["pixel_src"] == plain.stats["pixel_src"] > 0
