@@ -53,8 +53,17 @@ def content_key(data: bytes) -> bytes:
     return hashlib.blake2b(data, digest_size=16).digest()
 
 
+# Charged per entry on top of array bytes: the key tuple, the hash
+# digest, the dict/LRU-node overhead. Without it a 0-array entry (the
+# `_pixel_only` sentinel cached for parse failures and non-grid-exact
+# rotations) prices at 0 bytes — and ByteLRU only evicts while over
+# its BYTE budget, so a crawl of distinct unparseable sources would
+# grow the entry table without bound.
+_ENTRY_OVERHEAD = 512
+
+
 def _meta_nbytes(meta: dict) -> int:
-    return sum(
+    return _ENTRY_OVERHEAD + sum(
         v.nbytes for v in meta.values() if isinstance(v, np.ndarray)
     )
 
@@ -99,7 +108,7 @@ class SourceCache:
         stored = np.array(img, order="C")
         stored.setflags(write=False)
         self._lru.put((kind, key), (stored, has_alpha, is_gray),
-                      stored.nbytes)
+                      stored.nbytes + _ENTRY_OVERHEAD)
 
     # -- animated-GIF frame sets (codecs.decode_gif_frames) ------------------
 
@@ -116,7 +125,8 @@ class SourceCache:
             c.setflags(write=False)
             stored.append(c)
         self._lru.put(
-            ("gif", key), tuple(stored), sum(c.nbytes for c in stored)
+            ("gif", key), tuple(stored),
+            sum(c.nbytes for c in stored) + _ENTRY_OVERHEAD,
         )
 
     def stats(self) -> dict:

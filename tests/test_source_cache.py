@@ -224,3 +224,21 @@ def test_non_grid_exact_rotation_caches_pixel_sentinel():
     sentinel = cached.source_cache.get_meta("coef.o2", content_key(data))
     assert sentinel is not None and sentinel.get("_pixel_only")
     assert cached.stats["pixel_src"] == plain.stats["pixel_src"] > 0
+
+
+def test_sentinel_entries_stay_byte_budgeted():
+    """`_pixel_only` sentinels carry no arrays; without a per-entry
+    overhead charge they'd price at 0 bytes and ByteLRU (which only
+    evicts while over its BYTE budget) would grow the entry table
+    without bound on a crawl of distinct unparseable sources."""
+    from fanlin_tpu.engine.source_cache import _ENTRY_OVERHEAD
+
+    cache = SourceCache(1)  # 1 MiB budget
+    cap = (1024 * 1024) // _ENTRY_OVERHEAD
+    n = cap + 500
+    for i in range(n):
+        cache.put_meta("coef", b"%032d" % i, {"_pixel_only": True})
+    st = cache.stats()
+    assert st["entries"] <= cap, st
+    assert st["evictions"] >= 500, st
+    assert st["bytes"] <= st["max_bytes"], st
