@@ -258,6 +258,19 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
                 return np.ascontiguousarray(arr), False, is_gray
         except extra_codecs.ExtraCodecError as e:
             raise CodecError(str(e)) from e
+    if data[:8] == b"\x89PNG\r\n\x1a\n":
+        # 16-bit PNGs decode raw: PIL's RGB;16B raw modes keep only
+        # the high byte and drop color-key tRNS, where the image
+        # crate scales round(v*255/65535) and expands the alpha
+        # plane (PARITY known-diff #11, now closed). Damage falls
+        # back to PIL so corrupt-input statuses stay PIL-defined.
+        from . import png16
+
+        if png16.is_png16(data):
+            try:
+                return png16.decode_png16(data)
+            except png16.Png16Error:
+                pass
     try:
         with Image.open(io.BytesIO(data)) as im:
             _check_decode_alloc(im.size, im.mode)

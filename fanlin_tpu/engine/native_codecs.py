@@ -151,6 +151,14 @@ def _load():
         except AttributeError:
             pass  # older .so without the EXR PIZ entropy stage
         try:
+            lib.fc_png_unfilter.argtypes = [
+                u8p, ctypes.c_size_t, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, u8p,
+            ]
+            lib.fc_png_unfilter.restype = ctypes.c_int
+        except AttributeError:
+            pass  # older .so without the PNG unfilter pass
+        try:
             lib.fc_nc_pack.argtypes = [
                 i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int,
@@ -376,6 +384,27 @@ def deflate_zlib(data: bytes, level: int) -> Optional[bytes]:
         return ctypes.string_at(out, out_len.value)
     finally:
         lib.fc_free(out)
+
+
+def png_unfilter(raw: bytes, h: int, rowbytes: int,
+                 bpp: int) -> Optional[np.ndarray]:
+    """PNG scanline unfilter (fc_png_unfilter) -> (h, rowbytes) uint8
+    array of reconstructed bytes, or None when the native core is
+    unbuilt/old or the stream is short/invalid (the caller falls back
+    to the pure-python unfilter)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_png_unfilter"):
+        return None
+    out = np.empty((h, rowbytes), np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    src = ctypes.cast(ctypes.c_char_p(raw), u8p)
+    rc = lib.fc_png_unfilter(
+        src, len(raw), h, rowbytes, int(bpp),
+        out.ctypes.data_as(u8p),
+    )
+    if rc != 0:
+        return None
+    return out
 
 
 def exr_huf_uncompress(data: bytes, n_out: int) -> Optional["np.ndarray"]:

@@ -851,6 +851,65 @@ int fc_deflate_zlib(const uint8_t* in, size_t in_len, int level,
   return 0;
 }
 
+// PNG scanline unfilter (RFC 2083 §6.1-6.6): src is h rows of
+// (1 filter byte + rowbytes) filtered data; out receives h*rowbytes
+// reconstructed bytes. bpp = bytes per complete pixel (the filter
+// distance). Serves the raw 16-bit PNG reader — the per-byte Paeth
+// recurrence can't vectorize in numpy, and a gate-passing RGB16
+// source is up to 256M samples. Returns 0, or 1 on short input /
+// unknown filter type.
+int fc_png_unfilter(const uint8_t* src, size_t src_len, int64_t h,
+                    int64_t rowbytes, int bpp, uint8_t* out) {
+  if (h < 0 || rowbytes < 0 || bpp <= 0) return 1;
+  if (src_len < static_cast<size_t>(h) * (1 + rowbytes)) return 1;
+  const uint8_t* prev = nullptr;
+  for (int64_t y = 0; y < h; ++y) {
+    const uint8_t* in = src + y * (1 + rowbytes);
+    uint8_t* row = out + y * rowbytes;
+    const int ft = in[0];
+    ++in;
+    switch (ft) {
+      case 0:
+        memcpy(row, in, rowbytes);
+        break;
+      case 1:  // Sub
+        for (int64_t i = 0; i < rowbytes; ++i)
+          row[i] = in[i] + (i >= bpp ? row[i - bpp] : 0);
+        break;
+      case 2:  // Up
+        if (prev)
+          for (int64_t i = 0; i < rowbytes; ++i) row[i] = in[i] + prev[i];
+        else
+          memcpy(row, in, rowbytes);
+        break;
+      case 3:  // Average
+        for (int64_t i = 0; i < rowbytes; ++i) {
+          const int a = i >= bpp ? row[i - bpp] : 0;
+          const int b = prev ? prev[i] : 0;
+          row[i] = in[i] + static_cast<uint8_t>((a + b) >> 1);
+        }
+        break;
+      case 4:  // Paeth
+        for (int64_t i = 0; i < rowbytes; ++i) {
+          const int a = i >= bpp ? row[i - bpp] : 0;
+          const int b = prev ? prev[i] : 0;
+          const int c = (prev && i >= bpp) ? prev[i - bpp] : 0;
+          const int p = a + b - c;
+          const int pa = p > a ? p - a : a - p;
+          const int pb = p > b ? p - b : b - p;
+          const int pc = p > c ? p - c : c - p;
+          const int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+          row[i] = in[i] + static_cast<uint8_t>(pred);
+        }
+        break;
+      default:
+        return 1;
+    }
+    prev = row;
+  }
+  return 0;
+}
+
 // OpenEXR PIZ entropy stage (ImfHuf.cpp's hufUncompress, decode only):
 // 20-byte header (im, iM, tableLength, nBits, room), 6-bit-packed
 // canonical code-length table with zero-run escapes, MSB-first

@@ -1,0 +1,234 @@
+"""Raw 16-bit PNG reader (engine/png16.py).
+
+The image crate decodes Rgb16/Rgba16/LumaA16 PNGs and scales to u8
+with round(v*255/65535); PIL keeps only the high byte. These tests
+build 16-bit PNGs from scratch (every filter type, Adam7, tRNS) and
+pin the reader -- native fc_png_unfilter and the pure-numpy fallback
+-- to the crate's scaling, plus the codecs.decode routing and the
+damage/limit statuses.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from fanlin_tpu.engine import codecs, extra_codecs, png16
+from fanlin_tpu.engine import native_codecs
+
+
+def _chunk(typ: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + typ + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+
+def _fwd_filter(line, prev, ft, bpp):
+    """Forward PNG filter (the encoder side of RFC 2083 6.2-6.6)."""
+    li = line.astype(np.int32)
+    n = len(li)
+    pv = prev.astype(np.int32) if prev is not None else np.zeros(n, np.int32)
+    left = np.zeros(n, np.int32)
+    left[bpp:] = li[:-bpp]
+    ul = np.zeros(n, np.int32)
+    ul[bpp:] = pv[:-bpp]
+    if ft == 0:
+        f = li
+    elif ft == 1:
+        f = li - left
+    elif ft == 2:
+        f = li - pv
+    elif ft == 3:
+        f = li - ((left + pv) >> 1)
+    else:
+        p = left + pv - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - pv), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, pv, ul))
+        f = li - pred
+    return (f & 255).astype(np.uint8)
+
+
+def _filter_pass(img16, filters, bpp):
+    out = bytearray()
+    prev = None
+    for y in range(img16.shape[0]):
+        line = np.frombuffer(
+            np.ascontiguousarray(img16[y]).astype(">u2").tobytes(), np.uint8)
+        ft = filters[y % len(filters)]
+        out.append(ft)
+        out += _fwd_filter(line, prev, ft, bpp).tobytes()
+        prev = line
+    return bytes(out)
+
+
+def make_png16(a16, ctype, interlace=0, trns=None, filters=(0, 1, 2, 3, 4)):
+    """Hand-rolled 16-bit PNG writer (tests only)."""
+    h, w, ch = a16.shape
+    bpp = ch * 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, ctype, 0, 0, interlace)
+    if interlace == 0:
+        raw = _filter_pass(a16, filters, bpp)
+    else:
+        parts = []
+        for x0, y0, dx, dy in png16._ADAM7:
+            sub = a16[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                parts.append(_filter_pass(sub, filters, bpp))
+        raw = b"".join(parts)
+    png = bytearray(b"\x89PNG\r\n\x1a\n")
+    png += _chunk(b"IHDR", ihdr)
+    if trns is not None:
+        png += _chunk(b"tRNS", trns)
+    png += _chunk(b"IDAT", zlib.compress(raw, 6))
+    png += _chunk(b"IEND", b"")
+    return bytes(png)
+
+
+def _img16(h, w, ch, seed=3):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
+    # pin the scaling extremes
+    a.reshape(-1)[: min(4, a.size)] = (0, 65535, 257, 128)[: min(4, a.size)]
+    return a
+
+
+def _expect_u8(a16):
+    return extra_codecs._scale_to_u8(
+        np.ravel(a16).astype(np.uint16), 65535).reshape(a16.shape)
+
+
+def test_rgb16_exact_scaling():
+    a = _img16(23, 17, 3)
+    arr, has_alpha, is_gray = png16.decode_png16(make_png16(a, 2))
+    assert not has_alpha and not is_gray
+    np.testing.assert_array_equal(arr, _expect_u8(a))
+    # spot values: round(v*255/65535)
+    assert arr.reshape(-1)[0] == 0 and arr.reshape(-1)[1] == 255
+    assert arr.reshape(-1)[2] == 1 and arr.reshape(-1)[3] == 0
+
+
+def test_rgba16_and_la16_and_gray16():
+    a = _img16(11, 9, 4, seed=5)
+    arr, has_alpha, is_gray = png16.decode_png16(make_png16(a, 6))
+    assert has_alpha and not is_gray
+    np.testing.assert_array_equal(arr, _expect_u8(a))
+
+    la = _img16(8, 13, 2, seed=6)
+    arr, has_alpha, is_gray = png16.decode_png16(make_png16(la, 4))
+    assert has_alpha and is_gray
+    e = _expect_u8(la)
+    np.testing.assert_array_equal(arr[:, :, 0], e[:, :, 0])
+    np.testing.assert_array_equal(arr[:, :, 1], e[:, :, 0])
+    np.testing.assert_array_equal(arr[:, :, 2], e[:, :, 0])
+    np.testing.assert_array_equal(arr[:, :, 3], e[:, :, 1])
+
+    g = _img16(10, 7, 1, seed=7)
+    arr, has_alpha, is_gray = png16.decode_png16(make_png16(g, 0))
+    assert not has_alpha and is_gray
+    e = _expect_u8(g)[:, :, 0]
+    for c in range(3):
+        np.testing.assert_array_equal(arr[:, :, c], e)
+
+
+def test_trns_color_key():
+    a = _img16(6, 6, 3, seed=9)
+    key = a[2, 3].copy()
+    a[4, 4] = key  # second pixel matching the key
+    png = make_png16(a, 2, trns=key.astype(">u2").tobytes())
+    arr, has_alpha, is_gray = png16.decode_png16(png)
+    assert has_alpha and arr.shape[2] == 4
+    alpha = arr[:, :, 3]
+    assert alpha[2, 3] == 0 and alpha[4, 4] == 0
+    assert (alpha == 0).sum() == ((a == key).all(axis=2)).sum()
+    np.testing.assert_array_equal(arr[:, :, :3], _expect_u8(a))
+
+    g = _img16(5, 4, 1, seed=10)
+    g[1, 1, 0] = 4097
+    png = make_png16(g, 0, trns=struct.pack(">H", 4097))
+    arr, has_alpha, is_gray = png16.decode_png16(png)
+    assert has_alpha and is_gray and arr[1, 1, 3] == 0
+    assert arr[0, 0, 3] == 255 or g[0, 0, 0] == 4097
+
+
+@pytest.mark.parametrize("h,w", [(9, 7), (16, 16), (1, 1), (2, 11)])
+def test_adam7_matches_sequential(h, w):
+    a = _img16(h, w, 3, seed=h * 31 + w)
+    seq, *_ = png16.decode_png16(make_png16(a, 2, interlace=0))
+    inter, *_ = png16.decode_png16(make_png16(a, 2, interlace=1))
+    np.testing.assert_array_equal(seq, inter)
+
+
+def test_python_fallback_matches_native():
+    a = _img16(14, 10, 3, seed=12)
+    bpp = 6
+    raw = _filter_pass(a, (0, 1, 2, 3, 4), bpp)
+    py = png16._unfilter_py(raw, 14, 10 * bpp, bpp)
+    nat = native_codecs.png_unfilter(raw, 14, 10 * bpp, bpp)
+    if nat is None:
+        pytest.skip("native core not built")
+    np.testing.assert_array_equal(py, nat)
+    # and both reconstruct the source bytes
+    want = np.frombuffer(a.astype(">u2").tobytes(), np.uint8).reshape(
+        14, 10 * bpp)
+    np.testing.assert_array_equal(py, want)
+
+
+def test_each_filter_type_alone():
+    for ft in range(5):
+        a = _img16(7, 5, 4, seed=20 + ft)
+        arr, *_ = png16.decode_png16(make_png16(a, 6, filters=(ft,)))
+        np.testing.assert_array_equal(arr, _expect_u8(a))
+
+
+def test_codecs_decode_routes_raw(monkeypatch):
+    a = _img16(12, 8, 3, seed=30)
+    arr, has_alpha, is_gray = codecs.decode(make_png16(a, 2))
+    np.testing.assert_array_equal(arr, _expect_u8(a))
+    assert not has_alpha and not is_gray
+    # PIL alone would keep the high byte: prove the gap is real on a
+    # value where round(v*255/65535) != v >> 8
+    v = np.full((2, 2, 3), 384, np.uint16)  # >>8 = 1, round-scale = 1.49->1
+    v[0, 0] = 500  # >>8 = 1, round(500*255/65535) = round(1.945) = 2
+    arr, *_ = codecs.decode(make_png16(v, 2))
+    assert arr[0, 0, 0] == 2
+
+
+def test_damage_falls_back_to_pil_status():
+    a = _img16(6, 6, 3, seed=31)
+    png = bytearray(make_png16(a, 2))
+    idat_at = bytes(png).index(b"IDAT")
+    png[idat_at + 6] ^= 0xFF  # flip an IDAT payload byte -> CRC mismatch
+    with pytest.raises(codecs.CodecError):
+        codecs.decode(bytes(png))
+
+    # truncated IDAT: raw reader rejects, PIL rejects -> CodecError
+    good = make_png16(a, 2)
+    idat_at = good.index(b"IDAT") - 4
+    ln = struct.unpack(">I", good[idat_at:idat_at + 4])[0]
+    cut = good[:idat_at + 8 + ln // 2]
+    with pytest.raises(codecs.CodecError):
+        codecs.decode(cut)
+
+
+def test_alloc_gate_16bit():
+    a = _img16(4, 4, 3, seed=32)
+    png = bytearray(make_png16(a, 2))
+    # rewrite IHDR dims to a 16-bit bomb: 12000*12000*3ch*2B = 864 MB
+    png[16:24] = struct.pack(">II", 12000, 12000)
+    body = bytes(png[12:29])
+    png[29:33] = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+    with pytest.raises(codecs.CodecError, match="512 MiB"):
+        codecs.decode(bytes(png))
+
+
+def test_is_png16_rejects_8bit_and_palette():
+    from PIL import Image
+    import io
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4)).save(buf, format="PNG")
+    assert not png16.is_png16(buf.getvalue())
+    assert not png16.is_png16(b"\x89PNG\r\n\x1a\n")
+    a = _img16(4, 4, 3)
+    assert png16.is_png16(make_png16(a, 2))
