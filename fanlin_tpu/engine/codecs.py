@@ -280,8 +280,12 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
                 raise CodecError("zero-dimension image")
             im.load()
             mode = im.mode
+            # tRNS color keys on non-palette modes count too: the
+            # crate's png EXPAND turns RGB/L + tRNS into an alpha
+            # plane, and PIL's convert("RGBA") applies the key from
+            # im.info (16-bit keys route through png16 above)
             has_alpha = mode in ("RGBA", "LA", "PA") or (
-                mode == "P" and "transparency" in im.info
+                mode in ("P", "RGB", "L") and "transparency" in im.info
             )
             is_gray = mode in ("L", "LA", "I", "I;16", "1")
             # Wide-grayscale modes PIL mangles (clips I;16/I at 255,

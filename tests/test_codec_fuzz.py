@@ -51,6 +51,11 @@ def _fixtures():
         "pnm16": (b"P6\n48 32\n65535\n"
                   + _rgb(48, 32).astype(">u2").tobytes()),
     }
+    from tests.test_png16 import _img16, make_png16
+
+    fx["png16"] = make_png16(_img16(24, 32, 4, seed=4), 6, interlace=1)
+    fx["png16_trns"] = make_png16(
+        _img16(16, 16, 3, seed=5), 2, trns=b"\x01\x02\x03\x04\x05\x06")
     return fx
 
 

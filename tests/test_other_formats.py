@@ -133,9 +133,9 @@ def test_pam_transform_request_200():
 def test_16bit_gray_png_tiff_scaled_not_clipped():
     """I;16 sources (16-bit grayscale PNG/TIFF): PIL's convert("RGB")
     clips at 255 — everything bright went white; the image crate
-    scales Luma16 -> Luma8 (round(v*255/65535)). 16-bit RGB PNG stays
-    on PIL's high-byte read (<=1 LSB from the crate's /257 scaling,
-    PARITY known-diffs)."""
+    scales Luma16 -> Luma8 (round(v*255/65535)). 16-bit PNGs now
+    decode raw with the same scaling (engine/png16.py,
+    tests/test_png16.py); TIFF still rides the PIL I;16 branch."""
     import io
 
     import numpy as np
@@ -153,6 +153,36 @@ def test_16bit_gray_png_tiff_scaled_not_clipped():
         assert is_gray and not has_alpha, fmt
         assert np.array_equal(arr[..., 0], want), fmt
         assert np.array_equal(arr[..., 0], arr[..., 2]), fmt
+
+
+def test_8bit_trns_color_key_expands_to_alpha():
+    """RGB/L PNGs with a tRNS color key: the crate's png EXPAND turns
+    the key into an alpha plane (transparent pixels blend with the
+    fill color downstream); dropping it composited the key color
+    opaque. PIL applies the key on convert("RGBA") from im.info."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from fanlin_tpu.engine import codecs
+
+    img = Image.new("RGB", (4, 4), (10, 20, 30))
+    img.putpixel((1, 1), (200, 100, 50))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG", transparency=(200, 100, 50))
+    arr, has_alpha, is_gray = codecs.decode(buf.getvalue())
+    assert has_alpha and not is_gray and arr.shape[2] == 4
+    assert arr[1, 1, 3] == 0 and arr[0, 0, 3] == 255
+    assert np.array_equal(arr[0, 0, :3], (10, 20, 30))
+
+    img = Image.new("L", (3, 3), 9)
+    img.putpixel((2, 2), 7)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG", transparency=7)
+    arr, has_alpha, is_gray = codecs.decode(buf.getvalue())
+    assert has_alpha and is_gray and arr.shape[2] == 4
+    assert arr[2, 2, 3] == 0 and arr[0, 0, 3] == 255
 
 
 def test_int32_gray_tiff_scaled_not_clipped():
