@@ -58,7 +58,72 @@ ROWS = [
     # row 5 shape: animated GIF resize (palette quantization differs
     # by construction — see module docstring)
     ("gif_resize", "lenna.gif", "w=100&h=100", None, 30.0),
+    # 16-bit PNG decode scaling (engine/png16.py): inverse alone is a
+    # bytewise op with no resize, so both sides' PNG outputs differ
+    # ONLY by the u16->u8 decode conversion — a high-byte read would
+    # land at ~48 dB, the crate's round(v*255/65535) at 99
+    ("png16_inverse", "grad16.png", "inverse=true", None, 45.0),
+    ("png16_resize", "grad16.png", "w=100&h=80", None, 45.0),
 ]
+
+
+def synth_sources(imgdir: str) -> None:
+    """Fixtures the reference images dir doesn't carry: a 16-bit
+    gradient PNG (every 256th u16 value, all four scaling regimes)
+    and an 8-bit RGB PNG with a tRNS color key."""
+    import numpy as np
+
+    from tests.test_png16 import make_png16
+
+    v = (np.arange(128 * 96 * 3, dtype=np.uint64) * 131) % 65536
+    a16 = v.astype(np.uint16).reshape(96, 128, 3)
+    with open(os.path.join(imgdir, "grad16.png"), "wb") as f:
+        f.write(make_png16(a16, 2))
+
+    from PIL import Image
+
+    img = Image.new("RGB", (120, 90), (10, 200, 30))
+    for x in range(40):
+        for y in range(30):
+            img.putpixel((x, y), (255, 0, 255))
+    img.save(os.path.join(imgdir, "keyed.png"), format="PNG",
+             transparency=(255, 0, 255))
+
+
+def trns_alpha_row(port: int, imgdir: str, engine, report) -> None:
+    """Report row: does the real binary expand an 8-bit tRNS color
+    key to an alpha plane on transform (png EXPAND), and do we agree?
+    Report-mode (like the corrupt rows) — the artifact is the
+    measured behavior; the engine-side expectation is pinned by
+    tests/test_other_formats.py."""
+    import pathlib
+
+    from PIL import Image
+
+    from fanlin_tpu.spec.content import Format
+    from fanlin_tpu.spec.query import parse_query
+
+    def describe(data: bytes):
+        with Image.open(io.BytesIO(data)) as im:
+            im.load()
+            has_a = im.mode in ("RGBA", "LA", "PA")
+            corner = (im.getpixel((2, 2)) if has_a else None)
+            return {"mode": im.mode,
+                    "keyed_corner_alpha":
+                        corner[-1] if corner is not None else None}
+
+    row = {"name": "trns_alpha_expand", "mode": "report"}
+    try:
+        rust = fetch(port, "/baz/keyed.png?w=120&h=90", None)
+        row["rust"] = describe(rust)
+    except Exception as e:  # noqa: BLE001 — report row
+        row["rust"] = {"error": type(e).__name__}
+    _, ours = engine.process_image(
+        (pathlib.Path(imgdir) / "keyed.png").read_bytes(),
+        parse_query("w=120&h=90"), Format())
+    row["ours"] = describe(ours)
+    row["agree"] = row["rust"] == row["ours"]
+    report["rows"].append(row)
 
 
 # tools/make_goldens.py's CONFIG grid as query strings — the committed
@@ -268,6 +333,7 @@ def main() -> int:
             shutil.copy(os.path.join(root, "tests", "golden",
                                      "lenna_src.jpg"),
                         os.path.join(imgdir, name))
+    synth_sources(imgdir)
 
     cfg = {
         "port": args.port,
@@ -334,6 +400,7 @@ def main() -> int:
             report["rows"].append(row)
 
         corrupt_status_rows(args.port, imgdir, engine, report)
+        trns_alpha_row(args.port, imgdir, engine, report)
 
         if args.export_golden:
             export_golden(args.port, args.export_golden,
