@@ -89,6 +89,23 @@ def synth_sources(imgdir: str) -> None:
     img.save(os.path.join(imgdir, "keyed.png"), format="PNG",
              transparency=(255, 0, 255))
 
+    # 32-bit BMP whose alpha PIL drops on read (report row measures
+    # whether the crate's bmp decoder treats the 4th byte as alpha)
+    rgba = np.zeros((32, 48, 4), np.uint8)
+    rgba[:, :, 1] = 200
+    rgba[:16, :, 3] = 255
+    rgba[16:, :, 3] = 64
+    Image.fromarray(rgba, "RGBA").save(
+        os.path.join(imgdir, "alpha32.bmp"), format="BMP")
+
+    # APNG: default image red, animation frames green (report row
+    # measures which one a plain decode yields on each side)
+    red = Image.new("RGB", (40, 30), (220, 20, 20))
+    grn = Image.new("RGB", (40, 30), (20, 220, 20))
+    red.save(os.path.join(imgdir, "anim.png"), format="PNG",
+             save_all=True, append_images=[grn, grn], duration=100,
+             loop=0, default_image=True)
+
 
 def trns_alpha_row(port: int, imgdir: str, engine, report) -> None:
     """Report row: does the real binary expand an 8-bit tRNS color
@@ -124,6 +141,38 @@ def trns_alpha_row(port: int, imgdir: str, engine, report) -> None:
     row["ours"] = describe(ours)
     row["agree"] = row["rust"] == row["ours"]
     report["rows"].append(row)
+
+    def mean_rgb(data: bytes):
+        import numpy as np
+
+        with Image.open(io.BytesIO(data)) as im:
+            a = np.asarray(im.convert("RGB"))
+        return [round(float(c), 1) for c in a.reshape(-1, 3).mean(0)]
+
+    # measurement rows: decoder-family behaviors with no committed
+    # expectation yet — the artifact is the recorded pair
+    for name, fname, probe in (
+        # does the crate read the 32-bit BMP's 4th byte as alpha?
+        ("bmp32_alpha", "alpha32.bmp", describe),
+        # does a plain decode of an APNG yield the default image
+        # (red) or an animation frame (green)?
+        ("apng_default_image", "anim.png", mean_rgb),
+    ):
+        row = {"name": name, "mode": "report"}
+        try:
+            row["rust"] = probe(
+                fetch(port, f"/baz/{fname}?w=48&h=32", None))
+        except Exception as e:  # noqa: BLE001 — report row
+            row["rust"] = {"error": type(e).__name__}
+        try:
+            _, ours = engine.process_image(
+                (pathlib.Path(imgdir) / fname).read_bytes(),
+                parse_query("w=48&h=32"), Format())
+            row["ours"] = probe(ours)
+        except Exception as e:  # noqa: BLE001
+            row["ours"] = {"error": type(e).__name__}
+        row["agree"] = row["rust"] == row["ours"]
+        report["rows"].append(row)
 
 
 # tools/make_goldens.py's CONFIG grid as query strings — the committed
