@@ -271,6 +271,18 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
                 return png16.decode_png16(data)
             except png16.Png16Error:
                 pass
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        # 16-bit color TIFFs: same high-byte story as PNG (PIL's
+        # RGB;16 raw modes), same fix — raw decode with the crate's
+        # round scaling; unsupported layouts (tiles, planar=2, other
+        # compressions) fall back to PIL's high-byte read
+        from . import tiff16
+
+        if tiff16.sniff16(data):
+            try:
+                return tiff16.decode_tiff16(data)
+            except tiff16.Tiff16Error:
+                pass
     try:
         with Image.open(io.BytesIO(data)) as im:
             _check_decode_alloc(im.size, im.mode)

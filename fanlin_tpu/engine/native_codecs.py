@@ -159,6 +159,13 @@ def _load():
         except AttributeError:
             pass  # older .so without the PNG unfilter pass
         try:
+            lib.fc_tiff_lzw.argtypes = [
+                u8p, ctypes.c_size_t, u8p, ctypes.c_size_t,
+            ]
+            lib.fc_tiff_lzw.restype = ctypes.c_int
+        except AttributeError:
+            pass  # older .so without the TIFF LZW pass
+        try:
             lib.fc_nc_pack.argtypes = [
                 i16p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_int, ctypes.c_int,
@@ -402,6 +409,24 @@ def png_unfilter(raw: bytes, h: int, rowbytes: int,
         src, len(raw), h, rowbytes, int(bpp),
         out.ctypes.data_as(u8p),
     )
+    if rc != 0:
+        return None
+    return out
+
+
+def tiff_lzw(data: bytes, out_len: int) -> Optional[np.ndarray]:
+    """TIFF LZW decode (fc_tiff_lzw) -> out_len uint8 array, or None
+    when the native core is unbuilt/old or the stream is damaged
+    (the caller decides between the bounded python mirror and the
+    PIL fallback)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "fc_tiff_lzw"):
+        return None
+    out = np.empty(out_len, np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    src = ctypes.cast(ctypes.c_char_p(data), u8p)
+    rc = lib.fc_tiff_lzw(src, len(data), out.ctypes.data_as(u8p),
+                         out_len)
     if rc != 0:
         return None
     return out

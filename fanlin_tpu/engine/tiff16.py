@@ -1,0 +1,306 @@
+"""Raw 16-bit-per-sample TIFF decode (RGB/RGBA/LA/gray).
+
+PIL reads 16-bit *color* TIFFs through high-byte raw modes
+(``RGB;16L`` keeps only the most significant byte), where the image
+crate's tiff decoder yields Rgb16/Rgba16 and converts to u8 with
+round(v*255/65535) — the same class of gap engine/png16.py closed for
+PNG (PARITY known-diff #11). This reader covers the common baseline
+layout matrix: classic TIFF both byte orders, first IFD, strip
+organization, chunky planar config, compressions none(1) / LZW(5,
+with the TIFF early-change variant) / deflate(8, 32946) /
+packbits(32773), horizontal-differencing predictor(2), photometric
+0/1/2, 1-4 samples per pixel. Anything else (tiles, planar=2,
+BigTIFF, other compressions, non-u16 sample formats) raises
+Tiff16Error and the caller falls back to PIL's high-byte read —
+behavior never regresses, only precision improves where the raw
+path applies.
+
+16-bit *grayscale* TIFF was already exact through the PIL I;16
+branch (codecs.decode); it stays there. This module handles spp>=2
+(and gray sources it happens to receive are decoded identically).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from .codecs import MAX_DECODE_ALLOC, CodecError
+
+
+class Tiff16Error(Exception):
+    """Unsupported layout or stream damage; the caller falls back."""
+
+
+_TAG_WIDTH = 256
+_TAG_HEIGHT = 257
+_TAG_BPS = 258
+_TAG_COMPRESSION = 259
+_TAG_PHOTOMETRIC = 262
+_TAG_STRIP_OFFSETS = 273
+_TAG_SPP = 277
+_TAG_ROWS_PER_STRIP = 278
+_TAG_STRIP_COUNTS = 279
+_TAG_PLANAR = 284
+_TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_SAMPLE_FORMAT = 339
+
+# field type -> (struct code, size)
+_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 6: ("b", 1),
+          8: ("h", 2), 9: ("i", 4)}
+
+
+def _read_ifd(data: bytes, bo: str) -> Dict[int, Tuple[int, ...]]:
+    if len(data) < 8:
+        raise Tiff16Error("short header")
+    off = struct.unpack(bo + "I", data[4:8])[0]
+    if off + 2 > len(data):
+        raise Tiff16Error("bad IFD offset")
+    n = struct.unpack(bo + "H", data[off:off + 2])[0]
+    tags: Dict[int, Tuple[int, ...]] = {}
+    pos = off + 2
+    if pos + 12 * n > len(data):
+        raise Tiff16Error("truncated IFD")
+    for _ in range(n):
+        tid, typ, cnt = struct.unpack(bo + "HHI", data[pos:pos + 8])
+        if typ in _TYPES and cnt <= 1 << 24:
+            code, size = _TYPES[typ]
+            total = size * cnt
+            if total <= 4:
+                raw = data[pos + 8:pos + 8 + total]
+            else:
+                voff = struct.unpack(bo + "I", data[pos + 8:pos + 12])[0]
+                if voff + total > len(data):
+                    raise Tiff16Error("tag value out of range")
+                raw = data[voff:voff + total]
+            tags[tid] = struct.unpack(bo + code * cnt, raw)
+        pos += 12
+    return tags
+
+
+def sniff16(data: bytes) -> bool:
+    """True when this is a classic TIFF whose first IFD declares
+    16-bit unsigned samples with spp >= 2 (the layouts PIL mangles).
+    Layout support is checked later; this gate only decides routing —
+    a True here with an unsupported layout falls back to PIL inside
+    decode_tiff16."""
+    if data[:4] not in (b"II*\x00", b"MM\x00*"):
+        return False
+    bo = "<" if data[:2] == b"II" else ">"
+    try:
+        tags = _read_ifd(data, bo)
+    except Tiff16Error:
+        return False
+    bps = tags.get(_TAG_BPS, ())
+    spp = tags.get(_TAG_SPP, (1,))[0]
+    fmt = tags.get(_TAG_SAMPLE_FORMAT, (1,))
+    return (spp >= 2 and len(bps) >= 1 and all(b == 16 for b in bps)
+            and all(f == 1 for f in fmt))
+
+
+def _unpackbits(src: bytes, out_len: int) -> bytes:
+    out = bytearray()
+    i, n = 0, len(src)
+    while i < n and len(out) < out_len:
+        c = src[i]
+        i += 1
+        if c < 128:
+            out += src[i:i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                break
+            out += src[i:i + 1] * (257 - c)
+            i += 1
+        # 128 = no-op
+    if len(out) < out_len:
+        raise Tiff16Error("short packbits stream")
+    return bytes(out[:out_len])
+
+
+# python-mirror LZW runs ~0.8 MB/s; past this strip size, an unbuilt
+# native core falls back to PIL's fast high-byte read instead of
+# burning seconds per strip (precision degrades <=1 LSB, never hangs)
+_PY_LZW_MAX = 4 << 20
+
+
+def _lzw(src: bytes, out_len: int) -> bytes:
+    """Native fc_tiff_lzw when built (validated against the python
+    mirror, which is pinned to real libtiff streams); bounded python
+    mirror otherwise."""
+    from . import native_codecs
+
+    out = native_codecs.tiff_lzw(src, out_len)
+    if out is not None:
+        return out.tobytes()
+    if out_len > _PY_LZW_MAX:
+        raise Tiff16Error("lzw strip too large for the python mirror")
+    return _lzw_decode(src, out_len)
+
+
+def _lzw_decode(src: bytes, out_len: int) -> bytes:
+    """TIFF LZW (msb-first, 9->12 bit codes, early change): the
+    spec's decoder loop. Pure python — the validated mirror of
+    fc_tiff_lzw; decode_tiff16 reaches it through _lzw."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list = []
+
+    def reset():
+        nonlocal table, width, nxt
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width, nxt = 9, 258
+
+    width, nxt = 9, 258
+    reset()
+    bitbuf = bitcnt = 0
+    prev: Optional[bytes] = None
+    i, n = 0, len(src)
+    while len(out) < out_len:
+        while bitcnt < width:
+            if i >= n:
+                raise Tiff16Error("short lzw stream")
+            bitbuf = (bitbuf << 8) | src[i]
+            i += 1
+            bitcnt += 8
+        code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+        bitcnt -= width
+        if code == CLEAR:
+            reset()
+            prev = None
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise Tiff16Error("bad lzw code")
+            entry = table[code]
+        elif code < nxt:
+            entry = table[code]
+            table.append(prev + entry[:1])
+            nxt += 1
+        elif code == nxt:
+            entry = prev + prev[:1]
+            table.append(entry)
+            nxt += 1
+        else:
+            raise Tiff16Error("bad lzw code")
+        out += entry
+        prev = entry
+        # early change: widen one code before the table fills
+        if nxt + 1 >= (1 << width) and width < 12:
+            width += 1
+    if len(out) < out_len:
+        raise Tiff16Error("short lzw stream")
+    return bytes(out[:out_len])
+
+
+def decode_tiff16(data: bytes) -> Tuple[np.ndarray, bool, bool]:
+    """16-bit TIFF -> ((H, W, 3|4) u8, has_alpha, is_gray), the
+    codecs.decode contract. CodecError past the 512 MiB gate,
+    Tiff16Error on unsupported layout / damage (caller falls back)."""
+    bo = "<" if data[:2] == b"II" else ">"
+    tags = _read_ifd(data, bo)
+    try:
+        w = tags[_TAG_WIDTH][0]
+        h = tags[_TAG_HEIGHT][0]
+        offsets = tags[_TAG_STRIP_OFFSETS]
+        counts = tags[_TAG_STRIP_COUNTS]
+    except KeyError as e:
+        raise Tiff16Error(f"missing tag {e}") from e
+    if _TAG_TILE_WIDTH in tags:
+        raise Tiff16Error("tiled tiff")
+    spp = tags.get(_TAG_SPP, (1,))[0]
+    comp = tags.get(_TAG_COMPRESSION, (1,))[0]
+    photo = tags.get(_TAG_PHOTOMETRIC, (1,))[0]
+    planar = tags.get(_TAG_PLANAR, (1,))[0]
+    pred = tags.get(_TAG_PREDICTOR, (1,))[0]
+    rps = tags.get(_TAG_ROWS_PER_STRIP, (h,))[0] or h
+    if planar != 1:
+        raise Tiff16Error("planar config 2")
+    if comp not in (1, 5, 8, 32946, 32773):
+        raise Tiff16Error(f"compression {comp}")
+    if photo not in (0, 1, 2):
+        raise Tiff16Error(f"photometric {photo}")
+    if pred not in (1, 2):
+        raise Tiff16Error(f"predictor {pred}")
+    if not 1 <= spp <= 4:
+        raise Tiff16Error(f"spp {spp}")
+    if w <= 0 or h <= 0:
+        raise Tiff16Error("zero-dimension image")
+    if len(offsets) != len(counts) or not offsets:
+        raise Tiff16Error("strip table mismatch")
+    if w * h * spp * 2 > MAX_DECODE_ALLOC:
+        raise CodecError(
+            f"image decode allocation {w}x{h} 16-bit/{spp}ch exceeds "
+            f"the 512 MiB limit"
+        )
+
+    rowbytes = w * spp * 2
+    parts = []
+    row = 0
+    for off, cnt in zip(offsets, counts):
+        if row >= h:
+            break
+        rows = min(rps, h - row)
+        want = rows * rowbytes
+        if off + cnt > len(data):
+            raise Tiff16Error("strip out of range")
+        raw = data[off:off + cnt]
+        if comp == 1:
+            if len(raw) < want:
+                raise Tiff16Error("short strip")
+            raw = raw[:want]
+        elif comp in (8, 32946):
+            try:
+                raw = zlib.decompressobj().decompress(raw, want)
+            except zlib.error as e:
+                raise Tiff16Error(f"bad deflate strip: {e}") from e
+            if len(raw) < want:
+                raise Tiff16Error("short deflate strip")
+        elif comp == 32773:
+            raw = _unpackbits(raw, want)
+        else:  # 5: LZW
+            raw = _lzw(raw, want)
+        strip = np.frombuffer(raw, dtype=bo + "u2").reshape(
+            rows, w, spp)
+        if pred == 2:
+            # horizontal differencing per channel, mod 2^16
+            strip = np.cumsum(
+                strip.astype(np.uint32), axis=1, dtype=np.uint32
+            ).astype(np.uint16)
+        parts.append(strip)
+        row += rows
+    if row < h:
+        raise Tiff16Error("missing strips")
+    a16 = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    a16 = np.ascontiguousarray(a16.astype(np.uint16))
+    if photo == 0:  # WhiteIsZero: invert the gray samples
+        if spp == 1:
+            a16 = (65535 - a16.astype(np.uint32)).astype(np.uint16)
+        elif spp == 2:
+            g = (65535 - a16[:, :, :1].astype(np.uint32)).astype(np.uint16)
+            a16 = np.concatenate([g, a16[:, :, 1:]], axis=2)
+
+    from .extra_codecs import _scale_to_u8
+
+    u8 = _scale_to_u8(np.ravel(a16), 65535).reshape(a16.shape)
+
+    if spp == 1:
+        return np.ascontiguousarray(np.repeat(u8, 3, axis=2)), False, True
+    if spp == 2:
+        y = u8[:, :, :1]
+        return (np.ascontiguousarray(
+            np.concatenate([y, y, y, u8[:, :, 1:]], axis=2)),
+            True, True)
+    if spp == 3:
+        if photo != 2:
+            raise Tiff16Error("3-sample non-RGB")
+        return np.ascontiguousarray(u8), False, False
+    if photo != 2:
+        raise Tiff16Error("4-sample non-RGB")
+    return np.ascontiguousarray(u8), True, False  # RGBA

@@ -910,6 +910,82 @@ int fc_png_unfilter(const uint8_t* src, size_t src_len, int64_t h,
   return 0;
 }
 
+// TIFF LZW decode (TIFF6 §13: msb-first codes, 9->12 bits with the
+// early-change width bump, Clear=256, EOI=257). Serves the raw
+// 16-bit TIFF reader (engine/tiff16.py) — the Python mirror is the
+// validated reference (pinned against real libtiff streams) but runs
+// ~0.8 MB/s; real 48-bit strips are megabytes. The string table
+// stores (prefix, suffix, length, firstbyte) so entries write into
+// the output by a backwards prefix walk, no allocation. Returns 0,
+// or 1 on damaged/short streams.
+int fc_tiff_lzw(const uint8_t* src, size_t src_len, uint8_t* out,
+                size_t out_len) {
+  enum { CLEAR = 256, EOI = 257, TABSZ = 4096 };
+  static thread_local int16_t prefix[TABSZ];
+  static thread_local uint8_t suffix[TABSZ];
+  static thread_local uint8_t firstb[TABSZ];
+  static thread_local int32_t length[TABSZ];
+  for (int c = 0; c < 256; ++c) {
+    prefix[c] = -1;
+    suffix[c] = firstb[c] = static_cast<uint8_t>(c);
+    length[c] = 1;
+  }
+  int width = 9, nxt = 258, prev = -1;
+  uint32_t bitbuf = 0;
+  int bitcnt = 0;
+  size_t i = 0, o = 0;
+  while (o < out_len) {
+    while (bitcnt < width) {
+      if (i >= src_len) return 1;
+      bitbuf = (bitbuf << 8) | src[i++];
+      bitcnt += 8;
+    }
+    const int code =
+        (bitbuf >> (bitcnt - width)) & ((1 << width) - 1);
+    bitcnt -= width;
+    if (code == CLEAR) {
+      width = 9;
+      nxt = 258;
+      prev = -1;
+      continue;
+    }
+    if (code == EOI) break;
+    if (prev < 0) {
+      if (code > 255) return 1;
+    } else if (code < nxt) {
+      if (nxt < TABSZ) {
+        prefix[nxt] = static_cast<int16_t>(prev);
+        suffix[nxt] = firstb[code];
+        firstb[nxt] = firstb[prev];
+        length[nxt] = length[prev] + 1;
+        ++nxt;
+      }
+    } else if (code == nxt && nxt < TABSZ) {
+      prefix[nxt] = static_cast<int16_t>(prev);
+      suffix[nxt] = firstb[prev];
+      firstb[nxt] = firstb[prev];
+      length[nxt] = length[prev] + 1;
+      ++nxt;
+    } else {
+      return 1;
+    }
+    // emit string(code), clipped to the output tail, by walking the
+    // prefix chain backwards
+    const int64_t elen = length[code];
+    const int64_t room = static_cast<int64_t>(out_len - o);
+    const int64_t n = elen < room ? elen : room;
+    int cur = code;
+    for (int64_t idx = elen - 1; idx >= 0; --idx) {
+      if (idx < n) out[o + idx] = suffix[cur];
+      cur = prefix[cur];
+    }
+    o += static_cast<size_t>(n);
+    prev = code;
+    if (nxt + 1 >= (1 << width) && width < 12) ++width;
+  }
+  return o < out_len ? 1 : 0;
+}
+
 // OpenEXR PIZ entropy stage (ImfHuf.cpp's hufUncompress, decode only):
 // 20-byte header (im, iM, tableLength, nBits, room), 6-bit-packed
 // canonical code-length table with zero-run escapes, MSB-first

@@ -52,10 +52,16 @@ def _fixtures():
                   + _rgb(48, 32).astype(">u2").tobytes()),
     }
     from tests.test_png16 import _img16, make_png16
+    from tests.test_tiff16 import make_tiff16
 
     fx["png16"] = make_png16(_img16(24, 32, 4, seed=4), 6, interlace=1)
     fx["png16_trns"] = make_png16(
         _img16(16, 16, 3, seed=5), 2, trns=b"\x01\x02\x03\x04\x05\x06")
+    fx["tiff16_lzw"] = make_tiff16(
+        _img16(16, 20, 3, seed=6), compression=5, predictor=2,
+        rows_per_strip=5)
+    fx["tiff16_deflate"] = make_tiff16(
+        _img16(12, 12, 4, seed=7), bo=">", compression=8)
     return fx
 
 

@@ -1,0 +1,294 @@
+"""Raw 16-bit TIFF reader (engine/tiff16.py).
+
+Builds classic TIFFs from scratch (both byte orders, strips, none/
+LZW/deflate/packbits compression, predictor 2, photometric 0/1/2,
+spp 1-4) and pins the reader to the image crate's round(v*255/65535)
+scaling — PIL alone keeps only the high byte of 16-bit color TIFFs.
+Unsupported layouts must fall back to PIL, never error harder.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from fanlin_tpu.engine import codecs, extra_codecs, tiff16
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder (msb-first, early change) for fixtures only.
+    No mid-stream CLEAR: callers keep strips under ~3.8k new entries."""
+    out = bytearray()
+    bitbuf = bitcnt = 0
+    codes = {bytes([i]): i for i in range(256)}
+    width, nxt = 9, 258
+
+    def emit(code, w):
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << w) | code
+        bitcnt += w
+        while bitcnt >= 8:
+            out.append((bitbuf >> (bitcnt - 8)) & 255)
+            bitcnt -= 8
+
+    emit(256, width)  # CLEAR
+    prev = b""
+    for b in data:
+        cur = prev + bytes([b])
+        if cur in codes:
+            prev = cur
+            continue
+        emit(codes[prev], width)
+        assert nxt < 4094, "fixture strip too large for the no-clear encoder"
+        codes[cur] = nxt
+        nxt += 1
+        # early change, matched to the decoder (which is validated
+        # against real libtiff streams): widen when the table has
+        # 2^width entries INCLUDING the decoder's one-add lag
+        if nxt >= (1 << width) and width < 12:
+            width += 1
+        prev = bytes([b])
+    if prev:
+        emit(codes[prev], width)
+    emit(257, width)  # EOI
+    if bitcnt:
+        out.append((bitbuf << (8 - bitcnt)) & 255)
+    return bytes(out)
+
+
+def make_tiff16(a16, bo="<", compression=1, predictor=1, rows_per_strip=None,
+                photometric=None, extra_tags=()):
+    """Hand-rolled 16-bit TIFF writer (tests only)."""
+    h, w, spp = a16.shape
+    rps = rows_per_strip or h
+    if photometric is None:
+        photometric = 2 if spp >= 3 else 1
+
+    strips = []
+    for y0 in range(0, h, rps):
+        sub = a16[y0:y0 + rps]
+        if predictor == 2:
+            d = sub.astype(np.int32)
+            d[:, 1:] -= sub[:, :-1].astype(np.int32)
+            sub = (d & 0xFFFF).astype(np.uint16)
+        raw = sub.astype(bo + "u2").tobytes()
+        if compression == 1:
+            strips.append(raw)
+        elif compression in (8, 32946):
+            strips.append(zlib.compress(raw, 6))
+        elif compression == 32773:
+            # trivial packbits: literal runs of <=128 bytes
+            enc = bytearray()
+            for i in range(0, len(raw), 128):
+                chunk = raw[i:i + 128]
+                enc.append(len(chunk) - 1)
+                enc += chunk
+            strips.append(bytes(enc))
+        elif compression == 5:
+            strips.append(_lzw_encode(raw))
+        else:
+            raise ValueError(compression)
+
+    tags = [
+        (256, 3, [w]), (257, 3, [h]), (258, 3, [16] * spp),
+        (259, 3, [compression]), (262, 3, [photometric]),
+        (277, 3, [spp]), (278, 3, [rps]), (284, 3, [1]),
+    ]
+    if predictor != 1:
+        tags.append((317, 3, [predictor]))
+    tags.extend(extra_tags)
+    n_strip = len(strips)
+    # layout: header(8) IFD(2 + 12n + 4) [overflow values] [strips]
+    tags.append((273, 4, [0] * n_strip))  # placeholders, patched below
+    tags.append((279, 4, [len(s) for s in strips]))
+    tags.sort(key=lambda t: t[0])
+    n = len(tags)
+    ifd_off = 8
+    over_off = ifd_off + 2 + 12 * n + 4
+    over = bytearray()
+    entries = []
+    tsize = {3: 2, 4: 4}
+    tcode = {3: "H", 4: "I"}
+    strip_data_off = None
+    # first pass to compute where strip data begins
+    tmp = 0
+    for tid, typ, vals in tags:
+        if len(vals) * tsize[typ] > 4:
+            tmp += len(vals) * tsize[typ]
+    strip_data_off = over_off + tmp
+    offs = []
+    pos = strip_data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    for i, (tid, typ, vals) in enumerate(tags):
+        if tid == 273:
+            vals = offs
+            tags[i] = (tid, typ, vals)
+        total = len(vals) * tsize[typ]
+        packed = struct.pack(bo + tcode[typ] * len(vals), *vals)
+        if total <= 4:
+            entries.append(struct.pack(bo + "HHI", tid, typ, len(vals))
+                           + packed.ljust(4, b"\x00"))
+        else:
+            entries.append(struct.pack(bo + "HHII", tid, typ, len(vals),
+                                       over_off + len(over)))
+            over += packed
+    hdr = (b"II*\x00" if bo == "<" else b"MM\x00*") + struct.pack(
+        bo + "I", ifd_off)
+    out = (hdr + struct.pack(bo + "H", n) + b"".join(entries)
+           + struct.pack(bo + "I", 0) + bytes(over) + b"".join(strips))
+    return out
+
+
+def _img16(h, w, ch, seed=3):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 65536, size=(h, w, ch), dtype=np.uint16)
+    a.reshape(-1)[: min(4, a.size)] = (0, 65535, 500, 128)[: min(4, a.size)]
+    return a
+
+
+def _expect_u8(a16):
+    return extra_codecs._scale_to_u8(
+        np.ravel(a16).astype(np.uint16), 65535).reshape(a16.shape)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773, 32946])
+def test_rgb16_exact_all_compressions(bo, comp):
+    a = _img16(12, 16, 3)
+    t = make_tiff16(a, bo=bo, compression=comp, rows_per_strip=4)
+    arr, has_alpha, is_gray = tiff16.decode_tiff16(t)
+    assert not has_alpha and not is_gray
+    np.testing.assert_array_equal(arr, _expect_u8(a))
+    # 500 -> 2 under round scaling; PIL's high byte would read 1
+    assert arr.reshape(-1)[2] == 2
+
+
+@pytest.mark.parametrize("comp", [5, 8])
+def test_predictor2(comp):
+    a = _img16(9, 21, 3, seed=8)
+    t = make_tiff16(a, compression=comp, predictor=2, rows_per_strip=3)
+    arr, *_ = tiff16.decode_tiff16(t)
+    np.testing.assert_array_equal(arr, _expect_u8(a))
+
+
+def test_rgba16_la16_gray16_and_whiteiszero():
+    a = _img16(7, 9, 4, seed=9)
+    arr, has_alpha, is_gray = tiff16.decode_tiff16(make_tiff16(a))
+    assert has_alpha and not is_gray
+    np.testing.assert_array_equal(arr, _expect_u8(a))
+
+    la = _img16(6, 5, 2, seed=10)
+    arr, has_alpha, is_gray = tiff16.decode_tiff16(make_tiff16(la))
+    assert has_alpha and is_gray
+    e = _expect_u8(la)
+    np.testing.assert_array_equal(arr[:, :, 0], e[:, :, 0])
+    np.testing.assert_array_equal(arr[:, :, 3], e[:, :, 1])
+
+    g = _img16(5, 6, 1, seed=11)
+    arr, has_alpha, is_gray = tiff16.decode_tiff16(make_tiff16(g))
+    assert not has_alpha and is_gray
+    np.testing.assert_array_equal(arr[:, :, 0], _expect_u8(g)[:, :, 0])
+
+    # photometric 0: inverted gray
+    arr0, _, _ = tiff16.decode_tiff16(make_tiff16(g, photometric=0))
+    inv = (65535 - g.astype(np.uint32)).astype(np.uint16)
+    np.testing.assert_array_equal(arr0[:, :, 0], _expect_u8(inv)[:, :, 0])
+
+
+def test_codecs_decode_routes_raw():
+    a = _img16(10, 14, 3, seed=12)
+    arr, has_alpha, is_gray = codecs.decode(make_tiff16(a, compression=8))
+    np.testing.assert_array_equal(arr, _expect_u8(a))
+    assert not has_alpha and not is_gray
+
+
+def test_unsupported_layout_falls_back_to_pil():
+    # planar=2 is outside the raw reader; PIL handles it (high-byte) —
+    # behavior must not get WORSE than before the raw reader existed
+    a = _img16(6, 8, 3, seed=13)
+    t = make_tiff16(a, extra_tags=[(284, 3, [2])])
+    # our writer still wrote chunky data; just assert no hard error
+    # path: decode either falls back to PIL or raises CodecError
+    try:
+        arr, *_ = codecs.decode(t)
+        assert arr.ndim == 3
+    except codecs.CodecError:
+        pass
+
+    # tiled flag -> Tiff16Error internally -> PIL fallback
+    t = make_tiff16(a, extra_tags=[(322, 3, [8])])
+    try:
+        arr, *_ = codecs.decode(t)
+        assert arr.ndim == 3
+    except codecs.CodecError:
+        pass
+
+
+def test_alloc_gate_16bit_tiff():
+    a = _img16(4, 4, 3)
+    t = bytearray(make_tiff16(a))
+    # patch width/height tags to a bomb: 12000*12000*3ch*2B = 864 MB
+    # (tags sorted by id: 256 first, 257 second after the header+count)
+    base = 8 + 2
+    for i, dim in ((0, 12000), (1, 12000)):
+        entry = base + 12 * i
+        assert struct.unpack("<H", t[entry:entry + 2])[0] == 256 + i
+        t[entry + 8:entry + 12] = struct.pack("<I", dim)
+    with pytest.raises(codecs.CodecError, match="512 MiB"):
+        codecs.decode(bytes(t))
+
+
+def test_sniff16_rejects_8bit_and_float():
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (4, 4)).save(buf, format="TIFF")
+    assert not tiff16.sniff16(buf.getvalue())
+    a = _img16(4, 4, 3)
+    assert tiff16.sniff16(make_tiff16(a))
+    # float sample format (339=3) must not route raw
+    t = make_tiff16(a, extra_tags=[(339, 3, [3, 3, 3])])
+    assert not tiff16.sniff16(t)
+    # 16-bit GRAYSCALE stays on the exact PIL I;16 branch
+    g = _img16(4, 4, 1)
+    assert not tiff16.sniff16(make_tiff16(g))
+
+
+def test_lzw_decodes_real_libtiff_stream():
+    """The decoder's early-change threshold is pinned to a stream a
+    REAL writer produced (PIL's LZW encoder), crossing the 9->10 bit
+    code-width boundary — the exact spot where hand-rolled LZW
+    implementations classically disagree."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 256, (64, 64, 3), np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(a, "RGB").save(buf, format="TIFF",
+                                   compression="tiff_lzw")
+    data = buf.getvalue()
+    im = Image.open(io.BytesIO(data))
+    tags = im.tag_v2
+
+    def tup(v):
+        return v if isinstance(v, tuple) else (v,)
+
+    offs, cnts = tup(tags[273]), tup(tags[279])
+    rows = tup(tags.get(278, 64))[0]
+    strip = data[offs[0]:offs[0] + cnts[0]]
+    exp = np.asarray(im)[:rows].tobytes()
+    assert tiff16._lzw_decode(strip, len(exp)) == exp
+
+
+def test_lzw_roundtrip_property():
+    rng = np.random.default_rng(21)
+    for n in (1, 7, 300, 1500):
+        data = bytes(rng.integers(0, 40, n, dtype=np.uint8))
+        assert tiff16._lzw_decode(_lzw_encode(data), n) == data
