@@ -64,6 +64,8 @@ ROWS = [
     # land at ~48 dB, the crate's round(v*255/65535) at 99
     ("png16_inverse", "grad16.png", "inverse=true", None, 45.0),
     ("png16_resize", "grad16.png", "w=100&h=80", None, 45.0),
+    # same decode-scaling probe through the tiff path (engine/tiff16.py)
+    ("tiff16_inverse", "grad16.tif", "inverse=true", None, 45.0),
 ]
 
 
@@ -79,6 +81,12 @@ def synth_sources(imgdir: str) -> None:
     a16 = v.astype(np.uint16).reshape(96, 128, 3)
     with open(os.path.join(imgdir, "grad16.png"), "wb") as f:
         f.write(make_png16(a16, 2))
+
+    from tests.test_tiff16 import make_tiff16
+
+    with open(os.path.join(imgdir, "grad16.tif"), "wb") as f:
+        f.write(make_tiff16(a16, compression=8, predictor=2,
+                            rows_per_strip=16))
 
     from PIL import Image
 
