@@ -234,6 +234,11 @@ def decode_tiff16(data: bytes) -> Tuple[np.ndarray, bool, bool]:
         raise Tiff16Error("zero-dimension image")
     if len(offsets) != len(counts) or not offsets:
         raise Tiff16Error("strip table mismatch")
+    if rps < 0 or any(v < 0 for v in offsets) or any(
+            v < 0 for v in counts):
+        # signed tag types (SLONG etc.) are legal containers; negative
+        # values would slice from the buffer END below
+        raise Tiff16Error("negative strip geometry")
     if w * h * spp * 2 > MAX_DECODE_ALLOC:
         raise CodecError(
             f"image decode allocation {w}x{h} 16-bit/{spp}ch exceeds "
