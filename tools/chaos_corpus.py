@@ -84,6 +84,17 @@ def build(outdir: pathlib.Path) -> dict:
     zff = bytearray(ff)
     struct.pack_into(">I", zff, 8, 0)  # zero-width farbfeld
 
+    # 16-bit sources through the raw readers (tests own the writers)
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                           / "tests"))
+    from test_png16 import make_png16
+    from test_tiff16 import make_tiff16
+
+    a16 = (_rgb(96, 64).astype(np.uint16) * 257)
+    png16_src = make_png16(a16, 2, interlace=1)
+    tiff16_src = make_tiff16(a16, compression=5, predictor=2,
+                             rows_per_strip=4)
+
     # expected status for a TRANSFORM request (?w=64&h=48):
     # corrupt-at-decode -> 500 (fallback body when configured);
     # mid-bitstream flips that still decode -> 200. Flips chosen in
@@ -111,6 +122,12 @@ def build(outdir: pathlib.Path) -> dict:
         "trunc.exr": (exr[: len(exr) // 2], 500),
         "junk.bin": (b"\x00\x01\x02 not an image " * 64, 500),
         "bad.svg": (svg[:-6], 500),  # unterminated -> SvgError
+        # raw 16-bit readers (engine/png16.py, engine/tiff16.py)
+        "ok16.png": (png16_src, 200),
+        "flip16.png": (_flip(png16_src, 48), 500),  # IDAT payload ->
+        # crc break -> Png16Error -> PIL fallback also rejects it
+        "ok16.tif": (tiff16_src, 200),
+        "trunc16.tif": (tiff16_src[: len(tiff16_src) - 64], 500),
     }
     expected = {}
     for name, (data, status) in manifest.items():

@@ -265,6 +265,12 @@ CORRUPT_MODE = {
     "flip.hdr": "report",
     "trunc.exr": "report",
     "ok.svg": "assert",    # valid SVG: 200 passthrough on both sides
+    # 16-bit raw-reader corpus (session 13): report until a CI run
+    # records the crate's tolerance for the hand-rolled fixtures
+    "ok16.png": "report",
+    "flip16.png": "report",
+    "ok16.tif": "report",
+    "trunc16.tif": "report",
 }
 
 
