@@ -49,9 +49,25 @@ _TAG_PREDICTOR = 317
 _TAG_TILE_WIDTH = 322
 _TAG_SAMPLE_FORMAT = 339
 
-# field type -> (struct code, size)
-_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4), 6: ("b", 1),
-          8: ("h", 2), 9: ("i", 4)}
+# field type -> (numpy dtype code, size)
+_TYPES = {1: ("u1", 1), 3: ("u2", 2), 4: ("u4", 4), 6: ("i1", 1),
+          8: ("i2", 2), 9: ("i4", 4)}
+
+# only these tags are ever consulted; everything else is skipped
+# UNREAD, so a hostile tag claiming millions of entries costs nothing
+# (struct-unpacking every tag used to build multi-hundred-MB tuples of
+# Python ints from a crafted ~64 MB file, before any decode gate ran)
+_NEEDED_TAGS = frozenset((
+    _TAG_WIDTH, _TAG_HEIGHT, _TAG_BPS, _TAG_COMPRESSION,
+    _TAG_PHOTOMETRIC, _TAG_STRIP_OFFSETS, _TAG_SPP,
+    _TAG_ROWS_PER_STRIP, _TAG_STRIP_COUNTS, _TAG_PLANAR,
+    _TAG_PREDICTOR, _TAG_TILE_WIDTH, _TAG_SAMPLE_FORMAT,
+))
+# only the strip tables may legitimately carry many values; scalar
+# tags (dims, spp, compression, ...) are capped so crafted counts on
+# them can't allocate either. BPS carries one entry per sample.
+_WIDE_TAGS = frozenset((_TAG_STRIP_OFFSETS, _TAG_STRIP_COUNTS))
+_SCALAR_MAX = 64
 
 
 def _read_ifd(data: bytes, bo: str) -> Dict[int, Tuple[int, ...]]:
@@ -67,7 +83,9 @@ def _read_ifd(data: bytes, bo: str) -> Dict[int, Tuple[int, ...]]:
         raise Tiff16Error("truncated IFD")
     for _ in range(n):
         tid, typ, cnt = struct.unpack(bo + "HHI", data[pos:pos + 8])
-        if typ in _TYPES and cnt <= 1 << 24:
+        if (tid in _NEEDED_TAGS and typ in _TYPES
+                and cnt <= (1 << 24 if tid in _WIDE_TAGS
+                            else _SCALAR_MAX)):
             code, size = _TYPES[typ]
             total = size * cnt
             if total <= 4:
@@ -77,7 +95,16 @@ def _read_ifd(data: bytes, bo: str) -> Dict[int, Tuple[int, ...]]:
                 if voff + total > len(data):
                     raise Tiff16Error("tag value out of range")
                 raw = data[voff:voff + total]
-            tags[tid] = struct.unpack(bo + code * cnt, raw)
+            if cnt > _SCALAR_MAX:
+                # strip tables: decode at C speed into an int64 array
+                # (a struct-unpack tuple prices ~30 B per Python int);
+                # int64 keeps the downstream gate/range math exact
+                tags[tid] = np.frombuffer(raw, bo + code).astype(
+                    np.int64)
+            else:
+                tags[tid] = tuple(
+                    int(v) for v in np.frombuffer(raw, bo + code)
+                )
         pos += 12
     return tags
 
@@ -102,7 +129,17 @@ def sniff16(data: bytes) -> bool:
             and all(f == 1 for f in fmt))
 
 
+# the python packbits loop iterates once per control byte (cost is
+# bounded by the COMPRESSED strip size, unlike LZW's output-bound
+# table walk); past this it falls back to PIL's fast high-byte read
+# instead of burning seconds of GIL inside a request (<=1 LSB
+# precision cost, same contract as _PY_LZW_MAX)
+_PY_PACKBITS_MAX = 16 << 20
+
+
 def _unpackbits(src: bytes, out_len: int) -> bytes:
+    if len(src) > _PY_PACKBITS_MAX:
+        raise Tiff16Error("packbits strip too large for the python loop")
     out = bytearray()
     i, n = 0, len(src)
     while i < n and len(out) < out_len:
@@ -232,10 +269,10 @@ def decode_tiff16(data: bytes) -> Tuple[np.ndarray, bool, bool]:
         raise Tiff16Error(f"spp {spp}")
     if w <= 0 or h <= 0:
         raise Tiff16Error("zero-dimension image")
-    if len(offsets) != len(counts) or not offsets:
+    if len(offsets) != len(counts) or len(offsets) == 0:
         raise Tiff16Error("strip table mismatch")
-    if rps < 0 or any(v < 0 for v in offsets) or any(
-            v < 0 for v in counts):
+    if rps < 0 or bool(np.any(np.asarray(offsets) < 0)) or bool(
+            np.any(np.asarray(counts) < 0)):
         # signed tag types (SLONG etc.) are legal containers; negative
         # values would slice from the buffer END below
         raise Tiff16Error("negative strip geometry")

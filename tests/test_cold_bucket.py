@@ -497,6 +497,13 @@ def test_cold_coef_buckets_steer_engine_to_pixels(monkeypatch):
 def test_coef_streak_resets_when_device_serves(monkeypatch):
     """Once a coefficient batch actually rides the device (program
     warmed), the streak resets and the engine resumes coefficients."""
+    # isolate the streak mechanism from soft-degrade: on a contended
+    # CPU host the first warm batches can legitimately price >3x the
+    # mirror, and a degrade-routed batch lands on the mirror — which
+    # keeps the very streak this test waits on from ever resetting
+    from fanlin_tpu.engine import batcher as batcher_mod
+
+    monkeypatch.setattr(batcher_mod, "_DEGRADE_FACTOR", 1e9)
     data = _jpeg_bytes(make_test_image(149, 103))
     params = parse_query("w=71&h=51")
     b = MicroBatcher(max_batch=4, window_ms=1.0, host_fallback=True,

@@ -292,3 +292,63 @@ def test_lzw_roundtrip_property():
     for n in (1, 7, 300, 1500):
         data = bytes(rng.integers(0, 40, n, dtype=np.uint8))
         assert tiff16._lzw_decode(_lzw_encode(data), n) == data
+
+
+def test_hostile_tag_counts_are_skipped_unread():
+    """IFD parse hardening: tags we never consult are skipped without
+    materializing their values (a crafted count used to struct-unpack
+    multi-hundred-MB tuples of Python ints before any decode gate),
+    and needed SCALAR tags with absurd counts are dropped rather than
+    parsed (routing then falls back to PIL via sniff16)."""
+    a = _img16(6, 8, 3, seed=13)
+    base = make_tiff16(a)
+    # an unneeded tag (270 ImageDescription as LONGs) claiming a huge
+    # count, with its offset pointing INSIDE the valid file so the
+    # bounds check alone can't reject it
+    big = make_tiff16(a, extra_tags=[(270, 4, [0] * 32)])
+    # patch its count field up to 16M without growing the file: the
+    # tag must be skipped unread, not bounds-checked
+    idx = big.find(struct.pack("<HH", 270, 4))
+    assert idx > 0
+    hostile = (big[:idx + 4] + struct.pack("<I", 1 << 23)
+               + big[idx + 8:])
+    tags = tiff16._read_ifd(hostile, "<")
+    assert 270 not in tags
+    arr, *_ = tiff16.decode_tiff16(hostile)
+    np.testing.assert_array_equal(arr, tiff16.decode_tiff16(base)[0])
+
+    # a NEEDED scalar tag (SPP) with an inflated count is dropped,
+    # so sniff16 routes the file to PIL instead of misreading it
+    spp_idx = base.find(struct.pack("<HH", 277, 3))
+    assert spp_idx > 0
+    bad_spp = (base[:spp_idx + 4] + struct.pack("<I", 4096)
+               + base[spp_idx + 8:])
+    assert not tiff16.sniff16(bad_spp)
+
+
+def test_many_strips_use_numpy_table():
+    """>64 strips exercise the numpy strip-table branch (the tuple
+    branch covers small tables); bytes must match the one-strip read."""
+    a = _img16(80, 5, 3, seed=14)
+    many = make_tiff16(a, rows_per_strip=1)
+    one = make_tiff16(a)
+    m_arr, *_ = tiff16.decode_tiff16(many)
+    o_arr, *_ = tiff16.decode_tiff16(one)
+    np.testing.assert_array_equal(m_arr, o_arr)
+    np.testing.assert_array_equal(m_arr, _expect_u8(a))
+
+
+def test_packbits_python_bound(monkeypatch):
+    """Oversized packbits strips raise (the caller falls back to PIL's
+    fast high-byte read) instead of burning seconds in the python
+    loop — the same contract as _PY_LZW_MAX."""
+    a = _img16(6, 8, 3, seed=15)
+    t = make_tiff16(a, compression=32773)
+    arr, *_ = tiff16.decode_tiff16(t)  # under the bound: exact
+    np.testing.assert_array_equal(arr, _expect_u8(a))
+    monkeypatch.setattr(tiff16, "_PY_PACKBITS_MAX", 8)
+    with pytest.raises(tiff16.Tiff16Error):
+        tiff16.decode_tiff16(t)
+    # codecs.decode must still serve the source (PIL high-byte read)
+    arr2, *_ = codecs.decode(t)
+    assert arr2.shape == arr.shape
