@@ -169,7 +169,15 @@ async def generic_handler(request: web.Request) -> web.Response:
     return web.Response(status=200, headers=headers, body=processed)
 
 
-async def ping_handler(_request: web.Request) -> web.Response:
+async def ping_handler(request: web.Request) -> web.Response:
+    # axum's `route("/ping", get(..))` (reference main.rs:89) matches
+    # the PATH for every method and answers non-GET with the
+    # MethodRouter's 405 + Allow — the Router fallback only catches
+    # unmatched paths. Mirror that: without this, POST /ping fell
+    # through to the wildcard image route and 404'd (the old PARITY
+    # known-diff #13 edge).
+    if request.method not in ("GET", "HEAD"):
+        return web.Response(status=405, headers={"Allow": "GET, HEAD"})
     return web.Response(text="pong")
 
 
@@ -360,7 +368,7 @@ def create_app(cfg: config_mod.Config, state: State) -> web.Application:
         client_max_size=1024**3,
     )
     app[STATE_KEY] = state
-    app.router.add_get("/ping", ping_handler)
+    app.router.add_route("*", "/ping", ping_handler)
     app.router.add_get("/stats", stats_handler)
     if cfg.tpu.profile_dir:
         app.router.add_get(

@@ -154,6 +154,23 @@ def test_ping(e2e):
     assert body == b"pong"
 
 
+def test_post_ping_is_405(e2e):
+    """axum's `route("/ping", get(..))` answers non-GET methods on the
+    matched path with the MethodRouter's 405 + Allow (main.rs:89); the
+    Router fallback only catches unmatched paths. POST to an IMAGE
+    path stays method-agnostic (the fallback handler serves it,
+    PARITY known-diff #13)."""
+    loop, gw = e2e
+
+    async def go():
+        resp = await gw.post("/ping")
+        return resp, await resp.read()
+
+    resp, _body = loop.run_until_complete(go())
+    assert resp.status == 405
+    assert "GET" in resp.headers.get("Allow", "")
+
+
 @pytest.mark.parametrize("provider", ["foo", "bar", "baz"])
 def test_fetch_as_is(e2e, provider, fixtures_dir):
     resp, body = _get(e2e, f"/{provider}/lenna.jpg")
