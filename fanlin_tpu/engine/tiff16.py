@@ -4,13 +4,13 @@ PIL reads 16-bit *color* TIFFs through high-byte raw modes
 (``RGB;16L`` keeps only the most significant byte), where the image
 crate's tiff decoder yields Rgb16/Rgba16 and converts to u8 with
 round(v*255/65535) — the same class of gap engine/png16.py closed for
-PNG (PARITY known-diff #11). This reader covers the common baseline
-layout matrix: classic TIFF both byte orders, first IFD, strip
-organization, chunky planar config, compressions none(1) / LZW(5,
-with the TIFF early-change variant) / deflate(8, 32946) /
-packbits(32773), horizontal-differencing predictor(2), photometric
-0/1/2, 1-4 samples per pixel. Anything else (tiles, planar=2,
-BigTIFF, other compressions, non-u16 sample formats) raises
+PNG (PARITY known-diff #11). This reader covers the baseline
+layout matrix: classic TIFF both byte orders, first IFD, strip AND
+tile organization, chunky and planar (config 2) sample layout,
+compressions none(1) / LZW(5, with the TIFF early-change variant) /
+deflate(8, 32946) / packbits(32773), horizontal-differencing
+predictor(2), photometric 0/1/2, 1-4 samples per pixel. Anything
+else (BigTIFF, other compressions, non-u16 sample formats) raises
 Tiff16Error and the caller falls back to PIL's high-byte read —
 behavior never regresses, only precision improves where the raw
 path applies.
@@ -47,6 +47,9 @@ _TAG_STRIP_COUNTS = 279
 _TAG_PLANAR = 284
 _TAG_PREDICTOR = 317
 _TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 _TAG_SAMPLE_FORMAT = 339
 
 # field type -> (numpy dtype code, size)
@@ -61,12 +64,15 @@ _NEEDED_TAGS = frozenset((
     _TAG_WIDTH, _TAG_HEIGHT, _TAG_BPS, _TAG_COMPRESSION,
     _TAG_PHOTOMETRIC, _TAG_STRIP_OFFSETS, _TAG_SPP,
     _TAG_ROWS_PER_STRIP, _TAG_STRIP_COUNTS, _TAG_PLANAR,
-    _TAG_PREDICTOR, _TAG_TILE_WIDTH, _TAG_SAMPLE_FORMAT,
+    _TAG_PREDICTOR, _TAG_TILE_WIDTH, _TAG_TILE_LENGTH,
+    _TAG_TILE_OFFSETS, _TAG_TILE_COUNTS, _TAG_SAMPLE_FORMAT,
 ))
-# only the strip tables may legitimately carry many values; scalar
-# tags (dims, spp, compression, ...) are capped so crafted counts on
-# them can't allocate either. BPS carries one entry per sample.
-_WIDE_TAGS = frozenset((_TAG_STRIP_OFFSETS, _TAG_STRIP_COUNTS))
+# only the strip/tile tables may legitimately carry many values;
+# scalar tags (dims, spp, compression, ...) are capped so crafted
+# counts on them can't allocate either. BPS carries one entry per
+# sample.
+_WIDE_TAGS = frozenset((_TAG_STRIP_OFFSETS, _TAG_STRIP_COUNTS,
+                        _TAG_TILE_OFFSETS, _TAG_TILE_COUNTS))
 _SCALAR_MAX = 64
 
 
@@ -236,29 +242,160 @@ def _lzw_decode(src: bytes, out_len: int) -> bytes:
     return bytes(out[:out_len])
 
 
+def _chunk_u16(data: bytes, off: int, cnt: int, want: int, comp: int,
+               bo: str, shape) -> np.ndarray:
+    """One strip/tile: slice, decompress to exactly `want` bytes,
+    view as native-endian-aware u16 with `shape` (the predictor is
+    applied by the caller)."""
+    if off + cnt > len(data):
+        raise Tiff16Error("strip out of range")
+    raw = data[off:off + cnt]
+    if comp == 1:
+        if len(raw) < want:
+            raise Tiff16Error("short strip")
+        raw = raw[:want]
+    elif comp in (8, 32946):
+        try:
+            raw = zlib.decompressobj().decompress(raw, want)
+        except zlib.error as e:
+            raise Tiff16Error(f"bad deflate strip: {e}") from e
+        if len(raw) < want:
+            raise Tiff16Error("short deflate strip")
+    elif comp == 32773:
+        raw = _unpackbits(raw, want)
+    else:  # 5: LZW
+        raw = _lzw(raw, want)
+    return np.frombuffer(raw, dtype=bo + "u2").reshape(shape)
+
+
+def _undiff(chunk: np.ndarray) -> np.ndarray:
+    """Predictor 2: horizontal differencing per channel, mod 2^16
+    (uint32 cumsum wraps mod 2^32; the final uint16 cast is the
+    mod-2^16 view of it)."""
+    return np.cumsum(
+        chunk.astype(np.uint32), axis=1, dtype=np.uint32
+    ).astype(np.uint16)
+
+
+def _decode_strips(data, bo, w, h, spp, comp, pred, rps, offsets,
+                   counts) -> np.ndarray:
+    """Chunky (planar=1) strips -> (h, w, spp) u16."""
+    rowbytes = w * spp * 2
+    parts = []
+    row = 0
+    for off, cnt in zip(offsets, counts):
+        if row >= h:
+            break
+        rows = min(rps, h - row)
+        strip = _chunk_u16(data, off, cnt, rows * rowbytes, comp, bo,
+                           (rows, w, spp))
+        if pred == 2:
+            strip = _undiff(strip)
+        parts.append(strip)
+        row += rows
+    if row < h:
+        raise Tiff16Error("missing strips")
+    return np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+def _decode_strips_planar(data, bo, w, h, spp, comp, pred, rps,
+                          offsets, counts) -> np.ndarray:
+    """Planar (config 2) strips -> (h, w, spp) u16: each channel's
+    strips are stored consecutively (TIFF6 §IFD PlanarConfiguration),
+    one channel per strip, so the strip count is spp x strips-per-
+    plane and the predictor differences within the single channel."""
+    spl = (h + rps - 1) // rps
+    if len(offsets) < spl * spp:
+        raise Tiff16Error("planar strip table too short")
+    planes = []
+    for s in range(spp):
+        parts = []
+        row = 0
+        for i in range(spl):
+            rows = min(rps, h - row)
+            off, cnt = offsets[s * spl + i], counts[s * spl + i]
+            strip = _chunk_u16(data, off, cnt, rows * w * 2, comp, bo,
+                               (rows, w, 1))
+            if pred == 2:
+                strip = _undiff(strip)
+            parts.append(strip)
+            row += rows
+        planes.append(
+            np.concatenate(parts, axis=0) if len(parts) > 1
+            else parts[0]
+        )
+    return np.concatenate(planes, axis=2)
+
+
+def _decode_tiles(data, tags, bo, w, h, spp, comp, planar, pred,
+                  offsets, counts) -> np.ndarray:
+    """Tiled organization (TIFF6 §15) -> (h, w, spp) u16. Tiles are
+    th x tw, edge tiles padded to full size, ordered left-to-right /
+    top-to-bottom (then per channel plane when planar=2)."""
+    try:
+        tw = tags[_TAG_TILE_WIDTH][0]
+        th = tags[_TAG_TILE_LENGTH][0]
+    except KeyError as e:
+        raise Tiff16Error(f"missing tile tag {e}") from e
+    if tw <= 0 or th <= 0:
+        raise Tiff16Error("bad tile geometry")
+    across = (w + tw - 1) // tw
+    down = (h + th - 1) // th
+    # the padded assembly buffer is what actually allocates — gate it
+    # (edge padding can exceed the w*h gate; hostile tw/th vastly so)
+    if across * tw * down * th * spp * 2 > MAX_DECODE_ALLOC:
+        raise CodecError(
+            f"tiled decode allocation {across * tw}x{down * th} "
+            f"16-bit/{spp}ch exceeds the 512 MiB limit"
+        )
+    cpp = spp if planar == 1 else 1
+    per_plane = across * down
+    need = per_plane * (1 if planar == 1 else spp)
+    if len(offsets) < need:
+        raise Tiff16Error("tile table too short")
+    pad = np.zeros((down * th, across * tw, spp), np.uint16)
+    want = th * tw * cpp * 2
+    for idx in range(need):
+        plane, pos = divmod(idx, per_plane)
+        ty, tx = divmod(pos, across)
+        tile = _chunk_u16(data, offsets[idx], counts[idx], want, comp,
+                          bo, (th, tw, cpp))
+        if pred == 2:
+            tile = _undiff(tile)
+        dst = pad[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
+        if planar == 1:
+            dst[:] = tile
+        else:
+            dst[:, :, plane:plane + 1] = tile
+    return pad[:h, :w]
+
+
 def decode_tiff16(data: bytes) -> Tuple[np.ndarray, bool, bool]:
     """16-bit TIFF -> ((H, W, 3|4) u8, has_alpha, is_gray), the
     codecs.decode contract. CodecError past the 512 MiB gate,
     Tiff16Error on unsupported layout / damage (caller falls back)."""
     bo = "<" if data[:2] == b"II" else ">"
     tags = _read_ifd(data, bo)
+    tiled = _TAG_TILE_WIDTH in tags
     try:
         w = tags[_TAG_WIDTH][0]
         h = tags[_TAG_HEIGHT][0]
-        offsets = tags[_TAG_STRIP_OFFSETS]
-        counts = tags[_TAG_STRIP_COUNTS]
+        if tiled:
+            offsets = tags[_TAG_TILE_OFFSETS]
+            counts = tags[_TAG_TILE_COUNTS]
+        else:
+            offsets = tags[_TAG_STRIP_OFFSETS]
+            counts = tags[_TAG_STRIP_COUNTS]
     except KeyError as e:
         raise Tiff16Error(f"missing tag {e}") from e
-    if _TAG_TILE_WIDTH in tags:
-        raise Tiff16Error("tiled tiff")
     spp = tags.get(_TAG_SPP, (1,))[0]
     comp = tags.get(_TAG_COMPRESSION, (1,))[0]
     photo = tags.get(_TAG_PHOTOMETRIC, (1,))[0]
     planar = tags.get(_TAG_PLANAR, (1,))[0]
     pred = tags.get(_TAG_PREDICTOR, (1,))[0]
     rps = tags.get(_TAG_ROWS_PER_STRIP, (h,))[0] or h
-    if planar != 1:
-        raise Tiff16Error("planar config 2")
+    if planar not in (1, 2):
+        raise Tiff16Error(f"planar config {planar}")
     if comp not in (1, 5, 8, 32946, 32773):
         raise Tiff16Error(f"compression {comp}")
     if photo not in (0, 1, 2):
@@ -282,44 +419,15 @@ def decode_tiff16(data: bytes) -> Tuple[np.ndarray, bool, bool]:
             f"the 512 MiB limit"
         )
 
-    rowbytes = w * spp * 2
-    parts = []
-    row = 0
-    for off, cnt in zip(offsets, counts):
-        if row >= h:
-            break
-        rows = min(rps, h - row)
-        want = rows * rowbytes
-        if off + cnt > len(data):
-            raise Tiff16Error("strip out of range")
-        raw = data[off:off + cnt]
-        if comp == 1:
-            if len(raw) < want:
-                raise Tiff16Error("short strip")
-            raw = raw[:want]
-        elif comp in (8, 32946):
-            try:
-                raw = zlib.decompressobj().decompress(raw, want)
-            except zlib.error as e:
-                raise Tiff16Error(f"bad deflate strip: {e}") from e
-            if len(raw) < want:
-                raise Tiff16Error("short deflate strip")
-        elif comp == 32773:
-            raw = _unpackbits(raw, want)
-        else:  # 5: LZW
-            raw = _lzw(raw, want)
-        strip = np.frombuffer(raw, dtype=bo + "u2").reshape(
-            rows, w, spp)
-        if pred == 2:
-            # horizontal differencing per channel, mod 2^16
-            strip = np.cumsum(
-                strip.astype(np.uint32), axis=1, dtype=np.uint32
-            ).astype(np.uint16)
-        parts.append(strip)
-        row += rows
-    if row < h:
-        raise Tiff16Error("missing strips")
-    a16 = np.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    if tiled:
+        a16 = _decode_tiles(data, tags, bo, w, h, spp, comp, planar,
+                            pred, offsets, counts)
+    elif planar == 2:
+        a16 = _decode_strips_planar(data, bo, w, h, spp, comp, pred,
+                                    rps, offsets, counts)
+    else:
+        a16 = _decode_strips(data, bo, w, h, spp, comp, pred, rps,
+                             offsets, counts)
     a16 = np.ascontiguousarray(a16.astype(np.uint16))
     if photo == 0:  # WhiteIsZero: invert the gray samples
         if spp == 1:

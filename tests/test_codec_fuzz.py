@@ -62,6 +62,12 @@ def _fixtures():
         rows_per_strip=5)
     fx["tiff16_deflate"] = make_tiff16(
         _img16(12, 12, 4, seed=7), bo=">", compression=8)
+    fx["tiff16_tiled"] = make_tiff16(
+        _img16(20, 24, 3, seed=8), compression=5, predictor=2,
+        tile=(16, 16))
+    fx["tiff16_planar"] = make_tiff16(
+        _img16(14, 18, 3, seed=9), compression=8, planar=2,
+        rows_per_strip=4)
     return fx
 
 

@@ -58,50 +58,73 @@ def _lzw_encode(data: bytes) -> bytes:
 
 
 def make_tiff16(a16, bo="<", compression=1, predictor=1, rows_per_strip=None,
-                photometric=None, extra_tags=()):
-    """Hand-rolled 16-bit TIFF writer (tests only)."""
+                photometric=None, extra_tags=(), planar=1, tile=None):
+    """Hand-rolled 16-bit TIFF writer (tests only). planar=2 stores
+    each channel's chunks consecutively; tile=(tw, th) switches to
+    tile organization (edge tiles padded to full size)."""
     h, w, spp = a16.shape
     rps = rows_per_strip or h
     if photometric is None:
         photometric = 2 if spp >= 3 else 1
 
-    strips = []
-    for y0 in range(0, h, rps):
-        sub = a16[y0:y0 + rps]
+    def enc(sub):
         if predictor == 2:
             d = sub.astype(np.int32)
             d[:, 1:] -= sub[:, :-1].astype(np.int32)
             sub = (d & 0xFFFF).astype(np.uint16)
         raw = sub.astype(bo + "u2").tobytes()
         if compression == 1:
-            strips.append(raw)
-        elif compression in (8, 32946):
-            strips.append(zlib.compress(raw, 6))
-        elif compression == 32773:
+            return raw
+        if compression in (8, 32946):
+            return zlib.compress(raw, 6)
+        if compression == 32773:
             # trivial packbits: literal runs of <=128 bytes
-            enc = bytearray()
+            out = bytearray()
             for i in range(0, len(raw), 128):
                 chunk = raw[i:i + 128]
-                enc.append(len(chunk) - 1)
-                enc += chunk
-            strips.append(bytes(enc))
-        elif compression == 5:
-            strips.append(_lzw_encode(raw))
-        else:
-            raise ValueError(compression)
+                out.append(len(chunk) - 1)
+                out += chunk
+            return bytes(out)
+        if compression == 5:
+            return _lzw_encode(raw)
+        raise ValueError(compression)
+
+    planes = ([a16] if planar == 1
+              else [a16[:, :, c:c + 1] for c in range(spp)])
+    strips = []
+    if tile is not None:
+        tw, th = tile
+        for p in planes:
+            padded = np.zeros(((h + th - 1) // th * th,
+                               (w + tw - 1) // tw * tw, p.shape[2]),
+                              np.uint16)
+            padded[:h, :w] = p
+            for y0 in range(0, padded.shape[0], th):
+                for x0 in range(0, padded.shape[1], tw):
+                    strips.append(enc(padded[y0:y0 + th, x0:x0 + tw]))
+    else:
+        for p in planes:
+            for y0 in range(0, h, rps):
+                strips.append(enc(p[y0:y0 + rps]))
 
     tags = [
         (256, 3, [w]), (257, 3, [h]), (258, 3, [16] * spp),
         (259, 3, [compression]), (262, 3, [photometric]),
-        (277, 3, [spp]), (278, 3, [rps]), (284, 3, [1]),
+        (277, 3, [spp]), (284, 3, [planar]),
     ]
+    if tile is None:
+        tags.append((278, 3, [rps]))
+    else:
+        tags.append((322, 3, [tile[0]]))
+        tags.append((323, 3, [tile[1]]))
     if predictor != 1:
         tags.append((317, 3, [predictor]))
     tags.extend(extra_tags)
     n_strip = len(strips)
+    off_tid, cnt_tid = (273, 279) if tile is None else (324, 325)
     # layout: header(8) IFD(2 + 12n + 4) [overflow values] [strips]
-    tags.append((273, 4, [0] * n_strip))  # placeholders, patched below
-    tags.append((279, 4, [len(s) for s in strips]))
+    tags.append((off_tid, 4, [0] * n_strip))  # placeholders, patched below
+    tags.append((cnt_tid, 4, [len(s) for s in strips]))
     tags.sort(key=lambda t: t[0])
     n = len(tags)
     ifd_off = 8
@@ -123,7 +146,7 @@ def make_tiff16(a16, bo="<", compression=1, predictor=1, rows_per_strip=None,
         offs.append(pos)
         pos += len(s)
     for i, (tid, typ, vals) in enumerate(tags):
-        if tid == 273:
+        if tid == off_tid:
             vals = offs
             tags[i] = (tid, typ, vals)
         total = len(vals) * tsize[typ]
@@ -352,3 +375,91 @@ def test_packbits_python_bound(monkeypatch):
     # codecs.decode must still serve the source (PIL high-byte read)
     arr2, *_ = codecs.decode(t)
     assert arr2.shape == arr.shape
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("comp,pred", [(1, 1), (5, 2), (8, 2), (32773, 1)])
+def test_tiled_rgb16(bo, comp, pred):
+    """Tile organization (TIFF6 §15): edge tiles padded, row-major
+    order; must decode byte-equal to the strip layout of the same
+    pixels."""
+    a = _img16(37, 53, 3, seed=20)  # not tile-aligned on purpose
+    t = make_tiff16(a, bo=bo, compression=comp, predictor=pred,
+                    tile=(16, 16))
+    arr, has_alpha, is_gray = tiff16.decode_tiff16(t)
+    assert not has_alpha and not is_gray
+    np.testing.assert_array_equal(arr, _expect_u8(a))
+
+
+@pytest.mark.parametrize("comp,pred", [(1, 1), (5, 2), (8, 1)])
+def test_planar_strips(comp, pred):
+    """PlanarConfiguration=2: per-channel strips stored consecutively;
+    the predictor differences within the single channel."""
+    a = _img16(21, 17, 3, seed=21)
+    t = make_tiff16(a, compression=comp, predictor=pred,
+                    rows_per_strip=5, planar=2)
+    arr, *_ = tiff16.decode_tiff16(t)
+    np.testing.assert_array_equal(arr, _expect_u8(a))
+    # RGBA planar keeps the alpha plane
+    ra = _img16(9, 11, 4, seed=22)
+    arr4, has_alpha, _g = tiff16.decode_tiff16(
+        make_tiff16(ra, compression=comp, predictor=pred,
+                    rows_per_strip=4, planar=2))
+    assert has_alpha
+    np.testing.assert_array_equal(arr4, _expect_u8(ra))
+
+
+def test_planar_tiles():
+    """Tiles x planar=2: all tiles of channel 0, then channel 1, ..."""
+    a = _img16(33, 29, 3, seed=23)
+    t = make_tiff16(a, compression=5, predictor=2, planar=2,
+                    tile=(16, 16))
+    arr, *_ = tiff16.decode_tiff16(t)
+    np.testing.assert_array_equal(arr, _expect_u8(a))
+
+
+def test_tiled_and_planar_geometry_against_pil():
+    """Independent oracle against a mirrored writer/reader geometry
+    bug. Tiled 16-bit: PIL's high-byte RGB;16 read must agree with
+    the source's high bytes exactly. Planar 16-bit: PIL MISREADS the
+    samples (it maps the strips through an 8-bit 'R' rawmode — the
+    old fallback produced garbage here, not a 1-LSB diff), but its
+    tile-descriptor map still independently confirms the plane-major
+    strip ordering our reader assumes (TIFF6 PlanarConfiguration)."""
+    import io
+
+    from PIL import Image
+
+    a = _img16(37, 53, 3, seed=24)
+    t = make_tiff16(a, tile=(16, 16))
+    with Image.open(io.BytesIO(t)) as im:
+        pil = np.asarray(im.convert("RGB"))
+    np.testing.assert_array_equal(
+        pil, (a >> 8).astype(np.uint8),
+        err_msg="PIL disagrees on tiled fixture geometry",
+    )
+
+    p = make_tiff16(a, planar=2, rows_per_strip=7)
+    with Image.open(io.BytesIO(p)) as im:
+        spl = (37 + 6) // 7
+        modes = [args[0] for _n, _e, _o, args in im.tile]
+    assert modes[:spl] == ["R"] * spl
+    assert modes[spl:2 * spl] == ["G"] * spl
+    assert modes[2 * spl:] == ["B"] * spl
+
+
+def test_tiled_alloc_gate_on_padded_buffer():
+    """Hostile tile dims: the padded assembly buffer is gated, not
+    just w*h (a 16x16 image claiming 60000x60000 tiles used to be a
+    multi-GB alloc class in naive readers)."""
+    a = _img16(4, 4, 3, seed=25)
+    t = make_tiff16(a, tile=(16, 16))
+    idx = t.find(struct.pack("<HH", 322, 3))
+    assert idx > 0
+    hostile = (t[:idx + 8] + struct.pack("<HH", 60000, 0)
+               + t[idx + 12:])
+    idx2 = hostile.find(struct.pack("<HH", 323, 3))
+    hostile = (hostile[:idx2 + 8] + struct.pack("<HH", 60000, 0)
+               + hostile[idx2 + 12:])
+    with pytest.raises(codecs.CodecError):
+        tiff16.decode_tiff16(hostile)
