@@ -271,11 +271,12 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
                 return png16.decode_png16(data)
             except png16.Png16Error:
                 pass
-    if data[:4] in (b"II*\x00", b"MM\x00*"):
-        # 16-bit color TIFFs: same high-byte story as PNG (PIL's
-        # RGB;16 raw modes), same fix — raw decode with the crate's
-        # round scaling; unsupported layouts (tiles, planar=2, other
-        # compressions) fall back to PIL's high-byte read
+    if data[:2] in (b"II", b"MM"):
+        # 16-bit color TIFFs (classic or BigTIFF): same high-byte
+        # story as PNG (PIL's RGB;16 raw modes), same fix — raw
+        # decode with the crate's round scaling; unsupported layouts
+        # fall back to PIL's high-byte read (tiff16._container
+        # rejects non-TIFF II/MM prefixes before any IFD walk)
         from . import tiff16
 
         if tiff16.sniff16(data):

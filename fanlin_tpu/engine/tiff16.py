@@ -54,7 +54,9 @@ _TAG_SAMPLE_FORMAT = 339
 
 # field type -> (numpy dtype code, size)
 _TYPES = {1: ("u1", 1), 3: ("u2", 2), 4: ("u4", 4), 6: ("i1", 1),
-          8: ("i2", 2), 9: ("i4", 4)}
+          8: ("i2", 2), 9: ("i4", 4),
+          # BigTIFF additions: LONG8 / SLONG8 / IFD8
+          16: ("u8", 8), 17: ("i8", 8), 18: ("u8", 8)}
 
 # only these tags are ever consulted; everything else is skipped
 # UNREAD, so a hostile tag claiming millions of entries costs nothing
@@ -76,28 +78,45 @@ _WIDE_TAGS = frozenset((_TAG_STRIP_OFFSETS, _TAG_STRIP_COUNTS,
 _SCALAR_MAX = 64
 
 
-def _read_ifd(data: bytes, bo: str) -> Dict[int, Tuple[int, ...]]:
-    if len(data) < 8:
+def _read_ifd(data: bytes, bo: str,
+              big: bool = False) -> Dict[int, Tuple[int, ...]]:
+    """First-IFD tag walk. big=True reads the BigTIFF (version 43)
+    shape: 8-byte IFD offset at byte 8, u8 entry count, 20-byte
+    entries with u8 value counts and 8 inline value bytes."""
+    if len(data) < (16 if big else 8):
         raise Tiff16Error("short header")
-    off = struct.unpack(bo + "I", data[4:8])[0]
-    if off + 2 > len(data):
-        raise Tiff16Error("bad IFD offset")
-    n = struct.unpack(bo + "H", data[off:off + 2])[0]
+    if big:
+        off = struct.unpack(bo + "Q", data[8:16])[0]
+        if off + 8 > len(data):
+            raise Tiff16Error("bad IFD offset")
+        n = struct.unpack(bo + "Q", data[off:off + 8])[0]
+        pos = off + 8
+        esize, inline = 20, 8
+        head_fmt, off_fmt = bo + "HHQ", bo + "Q"
+    else:
+        off = struct.unpack(bo + "I", data[4:8])[0]
+        if off + 2 > len(data):
+            raise Tiff16Error("bad IFD offset")
+        n = struct.unpack(bo + "H", data[off:off + 2])[0]
+        pos = off + 2
+        esize, inline = 12, 4
+        head_fmt, off_fmt = bo + "HHI", bo + "I"
+    head = esize - inline
     tags: Dict[int, Tuple[int, ...]] = {}
-    pos = off + 2
-    if pos + 12 * n > len(data):
+    if n > 1 << 16 or pos + esize * n > len(data):
         raise Tiff16Error("truncated IFD")
     for _ in range(n):
-        tid, typ, cnt = struct.unpack(bo + "HHI", data[pos:pos + 8])
+        tid, typ, cnt = struct.unpack(head_fmt, data[pos:pos + head])
         if (tid in _NEEDED_TAGS and typ in _TYPES
                 and cnt <= (1 << 24 if tid in _WIDE_TAGS
                             else _SCALAR_MAX)):
             code, size = _TYPES[typ]
             total = size * cnt
-            if total <= 4:
-                raw = data[pos + 8:pos + 8 + total]
+            if total <= inline:
+                raw = data[pos + head:pos + head + total]
             else:
-                voff = struct.unpack(bo + "I", data[pos + 8:pos + 12])[0]
+                voff = struct.unpack(
+                    off_fmt, data[pos + head:pos + esize])[0]
                 if voff + total > len(data):
                     raise Tiff16Error("tag value out of range")
                 raw = data[voff:voff + total]
@@ -111,21 +130,36 @@ def _read_ifd(data: bytes, bo: str) -> Dict[int, Tuple[int, ...]]:
                 tags[tid] = tuple(
                     int(v) for v in np.frombuffer(raw, bo + code)
                 )
-        pos += 12
+        pos += esize
     return tags
 
 
+def _container(data: bytes):
+    """(byte order, is_bigtiff) or None when not a TIFF container we
+    read (classic version 42, BigTIFF version 43 with 8-byte
+    offsets)."""
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return ("<" if data[:2] == b"II" else ">"), False
+    if data[:2] in (b"II", b"MM") and len(data) >= 16:
+        bo = "<" if data[:2] == b"II" else ">"
+        ver, osz, pad = struct.unpack(bo + "HHH", data[2:8])
+        if ver == 43 and osz == 8 and pad == 0:
+            return bo, True
+    return None
+
+
 def sniff16(data: bytes) -> bool:
-    """True when this is a classic TIFF whose first IFD declares
-    16-bit unsigned samples with spp >= 2 (the layouts PIL mangles).
-    Layout support is checked later; this gate only decides routing —
-    a True here with an unsupported layout falls back to PIL inside
-    decode_tiff16."""
-    if data[:4] not in (b"II*\x00", b"MM\x00*"):
+    """True when this is a TIFF (classic or BigTIFF) whose first IFD
+    declares 16-bit unsigned samples with spp >= 2 (the layouts PIL
+    mangles). Layout support is checked later; this gate only decides
+    routing — a True here with an unsupported layout falls back to
+    PIL inside decode_tiff16."""
+    con = _container(data)
+    if con is None:
         return False
-    bo = "<" if data[:2] == b"II" else ">"
+    bo, big = con
     try:
-        tags = _read_ifd(data, bo)
+        tags = _read_ifd(data, bo, big)
     except Tiff16Error:
         return False
     bps = tags.get(_TAG_BPS, ())
@@ -374,8 +408,11 @@ def decode_tiff16(data: bytes) -> Tuple[np.ndarray, bool, bool]:
     """16-bit TIFF -> ((H, W, 3|4) u8, has_alpha, is_gray), the
     codecs.decode contract. CodecError past the 512 MiB gate,
     Tiff16Error on unsupported layout / damage (caller falls back)."""
-    bo = "<" if data[:2] == b"II" else ">"
-    tags = _read_ifd(data, bo)
+    con = _container(data)
+    if con is None:
+        raise Tiff16Error("not a TIFF container")
+    bo, big = con
+    tags = _read_ifd(data, bo, big)
     tiled = _TAG_TILE_WIDTH in tags
     try:
         w = tags[_TAG_WIDTH][0]
