@@ -128,6 +128,13 @@ def build(outdir: pathlib.Path) -> dict:
         # crc break -> Png16Error -> PIL fallback also rejects it
         "ok16.tif": (tiff16_src, 200),
         "trunc16.tif": (tiff16_src[: len(tiff16_src) - 64], 500),
+        # layout axes of the raw reader: tiled / planar / BigTIFF
+        "tiled16.tif": (make_tiff16(a16, compression=5, predictor=2,
+                                    tile=(32, 32)), 200),
+        "planar16.tif": (make_tiff16(a16, compression=8, planar=2,
+                                     rows_per_strip=16), 200),
+        "big16.tif": (make_tiff16(a16, big=True, compression=5,
+                                  predictor=2, rows_per_strip=8), 200),
     }
     expected = {}
     for name, (data, status) in manifest.items():

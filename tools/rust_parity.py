@@ -66,6 +66,11 @@ ROWS = [
     ("png16_resize", "grad16.png", "w=100&h=80", None, 45.0),
     # same decode-scaling probe through the tiff path (engine/tiff16.py)
     ("tiff16_inverse", "grad16.tif", "inverse=true", None, 45.0),
+    # layout axes of the raw reader vs the crate's tiff decoder:
+    # tiled organization, planar config 2, BigTIFF container
+    ("tiff16_tiled", "grad16t.tif", "inverse=true", None, 45.0),
+    ("tiff16_planar", "grad16p.tif", "inverse=true", None, 45.0),
+    ("tiff16_bigtiff", "grad16b.tif", "inverse=true", None, 45.0),
 ]
 
 
@@ -87,6 +92,15 @@ def synth_sources(imgdir: str) -> None:
     with open(os.path.join(imgdir, "grad16.tif"), "wb") as f:
         f.write(make_tiff16(a16, compression=8, predictor=2,
                             rows_per_strip=16))
+    with open(os.path.join(imgdir, "grad16t.tif"), "wb") as f:
+        f.write(make_tiff16(a16, compression=5, predictor=2,
+                            tile=(32, 32)))
+    with open(os.path.join(imgdir, "grad16p.tif"), "wb") as f:
+        f.write(make_tiff16(a16, compression=8, planar=2,
+                            rows_per_strip=16))
+    with open(os.path.join(imgdir, "grad16b.tif"), "wb") as f:
+        f.write(make_tiff16(a16, big=True, compression=5, predictor=2,
+                            rows_per_strip=8))
 
     from PIL import Image
 
