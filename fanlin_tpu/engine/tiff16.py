@@ -150,10 +150,13 @@ def _container(data: bytes):
 
 def sniff16(data: bytes) -> bool:
     """True when this is a TIFF (classic or BigTIFF) whose first IFD
-    declares 16-bit unsigned samples with spp >= 2 (the layouts PIL
-    mangles). Layout support is checked later; this gate only decides
-    routing — a True here with an unsupported layout falls back to
-    PIL inside decode_tiff16."""
+    declares samples this reader covers and PIL mangles: 16-bit
+    unsigned with spp >= 2 (PIL keeps only the high byte), or 32-bit
+    IEEE float color (spp >= 3 — PIL cannot open float color at all,
+    where the image crate decodes Rgb32F/Rgba32F, handler.rs:306).
+    Layout support is checked later; this gate only decides routing —
+    a True here with an unsupported layout falls back to PIL inside
+    decode_tiff16."""
     con = _container(data)
     if con is None:
         return False
@@ -165,8 +168,13 @@ def sniff16(data: bytes) -> bool:
     bps = tags.get(_TAG_BPS, ())
     spp = tags.get(_TAG_SPP, (1,))[0]
     fmt = tags.get(_TAG_SAMPLE_FORMAT, (1,))
-    return (spp >= 2 and len(bps) >= 1 and all(b == 16 for b in bps)
-            and all(f == 1 for f in fmt))
+    if not bps:
+        return False
+    if all(b == 16 for b in bps) and all(f == 1 for f in fmt):
+        return spp >= 2
+    if all(b == 32 for b in bps) and all(f == 3 for f in fmt):
+        return spp >= 3
+    return False
 
 
 # the python packbits loop iterates once per control byte (cost is
@@ -277,10 +285,10 @@ def _lzw_decode(src: bytes, out_len: int) -> bytes:
 
 
 def _chunk_u16(data: bytes, off: int, cnt: int, want: int, comp: int,
-               bo: str, shape) -> np.ndarray:
+               bo: str, shape, dt: str = "u2",
+               pred: int = 1) -> np.ndarray:
     """One strip/tile: slice, decompress to exactly `want` bytes,
-    view as native-endian-aware u16 with `shape` (the predictor is
-    applied by the caller)."""
+    apply the predictor, view as `dt` samples with `shape`."""
     if off + cnt > len(data):
         raise Tiff16Error("strip out of range")
     raw = data[off:off + cnt]
@@ -299,7 +307,12 @@ def _chunk_u16(data: bytes, off: int, cnt: int, want: int, comp: int,
         raw = _unpackbits(raw, want)
     else:  # 5: LZW
         raw = _lzw(raw, want)
-    return np.frombuffer(raw, dtype=bo + "u2").reshape(shape)
+    if pred == 3:
+        return _fp_undiff(raw, shape)
+    out = np.frombuffer(raw, dtype=bo + dt).reshape(shape)
+    if pred == 2:
+        out = _undiff(out)
+    return out
 
 
 def _undiff(chunk: np.ndarray) -> np.ndarray:
@@ -311,21 +324,43 @@ def _undiff(chunk: np.ndarray) -> np.ndarray:
     ).astype(np.uint16)
 
 
+def _fp_undiff(raw: bytes, shape) -> np.ndarray:
+    """Predictor 3 (TIFF TechNote 3, libtiff tif_predict.c fpAcc):
+    each row's f32 samples travel as 4 byte planes in significance
+    order (MSB plane first, regardless of container byte order),
+    horizontally byte-differenced with stride = samples-per-pixel.
+    Decode = byte cumsum mod 256 per lane, regather planes, read
+    big-endian f32."""
+    rows, w, cpp = shape
+    rb = w * cpp * 4
+    a = np.frombuffer(raw, np.uint8).reshape(rows, rb)
+    # cumsum per byte lane (stride = cpp): lane k holds bytes
+    # k, k+cpp, k+2*cpp, ... of the row
+    acc = np.empty((rows, rb), np.uint8)
+    for k in range(cpp):
+        lane = a[:, k::cpp].astype(np.uint32).cumsum(
+            axis=1, dtype=np.uint32)
+        acc[:, k::cpp] = (lane & 255).astype(np.uint8)
+    # regather: plane p (of 4, MSB first) is acc[:, p*w*cpp:(p+1)*w*cpp]
+    planes = acc.reshape(rows, 4, w * cpp)
+    be = np.empty((rows, w * cpp, 4), np.uint8)
+    for p in range(4):
+        be[:, :, p] = planes[:, p]
+    return be.reshape(rows, -1).view(">f4").reshape(shape)
+
+
 def _decode_strips(data, bo, w, h, spp, comp, pred, rps, offsets,
-                   counts) -> np.ndarray:
-    """Chunky (planar=1) strips -> (h, w, spp) u16."""
-    rowbytes = w * spp * 2
+                   counts, ssz, dt) -> np.ndarray:
+    """Chunky (planar=1) strips -> (h, w, spp) samples."""
+    rowbytes = w * spp * ssz
     parts = []
     row = 0
     for off, cnt in zip(offsets, counts):
         if row >= h:
             break
         rows = min(rps, h - row)
-        strip = _chunk_u16(data, off, cnt, rows * rowbytes, comp, bo,
-                           (rows, w, spp))
-        if pred == 2:
-            strip = _undiff(strip)
-        parts.append(strip)
+        parts.append(_chunk_u16(data, off, cnt, rows * rowbytes, comp,
+                                bo, (rows, w, spp), dt, pred))
         row += rows
     if row < h:
         raise Tiff16Error("missing strips")
@@ -333,11 +368,12 @@ def _decode_strips(data, bo, w, h, spp, comp, pred, rps, offsets,
 
 
 def _decode_strips_planar(data, bo, w, h, spp, comp, pred, rps,
-                          offsets, counts) -> np.ndarray:
-    """Planar (config 2) strips -> (h, w, spp) u16: each channel's
-    strips are stored consecutively (TIFF6 §IFD PlanarConfiguration),
-    one channel per strip, so the strip count is spp x strips-per-
-    plane and the predictor differences within the single channel."""
+                          offsets, counts, ssz, dt) -> np.ndarray:
+    """Planar (config 2) strips -> (h, w, spp) samples: each
+    channel's strips are stored consecutively (TIFF6 §IFD
+    PlanarConfiguration), one channel per strip, so the strip count
+    is spp x strips-per-plane and the predictor differences within
+    the single channel."""
     spl = (h + rps - 1) // rps
     if len(offsets) < spl * spp:
         raise Tiff16Error("planar strip table too short")
@@ -348,11 +384,8 @@ def _decode_strips_planar(data, bo, w, h, spp, comp, pred, rps,
         for i in range(spl):
             rows = min(rps, h - row)
             off, cnt = offsets[s * spl + i], counts[s * spl + i]
-            strip = _chunk_u16(data, off, cnt, rows * w * 2, comp, bo,
-                               (rows, w, 1))
-            if pred == 2:
-                strip = _undiff(strip)
-            parts.append(strip)
+            parts.append(_chunk_u16(data, off, cnt, rows * w * ssz,
+                                    comp, bo, (rows, w, 1), dt, pred))
             row += rows
         planes.append(
             np.concatenate(parts, axis=0) if len(parts) > 1
@@ -362,10 +395,10 @@ def _decode_strips_planar(data, bo, w, h, spp, comp, pred, rps,
 
 
 def _decode_tiles(data, tags, bo, w, h, spp, comp, planar, pred,
-                  offsets, counts) -> np.ndarray:
-    """Tiled organization (TIFF6 §15) -> (h, w, spp) u16. Tiles are
-    th x tw, edge tiles padded to full size, ordered left-to-right /
-    top-to-bottom (then per channel plane when planar=2)."""
+                  offsets, counts, ssz, dt) -> np.ndarray:
+    """Tiled organization (TIFF6 §15) -> (h, w, spp) samples. Tiles
+    are th x tw, edge tiles padded to full size, ordered left-to-
+    right / top-to-bottom (then per channel plane when planar=2)."""
     try:
         tw = tags[_TAG_TILE_WIDTH][0]
         th = tags[_TAG_TILE_LENGTH][0]
@@ -377,25 +410,24 @@ def _decode_tiles(data, tags, bo, w, h, spp, comp, planar, pred,
     down = (h + th - 1) // th
     # the padded assembly buffer is what actually allocates — gate it
     # (edge padding can exceed the w*h gate; hostile tw/th vastly so)
-    if across * tw * down * th * spp * 2 > MAX_DECODE_ALLOC:
+    if across * tw * down * th * spp * ssz > MAX_DECODE_ALLOC:
         raise CodecError(
             f"tiled decode allocation {across * tw}x{down * th} "
-            f"16-bit/{spp}ch exceeds the 512 MiB limit"
+            f"{8 * ssz}-bit/{spp}ch exceeds the 512 MiB limit"
         )
     cpp = spp if planar == 1 else 1
     per_plane = across * down
     need = per_plane * (1 if planar == 1 else spp)
     if len(offsets) < need:
         raise Tiff16Error("tile table too short")
-    pad = np.zeros((down * th, across * tw, spp), np.uint16)
-    want = th * tw * cpp * 2
+    pad = np.zeros((down * th, across * tw, spp),
+                   np.uint16 if ssz == 2 else np.float32)
+    want = th * tw * cpp * ssz
     for idx in range(need):
         plane, pos = divmod(idx, per_plane)
         ty, tx = divmod(pos, across)
         tile = _chunk_u16(data, offsets[idx], counts[idx], want, comp,
-                          bo, (th, tw, cpp))
-        if pred == 2:
-            tile = _undiff(tile)
+                          bo, (th, tw, cpp), dt, pred)
         dst = pad[ty * th:(ty + 1) * th, tx * tw:(tx + 1) * tw]
         if planar == 1:
             dst[:] = tile
@@ -431,13 +463,22 @@ def decode_tiff16(data: bytes) -> Tuple[np.ndarray, bool, bool]:
     planar = tags.get(_TAG_PLANAR, (1,))[0]
     pred = tags.get(_TAG_PREDICTOR, (1,))[0]
     rps = tags.get(_TAG_ROWS_PER_STRIP, (h,))[0] or h
+    bps = tags.get(_TAG_BPS, ())
+    fmt = tags.get(_TAG_SAMPLE_FORMAT, (1,))
+    if bps and all(b == 32 for b in bps) and all(f == 3 for f in fmt):
+        is_float = True  # IEEE f32 (the crate's Rgb32F/Rgba32F class)
+    elif bps and all(b == 16 for b in bps) and all(f == 1 for f in fmt):
+        is_float = False
+    else:
+        raise Tiff16Error("unsupported sample layout")
+    ssz, dt = (4, "f4") if is_float else (2, "u2")
     if planar not in (1, 2):
         raise Tiff16Error(f"planar config {planar}")
     if comp not in (1, 5, 8, 32946, 32773):
         raise Tiff16Error(f"compression {comp}")
-    if photo not in (0, 1, 2):
+    if photo not in (0, 1, 2) or (is_float and photo == 0):
         raise Tiff16Error(f"photometric {photo}")
-    if pred not in (1, 2):
+    if pred not in ((1, 3) if is_float else (1, 2)):
         raise Tiff16Error(f"predictor {pred}")
     if not 1 <= spp <= 4:
         raise Tiff16Error(f"spp {spp}")
@@ -450,32 +491,43 @@ def decode_tiff16(data: bytes) -> Tuple[np.ndarray, bool, bool]:
         # signed tag types (SLONG etc.) are legal containers; negative
         # values would slice from the buffer END below
         raise Tiff16Error("negative strip geometry")
-    if w * h * spp * 2 > MAX_DECODE_ALLOC:
+    if w * h * spp * ssz > MAX_DECODE_ALLOC:
         raise CodecError(
-            f"image decode allocation {w}x{h} 16-bit/{spp}ch exceeds "
-            f"the 512 MiB limit"
+            f"image decode allocation {w}x{h} {8 * ssz}-bit/{spp}ch "
+            f"exceeds the 512 MiB limit"
         )
 
     if tiled:
-        a16 = _decode_tiles(data, tags, bo, w, h, spp, comp, planar,
-                            pred, offsets, counts)
+        arr = _decode_tiles(data, tags, bo, w, h, spp, comp, planar,
+                            pred, offsets, counts, ssz, dt)
     elif planar == 2:
-        a16 = _decode_strips_planar(data, bo, w, h, spp, comp, pred,
-                                    rps, offsets, counts)
+        arr = _decode_strips_planar(data, bo, w, h, spp, comp, pred,
+                                    rps, offsets, counts, ssz, dt)
     else:
-        a16 = _decode_strips(data, bo, w, h, spp, comp, pred, rps,
-                             offsets, counts)
-    a16 = np.ascontiguousarray(a16.astype(np.uint16))
-    if photo == 0:  # WhiteIsZero: invert the gray samples
-        if spp == 1:
-            a16 = (65535 - a16.astype(np.uint32)).astype(np.uint16)
-        elif spp == 2:
-            g = (65535 - a16[:, :, :1].astype(np.uint32)).astype(np.uint16)
-            a16 = np.concatenate([g, a16[:, :, 1:]], axis=2)
+        arr = _decode_strips(data, bo, w, h, spp, comp, pred, rps,
+                             offsets, counts, ssz, dt)
+    if is_float:
+        # round(clamp(v, 0, 1) * 255): the image crate's Rgb32F ->
+        # Rgb8 conversion (same mapping as the HDR/EXR float paths).
+        # NaN -> 0 like Rust's saturating float->int cast; +-inf ride
+        # the clamp.
+        u8 = np.round(
+            np.clip(np.nan_to_num(arr.astype(np.float32), nan=0.0),
+                    0.0, 1.0) * 255.0
+        ).astype(np.uint8)
+    else:
+        a16 = np.ascontiguousarray(arr.astype(np.uint16))
+        if photo == 0:  # WhiteIsZero: invert the gray samples
+            if spp == 1:
+                a16 = (65535 - a16.astype(np.uint32)).astype(np.uint16)
+            elif spp == 2:
+                g = (65535 - a16[:, :, :1].astype(np.uint32)).astype(
+                    np.uint16)
+                a16 = np.concatenate([g, a16[:, :, 1:]], axis=2)
 
-    from .extra_codecs import _scale_to_u8
+        from .extra_codecs import _scale_to_u8
 
-    u8 = _scale_to_u8(np.ravel(a16), 65535).reshape(a16.shape)
+        u8 = _scale_to_u8(np.ravel(a16), 65535).reshape(a16.shape)
 
     if spp == 1:
         return np.ascontiguousarray(np.repeat(u8, 3, axis=2)), False, True

@@ -66,15 +66,35 @@ def make_tiff16(a16, bo="<", compression=1, predictor=1, rows_per_strip=None,
     emits the BigTIFF (version 43) container."""
     h, w, spp = a16.shape
     rps = rows_per_strip or h
+    isfloat = a16.dtype.kind == "f"
     if photometric is None:
         photometric = 2 if spp >= 3 else 1
 
     def enc(sub):
-        if predictor == 2:
+        if isfloat:
+            if predictor == 3:
+                # TIFF TechNote 3 fp predictor: rows as 4 big-endian
+                # byte planes (MSB first), byte-differenced with
+                # stride = the chunk's channel count
+                rows, wq, cpp = sub.shape
+                be = np.ascontiguousarray(sub.astype(">f4")).view(
+                    np.uint8).reshape(rows, wq * cpp, 4)
+                planes = np.empty((rows, 4, wq * cpp), np.uint8)
+                for p in range(4):
+                    planes[:, p] = be[:, :, p]
+                flat = planes.reshape(rows, -1).astype(np.int16)
+                d = flat.copy()
+                d[:, cpp:] -= flat[:, :-cpp]
+                raw = (d & 0xFF).astype(np.uint8).tobytes()
+            else:
+                raw = sub.astype(bo + "f4").tobytes()
+        elif predictor == 2:
             d = sub.astype(np.int32)
             d[:, 1:] -= sub[:, :-1].astype(np.int32)
             sub = (d & 0xFFFF).astype(np.uint16)
-        raw = sub.astype(bo + "u2").tobytes()
+            raw = sub.astype(bo + "u2").tobytes()
+        else:
+            raw = sub.astype(bo + "u2").tobytes()
         if compression == 1:
             return raw
         if compression in (8, 32946):
@@ -99,7 +119,7 @@ def make_tiff16(a16, bo="<", compression=1, predictor=1, rows_per_strip=None,
         for p in planes:
             padded = np.zeros(((h + th - 1) // th * th,
                                (w + tw - 1) // tw * tw, p.shape[2]),
-                              np.uint16)
+                              a16.dtype)
             padded[:h, :w] = p
             for y0 in range(0, padded.shape[0], th):
                 for x0 in range(0, padded.shape[1], tw):
@@ -110,10 +130,13 @@ def make_tiff16(a16, bo="<", compression=1, predictor=1, rows_per_strip=None,
                 strips.append(enc(p[y0:y0 + rps]))
 
     tags = [
-        (256, 3, [w]), (257, 3, [h]), (258, 3, [16] * spp),
+        (256, 3, [w]), (257, 3, [h]),
+        (258, 3, [32 if isfloat else 16] * spp),
         (259, 3, [compression]), (262, 3, [photometric]),
         (277, 3, [spp]), (284, 3, [planar]),
     ]
+    if isfloat:
+        tags.append((339, 3, [3] * spp))
     if tile is None:
         tags.append((278, 3, [rps]))
     else:
@@ -524,3 +547,75 @@ def test_bigtiff_through_codecs_decode():
     arr, has_alpha, _g = codecs.decode(t)
     assert has_alpha
     np.testing.assert_array_equal(arr, _expect_u8(a))
+
+
+def _imgf32(h, w, ch, seed=30):
+    rng = np.random.default_rng(seed)
+    a = rng.random((h, w, ch)).astype(np.float32)
+    # range/edge probes: negative, >1, +-inf, NaN, exact bounds
+    a.reshape(-1)[:7] = (0.0, 1.0, -0.25, 2.5, np.inf, -np.inf, np.nan)
+    return a
+
+
+def _expect_f32_u8(a):
+    return np.round(
+        np.clip(np.nan_to_num(a, nan=0.0), 0.0, 1.0) * 255.0
+    ).astype(np.uint8)
+
+
+@pytest.mark.parametrize("bo", ["<", ">"])
+@pytest.mark.parametrize("comp,pred", [(1, 1), (8, 1), (8, 3), (5, 3)])
+def test_float_rgb_tiff(bo, comp, pred):
+    """f32 RGB TIFFs decode with the crate's Rgb32F -> Rgb8 mapping
+    (round(clamp(v,0,1)*255), NaN -> 0). PIL cannot open float color
+    TIFFs at all, so these used to 500 where the reference processes
+    them (handler.rs:306)."""
+    a = _imgf32(11, 13, 3)
+    t = make_tiff16(a, bo=bo, compression=comp, predictor=pred,
+                    rows_per_strip=4)
+    assert tiff16.sniff16(t)
+    arr, has_alpha, is_gray = tiff16.decode_tiff16(t)
+    assert not has_alpha and not is_gray
+    np.testing.assert_array_equal(arr, _expect_f32_u8(a))
+
+
+def test_float_rgba_tiled_and_planar():
+    a = _imgf32(18, 21, 4, seed=31)
+    for kw in ({"tile": (16, 16)}, {"planar": 2, "rows_per_strip": 5},
+               {"tile": (16, 16), "planar": 2, "predictor": 3,
+                "compression": 8}):
+        t = make_tiff16(a, **kw)
+        arr, has_alpha, _g = tiff16.decode_tiff16(t)
+        assert has_alpha
+        np.testing.assert_array_equal(arr, _expect_f32_u8(a),
+                                      err_msg=str(kw))
+
+
+def test_fp_predictor_against_libtiff():
+    """Oracle for the TechNote-3 fp predictor: PIL reads float GRAY
+    TIFFs through libtiff (mode F), including predictor 3 — if our
+    writer's byte-split/differencing disagreed with libtiff's
+    fpAcc/fpDiff, PIL's read of our fixture would differ. The raw
+    reader then decodes the same bytes, closing the loop."""
+    import io
+
+    from PIL import Image
+
+    a = _imgf32(9, 26, 1, seed=32)
+    a = np.nan_to_num(a, nan=0.5, posinf=3.0, neginf=-3.0)  # float-exact cmp
+    t = make_tiff16(a, compression=8, predictor=3)
+    with Image.open(io.BytesIO(t)) as im:
+        assert im.mode == "F"
+        pil = np.asarray(im, dtype=np.float32)
+    np.testing.assert_array_equal(pil, a[:, :, 0])
+    arr, _ha, is_gray = tiff16.decode_tiff16(t)
+    assert is_gray
+    np.testing.assert_array_equal(arr[:, :, 0], _expect_f32_u8(a)[:, :, 0])
+
+
+def test_float_rgb_through_codecs_decode():
+    a = _imgf32(8, 12, 3, seed=33)
+    t = make_tiff16(a, compression=8, predictor=3)
+    arr, has_alpha, _g = codecs.decode(t)
+    assert not has_alpha
+    np.testing.assert_array_equal(arr, _expect_f32_u8(a))

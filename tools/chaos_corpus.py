@@ -135,6 +135,9 @@ def build(outdir: pathlib.Path) -> dict:
                                      rows_per_strip=16), 200),
         "big16.tif": (make_tiff16(a16, big=True, compression=5,
                                   predictor=2, rows_per_strip=8), 200),
+        "f32.tif": (make_tiff16(
+            (a16.astype(np.float32) / 65535.0), compression=8,
+            predictor=3, rows_per_strip=16), 200),
     }
     expected = {}
     for name, (data, status) in manifest.items():
