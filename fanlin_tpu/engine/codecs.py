@@ -279,9 +279,10 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
         # rejects non-TIFF II/MM prefixes before any IFD walk)
         from . import tiff16
 
-        if tiff16.sniff16(data):
+        parsed = tiff16.sniff16_parsed(data)
+        if parsed is not None:
             try:
-                return tiff16.decode_tiff16(data)
+                return tiff16.decode_tiff16(data, parsed)
             except tiff16.Tiff16Error:
                 pass
     try:
@@ -296,9 +297,11 @@ def decode(data: bytes) -> Tuple[np.ndarray, bool, bool]:
             # tRNS color keys on non-palette modes count too: the
             # crate's png EXPAND turns RGB/L + tRNS into an alpha
             # plane, and PIL's convert("RGBA") applies the key from
-            # im.info (16-bit keys route through png16 above)
+            # im.info (16-bit keys route through png16 above; 1-bit
+            # grayscale opens as mode "1" and carries the same key)
             has_alpha = mode in ("RGBA", "LA", "PA") or (
-                mode in ("P", "RGB", "L") and "transparency" in im.info
+                mode in ("P", "RGB", "L", "1")
+                and "transparency" in im.info
             )
             is_gray = mode in ("L", "LA", "I", "I;16", "1")
             # Wide-grayscale modes PIL mangles (clips I;16/I at 255,

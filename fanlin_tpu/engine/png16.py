@@ -88,11 +88,22 @@ def _unfilter(raw: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
     return _unfilter_py(raw, h, rowbytes, bpp)
 
 
+# the per-byte Average/Paeth recurrence runs ~1.1 MB/s in python;
+# past this an unbuilt/old native core falls back to PIL's fast
+# high-byte read instead of burning seconds of GIL inside a request
+# (<=1 LSB precision cost — the same bounded-mirror contract as
+# tiff16's _PY_LZW_MAX / _PY_PACKBITS_MAX)
+_PY_UNFILTER_MAX = 2 << 20
+
+
 def _unfilter_py(raw: bytes, h: int, rowbytes: int, bpp: int) -> np.ndarray:
     """Pure-numpy fallback. None/Sub/Up vectorize (Sub is a per-lane
     prefix sum mod 256); Average/Paeth are inherently sequential and
     loop per byte -- correctness path only, the native core carries
-    the hot case."""
+    the hot case (and anything big when that core is missing falls
+    back to PIL instead of riding this loop)."""
+    if h * rowbytes > _PY_UNFILTER_MAX:
+        raise Png16Error("stream too large for the python unfilter")
     out = np.empty((h, rowbytes), np.uint8)
     stride = 1 + rowbytes
     prev: Optional[np.ndarray] = None

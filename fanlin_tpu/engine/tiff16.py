@@ -76,6 +76,16 @@ _NEEDED_TAGS = frozenset((
 _WIDE_TAGS = frozenset((_TAG_STRIP_OFFSETS, _TAG_STRIP_COUNTS,
                         _TAG_TILE_OFFSETS, _TAG_TILE_COUNTS))
 _SCALAR_MAX = 64
+# Hard cap on strip/tile table length — and therefore on the
+# per-chunk python loop below (the decode gate bounds BYTES, but a
+# crafted 1-row-per-strip table drives up to 2^24 loop iterations of
+# pure-python chunk assembly — ~45 s of GIL and GBs of tiny-ndarray
+# overhead from a ~134 MB file — before any pixel math runs). Real
+# writers target ~8 KB+ per strip, so gate-passing images sit far
+# under this; anything over it falls back to PIL, whose libtiff walks
+# the table at C speed (<=1 LSB precision cost, the standard
+# fallback contract).
+_CHUNK_MAX = 1 << 18
 
 
 def _read_ifd(data: bytes, bo: str,
@@ -107,9 +117,12 @@ def _read_ifd(data: bytes, bo: str,
         raise Tiff16Error("truncated IFD")
     for _ in range(n):
         tid, typ, cnt = struct.unpack(head_fmt, data[pos:pos + head])
+        # cnt == 0 is treated as absent (indexing an empty value tuple
+        # raised IndexError past the Tiff16Error fallback contract);
+        # required-tag KeyErrors below become Tiff16Error -> PIL
         if (tid in _NEEDED_TAGS and typ in _TYPES
-                and cnt <= (1 << 24 if tid in _WIDE_TAGS
-                            else _SCALAR_MAX)):
+                and 0 < cnt <= (_CHUNK_MAX if tid in _WIDE_TAGS
+                                else _SCALAR_MAX)):
             code, size = _TYPES[typ]
             total = size * cnt
             if total <= inline:
@@ -148,33 +161,41 @@ def _container(data: bytes):
     return None
 
 
-def sniff16(data: bytes) -> bool:
-    """True when this is a TIFF (classic or BigTIFF) whose first IFD
-    declares samples this reader covers and PIL mangles: 16-bit
-    unsigned with spp >= 2 (PIL keeps only the high byte), or 32-bit
-    IEEE float color (spp >= 3 — PIL cannot open float color at all,
-    where the image crate decodes Rgb32F/Rgba32F, handler.rs:306).
+def sniff16_parsed(data: bytes):
+    """(byte order, is_bigtiff, first-IFD tags) when this is a TIFF
+    (classic or BigTIFF) whose first IFD declares samples this reader
+    covers and PIL mangles: 16-bit unsigned with spp >= 2 (PIL keeps
+    only the high byte), or 32-bit IEEE float color (spp >= 3 — PIL
+    cannot open float color at all, where the image crate decodes
+    Rgb32F/Rgba32F, handler.rs:306). None otherwise; never raises.
     Layout support is checked later; this gate only decides routing —
-    a True here with an unsupported layout falls back to PIL inside
-    decode_tiff16."""
+    a non-None here with an unsupported layout falls back to PIL
+    inside decode_tiff16, which reuses this parse (the strip tables
+    alone can be MBs; walking the IFD twice per request doubled the
+    transient)."""
     con = _container(data)
     if con is None:
-        return False
+        return None
     bo, big = con
     try:
         tags = _read_ifd(data, bo, big)
     except Tiff16Error:
-        return False
+        return None
     bps = tags.get(_TAG_BPS, ())
     spp = tags.get(_TAG_SPP, (1,))[0]
     fmt = tags.get(_TAG_SAMPLE_FORMAT, (1,))
     if not bps:
-        return False
+        return None
     if all(b == 16 for b in bps) and all(f == 1 for f in fmt):
-        return spp >= 2
+        return (bo, big, tags) if spp >= 2 else None
     if all(b == 32 for b in bps) and all(f == 3 for f in fmt):
-        return spp >= 3
-    return False
+        return (bo, big, tags) if spp >= 3 else None
+    return None
+
+
+def sniff16(data: bytes) -> bool:
+    """Routing predicate form of sniff16_parsed."""
+    return sniff16_parsed(data) is not None
 
 
 # the python packbits loop iterates once per control byte (cost is
@@ -436,15 +457,20 @@ def _decode_tiles(data, tags, bo, w, h, spp, comp, planar, pred,
     return pad[:h, :w]
 
 
-def decode_tiff16(data: bytes) -> Tuple[np.ndarray, bool, bool]:
+def decode_tiff16(data: bytes, parsed=None) -> Tuple[np.ndarray, bool, bool]:
     """16-bit TIFF -> ((H, W, 3|4) u8, has_alpha, is_gray), the
     codecs.decode contract. CodecError past the 512 MiB gate,
-    Tiff16Error on unsupported layout / damage (caller falls back)."""
-    con = _container(data)
-    if con is None:
-        raise Tiff16Error("not a TIFF container")
-    bo, big = con
-    tags = _read_ifd(data, bo, big)
+    Tiff16Error on unsupported layout / damage (caller falls back).
+    `parsed` is sniff16_parsed's result, reused so the routing sniff
+    and the decode share one IFD walk."""
+    if parsed is not None:
+        bo, _big, tags = parsed
+    else:
+        con = _container(data)
+        if con is None:
+            raise Tiff16Error("not a TIFF container")
+        bo, big = con
+        tags = _read_ifd(data, bo, big)
     tiled = _TAG_TILE_WIDTH in tags
     try:
         w = tags[_TAG_WIDTH][0]

@@ -274,3 +274,23 @@ def test_pnm_samples_above_maxval_clamp_not_wrap():
            b"TUPLTYPE GRAYSCALE\nENDHDR\n" + bytes([200, 100]))
     arr, _, _ = codecs.decode(pam)
     assert arr[..., 0].ravel().tolist() == [255, 255]
+
+
+def test_1bit_trns_color_key_expands_to_alpha():
+    """Mode "1" (1-bit grayscale) PNGs carry the same tRNS key class
+    as RGB/L; the crate's png EXPAND makes the key transparent there
+    too (PIL opens them as mode "1" with the key in im.info)."""
+    import io
+
+    from PIL import Image
+
+    from fanlin_tpu.engine import codecs
+
+    img = Image.new("1", (4, 4), 1)
+    img.putpixel((2, 1), 0)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG", transparency=0)
+    arr, has_alpha, is_gray = codecs.decode(buf.getvalue())
+    assert has_alpha and is_gray and arr.shape[2] == 4
+    assert arr[1, 2, 3] == 0 and arr[0, 0, 3] == 255
+    assert arr[0, 0, 0] == 255 and arr[1, 2, 0] == 0

@@ -232,3 +232,26 @@ def test_is_png16_rejects_8bit_and_palette():
     assert not png16.is_png16(b"\x89PNG\r\n\x1a\n")
     a = _img16(4, 4, 3)
     assert png16.is_png16(make_png16(a, 2))
+
+
+def test_python_unfilter_is_bounded(monkeypatch):
+    """Without the native core, a big filtered stream falls back to
+    PIL's fast high-byte read (Png16Error) instead of burning seconds
+    of per-byte python -- the same bounded-mirror contract as tiff16's
+    _PY_LZW_MAX / _PY_PACKBITS_MAX."""
+    h, rowbytes = 600, 6 * 600  # 2.16 MB > _PY_UNFILTER_MAX
+    assert h * rowbytes > png16._PY_UNFILTER_MAX
+    with pytest.raises(png16.Png16Error):
+        png16._unfilter_py(b"", h, rowbytes, 6)
+
+    # end to end: native absent + big 16-bit PNG -> codecs.decode
+    # serves PIL's high-byte result (<=1 LSB from the round scaling)
+    monkeypatch.setattr(native_codecs, "png_unfilter",
+                        lambda *a, **k: None)
+    a = _img16(600, 600, 3, seed=41)
+    arr, has_alpha, is_gray = codecs.decode(make_png16(a, 2))
+    assert not has_alpha and not is_gray
+    assert arr.shape == (600, 600, 3)
+    want = _expect_u8(a)
+    assert int(np.abs(arr.astype(np.int16)
+                      - want.astype(np.int16)).max()) <= 1

@@ -619,3 +619,67 @@ def test_float_rgb_through_codecs_decode():
     arr, has_alpha, _g = codecs.decode(t)
     assert not has_alpha
     np.testing.assert_array_equal(arr, _expect_f32_u8(a))
+
+
+def _patch_tag_count(buf: bytearray, tid: int, count: int) -> None:
+    """Rewrite a classic-TIFF first-IFD entry's value count in place
+    (crafted-container tests; make_tiff16 always writes real counts)."""
+    off = struct.unpack_from("<I", buf, 4)[0]
+    n = struct.unpack_from("<H", buf, off)[0]
+    for i in range(n):
+        pos = off + 2 + 12 * i
+        if struct.unpack_from("<H", buf, pos)[0] == tid:
+            struct.pack_into("<I", buf, pos + 4, count)
+            return
+    raise AssertionError(f"tag {tid} not in IFD")
+
+
+def test_strip_table_over_cap_falls_back():
+    """A strip table longer than _CHUNK_MAX is dropped at the IFD walk
+    -> Tiff16Error -> PIL fallback. The decode gate bounds BYTES; a
+    crafted 1-row-per-strip table drove up to 2^24 iterations of the
+    pure-python per-chunk loop (~45 s of GIL from a ~134 MB file)
+    before this cap."""
+    buf = bytearray(make_tiff16(_img16(4, 3, 3)))
+    _patch_tag_count(buf, 273, tiff16._CHUNK_MAX + 1)  # StripOffsets
+    _patch_tag_count(buf, 279, tiff16._CHUNK_MAX + 1)  # StripByteCounts
+    b = bytes(buf)
+    assert tiff16.sniff16(b)  # routing still sees 16-bit color
+    with pytest.raises(tiff16.Tiff16Error):
+        tiff16.decode_tiff16(b)
+
+
+def test_zero_count_tags_treated_as_absent():
+    """count=0 on a consulted tag used to yield an empty value tuple
+    whose [0] raised IndexError PAST the Tiff16Error fallback contract
+    (sniff16/decode must only signal Tiff16Error)."""
+    base = make_tiff16(_img16(4, 3, 3))
+
+    buf = bytearray(base)
+    _patch_tag_count(buf, 256, 0)  # Width: required downstream
+    b = bytes(buf)
+    assert tiff16.sniff16(b) in (True, False)  # must not raise
+    with pytest.raises(tiff16.Tiff16Error):
+        tiff16.decode_tiff16(b)
+
+    buf = bytearray(base)
+    _patch_tag_count(buf, 277, 0)  # SamplesPerPixel: defaults to 1
+    b = bytes(buf)
+    assert tiff16.sniff16(b) is False  # spp default 1 -> not ours
+    try:
+        arr, *_ = codecs.decode(b)  # PIL-defined behavior from here
+        assert arr.ndim == 3
+    except codecs.CodecError:
+        pass  # also PIL-defined; the contract is "no IndexError"
+
+
+def test_decode_reuses_sniff_parse():
+    """codecs.decode hands sniff16_parsed's IFD walk to decode_tiff16;
+    the reused parse must decode identically to a fresh one."""
+    b = make_tiff16(_img16(5, 4, 3, seed=9))
+    parsed = tiff16.sniff16_parsed(b)
+    assert parsed is not None
+    one = tiff16.decode_tiff16(b, parsed)
+    two = tiff16.decode_tiff16(b)
+    assert np.array_equal(one[0], two[0])
+    assert one[1:] == two[1:]
