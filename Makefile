@@ -1,7 +1,7 @@
 # Developer workflow (parity with the reference Makefile's
 # build/test/bench targets).
 
-.PHONY: test s3test lint serve bench bench-webp native clean
+.PHONY: test s3test lint serve bench bench-webp native asan-fuzz clean
 
 test:
 	python -m pytest tests/ -q
@@ -29,6 +29,19 @@ bench-webp:
 
 native:
 	$(MAKE) -C native
+
+# AddressSanitizer build of the codec core + a fuzz pass over its
+# attacker-facing parsers (fc_decode_jpeg / fc_read_jpeg_coeffs* /
+# fc_tiff_lzw / fc_png_unfilter / fc_exr_huf). Memory errors abort
+# with an ASan report; clean exit prints per-family call counts.
+asan-fuzz:
+	$(CXX) -O1 -g -fPIC -fsanitize=address -fno-omit-frame-pointer \
+	  -shared -o /tmp/libfanlincodec_asan.so native/fanlin_codec.cpp \
+	  -ljpeg -lwebp -ldeflate
+	LD_PRELOAD=$$($(CXX) -print-file-name=libasan.so) \
+	  ASAN_OPTIONS=detect_leaks=0 \
+	  FANLIN_NATIVE_LIB=/tmp/libfanlincodec_asan.so \
+	  python tools/asan_fuzz.py $(ASAN_FUZZ_N)
 
 clean:
 	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null; true

@@ -783,20 +783,31 @@ def _dwa_expand(payload: bytes, chans, w: int, rows: int) -> bytes:
     lossy = [i for i, s in enumerate(schemes) if s[0] == _DWA_LOSSY]
     if dc_cnt != nb * len(lossy):
         raise ExrError("exr dwa dc count mismatch")
+    # ac_cnt sizes the entropy decoder's OUTPUT allocation and comes
+    # straight from the chunk — bound it by the most a real packer can
+    # emit (<= 63 AC + 1 EOB token per 8x8 block per lossy channel)
+    # before np.empty sees it (the 512 MiB header gate can't help:
+    # these counts are per chunk, not per image)
+    if ac_cnt > nb * 64 * len(lossy):
+        raise ExrError("exr dwa ac count mismatch")
     if not ac_cnt:
         ac = np.zeros(0, np.uint16)
     elif _ac_compression == 0:  # STATIC_HUFFMAN
         ac = _huf_uncompress(streams["ac"], ac_cnt)
     elif _ac_compression == 1:  # DEFLATE (small chunks, e.g. tiles)
-        raw = zlib.decompress(streams["ac"])
+        # bounded inflate, see _unpack_chunk's pxr24 branch
+        raw = zlib.decompressobj().decompress(
+            streams["ac"], ac_cnt * 2 + 1)
         if len(raw) != ac_cnt * 2:
             raise ExrError("exr dwa ac size mismatch")
         ac = np.frombuffer(raw, "<u2")
     else:
         raise ExrError("unsupported exr dwa ac compression")
     acb = _dwa_unrle_ac(ac, nb * len(lossy))
-    dcraw = (_zip_unfilter(zlib.decompress(streams["dc"])) if dc_cmp
-             else b"")
+    # dc_cnt is exact-checked against geometry above; bound the
+    # inflate to it so a deflate bomb can't allocate first
+    dcraw = (_zip_unfilter(zlib.decompressobj().decompress(
+        streams["dc"], dc_cnt * 2 + 1)) if dc_cmp else b"")
     if len(dcraw) != dc_cnt * 2:
         raise ExrError("exr dwa dc size mismatch")
     dc = np.frombuffer(dcraw, "<u2")
@@ -857,13 +868,18 @@ def _dwa_expand(payload: bytes, chans, w: int, rows: int) -> bytes:
     rle_chans = [i for i, s in enumerate(schemes) if s[0] == _DWA_RLE]
     rle_bytes = {}
     if rle_chans:
-        raw = _rle_uncompress(zlib.decompress(streams["rle"]), rle_raw)
-        if len(raw) != rle_raw:
-            raise ExrError("exr dwa rle size mismatch")
         itemsizes = [2 if chans[i][1] == _HALF else 4 for i in rle_chans]
         total = rows * w * len(rle_chans)
+        # validate the chunk-supplied size against geometry BEFORE it
+        # sizes any buffer, and bound the inflate by ImfRle's worst
+        # case (literal runs cost 1 control byte per <=127 literals)
         if rle_raw != sum(rows * w * it for it in itemsizes):
             raise ExrError("exr dwa rle raw mismatch")
+        plain = zlib.decompressobj().decompress(
+            streams["rle"], rle_raw + rle_raw // 127 + 4)
+        raw = _rle_uncompress(plain, rle_raw)
+        if len(raw) != rle_raw:
+            raise ExrError("exr dwa rle size mismatch")
         u8 = np.frombuffer(raw, np.uint8)
         off = 0
         for i, it in zip(rle_chans, itemsizes):
@@ -879,11 +895,16 @@ def _dwa_expand(payload: bytes, chans, w: int, rows: int) -> bytes:
     unk_chans = [i for i, s in enumerate(schemes) if s[0] == _DWA_UNKNOWN]
     unk_rows = {}
     if unk_chans:
-        raw = zlib.decompress(streams["unknown"]) if unk_cmp else b""
+        dtypes = {_HALF: 2, _FLOAT: 4, _UINT: 4}
+        # geometry check before the chunk-supplied size can allocate
+        if unk_unc != sum(rows * w * dtypes[chans[i][1]]
+                          for i in unk_chans):
+            raise ExrError("exr dwa unknown size mismatch")
+        raw = (zlib.decompressobj().decompress(
+            streams["unknown"], unk_unc + 1) if unk_cmp else b"")
         if len(raw) != unk_unc:
             raise ExrError("exr dwa unknown size mismatch")
         off = 0
-        dtypes = {_HALF: 2, _FLOAT: 4, _UINT: 4}
         for i in unk_chans:
             nbytes = rows * w * dtypes[chans[i][1]]
             unk_rows[i] = np.frombuffer(
@@ -954,8 +975,12 @@ def _unpack_chunk(payload: bytes, comp: int, chans, w: int, rows: int,
     raw_len = line_bytes * rows
     size = len(payload)
     if comp == _PXR24 and size < raw_len:
-        raw = zlib.decompress(payload)
-        if len(raw) != _pxr24_line_bytes(chans, w) * rows:
+        # bounded inflate (max_length): a crafted chunk can otherwise
+        # deflate-bomb gigabytes before the length check runs. The
+        # +1 keeps overlong plaintexts detectable (len != expected).
+        want = _pxr24_line_bytes(chans, w) * rows
+        raw = zlib.decompressobj().decompress(payload, want + 1)
+        if len(raw) != want:
             raise ExrError("corrupt exr pxr24 chunk")
         return _pxr24_expand(raw, chans, w, rows)
     if comp == _PIZ and size < raw_len:
@@ -967,7 +992,9 @@ def _unpack_chunk(payload: bytes, comp: int, chans, w: int, rows: int,
     elif comp == _RLE and size < raw_len:
         raw = _zip_unfilter(_rle_uncompress(payload, raw_len))
     elif comp in (_ZIPS, _ZIP) and size < raw_len:
-        raw = _zip_unfilter(zlib.decompress(payload))
+        # bounded inflate, see the pxr24 branch
+        raw = _zip_unfilter(
+            zlib.decompressobj().decompress(payload, raw_len + 1))
     else:
         raw = payload
     if len(raw) != raw_len:
@@ -1076,6 +1103,22 @@ def _decode_exr(data: bytes) -> np.ndarray:
     w, h = x1 - x0 + 1, y1 - y0 + 1
     if w <= 0 or h <= 0 or w * h > 100_000_000:
         raise ExrError("bad exr dimensions")
+    # the decode buffers are f32 planes per channel, and the chunk
+    # expanders size scratch by w*rows*channels — gate the TOTAL like
+    # every other decode surface (the crate's Limits::default() class,
+    # codecs.MAX_DECODE_ALLOC). Without this a crafted channel list
+    # multiplies the gated w*h into the hundreds of GB: np.zeros
+    # overcommits lazily and the fill kills the host instead of
+    # raising (found by the ASan fuzz driver as a 721 GB malloc).
+    if len(chans) > 1024:
+        raise ExrError("bad exr channel count")
+    from .codecs import MAX_DECODE_ALLOC
+
+    if w * h * 4 * max(1, len(chans)) > MAX_DECODE_ALLOC:
+        raise ExrError(
+            f"exr decode allocation {w}x{h}x{len(chans)} f32 exceeds "
+            f"the 512 MiB limit"
+        )
     if comp not in _BLOCK:
         raise ExrError(f"unsupported exr compression {comp}")
     for name, ptype, xs, ys in chans:

@@ -26,8 +26,12 @@ def _load():
     if os.environ.get("FANLIN_NATIVE", "1") == "0":
         return None
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    # FANLIN_NATIVE_LIB points at an alternate build of the codec
+    # core (sanitizer/instrumented builds in CI; a system-installed
+    # copy in packaged deployments). Same fc_abi_version gate applies.
+    override = os.environ.get("FANLIN_NATIVE_LIB")
     built = os.path.join(here, "native", "libfanlincodec.so")
-    if not os.path.exists(built):
+    if override is None and not os.path.exists(built):
         # best-effort on-demand build (source ships, binary doesn't)
         import subprocess
 
@@ -38,7 +42,9 @@ def _load():
             )
         except Exception:
             pass
-    for cand in (built, "libfanlincodec.so"):
+    cands = ((override,) if override is not None
+             else (built, "libfanlincodec.so"))
+    for cand in cands:
         try:
             lib = ctypes.CDLL(cand)
         except OSError:

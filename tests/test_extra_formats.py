@@ -703,3 +703,83 @@ def test_qoi_header_dimension_bomb_is_rejected():
             + bytes([4, 0]) + b"\x00" * 8)
     with pytest.raises(extra_codecs.ExtraCodecError):
         extra_codecs.decode_qoi(data)
+
+
+def _fake_exr_header(w, h, nch, ptype=1):
+    """Minimal single-part EXR header (magic + version + the four
+    attributes _decode_exr requires). No chunks follow: the tests
+    below must fail in header validation, before any allocation."""
+    import struct
+
+    def attr(name, typ, payload):
+        return (name + b"\0" + typ + b"\0"
+                + struct.pack("<i", len(payload)) + payload)
+
+    ch = b""
+    for i in range(nch):
+        ch += (b"C%04d\0" % i + struct.pack("<i", ptype)
+               + b"\0\0\0\0" + struct.pack("<ii", 1, 1))
+    ch += b"\0"
+    return (b"\x76\x2f\x31\x01" + struct.pack("<I", 2)
+            + attr(b"channels", b"chlist", ch)
+            + attr(b"compression", b"compression", b"\x00")
+            + attr(b"dataWindow", b"box2i",
+                   struct.pack("<4i", 0, 0, w - 1, h - 1))
+            + attr(b"lineOrder", b"lineOrder", b"\x00")
+            + b"\0")
+
+
+def test_exr_total_allocation_gate():
+    """The f32 decode planes are PER CHANNEL: a crafted channel list
+    multiplies the gated w*h into the hundreds of GB (np.zeros
+    overcommits lazily; the fill would OOM the host, not raise).
+    Found as a 721 GB malloc by the ASan fuzz driver
+    (tools/asan_fuzz.py). Both gates must fire in header validation."""
+    from fanlin_tpu.engine import exr_codec
+
+    with pytest.raises(exr_codec.ExrError, match="512 MiB"):
+        # inside the 100 Mpx dimension gate, over the byte gate
+        exr_codec.decode_exr(_fake_exr_header(10000, 10000, 4))
+    with pytest.raises(exr_codec.ExrError, match="channel count"):
+        exr_codec.decode_exr(_fake_exr_header(1, 1, 2000))
+    # a header inside both limits proceeds past the gates (and then
+    # fails on the missing offset table, not on dimensions)
+    try:
+        exr_codec.decode_exr(_fake_exr_header(64, 64, 3))
+    except exr_codec.ExrError as e:
+        assert "512 MiB" not in str(e) and "channel count" not in str(e)
+
+
+def test_dwa_chunk_supplied_sizes_are_bounded():
+    """DWA chunk headers carry their own stream sizes (ac_cnt,
+    rle_raw, unk_unc) — they size output allocations, so crafted
+    values must be rejected against geometry BEFORE np.empty/inflate
+    sees them (the per-image 512 MiB gate can't cover per-chunk
+    counts)."""
+    import struct
+
+    from fanlin_tpu.engine import exr_codec
+
+    chans = [("R", 1, 1, 1)]  # one HALF channel
+
+    def payload(ac_cnt=0, dc_cnt=0, unk_unc=0, rle_raw=0, rules=b""):
+        hdr = struct.pack(
+            "<11q", 2, unk_unc, 0, 0, 0, 0, 0, rle_raw, ac_cnt,
+            dc_cnt, 0)
+        return hdr + struct.pack("<H", 2 + len(rules)) + rules
+
+    # classify R as LOSSY_DCT (scheme 1), no csc set, type HALF (1)
+    rule = b"R\0" + struct.pack("<H", (1 << 8) | (0 << 4) | (1 << 2))
+    # 8x8 chunk of one lossy channel -> nb = 1, ac cap = 64
+    with pytest.raises(exr_codec.ExrError, match="ac count"):
+        exr_codec._dwa_expand(
+            payload(ac_cnt=1 << 40, dc_cnt=1, rules=rule), chans, 8, 8)
+    # unknown-scheme channel: unk_unc must equal rows*w*itemsize
+    with pytest.raises(exr_codec.ExrError, match="unknown size"):
+        exr_codec._dwa_expand(
+            payload(unk_unc=1 << 40), chans, 8, 8)
+    # rle-scheme channel: rle_raw must match geometry too
+    rle_rule = b"R\0" + struct.pack("<H", (1 << 8) | (0 << 4) | (2 << 2))
+    with pytest.raises(exr_codec.ExrError, match="rle raw"):
+        exr_codec._dwa_expand(
+            payload(rle_raw=1 << 40, rules=rle_rule), chans, 8, 8)

@@ -1,0 +1,44 @@
+"""FANLIN_NATIVE_LIB: explicit native-core override (sanitizer CI,
+packaged deployments). An override that fails to load must NOT fall
+back to the default build — a sanitizer job silently running the
+uninstrumented library would invalidate its clean result.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUILT = os.path.join(REPO, "native", "libfanlincodec.so")
+
+_SNIPPET = """
+import sys; sys.path.insert(0, {repo!r})
+from fanlin_tpu.engine import native_codecs
+lib = native_codecs._load()
+print("name=%s available=%s" % (getattr(lib, "_name", None),
+                                native_codecs.available()))
+"""
+
+
+def _run(env_lib):
+    env = dict(os.environ)
+    env["FANLIN_NATIVE_LIB"] = env_lib
+    env.pop("FANLIN_NATIVE", None)
+    out = subprocess.run(
+        [sys.executable, "-c", _SNIPPET.format(repo=REPO)],
+        capture_output=True, text=True, timeout=120, env=env,
+    )
+    assert out.returncode == 0, out.stderr
+    return out.stdout.strip().splitlines()[-1]
+
+def test_override_points_at_alternate_build():
+    if not os.path.exists(BUILT):
+        pytest.skip("native core not built")
+    assert _run(BUILT) == f"name={BUILT} available=True"
+
+
+def test_broken_override_never_falls_back():
+    line = _run("/nonexistent/libfanlincodec.so")
+    assert line == "name=None available=False"

@@ -1,0 +1,179 @@
+"""Sanitizer fuzz driver for the native codec core.
+
+Hammers the attacker-facing entry points of libfanlincodec — the ones
+that parse bytes an origin could control — through their python
+wrappers, under an AddressSanitizer build of the library:
+
+  fc_decode_jpeg / fc_read_jpeg_coeffs / fc_read_jpeg_coeffs4
+  fc_tiff_lzw
+  fc_png_unfilter
+  fc_exr_huf          (reached through exr_codec.decode_exr on PIZ)
+
+The driver deliberately never touches jax jit: an LD_PRELOADed ASan
+runtime aborts inside jaxlib's MLIR bindings when a compile throws a
+C++ exception (interceptor init order — a toolchain incompatibility,
+not a finding), so device-pipeline fuzz stays in tests/test_codec_fuzz
+and this driver covers the native parsers. Any memory error aborts the
+process with an ASan report; a clean exit prints per-family counts.
+
+Usage (from the repo root):
+
+  g++ -O1 -g -fPIC -fsanitize=address -fno-omit-frame-pointer -shared \
+      -o /tmp/libfanlincodec_asan.so native/fanlin_codec.cpp \
+      -ljpeg -lwebp -ldeflate
+  LD_PRELOAD=$(g++ -print-file-name=libasan.so) \
+  ASAN_OPTIONS=detect_leaks=0 \
+  FANLIN_NATIVE_LIB=/tmp/libfanlincodec_asan.so \
+  python tools/asan_fuzz.py [mutations-per-seed]
+"""
+
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import numpy as np  # noqa: E402
+from PIL import Image  # noqa: E402
+
+from fanlin_tpu.engine import exr_codec, native_codecs  # noqa: E402
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 400
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+rng = np.random.default_rng(0xFA271)
+
+
+def mutations(data: bytes, n: int):
+    """Byte flips (head-weighted), splices, truncations."""
+    d = bytearray(data)
+    head = min(256, len(d))
+    for _ in range(n):
+        kind = rng.integers(0, 4)
+        if kind == 0 and len(d):
+            i = int(rng.integers(0, head))
+            orig = d[i]
+            d[i] = int((orig + 1 + rng.integers(0, 255)) % 256)
+            yield bytes(d)
+            d[i] = orig
+        elif kind == 1 and len(d):
+            i = int(rng.integers(0, len(d)))
+            orig = d[i]
+            d[i] = int((orig + 1 + rng.integers(0, 255)) % 256)
+            yield bytes(d)
+            d[i] = orig
+        elif kind == 2:
+            yield bytes(d[: int(rng.integers(0, len(d) + 1))])
+        else:
+            i = int(rng.integers(0, len(d) + 1))
+            junk = rng.integers(0, 256, int(rng.integers(1, 64)),
+                                dtype=np.uint8).tobytes()
+            yield bytes(d[:i]) + junk + bytes(d[i:])
+
+
+def fuzz_jpeg():
+    seeds = [open(os.path.join(REPO, "tests/golden/lenna_src.jpg"),
+                  "rb").read()]
+    a = (np.arange(64 * 48 * 3, dtype=np.int64) % 251).astype(np.uint8)
+    img = Image.fromarray(a.reshape(48, 64, 3))
+    for kw in ({"quality": 90},
+               {"quality": 40, "subsampling": 2},
+               {"progressive": True}):
+        b = io.BytesIO()
+        img.save(b, format="JPEG", **kw)
+        seeds.append(b.getvalue())
+    b = io.BytesIO()
+    img.convert("CMYK").save(b, format="JPEG", quality=90)
+    seeds.append(b.getvalue())
+    b = io.BytesIO()
+    img.convert("L").save(b, format="JPEG", quality=80)
+    seeds.append(b.getvalue())
+    n = 0
+    for seed in seeds:
+        for m in mutations(seed, N):
+            native_codecs.decode_jpeg(m)
+            native_codecs.read_jpeg_coeffs(m)
+            native_codecs.read_jpeg_coeffs4(m)
+            n += 3
+    return n
+
+
+def fuzz_tiff_lzw():
+    from test_tiff16 import _lzw_encode  # tests/ is on sys.path
+
+    payloads = [bytes(range(256)) * 8,
+                b"\x00" * 4096,
+                rng.integers(0, 256, 2048, dtype=np.uint8).tobytes()]
+    n = 0
+    for raw in payloads:
+        seed = _lzw_encode(raw)
+        for m in mutations(seed, N):
+            for out_len in (len(raw), len(raw) // 2, len(raw) * 2 + 7):
+                native_codecs.tiff_lzw(m, out_len)
+                n += 1
+    # pure junk streams too
+    for _ in range(N):
+        junk = rng.integers(0, 256, int(rng.integers(0, 512)),
+                            dtype=np.uint8).tobytes()
+        native_codecs.tiff_lzw(junk, int(rng.integers(0, 8192)))
+        n += 1
+    return n
+
+
+def fuzz_png_unfilter():
+    n = 0
+    for bpp in (2, 3, 4, 6, 8):
+        w, h = 37, 23
+        rowbytes = w * bpp
+        rows = []
+        for y in range(h):
+            rows.append(bytes([y % 5]))
+            rows.append(rng.integers(0, 256, rowbytes,
+                                     dtype=np.uint8).tobytes())
+        seed = b"".join(rows)
+        for m in mutations(seed, N):
+            native_codecs.png_unfilter(m, h, rowbytes, bpp)
+            n += 1
+    return n
+
+
+def fuzz_exr():
+    fixtures = ("scan_piz.exr", "noise_piz.exr", "tile_piz.exr",
+                "scan_b44.exr", "scan_dwaa.exr")
+    n = 0
+    for name in fixtures:
+        path = os.path.join(REPO, "tests/golden/exr", name)
+        if not os.path.exists(path):
+            continue
+        seed = open(path, "rb").read()
+        for m in mutations(seed, N):
+            try:
+                exr_codec.decode_exr(m)
+            except Exception:
+                # error classes are pinned by tests/test_extra_formats;
+                # the sanitizer is what this driver is here to feed
+                pass
+            n += 1
+    return n
+
+
+def main():
+    lib = native_codecs._load()
+    if lib is None:
+        print("native core unavailable — nothing to fuzz", file=sys.stderr)
+        return 2
+    print(f"lib: {lib._name}")
+    total = 0
+    for fam, fn in (("jpeg", fuzz_jpeg), ("tiff_lzw", fuzz_tiff_lzw),
+                    ("png_unfilter", fuzz_png_unfilter),
+                    ("exr", fuzz_exr)):
+        c = fn()
+        total += c
+        print(f"{fam}: {c} calls clean")
+    print(f"total: {total} native calls, no sanitizer report")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
