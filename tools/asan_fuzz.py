@@ -138,6 +138,41 @@ def fuzz_png_unfilter():
     return n
 
 
+def fuzz_exr_huf_direct():
+    """fc_exr_huf on raw streams. decode_exr geometry-checks chunks
+    before the huf stage, so this family feeds the parser directly:
+    real huf streams captured from the PIZ fixtures (deep paths —
+    long codes, run-length), mutated, with hostile n_out values, plus
+    pure junk."""
+    captured = []
+    orig = exr_codec._huf_uncompress
+
+    def spy(src, n_out):
+        captured.append((bytes(src), int(n_out)))
+        return orig(src, n_out)
+
+    exr_codec._huf_uncompress = spy
+    try:
+        for name in ("scan_piz.exr", "noise_piz.exr", "tile_piz.exr"):
+            path = os.path.join(REPO, "tests/golden/exr", name)
+            if os.path.exists(path):
+                exr_codec.decode_exr(open(path, "rb").read())
+    finally:
+        exr_codec._huf_uncompress = orig
+    n = 0
+    for seed, n_out in captured[:6]:
+        for m in mutations(seed, N):
+            for want in (n_out, 0, 1, n_out * 2 + 3):
+                native_codecs.exr_huf_uncompress(m, want)
+                n += 1
+    for _ in range(N):
+        junk = rng.integers(0, 256, int(rng.integers(0, 768)),
+                            dtype=np.uint8).tobytes()
+        native_codecs.exr_huf_uncompress(junk, int(rng.integers(0, 16384)))
+        n += 1
+    return n
+
+
 def fuzz_exr():
     fixtures = ("scan_piz.exr", "noise_piz.exr", "tile_piz.exr",
                 "scan_b44.exr", "scan_dwaa.exr")
@@ -167,6 +202,7 @@ def main():
     total = 0
     for fam, fn in (("jpeg", fuzz_jpeg), ("tiff_lzw", fuzz_tiff_lzw),
                     ("png_unfilter", fuzz_png_unfilter),
+                    ("exr_huf", fuzz_exr_huf_direct),
                     ("exr", fuzz_exr)):
         c = fn()
         total += c
