@@ -369,7 +369,12 @@ def main() -> None:
         return fused.BatchAssembly(plans, payloads, jpeg420)
 
     def _collect_all(out):
-        for o in (out if isinstance(out, tuple) else (out,)):
+        outs = out if isinstance(out, tuple) else (out,)
+        for o in outs:  # overlap the D2H round trips (see fused._prefetch_host)
+            f = getattr(o, "copy_to_host_async", None)
+            if f is not None:
+                f()
+        for o in outs:
             np.asarray(o)
 
     # -- warmup: compile the programs (in parallel — the remote compile

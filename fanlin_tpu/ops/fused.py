@@ -1324,7 +1324,25 @@ class BatchAssembly:
         mark_warm(self.program_key())
         return results
 
+    @staticmethod
+    def _prefetch_host(out) -> None:
+        """Start D2H copies for every output array before the blocking
+        np.asarray reads below. The packed-download branches fetch up
+        to 9 arrays; on the remote-relay platform each blocking fetch
+        pays the link's per-sync latency (~30-600 ms, CLAUDE.md), so k
+        serial fetches cost k round trips where async copies overlap
+        into roughly one. No-op (cheap attribute miss) on backends
+        without async D2H."""
+        for o in out if isinstance(out, (list, tuple)) else (out,):
+            f = getattr(o, "copy_to_host_async", None)
+            if f is not None:
+                try:
+                    f()
+                except Exception:
+                    return
+
     def _collect(self, out):
+        self._prefetch_host(out)
         if self.jpegdct:
             p0 = self.plans[0]
             if len(out) in (7, 10):
