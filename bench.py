@@ -252,13 +252,16 @@ def main() -> None:
     _beat("source loaded")
 
     # Fast boot probe: a relay dead at START should yield the honest
-    # degraded JSON in ~4 min, not after the 30-min stall watchdog.
-    # 240 s matches the fastwin watcher's probe budget — healthy
-    # backend init + one device_put over the relay finishes well
-    # inside it; only compiles take longer, and none is issued here.
-    # Placed after metric/source setup so the degraded line carries
-    # the full workload tag.
-    probe_s = float(os.environ.get("BENCH_BOOT_PROBE_SECS", "240"))
+    # degraded JSON in minutes, not after the 30-min stall watchdog.
+    # Default 900 s: session 15 measured an ALIVE relay whose first
+    # per-process device_put took 212-400+ s (warm round trips ~40 ms
+    # right after), so the old 240 s budget misclassified a live link
+    # as dead and shipped a host_mirror_failover line the fastwin
+    # watcher then refused to bank. A genuinely dead relay now costs
+    # 15 min before the honest degraded JSON — still far under the
+    # stall watchdog. Placed after metric/source setup so the degraded
+    # line carries the full workload tag.
+    probe_s = float(os.environ.get("BENCH_BOOT_PROBE_SECS", "900"))
     if probe_s > 0:
         from fanlin_tpu.utils.bounded import bounded_call
 

@@ -1,10 +1,13 @@
 """Pure-logic tests for tools/fastwin_watch.py (the fast-window bench
-watcher). The probe and bench launches are subprocesses; here we pin
-the decision logic around them: probe-output parsing, best-capture
-seeding from a prior instance's bank, and the degraded-line filter
-(a host-mirror failover value must never displace a device capture).
+watcher). The probe child and bench launches are subprocesses; here we
+pin the decision logic around them: probe-report parsing through the
+persistent child's reader, wedge -> respawn, the two-axis trigger
+(link RT fast AND compute calib fast), best-capture seeding from a
+prior instance's bank, and the degraded-line filter (a host-mirror
+failover value must never displace a device capture).
 """
 
+import io
 import json
 import os
 import sys
@@ -16,25 +19,95 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 import fastwin_watch  # noqa: E402
 
 
-def _run_main(monkeypatch, tmp_path, probes, benches, argv_extra=()):
-    """Drive main() with stubbed probe/bench, one loop turn per probe."""
-    probes = list(probes)
-    benches = list(benches)
+# -- PersistentProbe: reader parse + wedge/respawn --------------------------
 
-    monkeypatch.setattr(fastwin_watch, "probe_rt",
-                        lambda budget: probes.pop(0))
+class _FakeChild:
+    def __init__(self, text):
+        self.stdout = io.StringIO(text)
+
+    def poll(self):
+        return None
+
+    def kill(self):
+        pass
+
+
+def test_probe_child_report_parse(monkeypatch):
+    lines = ("jax warmup noise\n"
+             "PROBE_COLD 10.5 2700.0\n"
+             "PROBE_RT 0.04 31.5\n")
+    spawned = []
+
+    def fake_popen(*a, **k):
+        c = _FakeChild(lines)
+        spawned.append(c)
+        return c
+
+    monkeypatch.setattr(fastwin_watch.subprocess, "Popen", fake_popen)
+    p = fastwin_watch.PersistentProbe(period_s=0.01, cold_budget_s=2.0)
+    kind, rt, calib, age = p.next_report()
+    assert (kind, rt, calib) == ("cold", 10.5, pytest.approx(2700.0))
+    kind, rt, calib, age = p.next_report()
+    assert (kind, rt, calib) == ("warm", pytest.approx(0.04),
+                                 pytest.approx(31.5))
+    assert len(spawned) == 1  # one persistent child served both
+    assert age < 5.0
+
+
+def test_probe_wedge_respawns(monkeypatch):
+    spawned = []
+
+    def fake_popen(*a, **k):
+        c = _FakeChild("")  # child never reports (wedged cold start)
+        spawned.append(c)
+        return c
+
+    monkeypatch.setattr(fastwin_watch.subprocess, "Popen", fake_popen)
+    p = fastwin_watch.PersistentProbe(period_s=0.01, cold_budget_s=0.05)
+    assert p.next_report() is None
+    assert p.next_report() is None
+    assert len(spawned) == 2  # abandoned + respawned, never joined
+
+
+def test_probe_two_field_lines_ignored(monkeypatch):
+    # the old one-shot probe printed 2-field lines; the reader must not
+    # misparse a stale child or junk into a report
+    monkeypatch.setattr(
+        fastwin_watch.subprocess, "Popen",
+        lambda *a, **k: _FakeChild("PROBE_RT 0.04\nPROBE_RT bad x\n"))
+    p = fastwin_watch.PersistentProbe(period_s=0.01, cold_budget_s=0.05)
+    assert p.next_report() is None
+
+
+# -- main() decision loop ----------------------------------------------------
+
+class _FakeProbe:
+    def __init__(self, reports, clock):
+        self.reports = list(reports)
+        self.clock = clock
+
+    def next_report(self):
+        self.clock["now"] += fastwin_watch.PROBE_PERIOD_S
+        return self.reports.pop(0)
+
+    def drain(self):
+        pass
+
+
+def _run_main(monkeypatch, tmp_path, reports, benches, argv_extra=()):
+    """Drive main() with stubbed probe/bench, one loop turn per report.
+    Reports are (kind, rt_s, calib_ms, age_s) tuples or None (wedged)."""
+    benches = list(benches)
+    t = {"now": 1000.0}
+
+    monkeypatch.setattr(
+        fastwin_watch, "PersistentProbe",
+        lambda period_s, cold_budget_s: _FakeProbe(reports, t))
     monkeypatch.setattr(fastwin_watch, "run_bench",
                         lambda budget, outdir, tag: benches.pop(0))
-
-    # clock: advance PROBE_PERIOD_S per sleep; deadline after len(probes)
-    t = {"now": 1000.0}
     monkeypatch.setattr(fastwin_watch.time, "time", lambda: t["now"])
 
-    def fake_sleep(s):
-        t["now"] += s
-
-    monkeypatch.setattr(fastwin_watch.time, "sleep", fake_sleep)
-    hours = len(probes) * fastwin_watch.PROBE_PERIOD_S / 3600.0
+    hours = len(reports) * fastwin_watch.PROBE_PERIOD_S / 3600.0
     monkeypatch.setattr(
         sys, "argv",
         ["fastwin_watch.py", "--hours", str(hours * 0.999),
@@ -42,28 +115,13 @@ def _run_main(monkeypatch, tmp_path, probes, benches, argv_extra=()):
     return fastwin_watch.main()
 
 
-def test_probe_parse_roundtrip(monkeypatch):
-    class Out:
-        stdout = "warmup noise\nPROBE_RT 0.042\n"
-
-    monkeypatch.setattr(fastwin_watch.subprocess, "run",
-                        lambda *a, **k: Out())
-    assert fastwin_watch.probe_rt(1.0) == pytest.approx(0.042)
-
-
-def test_probe_parse_no_marker(monkeypatch):
-    class Out:
-        stdout = "died before printing\n"
-
-    monkeypatch.setattr(fastwin_watch.subprocess, "run",
-                        lambda *a, **k: Out())
-    assert fastwin_watch.probe_rt(1.0) is None
+FAST = ("warm", 0.05, 30.0, 0.0)  # fast link + fast compute window
 
 
 def test_banks_best_by_value(monkeypatch, tmp_path):
     rc = _run_main(
         monkeypatch, tmp_path,
-        probes=[0.05, 0.05, 5.0],
+        reports=[FAST, FAST, ("warm", 5.0, 30.0, 0.0)],
         benches=[{"metric": "m", "value": 40.0},
                  {"metric": "m", "value": 55.0}])
     assert rc == 0
@@ -77,7 +135,8 @@ def test_seeds_from_prior_bank(monkeypatch, tmp_path):
     (tmp_path / "best.json").write_text(
         json.dumps({"metric": "m", "value": 65.5}))
     rc = _run_main(monkeypatch, tmp_path,
-                   probes=[0.05], benches=[{"metric": "m", "value": 40.0}])
+                   reports=[FAST],
+                   benches=[{"metric": "m", "value": 40.0}])
     assert rc == 0
     best = json.loads((tmp_path / "best.json").read_text())
     assert best["value"] == 65.5
@@ -88,7 +147,7 @@ def test_degraded_line_never_banked(monkeypatch, tmp_path):
     # exceed a device capture — they must be filtered, not banked
     rc = _run_main(
         monkeypatch, tmp_path,
-        probes=[0.05, 0.05],
+        reports=[FAST, FAST],
         benches=[
             {"metric": "m_hostmirror", "value": 999.0,
              "mode": "host_mirror_failover"},
@@ -98,10 +157,19 @@ def test_degraded_line_never_banked(monkeypatch, tmp_path):
     assert not (tmp_path / "best.json").exists()
 
 
-def test_slow_probe_never_triggers(monkeypatch, tmp_path):
+def test_slow_or_stale_probe_never_triggers(monkeypatch, tmp_path):
     called = []
     monkeypatch.setattr(fastwin_watch, "run_bench",
                         lambda *a: called.append(a))
-    rc = _run_main(monkeypatch, tmp_path, probes=[1.5, None], benches=[])
+    rc = _run_main(
+        monkeypatch, tmp_path,
+        reports=[
+            ("warm", 1.5, 30.0, 0.0),     # slow link
+            None,                          # wedged
+            ("warm", 0.05, 2700.0, 0.0),   # fast link, SLOW compute
+            ("cold", 0.05, 30.0, 0.0),     # first report after spawn
+            ("warm", 0.05, 30.0, 120.0),   # stale (piled up behind run)
+        ],
+        benches=[])
     assert rc == 1
     assert not called

@@ -6,16 +6,21 @@ wedge outright for hours (BENCH_NOTES rounds 2-5); every round-3-5
 headline capture landed in a contended window (calib 1.3-9 s vs the
 ~30 ms fast regime ROADMAP item 0 wants). This tool turns "hope a
 fast window coincides with a manual bench run" into "camp on the
-link": a cheap bounded probe (device_put + 256^2 matmul + download)
-runs every PROBE_PERIOD_S; when its round trip beats FAST_S the
-watcher launches `bench.py` right away and records the JSON line
-under --out. It keeps watching (windows can improve further) until
-the deadline, keeping the best capture by mean img/s.
+link": a cheap probe reports a warm round trip every PROBE_PERIOD_S;
+when it beats FAST_S the watcher launches `bench.py` right away and
+records the JSON line under --out. It keeps watching (windows can
+improve further) until the deadline, keeping the best capture by
+mean img/s.
 
-Probes are bounded subprocesses (`timeout PROBE_BUDGET_S`), so a
-wedged link costs one abandoned process per period, not a stuck
-watcher — the same abandon-don't-join rule the serving failover uses
-(engine/batcher.py _probe_device).
+The probe is ONE long-lived child process, not a fresh subprocess per
+period: session 15 measured an ALIVE relay whose first per-process
+device_put takes 212-400+ s (warm round trips ~40 ms immediately
+after), so a per-probe subprocess with a 240 s timeout misreads that
+personality as WEDGED forever and the watcher never triggers. The
+persistent child pays the cold start once; if it stops reporting the
+parent abandons it (kill by pid, never by pattern) and respawns —
+one leaked/cold process per wedge cycle, the same abandon-don't-join
+rule the serving failover uses (engine/batcher.py _probe_device).
 
 Usage:
     python tools/fastwin_watch.py [--hours 8] [--fast-s 0.2]
@@ -27,44 +32,118 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import queue
 import subprocess
 import sys
+import threading
 import time
 
 PROBE_PERIOD_S = 300.0
-PROBE_BUDGET_S = 240.0  # matches bench.py's boot-probe budget
+# first-report budget for a fresh child: backend init + first
+# device_put on the live-but-cold relay (measured 212-400+ s) + one
+# matmul compile. Matches bench.py's BENCH_BOOT_PROBE_SECS default.
+COLD_BUDGET_S = 900.0
 
-_PROBE_SRC = r"""
-import time, numpy as np
+_PROBE_CHILD_SRC = r"""
+import sys, time, numpy as np
 import jax
-t0 = time.time()
-x = jax.device_put(np.full((256, 256), float(time.time_ns() % 7 + 1),
-                           np.float32))
-np.asarray(x @ x)
-t1 = time.time()
-# second rep: compiled + warm path, the number that matters
-t0 = time.time()
-x = jax.device_put(np.full((256, 256), float(time.time_ns() % 5 + 2),
-                           np.float32))
-np.asarray(x @ x)
-print("PROBE_RT", time.time() - t0)
+period = float(sys.argv[1])
+n = 0
+calib_a = None
+calib_f = None
+while True:
+    t0 = time.time()
+    # vary content: the relay dedups repeated device_put payloads
+    x = jax.device_put(np.full((256, 256), float(n % 7 + 1), np.float32))
+    np.asarray(x @ x)
+    rt = time.time() - t0
+    # link RT alone can be fast (~40 ms) while the compute window is
+    # slow (session 15: rtt floor 36 ms next to 2-5 s calib) — also
+    # run the SAME 137-GFLOP calibration bench.py times, resident on
+    # device so the probe doesn't pay the 64 MB upload each period
+    if calib_a is None:
+        calib_a = jax.device_put(np.random.default_rng(0)
+                                 .standard_normal((4096, 4096),
+                                                  dtype=np.float32))
+        calib_f = jax.jit(lambda x: x @ x)
+        np.asarray(calib_f(calib_a))  # compile + settle
+    t0 = time.time()
+    np.asarray(calib_f(calib_a))
+    calib_ms = (time.time() - t0) * 1000.0
+    # first report carries backend init + compiles: labeled cold so
+    # the parent logs it but never triggers a capture on it
+    print("PROBE_COLD" if n == 0 else "PROBE_RT", rt, calib_ms,
+          flush=True)
+    n += 1
+    time.sleep(period)
 """
 
 
-def probe_rt(budget_s: float) -> float | None:
-    """Warm-path round-trip seconds, or None (wedged / too slow)."""
-    try:
-        out = subprocess.run(
-            ["timeout", str(int(budget_s)), sys.executable, "-c",
-             _PROBE_SRC],
-            capture_output=True, text=True, timeout=budget_s + 30,
+class PersistentProbe:
+    """Long-lived probe child + reader thread. `next_report()` blocks
+    for the next (kind, rt_seconds, age_s) report; None = wedged (no
+    report inside the budget) — the child is killed and respawned."""
+
+    def __init__(self, period_s: float, cold_budget_s: float):
+        self.period_s = period_s
+        self.cold_budget_s = cold_budget_s
+        self.q: "queue.Queue[tuple[str, float, float, float]]" = (
+            queue.Queue())
+        self.child: subprocess.Popen | None = None
+        self.fresh = True
+
+    def _spawn(self) -> None:
+        self.child = subprocess.Popen(
+            [sys.executable, "-c", _PROBE_CHILD_SRC, str(self.period_s)],
+            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
-    except subprocess.TimeoutExpired:
-        return None
-    for line in (out.stdout or "").splitlines():
-        if line.startswith("PROBE_RT"):
-            return float(line.split()[1])
-    return None
+        self.fresh = True
+        proc = self.child
+
+        def _read():
+            for line in proc.stdout:  # EOF on child death
+                parts = line.split()
+                if len(parts) == 3 and parts[0] in ("PROBE_RT",
+                                                    "PROBE_COLD"):
+                    kind = "cold" if parts[0] == "PROBE_COLD" else "warm"
+                    # timestamp at read: reports read later (e.g. piled
+                    # up behind a bench capture) carry their age
+                    self.q.put((kind, float(parts[1]), float(parts[2]),
+                                time.time()))
+
+        threading.Thread(target=_read, daemon=True).start()
+
+    def _abandon(self) -> None:
+        if self.child is not None and self.child.poll() is None:
+            self.child.kill()  # direct pid — never kill by pattern
+        self.child = None
+
+    def next_report(self) -> "tuple[str, float, float, float] | None":
+        """(kind, rt_s, calib_ms, age_s) for the next probe report, or
+        None if nothing arrived inside the budget (wedged -> respawned).
+        The budget for a fresh child covers the relay's per-process
+        cold start; calib slowness is bounded too (a 137-GFLOP matmul
+        at the worst measured window is seconds, not minutes)."""
+        if self.child is None or self.child.poll() is not None:
+            self._abandon()
+            self._spawn()
+        budget = (self.cold_budget_s if self.fresh
+                  else self.period_s + 120.0)
+        try:
+            kind, rt, calib_ms, t_read = self.q.get(timeout=budget)
+        except queue.Empty:
+            self._abandon()
+            return None
+        self.fresh = False
+        return kind, rt, calib_ms, time.time() - t_read
+
+    def drain(self) -> None:
+        """Discard reports that piled up (e.g. during a bench run)."""
+        try:
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def run_bench(budget_s: int, outdir: str, tag: str) -> dict | None:
@@ -72,8 +151,9 @@ def run_bench(budget_s: int, outdir: str, tag: str) -> dict | None:
     # previous best.json inside itself (bench.py _attach_fastwin)
     env = dict(os.environ, BENCH_BUDGET=str(budget_s),
                BENCH_FASTWIN_DIR="/nonexistent")
-    # generous outer bound: warmup compiles ride the relay too
-    outer = budget_s + 1500
+    # generous outer bound: warmup compiles + the per-process relay
+    # cold start (see COLD_BUDGET_S) ride the capture too
+    outer = budget_s + 2400
     path = os.path.join(outdir, f"bench_{tag}.json")
     log = os.path.join(outdir, f"bench_{tag}.log")
     with open(log, "w") as lf:
@@ -100,6 +180,9 @@ def main() -> int:
     ap.add_argument("--hours", type=float, default=8.0)
     ap.add_argument("--fast-s", type=float, default=0.2,
                     help="warm round trip below this triggers a capture")
+    ap.add_argument("--fast-cal-ms", type=float, default=150.0,
+                    help="137-GFLOP calib below this = fast compute "
+                         "window (matches bench.py BENCH_FAST_MS)")
     ap.add_argument("--budget", type=int, default=300,
                     help="BENCH_BUDGET for triggered captures")
     ap.add_argument("--out", default=".bench_fastwin")
@@ -117,40 +200,43 @@ def main() -> int:
               flush=True)
     except (OSError, ValueError):
         pass
-    n = 0
+    probe = PersistentProbe(PROBE_PERIOD_S, COLD_BUDGET_S)
     while time.time() < deadline:
-        rt = probe_rt(PROBE_BUDGET_S)
+        got = probe.next_report()
         stamp = time.strftime("%H:%M:%S")
-        if rt is None:
-            print(f"[{stamp}] probe: WEDGED/slow (> {PROBE_BUDGET_S:.0f}s)",
-                  flush=True)
+        if got is None:
+            print(f"[{stamp}] probe: WEDGED (no report in budget) — "
+                  f"probe child respawned", flush=True)
+            continue
+        kind, rt, calib_ms, age = got
+        print(f"[{stamp}] probe: {rt * 1000:.0f} ms {kind} round trip, "
+              f"calib {calib_ms:.0f} ms"
+              + (f" ({age:.0f}s stale)" if age > 30 else ""), flush=True)
+        if (kind != "warm" or rt >= args.fast_s
+                or calib_ms >= args.fast_cal_ms or age > 60):
+            continue
+        n_tag = time.strftime("%H%M%S")
+        print(f"[{stamp}] fast window — capturing bench (tag {n_tag})",
+              flush=True)
+        res = run_bench(args.budget, args.out, n_tag)
+        probe.drain()  # reports piled up behind the capture are stale
+        if res is not None and (
+                res.get("error") or "hostmirror" in res.get("metric", "")):
+            # degraded/mirror line (window closed mid-run) — its
+            # img/s is host CPU, not a device capture; don't bank it
+            print(f"[{time.strftime('%H:%M:%S')}] capture degraded "
+                  f"(not banked): {json.dumps(res)[:200]}", flush=True)
+            res = None
+        if res is not None:
+            print(f"[{time.strftime('%H:%M:%S')}] capture: "
+                  f"{json.dumps(res)}", flush=True)
+            if best is None or res.get("value", 0) > best.get("value", 0):
+                best = res
+                with open(os.path.join(args.out, "best.json"), "w") as f:
+                    json.dump(best, f)
         else:
-            print(f"[{stamp}] probe: {rt * 1000:.0f} ms warm round trip",
-                  flush=True)
-        if rt is not None and rt < args.fast_s:
-            n += 1
-            tag = time.strftime("%H%M%S")
-            print(f"[{stamp}] fast window — capturing bench (tag {tag})",
-                  flush=True)
-            res = run_bench(args.budget, args.out, tag)
-            if res is not None and (
-                    res.get("error") or "hostmirror" in res.get("metric", "")):
-                # degraded/mirror line (window closed mid-run) — its
-                # img/s is host CPU, not a device capture; don't bank it
-                print(f"[{time.strftime('%H:%M:%S')}] capture degraded "
-                      f"(not banked): {json.dumps(res)[:200]}", flush=True)
-                res = None
-            if res is not None:
-                print(f"[{time.strftime('%H:%M:%S')}] capture: "
-                      f"{json.dumps(res)}", flush=True)
-                if best is None or res.get("value", 0) > best.get("value", 0):
-                    best = res
-                    with open(os.path.join(args.out, "best.json"), "w") as f:
-                        json.dump(best, f)
-            else:
-                print(f"[{time.strftime('%H:%M:%S')}] capture failed "
-                      f"(window closed mid-run?)", flush=True)
-        time.sleep(PROBE_PERIOD_S)
+            print(f"[{time.strftime('%H:%M:%S')}] capture failed "
+                  f"(window closed mid-run?)", flush=True)
     if best is not None:
         print("best:", json.dumps(best), flush=True)
         return 0
