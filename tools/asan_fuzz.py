@@ -42,7 +42,10 @@ from fanlin_tpu.engine import exr_codec, native_codecs  # noqa: E402
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 400
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-rng = np.random.default_rng(0xFA271)
+# deterministic by default (CI reproducibility); exploratory soaks set
+# ASAN_FUZZ_SEED to walk fresh mutation territory per run
+rng = np.random.default_rng(int(os.environ.get("ASAN_FUZZ_SEED",
+                                               str(0xFA271)), 0))
 
 
 def mutations(data: bytes, n: int):
