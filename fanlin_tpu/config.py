@@ -186,6 +186,14 @@ class TpuConfig:
     # (a dropped TPU relay/PCIe link otherwise bricks the pipeline;
     # warm executes are milliseconds). Needs host_fallback; 0 = off.
     device_stall_s: float = 30.0
+    # queue-pressure spillover: a warm batch whose oldest request
+    # waited this long (ms) between submit and device dispatch serves
+    # from the host mirror instead of queueing further — load SHARING
+    # for the regime where the device is alive but slower than the
+    # arrival rate without tripping the 3x soft-degrade flip
+    # (engine/batcher.py module constants tell the measured story).
+    # Needs host_fallback; 0 = off.
+    spill_wait_ms: float = 500.0
     # extra (src_w, src_h, "query") warmup shapes precompiled at
     # startup alongside the defaults, as "WxH:query" strings, e.g.
     # "1024x768:w=400&h=300&blur=5"
@@ -310,6 +318,15 @@ class TpuConfig:
             if not 0 <= float(v) <= 3600:
                 raise ConfigError("`device_stall_s` out of range (0..3600)")
             cfg.device_stall_s = float(v)
+        if "spill_wait_ms" in obj:
+            v = obj["spill_wait_ms"]
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                raise ConfigError(
+                    "invalid type for `spill_wait_ms`: expected number"
+                )
+            if not 0 <= float(v) <= 60000:
+                raise ConfigError("`spill_wait_ms` out of range (0..60000)")
+            cfg.spill_wait_ms = float(v)
         if "profile_dir" in obj:
             cfg.profile_dir = _as_str(obj["profile_dir"], "profile_dir")
         if "response_cache_mb" in obj:

@@ -95,6 +95,24 @@ _DEGRADE_STREAK_M = 3
 _DEGRADE_PROBE_INTERVAL_S = 10.0
 _COST_EWMA_ALPHA = 0.3
 
+# Queue-pressure spillover (tpu.spill_wait_ms): the soft-degrade flip
+# above only engages when the device prices >3x the mirror — but a
+# device that is 1.5-3x slower than the ARRIVAL RATE requires (yet
+# under the factor) builds an unbounded dispatch queue until request
+# deadlines shed it as 408s. Measured live (session 15): a slow relay
+# window priced device batches 1057 ms/Mpx vs the mirror's 634 —
+# ratio 1.7, no flip — and a 40 rps soak queued to 80% success /
+# p50 5.6 s while the host mirror could serve the same load at 100% /
+# ~17 ms. The fix is load SHARING, not switching: a warm batch whose
+# oldest entry has already waited spill_wait_ms at dispatch rides the
+# host mirror (tagged cold like every mirror serve) instead of
+# queueing further behind the device lane; fresh batches keep riding
+# the device. Under overload the device thread becomes a router —
+# device takes what its drain rate allows, the host pool absorbs the
+# aged overflow — and the backlog stays bounded near
+# arrival_rate x spill_wait. On a healthy device waits never
+# approach the threshold and the branch never engages.
+
 # Absolute time.monotonic() deadline for the CURRENT request, set by
 # the gateway's timeout middleware and propagated into engine worker
 # threads by asyncio.to_thread's context copy. None = no deadline.
@@ -227,7 +245,8 @@ class MicroBatcher:
     def __init__(self, max_batch: int = 8, window_ms: float = 2.0,
                  mesh=None, host_fallback: bool = False,
                  pipeline_depth: int = 2, max_queue: int = 0,
-                 device_stall_s: float = 30.0):
+                 device_stall_s: float = 30.0,
+                 spill_wait_ms: float = 500.0):
         """mesh: optional ('dp','sp') jax.sharding.Mesh — flushed
         batches execute dp/sp-sharded across it (the assemblies own
         the shardings; fused.make_assembly(mesh=...)). One execution
@@ -251,6 +270,11 @@ class MicroBatcher:
         device thread); submit raises BatcherOverload beyond it.
         0 = unlimited.
 
+        spill_wait_ms: queue-pressure spillover — a warm batch whose
+        oldest entry waited this long between submit and device
+        dispatch serves from the host mirror instead (see the
+        _DEGRADE block comment; requires host_fallback; 0 disables).
+
         device_stall_s: a WARM batch's device dispatch/collect
         exceeding this (seconds) marks the device wedged — its
         requests and every batch after it serve from the host mirror
@@ -263,6 +287,7 @@ class MicroBatcher:
         is the failover target); 0 disables."""
         self.max_batch = max_batch
         self.window_s = window_ms / 1000.0
+        self.spill_wait_s = max(float(spill_wait_ms), 0.0) / 1000.0
         self._mesh = mesh
         self._host_fallback = host_fallback
         self.max_queue = max_queue
@@ -394,7 +419,11 @@ class MicroBatcher:
                       "device_ms_per_mpx": 0.0,
                       "mirror_ms_per_mpx": 0.0,
                       "device_degraded": 0,
-                      "degraded_batches": 0}
+                      "degraded_batches": 0,
+                      # queue-pressure spillover: warm batches that
+                      # aged past spill_wait_ms before device dispatch
+                      # and were mirror-served (see module constants)
+                      "spill_batches": 0}
 
     @staticmethod
     def _is_coef3(asm) -> bool:
@@ -945,11 +974,13 @@ class MicroBatcher:
             if not group:
                 return
             now = time.monotonic()
+            oldest_wait_s = 0.0
             with self._lock:
                 self.stats["batches"] += 1
                 self.stats["images"] += len(group)
                 for g in group:
                     wait_ms = (now - g[6]) * 1000.0
+                    oldest_wait_s = max(oldest_wait_s, wait_ms / 1000.0)
                     self.stats["queue_wait_ms_total"] += wait_ms
                     if wait_ms > self.stats["queue_wait_ms_peak"]:
                         self.stats["queue_wait_ms_peak"] = wait_ms
@@ -1047,6 +1078,21 @@ class MicroBatcher:
                 with self._lock:
                     self.stats["host_fallbacks"] += 1
                     self.stats["degraded_batches"] += 1
+                self._mirror_async(asm, futures)
+                return
+            if (self.spill_wait_s > 0 and self._host_fallback
+                    and oldest_wait_s >= self.spill_wait_s):
+                # queue-pressure spillover: this batch already aged
+                # past spill_wait_ms behind a device lane that isn't
+                # draining the arrival rate (slow window / overload;
+                # see the _DEGRADE block comment) — the host pool
+                # absorbs it while fresh batches keep the device fed.
+                # Placed BEFORE the pipeline-permit acquire so aged
+                # batches drain at mirror speed, not at the device's
+                # blocked-permit cadence.
+                with self._lock:
+                    self.stats["host_fallbacks"] += 1
+                    self.stats["spill_batches"] += 1
                 self._mirror_async(asm, futures)
                 return
             # bound upload-ahead to the depth; permits held by STUCK

@@ -490,7 +490,8 @@ async def build_state(cfg: config_mod.Config, runner=None,
                                host_fallback=cfg.tpu.host_fallback,
                                pipeline_depth=cfg.tpu.pipeline_depth,
                                max_queue=cfg.tpu.max_queue,
-                               device_stall_s=cfg.tpu.device_stall_s)
+                               device_stall_s=cfg.tpu.device_stall_s,
+                               spill_wait_ms=cfg.tpu.spill_wait_ms)
         runner = BatchingRunner(batcher)
     if device_decode is None:
         # The decode back half exists to cut host->device transfer and

@@ -351,6 +351,7 @@ class DeviceService:
             pipeline_depth=cfg.tpu.pipeline_depth,
             max_queue=cfg.tpu.max_queue,
             device_stall_s=cfg.tpu.device_stall_s,
+            spill_wait_ms=cfg.tpu.spill_wait_ms,
         )
         self.runner = BatchingRunner(self.batcher)
         # backend init can hang forever if the accelerator link is

@@ -1,0 +1,113 @@
+"""Queue-pressure spillover (tpu.spill_wait_ms): a device that is
+ALIVE but slower than the arrival rate — without being 3x worse than
+the mirror, so the soft-degrade flip never trips — used to build an
+unbounded dispatch queue until request deadlines shed it as 408s
+(measured live, BENCH_NOTES session 15: 40 rps vs a slow relay window
+queued to 80% success / p50 5.6 s while the mirror could serve 100%).
+A warm batch whose oldest entry aged past spill_wait_ms at dispatch
+must ride the host mirror (cold-tagged) while fresh batches keep the
+device fed."""
+
+import time
+
+import numpy as np
+
+from fanlin_tpu.engine.batcher import MicroBatcher
+from fanlin_tpu.ops import fused
+from fanlin_tpu.spec.query import parse_query
+from tests.conftest import make_test_image
+
+
+def _rgba(img):
+    out = np.empty(img.shape[:2] + (4,), dtype=np.uint8)
+    out[..., :3] = img
+    out[..., 3] = 255
+    return out
+
+
+def _warm_plan(w, h, query):
+    img = _rgba(make_test_image(w, h))
+    plan = fused.plan_image(w, h, parse_query(query))
+    warm_asm = fused.make_assembly([plan], [img], ["rgb"])
+    expected = warm_asm.run()[0]
+    assert fused.is_warm(warm_asm.program_key())
+    return img, plan, expected
+
+
+def test_aged_batches_spill_to_mirror(monkeypatch):
+    # unique geometry so this program key belongs to this test only
+    img, plan, expected = _warm_plan(163, 107, "w=73&h=61")
+
+    real_collect = fused.BatchAssembly.collect
+
+    def slow_collect(self, out):
+        time.sleep(0.25)  # alive-but-slow device, well under stall_s
+        return real_collect(self, out)
+
+    monkeypatch.setattr(fused.BatchAssembly, "collect", slow_collect)
+
+    batcher = MicroBatcher(max_batch=1, window_ms=1.0, host_fallback=True,
+                           device_stall_s=30.0, pipeline_depth=1,
+                           spill_wait_ms=60.0)
+    try:
+        futs = [batcher.submit(plan, img) for _ in range(6)]
+        results = [f.result(timeout=30.0) for f in futs]
+        assert batcher.stats["spill_batches"] >= 1
+        assert batcher.stats["device_wedged"] == 0
+        assert batcher.stats["device_degraded"] == 0
+        mirrored = [getattr(f, "fanlin_host_mirror", False) for f in futs]
+        # the overflow spilled to the mirror AND the device kept serving
+        assert any(mirrored)
+        assert not all(mirrored)
+        for r in results:  # both lanes byte-agree within the mirror's LSB
+            assert r.shape == expected.shape
+            assert int(np.abs(r.astype(np.int16)
+                              - np.asarray(expected).astype(np.int16)
+                              ).max()) <= 1
+    finally:
+        batcher.close()
+
+
+def test_spill_disabled_keeps_everything_on_device(monkeypatch):
+    img, plan, expected = _warm_plan(167, 109, "w=71&h=53")
+
+    real_collect = fused.BatchAssembly.collect
+
+    def slow_collect(self, out):
+        time.sleep(0.15)
+        return real_collect(self, out)
+
+    monkeypatch.setattr(fused.BatchAssembly, "collect", slow_collect)
+
+    batcher = MicroBatcher(max_batch=1, window_ms=1.0, host_fallback=True,
+                           device_stall_s=30.0, pipeline_depth=1,
+                           spill_wait_ms=0.0)
+    try:
+        futs = [batcher.submit(plan, img) for _ in range(4)]
+        for f in futs:
+            f.result(timeout=30.0)
+        assert batcher.stats["spill_batches"] == 0
+        assert not any(getattr(f, "fanlin_host_mirror", False)
+                       for f in futs)
+    finally:
+        batcher.close()
+
+
+def test_healthy_device_never_spills():
+    # default threshold, fast device: waits sit orders of magnitude
+    # under 500 ms and the spill branch must never engage
+    img, plan, _ = _warm_plan(151, 101, "w=67&h=47")
+    # max_batch=1 so every batch matches the warmed single-image
+    # program (a bigger bucket would be COLD and mirror for that
+    # reason, which is not what this test pins)
+    batcher = MicroBatcher(max_batch=1, window_ms=1.0, host_fallback=True,
+                           device_stall_s=30.0)
+    try:
+        futs = [batcher.submit(plan, img) for _ in range(8)]
+        for f in futs:
+            f.result(timeout=30.0)
+        assert batcher.stats["spill_batches"] == 0
+        assert not any(getattr(f, "fanlin_host_mirror", False)
+                       for f in futs)
+    finally:
+        batcher.close()
