@@ -373,10 +373,9 @@ def main() -> None:
 
     def _collect_all(out):
         outs = out if isinstance(out, tuple) else (out,)
-        for o in outs:  # overlap the D2H round trips (see fused._prefetch_host)
-            f = getattr(o, "copy_to_host_async", None)
-            if f is not None:
-                f()
+        # overlap the D2H round trips; the shared helper also guards
+        # against transports where copy_to_host_async raises
+        fused.BatchAssembly._prefetch_host(outs)
         for o in outs:
             np.asarray(o)
 

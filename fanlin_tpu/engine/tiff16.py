@@ -4,16 +4,17 @@ PIL reads 16-bit *color* TIFFs through high-byte raw modes
 (``RGB;16L`` keeps only the most significant byte), where the image
 crate's tiff decoder yields Rgb16/Rgba16 and converts to u8 with
 round(v*255/65535) — the same class of gap engine/png16.py closed for
-PNG (PARITY known-diff #11). This reader covers the baseline
-layout matrix: classic TIFF both byte orders, first IFD, strip AND
-tile organization, chunky and planar (config 2) sample layout,
-compressions none(1) / LZW(5, with the TIFF early-change variant) /
-deflate(8, 32946) / packbits(32773), horizontal-differencing
-predictor(2), photometric 0/1/2, 1-4 samples per pixel. Anything
-else (BigTIFF, other compressions, non-u16 sample formats) raises
-Tiff16Error and the caller falls back to PIL's high-byte read —
-behavior never regresses, only precision improves where the raw
-path applies.
+PNG (PARITY known-diff #11). This reader covers the layout matrix:
+classic TIFF AND BigTIFF (version 43) containers, both byte orders,
+first IFD, strip AND tile organization, chunky and planar (config 2)
+sample layout, compressions none(1) / LZW(5, with the TIFF
+early-change variant) / deflate(8, 32946) / packbits(32773),
+horizontal-differencing + floating-point predictors(2, 3),
+photometric 0/1/2, 1-4 samples per pixel, and u16 as well as f32
+(the crate's Rgb32F class) sample formats. Anything else (other
+compressions / sample formats, later IFDs) raises Tiff16Error and
+the caller falls back to PIL's high-byte read — behavior never
+regresses, only precision improves where the raw path applies.
 
 16-bit *grayscale* TIFF was already exact through the PIL I;16
 branch (codecs.decode); it stays there. This module handles spp>=2

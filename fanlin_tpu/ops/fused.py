@@ -1391,15 +1391,25 @@ class BatchAssembly:
                     if spawn:
                         def _compile(asm=self, key=wider_key,
                                      level=level):
-                            # stages + uploads inside this thread so
-                            # the collector never pays a duplicate
-                            # upload; the dct_pack override keeps the
-                            # shared assembly state untouched (the
-                            # collector may still be running the host
-                            # mirror on it — ADVICE r3)
+                            # the wider program takes the SAME inputs
+                            # (dct_pack only changes the download
+                            # tail): reuse the device-resident args
+                            # from submit() like the warm-ladder path
+                            # above, instead of re-staging and
+                            # re-uploading the whole batch over the
+                            # link for a compile whose outputs are
+                            # discarded. The override keeps shared
+                            # assembly state untouched (the collector
+                            # may still be running the host mirror on
+                            # it — ADVICE r3)
                             try:
-                                fn, args = asm._device_args(
-                                    dct_pack=level)
+                                args = getattr(asm, "_args", None)
+                                if args is None:
+                                    fn, args = asm._device_args(
+                                        dct_pack=level)
+                                else:
+                                    fn, _ = asm._device_args(
+                                        dct_pack=level, fn_only=True)
                                 o = fn(*args)
                                 for x in (
                                     o if isinstance(o, tuple) else (o,)

@@ -33,6 +33,7 @@ import argparse
 import json
 import os
 import queue
+import signal
 import subprocess
 import sys
 import threading
@@ -118,6 +119,24 @@ class PersistentProbe:
             self.child.kill()  # direct pid — never kill by pattern
         self.child = None
 
+    def pause(self) -> None:
+        """SIGSTOP the probe child for the duration of a capture: its
+        periodic device_put + calib matmul + 64 MB download contend
+        with the bench over the same relay link and the one host core,
+        contaminating the very capture the fast window triggered."""
+        if self.child is not None and self.child.poll() is None:
+            try:
+                os.kill(self.child.pid, signal.SIGSTOP)
+            except OSError:
+                pass
+
+    def resume(self) -> None:
+        if self.child is not None and self.child.poll() is None:
+            try:
+                os.kill(self.child.pid, signal.SIGCONT)
+            except OSError:
+                pass
+
     def next_report(self) -> "tuple[str, float, float, float] | None":
         """(kind, rt_s, calib_ms, age_s) for the next probe report, or
         None if nothing arrived inside the budget (wedged -> respawned).
@@ -201,6 +220,17 @@ def main() -> int:
     except (OSError, ValueError):
         pass
     probe = PersistentProbe(PROBE_PERIOD_S, COLD_BUDGET_S)
+    try:
+        return _watch_loop(args, deadline, probe, best)
+    finally:
+        # deadline or ^C: don't orphan the probe child — it would keep
+        # paying device_put + calib + 64 MB download against the relay
+        # until its next print hits the closed pipe (up to a full
+        # probe period), or forever if stdout weren't a pipe
+        probe._abandon()
+
+
+def _watch_loop(args, deadline, probe, best) -> int:
     while time.time() < deadline:
         got = probe.next_report()
         stamp = time.strftime("%H:%M:%S")
@@ -218,7 +248,11 @@ def main() -> int:
         n_tag = time.strftime("%H%M%S")
         print(f"[{stamp}] fast window — capturing bench (tag {n_tag})",
               flush=True)
-        res = run_bench(args.budget, args.out, n_tag)
+        probe.pause()  # keep the probe's device traffic off the capture
+        try:
+            res = run_bench(args.budget, args.out, n_tag)
+        finally:
+            probe.resume()
         probe.drain()  # reports piled up behind the capture are stale
         if res is not None and (
                 res.get("error") or "hostmirror" in res.get("metric", "")):
