@@ -134,6 +134,35 @@ def _degraded_exit(err: str) -> None:
     os._exit(3)
 
 
+def _fastwin_quiesce_lock() -> None:
+    """Tell a camping fastwin watcher (tools/fastwin_watch.py) to
+    quiesce its probe child while THIS bench runs: the probe's
+    periodic device_put + calib matmul + 64 MB download contend with
+    the capture over the same relay link and the one host core. The
+    lock carries our pid; the probe treats a lock whose pid is dead as
+    stale, so a crashed/os._exit'd bench can't quiesce the probe
+    forever. No-op when the fastwin dir doesn't exist (no watcher)."""
+    d = os.environ.get("BENCH_FASTWIN_DIR", ".bench_fastwin")
+    if not os.path.isdir(d):
+        return
+    p = os.path.join(d, "bench.lock")
+    try:
+        with open(p, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        return
+
+    def _rm() -> None:
+        try:
+            os.unlink(p)
+        except OSError:
+            pass
+
+    import atexit
+
+    atexit.register(_rm)
+
+
 def _attach_fastwin(result: dict) -> None:
     """If the fastwin watcher (tools/fastwin_watch.py) banked a
     device capture earlier in the round, attach it — clearly labeled
@@ -213,6 +242,7 @@ def load_source() -> tuple:
 
 def main() -> None:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+    _fastwin_quiesce_lock()
     _start_watchdog()
     _beat("jax import")
     import jax

@@ -46,13 +46,35 @@ PROBE_PERIOD_S = 300.0
 COLD_BUDGET_S = 900.0
 
 _PROBE_CHILD_SRC = r"""
-import sys, time, numpy as np
+import os, sys, time, numpy as np
 import jax
 period = float(sys.argv[1])
+lock = sys.argv[2] if len(sys.argv) > 2 else ""
+
+def _bench_running():
+    # bench.py writes its pid into the lock (_fastwin_quiesce_lock);
+    # a lock whose pid is dead is stale (bench crashed / os._exit'd)
+    if not lock:
+        return False
+    try:
+        with open(lock) as f:
+            pid = int(f.read().strip())
+        os.kill(pid, 0)
+        return True
+    except (OSError, ValueError):
+        return False
+
 n = 0
 calib_a = None
 calib_f = None
 while True:
+    if _bench_running():
+        # an independent bench (e.g. the driver's end-of-round
+        # capture) owns the link: skip this period's device traffic,
+        # but keep reporting so the parent doesn't respawn us
+        print("PROBE_SKIP", 0.0, 0.0, flush=True)
+        time.sleep(period)
+        continue
     t0 = time.time()
     # vary content: the relay dedups repeated device_put payloads
     x = jax.device_put(np.full((256, 256), float(n % 7 + 1), np.float32))
@@ -85,9 +107,11 @@ class PersistentProbe:
     for the next (kind, rt_seconds, age_s) report; None = wedged (no
     report inside the budget) — the child is killed and respawned."""
 
-    def __init__(self, period_s: float, cold_budget_s: float):
+    def __init__(self, period_s: float, cold_budget_s: float,
+                 lock_path: str = ""):
         self.period_s = period_s
         self.cold_budget_s = cold_budget_s
+        self.lock_path = lock_path
         self.q: "queue.Queue[tuple[str, float, float, float]]" = (
             queue.Queue())
         self.child: subprocess.Popen | None = None
@@ -95,7 +119,8 @@ class PersistentProbe:
 
     def _spawn(self) -> None:
         self.child = subprocess.Popen(
-            [sys.executable, "-c", _PROBE_CHILD_SRC, str(self.period_s)],
+            [sys.executable, "-c", _PROBE_CHILD_SRC, str(self.period_s),
+             self.lock_path],
             stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
         )
         self.fresh = True
@@ -105,8 +130,10 @@ class PersistentProbe:
             for line in proc.stdout:  # EOF on child death
                 parts = line.split()
                 if len(parts) == 3 and parts[0] in ("PROBE_RT",
-                                                    "PROBE_COLD"):
-                    kind = "cold" if parts[0] == "PROBE_COLD" else "warm"
+                                                    "PROBE_COLD",
+                                                    "PROBE_SKIP"):
+                    kind = {"PROBE_COLD": "cold",
+                            "PROBE_SKIP": "skip"}.get(parts[0], "warm")
                     # timestamp at read: reports read later (e.g. piled
                     # up behind a bench capture) carry their age
                     self.q.put((kind, float(parts[1]), float(parts[2]),
@@ -153,7 +180,10 @@ class PersistentProbe:
         except queue.Empty:
             self._abandon()
             return None
-        self.fresh = False
+        # a child whose first wakes were all quiesced (bench lock held)
+        # hasn't paid the relay's per-process cold start yet — keep the
+        # cold budget armed until its first real device report
+        self.fresh = kind == "skip"
         return kind, rt, calib_ms, time.time() - t_read
 
     def drain(self) -> None:
@@ -219,7 +249,9 @@ def main() -> int:
               flush=True)
     except (OSError, ValueError):
         pass
-    probe = PersistentProbe(PROBE_PERIOD_S, COLD_BUDGET_S)
+    probe = PersistentProbe(
+        PROBE_PERIOD_S, COLD_BUDGET_S,
+        lock_path=os.path.join(os.path.abspath(args.out), "bench.lock"))
     try:
         return _watch_loop(args, deadline, probe, best)
     finally:
@@ -239,6 +271,10 @@ def _watch_loop(args, deadline, probe, best) -> int:
                   f"probe child respawned", flush=True)
             continue
         kind, rt, calib_ms, age = got
+        if kind == "skip":
+            print(f"[{stamp}] probe: quiesced (independent bench holds "
+                  f"the lock)", flush=True)
+            continue
         print(f"[{stamp}] probe: {rt * 1000:.0f} ms {kind} round trip, "
               f"calib {calib_ms:.0f} ms"
               + (f" ({age:.0f}s stale)" if age > 30 else ""), flush=True)
