@@ -252,6 +252,9 @@ def main() -> int:
     probe = PersistentProbe(
         PROBE_PERIOD_S, COLD_BUDGET_S,
         lock_path=os.path.join(os.path.abspath(args.out), "bench.lock"))
+    # default SIGTERM skips finally blocks — route it through
+    # SystemExit so a killed watcher still reaps its probe child
+    signal.signal(signal.SIGTERM, lambda *_: sys.exit(143))
     try:
         return _watch_loop(args, deadline, probe, best)
     finally:
